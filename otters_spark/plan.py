@@ -1,0 +1,230 @@
+"""Fluent query plans — the reference's builder API over one Catalyst plan.
+
+Reference lifecycle (SURVEY.md §3):
+``store.query(qs, metric).meta_filter(expr).vec_filter(t, cmp).take(k).collect()``
+(otters src/vec.rs:56-311, src/meta.rs:569-829).
+
+Spark realization is a single declarative pipeline::
+
+    store.filter(meta_pred)                  # ← Catalyst pushes into scan
+         .crossJoin(broadcast(query_batch))  # ← tiny broadcast side
+         .withColumn('score', <codegen expr>)
+         .filter(~isnan(score) & score CMP t)
+         .orderBy(score).limit(k)            # ← TakeOrderedAndProject
+
+so the reference's hand-built machinery maps 1:1 onto planner features:
+chunk pruning = row-group pruning (src/meta.rs:646-660), rayon chunk
+parallelism = task parallelism (src/meta.rs:678-709), TopKCollector's
+adaptive threshold = per-partition bounded priority queue in
+``TakeOrderedAndProject`` (src/vec_compute.rs:95-208), and result
+materialization is a no-op because metadata columns ride along
+(src/meta.rs:722-828).
+
+Builder methods never raise; errors surface at ``collect()``/``df()``
+(deferred-error model, src/vec.rs:63-90, CHANGELOG.md:6-9).
+
+Determinism note: the reference's top-k tie order is unstable
+(sort_unstable, src/meta.rs:702-705); we add an id tie-break so results
+are reproducible and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .errors import (
+    DimensionMismatchError,
+    EmptyQueryError,
+    MissingMetricError,
+    OttersError,
+    PlanError,
+)
+from .expr import Expr, compile_expr
+from .functions.vector import METRICS, queries_df, score_expr
+from .store import INV_NORM_COL, MetaStore, VecStore
+
+__all__ = ["VecQueryPlan", "MetaQueryPlan"]
+
+_CMPS = {"lt", "lte", "gt", "gte", "eq"}
+
+
+def _normalize_queries(queries: Any) -> list[list[float]] | None:
+    if queries is None:
+        return None
+    try:
+        seq = list(queries)
+    except TypeError:
+        return None
+    if not seq:
+        return []
+    if all(isinstance(x, (int, float)) for x in seq):
+        return [[float(x) for x in seq]]
+    out = []
+    for q in seq:
+        out.append([float(x) for x in q])
+    return out
+
+
+class VecQueryPlan:
+    """Pure vector search plan (src/vec.rs:56-166)."""
+
+    def __init__(self, store: VecStore, queries: Any, metric: str | None):
+        self._store = store
+        self._error: OttersError | None = None
+        self._metric = metric
+        self._queries = _normalize_queries(queries)
+        self._vec_filters: list[tuple[float, str]] = []
+        self._k: int | None = None
+        self._take_dir: str | None = None
+        if self._queries is None:
+            self._error = EmptyQueryError("queries must be a vector or list of vectors")
+        if metric is not None and metric not in METRICS:
+            self._error = MissingMetricError(
+                f"unknown metric {metric!r}; expected one of {sorted(METRICS)}"
+            )
+
+    # builder methods mutate only while error-free (map_ok pattern,
+    # src/vec.rs:84-90)
+    def _ok(self) -> bool:
+        return self._error is None
+
+    def filter(self, threshold: float, cmp: str = "gt") -> "VecQueryPlan":
+        """Score filter (vec_filter): keep rows where score CMP threshold
+        (src/vec.rs:151-153, src/meta.rs:618-621)."""
+        if self._ok():
+            if cmp not in _CMPS:
+                self._error = PlanError(f"bad score cmp {cmp!r}; expected {sorted(_CMPS)}")
+            else:
+                self._vec_filters.append((float(threshold), cmp))
+        return self
+
+    vec_filter = filter
+
+    def take(self, k: int | None) -> "VecQueryPlan":
+        """Top-k; direction inferred from metric (Euclidean→min else max,
+        src/vec.rs:92-98). ``None`` keeps all rows, sorted."""
+        if self._ok():
+            self._k = None if k is None else int(k)
+        return self
+
+    def take_min(self, k: int | None = None) -> "VecQueryPlan":
+        if self._ok():
+            self._k = None if k is None else int(k)
+            self._take_dir = "min"
+        return self
+
+    def take_max(self, k: int | None = None) -> "VecQueryPlan":
+        if self._ok():
+            self._k = None if k is None else int(k)
+            self._take_dir = "max"
+        return self
+
+    # --- execution ------------------------------------------------------
+
+    def _validate(self) -> None:
+        """Mirror of plan validation at collect (src/vec.rs:170-203)."""
+        if self._error is not None:
+            raise self._error
+        if self._metric is None:
+            raise MissingMetricError("no metric configured")
+        if not self._queries:
+            raise EmptyQueryError("empty query batch (src/vec.rs:178-180)")
+        dim = self._store.dim
+        if dim:
+            for i, q in enumerate(self._queries):
+                if len(q) != dim:
+                    raise DimensionMismatchError(
+                        f"query {i} has dim {len(q)}, store dim {dim} "
+                        "(src/vec.rs:186-199)"
+                    )
+
+    def _meta_condition(self):
+        return None
+
+    def _result_columns(self) -> list[str]:
+        return [self._store.id_col, "score"]
+
+    def df(self) -> DataFrame:
+        """Build the result DataFrame (lazy; the driver/action collects)."""
+        self._validate()
+        store = self._store
+        base = store.df
+        cond = self._meta_condition()
+        if cond is not None:
+            base = base.filter(cond)
+        spark = base.sparkSession
+        qdf = queries_df(spark, self._queries)
+        scored = base.crossJoin(F.broadcast(qdf)).withColumn(
+            "score",
+            score_expr(
+                store.vec_col,
+                "qvec",
+                self._metric,
+                inv_norm_col=INV_NORM_COL,
+                q_inv_norm=F.col("q_inv_norm"),
+            ),
+        )
+        # NaN scores silently dropped (src/vec_compute.rs:236-239)
+        scored = scored.filter(~F.isnan(F.col("score")))
+        for thr, cmp in self._vec_filters:
+            c = F.col("score")
+            t = F.lit(thr)
+            scored = scored.filter(
+                {"lt": c < t, "lte": c <= t, "gt": c > t, "gte": c >= t, "eq": c == t}[cmp]
+            )
+        direction = self._take_dir or METRICS[self._metric]
+        order = [
+            F.col("score").asc() if direction == "min" else F.col("score").desc(),
+            F.col(store.id_col).asc(),
+        ]
+        out = scored.orderBy(*order)
+        if self._k is not None:
+            # ORDER BY + LIMIT k → TakeOrderedAndProject: per-partition
+            # bounded priority queue + driver merge — the distributed
+            # equivalent of TopKCollector (src/vec_compute.rs:77-294)
+            out = out.limit(self._k)
+        return out.select(*self._result_columns())
+
+    def collect(self) -> list:
+        """Execute and materialize (reference ``collect``,
+        src/vec.rs:206-311)."""
+        return self.df().collect()
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df().explain(mode)
+
+
+class MetaQueryPlan(VecQueryPlan):
+    """Vector search + strict-typed metadata predicates
+    (src/meta.rs:580-829)."""
+
+    def __init__(self, store: MetaStore, queries: Any, metric: str | None):
+        super().__init__(store, queries, metric)
+        self._meta_exprs: list[Expr] = []
+        self._compiled = []
+
+    def meta_filter(self, expr: Expr) -> "MetaQueryPlan":
+        """Compile immediately against the schema; stash errors for
+        collect (src/meta.rs:605-616)."""
+        if self._ok():
+            try:
+                compiled = compile_expr(expr, self._store.schema)
+            except OttersError as e:
+                self._error = e
+            else:
+                self._meta_exprs.append(expr)
+                self._compiled.append(compiled)
+        return self
+
+    def _meta_condition(self):
+        cond = None
+        for compiled in self._compiled:
+            cond = compiled.condition if cond is None else (cond & compiled.condition)
+        return cond
+
+    def _result_columns(self) -> list[str]:
+        # result = index, score, then metadata columns in sorted-name
+        # order (src/meta.rs:723-724, src/display.rs:166-167)
+        return [self._store.id_col, "score"] + sorted(self._store.meta_columns)

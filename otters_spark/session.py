@@ -1,0 +1,53 @@
+"""SparkSession factory with engine defaults.
+
+Tuned for correctness parity (UTC session timezone, ANSI off so NaN
+score filtering matches the reference's silent NaN drop) and for scale
+(AQE on with skew handling, parquet pushdown + bloom filters, Arrow for
+the few pandas-UDF paths). On a real cluster the same configs apply; the
+master URL is the only local[...] artifact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark"]
+
+
+def get_spark(
+    app_name: str = "otters-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # deterministic timestamp semantics vs the DuckDB oracle
+        .config("spark.sql.session.timeZone", "UTC")
+        # runtime re-planning: coalesce small shuffle partitions, split
+        # skewed ones — the 100TB-scale safety net for joins/aggs
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # scan-side pruning (the reference's zonemap/bloom subsystem,
+        # SURVEY.md §1.4): row-group stats + bloom + dictionary filters
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Arrow transport for pandas-UDF scoring paths
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

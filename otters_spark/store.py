@@ -1,0 +1,205 @@
+"""Vector + metadata stores backed by DataFrames / Parquet.
+
+Re-expresses the reference's three data abstractions (SURVEY.md §1.1):
+
+* ``VecStore`` (otters src/vec.rs:338-344) — here a DataFrame with an
+  ``array<float>`` column, a row-id column, and a precomputed
+  ``__inv_norm`` double column (the reference precomputes inverse L2
+  norms at ingest, src/vec.rs:365-368).
+* ``Column`` (src/col.rs:22-28) — a plain DataFrame field; Spark columns
+  are natively nullable, so the BitVec-mask + sentinel scheme disappears.
+* ``MetaStore`` (src/meta.rs:49-60) — a single DataFrame holding
+  metadata columns plus the vector column, persisted as Parquet.
+
+The reference's chunk/zonemap/bloom "index" (src/meta.rs:203-281,
+src/meta_compute.rs:32-132) maps onto what Parquet + Catalyst already
+provide: row-group min/max statistics = zonemaps, Parquet bloom filters
+= per-chunk string blooms, ``sortWithinPartitions`` at write time = the
+README's "sort by filter columns" pruning advice (README.md:154,184-186).
+``MetaStore.save`` applies all three; nothing is reimplemented.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .errors import StoreBuildError
+from .expr import _schema_dtypes
+from .functions.vector import inv_norm_expr
+
+__all__ = ["VecStore", "MetaStore", "INV_NORM_COL", "with_row_index"]
+
+INV_NORM_COL = "__inv_norm"
+_MANIFEST = "_otters_manifest.json"
+
+
+def with_row_index(df: DataFrame, name: str = "vec_id") -> DataFrame:
+    """Attach a 0-based dense row index.
+
+    Parity helper for the reference's implicit positional row ids
+    (src/meta_compute.rs:184-187). The global window is fine at test
+    scale; at cluster scale prefer data that carries its own id column
+    (``id_col=...``) — a global row_number is a single-partition sort.
+    """
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return df.withColumn(name, (F.row_number().over(w) - 1).cast("long"))
+
+
+class VecStore:
+    """Dense vector collection with precomputed inverse norms.
+
+    Reference: ``VecStore`` src/vec.rs:338-411. Construction validates
+    dimensions (eagerly, unlike the reference's per-query check — cheap
+    at build, saves a failed job later) and adds ``__inv_norm``.
+    """
+
+    def __init__(self, df: DataFrame, vec_col: str, id_col: str, dim: int | None):
+        self.df = df
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.dim = dim
+
+    @classmethod
+    def from_df(
+        cls,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str | None = "vec_id",
+        dim: int | None = None,
+        validate: bool = True,
+    ) -> "VecStore":
+        if vec_col not in df.columns:
+            raise StoreBuildError(f"vector column {vec_col!r} not in DataFrame")
+        if id_col is None or id_col not in df.columns:
+            id_col = id_col or "vec_id"
+            df = with_row_index(df, id_col)
+        if validate:
+            row = df.agg(
+                F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
+            ).first()
+            if row["lo"] is None:
+                dim = dim or 0
+            else:
+                if row["lo"] != row["hi"]:
+                    raise StoreBuildError(
+                        f"ragged vector column {vec_col!r}: sizes {row['lo']}..{row['hi']} "
+                        "(reference rejects dim mismatch, src/vec.rs:357-362)"
+                    )
+                if dim is not None and dim != row["lo"]:
+                    raise StoreBuildError(
+                        f"declared dim {dim} != observed dim {row['lo']}"
+                    )
+                dim = row["lo"]
+        if INV_NORM_COL not in df.columns:
+            df = df.withColumn(INV_NORM_COL, inv_norm_expr(vec_col))
+        return cls(df, vec_col, id_col, dim)
+
+    def query(self, queries: Any, metric: str = "cosine"):
+        """Start a fluent query plan (src/vec.rs:387-411). ``queries``
+        is one vector or a list of vectors; batches merge into ONE
+        global top-k (src/vec.rs:217-219)."""
+        from .plan import VecQueryPlan
+
+        return VecQueryPlan(self, queries, metric)
+
+    def count(self) -> int:
+        return self.df.count()
+
+
+class MetaStore(VecStore):
+    """Metadata table + vectors as one DataFrame (src/meta.rs:49-60).
+
+    ``schema`` exposes the otters-dtype view of the metadata columns for
+    the strict expression compiler (src/meta.rs:50).
+    """
+
+    _INTERNAL = {INV_NORM_COL}
+
+    @property
+    def meta_columns(self) -> list[str]:
+        skip = {self.vec_col, self.id_col} | self._INTERNAL
+        return [c for c in self.df.columns if c not in skip]
+
+    @property
+    def schema(self) -> dict[str, str]:
+        dtypes = _schema_dtypes(self.df.schema)
+        return {c: dtypes[c] for c in self.meta_columns}
+
+    def query(self, queries: Any, metric: str = "cosine"):
+        from .plan import MetaQueryPlan
+
+        return MetaQueryPlan(self, queries, metric)
+
+    # --- persistence (realizes the reference's roadmap persistence item,
+    # README.md:206,213) -------------------------------------------------
+
+    def save(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        sort_cols: Sequence[str] | None = None,
+        bloom_cols: Sequence[str] | None = None,
+        row_group_bytes: int = 128 * 1024 * 1024,
+        partitions: int | None = None,
+    ) -> None:
+        """Persist as Parquet with the pruning features the reference
+        builds by hand: row-group stats (= zonemaps), bloom filters on
+        string columns (= per-chunk blooms, src/meta_compute.rs:99-115),
+        and optional sort-by-filter-columns layout (README.md:184-186).
+        """
+        df = self.df
+        if sort_cols:
+            n = partitions or df.sparkSession.sparkContext.defaultParallelism
+            df = df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
+            df = df.sortWithinPartitions(*sort_cols)
+        elif partitions:
+            df = df.repartition(partitions)
+        if bloom_cols is None:
+            bloom_cols = [
+                f.name
+                for f in self.df.schema.fields
+                if isinstance(f.dataType, T.StringType)
+            ]
+        w = df.write.mode(mode).option("parquet.block.size", str(row_group_bytes))
+        for c in bloom_cols:
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w.parquet(path)
+        manifest = {
+            "vec_col": self.vec_col,
+            "id_col": self.id_col,
+            "dim": self.dim,
+            "sort_cols": list(sort_cols or []),
+            "bloom_cols": list(bloom_cols),
+        }
+        if "://" not in path:
+            with open(os.path.join(path, _MANIFEST), "w") as f:
+                json.dump(manifest, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "MetaStore":
+        manifest = {}
+        mpath = os.path.join(path, _MANIFEST)
+        if "://" not in path and os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+        df = spark.read.parquet(path)
+        return cls(
+            df,
+            vec_col=manifest.get("vec_col", "embedding"),
+            id_col=manifest.get("id_col", "vec_id"),
+            dim=manifest.get("dim"),
+        )
+
+    @classmethod
+    def from_df(cls, *args, **kwargs) -> "MetaStore":
+        return super().from_df(*args, **kwargs)  # type: ignore[return-value]
+
+    def head(self, n: int = 5):
+        """First-n preview (src/col.rs:403-444, src/meta.rs:366-374)."""
+        return self.df.limit(n).toPandas()

@@ -1,0 +1,177 @@
+"""Port of the reference's VecStore end-to-end tests
+(/root/reference/tests/vec_store_tests.rs): exact metric math against
+hand-computed values, top-k ordering, score filters, batch merge,
+deferred errors, zero-norm convention."""
+
+import math
+
+import pytest
+from pyspark.sql import types as T
+
+from otters_spark import (
+    DimensionMismatchError,
+    EmptyQueryError,
+    MissingMetricError,
+    VecStore,
+)
+
+EPS = 1e-5  # reference tolerance (vec_store_tests.rs:158,586)
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType(), False), False),
+    ]
+)
+
+
+def make_store(spark, vectors):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vectors)]
+    return VecStore.from_df(spark.createDataFrame(rows, VEC_SCHEMA))
+
+
+def scores_by_id(rows):
+    return {r["vec_id"]: r["score"] for r in rows}
+
+
+# --- cosine exact values (vec_store_tests.rs:544-608) ---
+
+
+def test_cosine_parallel_orthogonal_45deg(spark):
+    store = make_store(spark, [[1, 0], [0, 1], [1, 1], [-1, 0]])
+    rows = store.query([1.0, 0.0], metric="cosine").collect()
+    s = scores_by_id(rows)
+    assert abs(s[0] - 1.0) < EPS  # parallel
+    assert abs(s[1] - 0.0) < EPS  # orthogonal
+    assert abs(s[2] - math.sqrt(0.5)) < EPS  # 45 degrees
+    assert abs(s[3] - (-1.0)) < EPS  # anti-parallel
+    # descending order for cosine (default Max)
+    got = [r["vec_id"] for r in rows]
+    assert got == [0, 2, 1, 3]
+
+
+# --- squared euclidean 3-4-5 (vec_store_tests.rs:610-656) ---
+
+
+def test_euclidean_is_squared(spark):
+    store = make_store(spark, [[3, 4], [0, 0], [1, 1]])
+    rows = store.query([0.0, 0.0], metric="euclidean").take(3).collect()
+    s = scores_by_id(rows)
+    assert abs(s[0] - 25.0) < EPS  # squared! not 5.0
+    assert abs(s[1] - 0.0) < EPS
+    assert abs(s[2] - 2.0) < EPS
+    # ascending order for euclidean (default Min)
+    assert [r["vec_id"] for r in rows] == [1, 2, 0]
+
+
+# --- dot product ranking (vec_store_tests.rs:251-274,658-745) ---
+
+
+def test_dot_product_ranking_topk(spark):
+    store = make_store(spark, [[1, 2], [3, 4], [5, 6], [0, 0]])
+    rows = store.query([1.0, 1.0], metric="dot").take(2).collect()
+    assert [r["vec_id"] for r in rows] == [2, 1]
+    assert abs(rows[0]["score"] - 11.0) < EPS
+    assert abs(rows[1]["score"] - 7.0) < EPS
+
+
+# --- score filter (vec_store_tests.rs:853-896) ---
+
+
+def test_score_filter_then_topk(spark):
+    store = make_store(spark, [[1, 0], [0.9, 0.1], [0, 1], [-1, 0]])
+    rows = (
+        store.query([1.0, 0.0], metric="cosine").filter(0.5, "gt").take(10).collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    assert ids == [0, 1]
+    assert all(r["score"] > 0.5 for r in rows)
+
+
+def test_score_filter_cmps(spark):
+    store = make_store(spark, [[1, 0], [0, 1], [-1, 0]])
+    rows = store.query([1.0, 0.0], metric="cosine").filter(0.0, "lte").collect()
+    assert sorted(r["vec_id"] for r in rows) == [1, 2]
+
+
+# --- batch queries merge globally (vec_store_tests.rs:345-359,899-924) ---
+
+
+def test_batch_global_merge(spark):
+    store = make_store(spark, [[1, 0], [0, 1], [0.7, 0.7]])
+    rows = store.query([[1.0, 0.0], [0.0, 1.0]], metric="cosine").take(2).collect()
+    # 6 (row, query) scores merged into ONE global top-2: both exact
+    # matches score 1.0
+    assert len(rows) == 2
+    assert all(abs(r["score"] - 1.0) < EPS for r in rows)
+    assert sorted(r["vec_id"] for r in rows) == [0, 1]
+
+
+def test_no_take_returns_all(spark):
+    store = make_store(spark, [[1, 0], [0, 1], [0.7, 0.7]])
+    rows = store.query([[1.0, 0.0], [0.0, 1.0]], metric="cosine").collect()
+    assert len(rows) == 6  # all (row, query) pairs, sorted desc
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+# --- take_min / take_max override (vec_store_tests.rs:156-167) ---
+
+
+def test_take_min_overrides_cosine(spark):
+    store = make_store(spark, [[1, 0], [0, 1], [-1, 0]])
+    rows = store.query([1.0, 0.0], metric="cosine").take_min(1).collect()
+    assert rows[0]["vec_id"] == 2
+    assert abs(rows[0]["score"] - (-1.0)) < EPS
+
+
+# --- zero-norm convention (vec_store_tests.rs:1092-1124) ---
+
+
+def test_zero_vector_cosine_is_zero_not_nan(spark):
+    store = make_store(spark, [[0, 0], [1, 0]])
+    rows = store.query([1.0, 0.0], metric="cosine").collect()
+    s = scores_by_id(rows)
+    assert s[0] == 0.0
+    assert abs(s[1] - 1.0) < EPS
+    # zero-vector *query* also scores 0 against everything
+    rows2 = store.query([0.0, 0.0], metric="cosine").collect()
+    assert all(r["score"] == 0.0 for r in rows2)
+
+
+# --- empty store (vec_store_tests.rs:488-499) ---
+
+
+def test_empty_store(spark):
+    df = spark.createDataFrame([], VEC_SCHEMA)
+    store = VecStore.from_df(df)
+    rows = store.query([1.0, 0.0], metric="cosine").take(5).collect()
+    assert rows == []
+
+
+# --- deferred errors (vec_store_tests.rs:51-137,960-1028) ---
+
+
+def test_dim_mismatch_deferred_to_collect(spark):
+    store = make_store(spark, [[1, 0], [0, 1]])
+    plan = store.query([1.0, 0.0, 0.0], metric="cosine").take(5)
+    with pytest.raises(DimensionMismatchError):
+        plan.collect()
+
+
+def test_empty_batch_deferred(spark):
+    store = make_store(spark, [[1, 0]])
+    plan = store.query([], metric="cosine")
+    with pytest.raises(EmptyQueryError):
+        plan.collect()
+
+
+def test_bad_metric_deferred(spark):
+    store = make_store(spark, [[1, 0]])
+    plan = store.query([1.0, 0.0], metric="manhattan")
+    with pytest.raises(MissingMetricError):
+        plan.collect()
+    # builder methods after the error are no-ops, not raises
+    plan2 = store.query([1.0, 0.0], metric="manhattan").filter(0.1).take(2)
+    with pytest.raises(MissingMetricError):
+        plan2.collect()
