@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with the no-op sink so the full plan runs on
+executors without a driver-side collect bottleneck skewing timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from otters_spark.session import get_spark
+    from otters_spark.suite import QUERIES
+
+    spark = get_spark(
+        app_name="otters-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths once with the cheapest query
+    try:
+        QUERIES["vs_dot_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+        except Exception as e:  # record failures as null, keep benching
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            times[name] = None
+            continue
+        times[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -40,6 +40,9 @@ def get_spark(
         # scan-side pruning (the reference's zonemap/bloom subsystem,
         # SURVEY.md §1.4): row-group stats + bloom + dictionary filters
         .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet carries TIMESTAMP(NANOS); read as long
+        # nanos (engine converts explicitly where needed)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Arrow transport for pandas-UDF scoring paths
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
