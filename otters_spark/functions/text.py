@@ -1,0 +1,181 @@
+"""Text primitives for the LLM-data-pipeline operators — all native
+Catalyst expressions (no Python UDFs in any hot path).
+
+Hashing convention: 60-bit deterministic integers derived from md5
+(``conv(substr(md5(x),1,15),16,10)``) — chosen over Spark's builtin
+``hash``/``xxhash64`` because md5 is bit-identical in DuckDB
+(``('0x'||substr(md5(x),1,15))::BIGINT``), which makes MinHash /
+SimHash signatures oracle-checkable cross-engine. 15 hex digits = 60
+bits, always positive in an int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = [
+    "tokens_expr",
+    "distinct_tokens_expr",
+    "md5_long_expr",
+    "minhash_signature_expr",
+    "simhash_expr",
+    "fingerprint_expr",
+    "char_shingles_expr",
+    "jaccard_expr",
+    "est_jaccard_from_sigs_expr",
+]
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def tokens_expr(text, delimiter: str = " ") -> Column:
+    """Whitespace tokenization (simple split keeps DuckDB parity;
+    use a regex split for messier corpora)."""
+    return F.split(_c(text), delimiter)
+
+
+def distinct_tokens_expr(text, delimiter: str = " ") -> Column:
+    return F.array_distinct(tokens_expr(text, delimiter))
+
+
+def md5_long_expr(x) -> Column:
+    """Deterministic 60-bit hash of a string column (see module doc)."""
+    return F.conv(F.substring(F.md5(_c(x).cast("string")), 1, 15), 16, 10).cast("long")
+
+
+#: fixed 60-bit permutation constants for the MinHash family
+#: (numpy default_rng(99); regenerating changes every signature)
+MINHASH_PERM_CONSTANTS: list[int] = [
+    583413646677552681, 651506294357710610,
+    590198918480418528, 1120854574921554786,
+    708935055626519835, 655186265435856591,
+    330642580031546584, 639308179001447190,
+    539017926517244182, 703348996503225347,
+    1072727164374993511, 283486546467559973,
+    356758114971935914, 450884139696886028,
+    311602092370511532, 403539762130127012,
+    1079399344108724090, 435670838689666139,
+    893109731352095947, 46770843827787702,
+    344326458966482218, 810032441928370608,
+    521411772095334499, 1025936298004440196,
+    501636183047630434, 718915497780898744,
+    674896862365089173, 690751872048649193,
+    755954092076409089, 589467991279670386,
+    223297553012967209, 79513978067660870,
+]
+
+
+def _perm_mix(h: Column, c: int) -> Column:
+    """Cheap per-permutation mixing: x = h XOR c; x XOR (x >> 29).
+
+    Multiplication-free on purpose — int64 overflow wraps in Spark but
+    *errors* in DuckDB, so a multiply-based family could never be
+    oracle-checked. Diffusion is weaker than a multiply hash; a
+    production Spark-only deployment can substitute
+    ``xxhash64(token, lit(i))`` per permutation."""
+    x = h.bitwiseXOR(F.lit(c))
+    return x.bitwiseXOR(F.shiftright(x, 29))
+
+
+def token_hashes_expr(tokens) -> Column:
+    """Per-token 60-bit hashes (one md5 pass). Materialize this as a
+    column before fanning out into signature/fingerprint expressions —
+    Spark does not reliably CSE higher-order subexpressions, so feeding
+    the same md5-transform into 16 permutations would recompute it 16×."""
+    return F.transform(_c(tokens), lambda t: md5_long_expr(t))
+
+
+def minhash_signature_expr(token_hashes, n_hashes: int = 16) -> Column:
+    """MinHash signature over a precomputed token-hash array (see
+    :func:`token_hashes_expr`): each permutation is a cheap bit-mix +
+    array_min — JVM-side, no shuffle, no UDF, no md5 in the per-perm
+    loop. Empty token sets yield nulls in the signature."""
+    if n_hashes > len(MINHASH_PERM_CONSTANTS):
+        raise ValueError(f"n_hashes max {len(MINHASH_PERM_CONSTANTS)}")
+    th = _c(token_hashes)
+
+    # NB: plain one-arg lambdas only — a default-arg lambda looks like
+    # the 2-arg (element, index) HOF form to pyspark and silently binds
+    # the index as the "constant"
+    def mixer(c: int):
+        return lambda h: _perm_mix(h, c)
+
+    sig = [
+        F.array_min(F.transform(th, mixer(MINHASH_PERM_CONSTANTS[i])))
+        for i in range(n_hashes)
+    ]
+    return F.array(*sig)
+
+
+def simhash_votes_exprs(token_hash, bits: int = 32) -> list[Column]:
+    """Per-bit vote terms for SimHash, to be summed in a groupBy: +1 if
+    bit set in the token hash else -1."""
+    h = _c(token_hash)
+    return [
+        F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias(f"__bit{b}")
+        for b in range(bits)
+    ]
+
+
+def simhash_from_votes_expr(bits: int = 32) -> Column:
+    """Fold summed votes (columns __bit0..__bitN) into the SimHash
+    integer: bit b set iff the vote sum is positive."""
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(F.col(f"__bit{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_expr(token_hashes, bits: int = 32) -> Column:
+    """SimHash over a precomputed token-hash array (see
+    :func:`token_hashes_expr`), no explode: for each bit, count hashes
+    with that bit set vs total; bit set in the output iff
+    set-count*2 > total. Equivalent to +1/-1 voting."""
+    th = _c(token_hashes)
+    n = F.size(th)
+
+    def bit_test(b: int):
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        set_count = F.size(F.filter(th, bit_test(b)))
+        out = out + F.when(set_count * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
+def fingerprint_expr(text, delimiter: str = " ") -> Column:
+    """Broder-style document fingerprint: md5 of the sorted distinct
+    token set — robust to token order/duplication."""
+    return F.md5(
+        F.array_join(F.array_sort(distinct_tokens_expr(text, delimiter)), " ")
+    )
+
+
+def char_shingles_expr(text, n: int = 3) -> Column:
+    """Distinct character n-gram shingles of a string."""
+    t = _c(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+    )
+
+
+def jaccard_expr(a, b) -> Column:
+    """Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(_c(a), _c(b)))
+    return inter.cast("double") / (F.size(_c(a)) + F.size(_c(b)) - inter)
+
+
+def est_jaccard_from_sigs_expr(sig_a, sig_b) -> Column:
+    """MinHash Jaccard estimate: fraction of equal signature slots."""
+    eq = F.size(
+        F.filter(F.zip_with(_c(sig_a), _c(sig_b), lambda x, y: x == y), lambda v: v)
+    )
+    return eq.cast("double") / F.size(_c(sig_a))

@@ -1,0 +1,3 @@
+from . import dedup, multimodal, similarity, text_analysis
+
+__all__ = ["dedup", "similarity", "text_analysis", "multimodal"]

@@ -1,0 +1,413 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each designed around Spark's shuffle model:
+
+* **exact** — hash-groupBy on a content key. One shuffle on the hash;
+  at 100 TB the key is a 128-bit md5 so the shuffle carries ~50 B/row
+  instead of the document text.
+* **n-gram Jaccard** — exact set similarity, *blocked* so the join is
+  O(sum of block²) not O(n²). Callers pick block columns (language,
+  source, length bucket, ...).
+* **MinHash** — signature per doc (JVM-side, one pass, no shuffle),
+  then either blocked pairwise estimation or LSH banding: band hashes
+  explode k rows/doc, groupBy band bucket, pair within buckets. The
+  banding path is the 100 TB route: candidate pairs scale with bucket
+  occupancy, not n².
+* **SimHash** — 32-bit per-doc fingerprint; near-dup = small Hamming
+  distance (``bit_count(xor)``), blocked or banded by hash prefix.
+* **embedding cosine** — exact blocked pairwise over normalized
+  vectors; the LSH variant in ``operators.similarity`` covers scale.
+
+All hashing uses the md5-derived 60-bit convention from
+``functions.text`` so every deterministic output is DuckDB-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import (
+    distinct_tokens_expr,
+    est_jaccard_from_sigs_expr,
+    jaccard_expr,
+    minhash_signature_expr,
+    simhash_expr,
+    token_hashes_expr,
+)
+from ..functions.vector import cosine_expr, inv_norm_expr
+
+__all__ = [
+    "exact_dedup_keep_first",
+    "duplicate_groups",
+    "fingerprint_groups",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_pairs",
+    "minhash_lsh_candidates",
+    "simhash_table",
+    "simhash_pairs",
+    "embedding_neardup_pairs",
+]
+
+
+def _content_key(text_col, normalize: bool) -> F.Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if normalize:
+        c = F.lower(F.trim(c))
+    return F.md5(c)
+
+
+# --- exact ---------------------------------------------------------------
+
+
+def exact_dedup_keep_first(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
+) -> DataFrame:
+    """Keep the lowest-id row per exact content key. Implemented as
+    min-id-per-key + semi-join back (two narrow shuffles on the md5
+    key) rather than a window over the full rows — the shuffle payload
+    stays (key, id), not the document."""
+    key = _content_key(text_col, normalize).alias("__key")
+    keyed = df.withColumn("__key", key)
+    keep = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, ["__key", id_col], "left_semi").drop("__key")
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
+) -> DataFrame:
+    """Per content-key group stats: size + representative (min) id."""
+    return (
+        df.withColumn("__key", _content_key(text_col, normalize))
+        .groupBy(F.col("__key").alias("content_key"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def fingerprint_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group by token-set fingerprint (order/multiplicity-insensitive
+    near-exact dedup)."""
+    from ..functions.text import fingerprint_expr
+
+    return (
+        df.withColumn("__fp", fingerprint_expr(text_col))
+        .groupBy(F.col("__fp").alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+# --- n-gram / word Jaccard ----------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Sequence[str] = (),
+    tokens_col: F.Column | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (id_a < id_b) within blocks.
+
+    Blocking bounds the pairwise join; an unblocked call is an O(n²)
+    cross join and only sane on small tables. Returns
+    (id_a, id_b, jaccard)."""
+    toks = tokens_col if tokens_col is not None else distinct_tokens_expr(text_col)
+    t = df.select(
+        F.col(id_col).alias("__id"), toks.alias("__w"), *[F.col(c) for c in block_cols]
+    )
+    a = t.select(
+        F.col("__id").alias("id_a"),
+        F.col("__w").alias("__wa"),
+        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
+    )
+    b = t.select(
+        F.col("__id").alias("id_b"),
+        F.col("__w").alias("__wb"),
+        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard", jaccard_expr("__wa", "__wb"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- MinHash -------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-doc MinHash signature (array<long>, length n_hashes). The
+    token-hash array is materialized as its own projection first so the
+    md5 pass runs once, not once per permutation."""
+    hashed = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        token_hashes_expr(distinct_tokens_expr(text_col)).alias("__th"),
+    )
+    return hashed.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        minhash_signature_expr(F.col("__th"), n_hashes).alias("signature"),
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Pairs whose estimated Jaccard (fraction of equal signature
+    slots) >= threshold, within blocks. Returns (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, keep_cols=block_cols)
+    a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("signature").alias("__sa"),
+        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("signature").alias("__sb"),
+        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn("est_jaccard", est_jaccard_from_sigs_expr("__sa", "__sb"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``n_hashes/bands`` rows, hash each band, and emit candidate pairs
+    that share any band bucket. This is the at-scale candidate
+    generator: shuffle is on (band_id, band_hash) buckets, candidate
+    count tracks bucket occupancy rather than n². Follow with an exact
+    or signature-estimate re-score."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.md5(
+                    F.array_join(F.slice(F.col("signature"), bnd * rows + 1, rows), ",")
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# --- SimHash -------------------------------------------------------------
+
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-doc SimHash fingerprint (long, ``bits`` low bits used). Token
+    hashes are materialized once, then the 32 bit-counts scan the
+    precomputed array — no md5 in the per-bit loop."""
+    hashed = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        token_hashes_expr(distinct_tokens_expr(text_col)).alias("__th"),
+    )
+    return hashed.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        simhash_expr(F.col("__th"), bits).alias("simhash"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Pairs with Hamming distance <= max_hamming between SimHashes,
+    within blocks. Returns (id_a, id_b, hamming)."""
+    t = simhash_table(df, text_col, id_col, bits, keep_cols=block_cols)
+    a = t.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("__ha"),
+        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
+    )
+    b = t.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("__hb"),
+        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- embedding near-dup --------------------------------------------------
+
+
+def embedding_neardup_pairs_matmul(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """All-pairs cosine near-dup via blocked GEMM — the scale path for
+    the unblocked O(n²) case.
+
+    Rows are bucketed into ``n_blocks`` blocks; each block is packed
+    into one row (ids + normalized matrix); block pairs (a <= b) are
+    joined and each pair scored with ONE NumPy matmul inside
+    mapInPandas. Work is O(n²/2) multiply-adds done in BLAS instead of
+    per-pair array expressions — orders of magnitude faster, and block
+    size (n/n_blocks rows) bounds executor memory. Returns
+    (id_a, id_b, cosine) with id_a < id_b.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    with_inv = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__raw"),
+        inv_norm_expr(vec_col).alias("__inv"),
+    )
+    norm = with_inv.select(
+        F.col("__id"),
+        F.transform(F.col("__raw"), lambda x: x.cast("double") * F.col("__inv")).alias("__v"),
+        F.pmod(F.col("__id"), F.lit(n_blocks)).alias("__blk"),
+    )
+    packed = norm.groupBy("__blk").agg(
+        F.collect_list("__id").alias("ids"), F.collect_list("__v").alias("vecs")
+    )
+    a = packed.select(
+        F.col("__blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
+    )
+    b = packed.select(
+        F.col("__blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
+    )
+    joined = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score_blocks(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["ids_a"], dtype=np.int64)
+                ids_b = np.asarray(row["ids_b"], dtype=np.int64)
+                A = np.asarray([np.asarray(v) for v in row["vecs_a"]], dtype=np.float64)
+                B = np.asarray([np.asarray(v) for v in row["vecs_b"]], dtype=np.float64)
+                S = A @ B.T
+                ia, ib = np.nonzero(S >= threshold)
+                if len(ia) == 0:
+                    continue
+                pa, pb = ids_a[ia], ids_b[ib]
+                lo, hi = np.minimum(pa, pb), np.maximum(pa, pb)
+                keep = lo < hi  # drop self-pairs (same-block diagonal)
+                yield pd.DataFrame(
+                    {"id_a": lo[keep], "id_b": hi[keep], "cosine": S[ia, ib][keep]}
+                ).drop_duplicates(["id_a", "id_b"])
+
+    return joined.mapInPandas(score_blocks, out_schema)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold), within blocks. Inverse norms are computed once per side
+    before the join so the join itself is dot-product only. For n too
+    large to block-join, use operators.similarity's LSH bucketing as
+    the candidate generator."""
+    t = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        inv_norm_expr(vec_col).alias("__inv"),
+        *[F.col(c) for c in block_cols],
+    )
+    a = t.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__inv").alias("__inva"),
+        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
+    )
+    b = t.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__inv").alias("__invb"),
+        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn("cosine", cosine_expr("__va", "__vb", F.col("__inva"), F.col("__invb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

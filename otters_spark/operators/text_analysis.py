@@ -1,0 +1,122 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+fingerprinting. All native Catalyst expressions over the ``documents``
+table shape (doc_id, text, lang, source, n_chars) — no Python in the
+row path, so these run at scan speed on any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import distinct_tokens_expr, fingerprint_expr, tokens_expr
+
+__all__ = [
+    "STOPWORDS",
+    "token_stats",
+    "quality_features",
+    "langid_expr",
+    "langid_table",
+    "fingerprint_table",
+]
+
+#: small deterministic stopword lists per language for the n-gram
+#: language-ID heuristic (distinct-token overlap ratio).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"],
+    "es": ["el", "la", "de", "los", "y", "en", "que", "un", "una", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "dans", "est", "pour"],
+}
+
+
+def _ratio(tokens_distinct: Column, words: list[str]) -> Column:
+    inter = F.size(
+        F.array_intersect(tokens_distinct, F.array(*[F.lit(w) for w in words]))
+    )
+    n = F.size(tokens_distinct)
+    return F.when(n > 0, inter.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc token statistics: counts, distinctness, mean token
+    length — the base features for quality filtering."""
+    toks = tokens_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality scoring: type-token ratio, English-stopword ratio, a
+    length factor, and a fixed composite ``quality_score`` in [0,1].
+    The composite is a transparent deterministic formula (documented
+    here, mirrored in the oracle SQL), not a learned model."""
+    toks = tokens_expr(text_col)
+    dtoks = distinct_tokens_expr(text_col)
+    n = F.size(toks)
+    ttr = F.when(n > 0, F.size(dtoks).cast("double") / n).otherwise(F.lit(0.0))
+    stop = _ratio(dtoks, STOPWORDS["en"])
+    length_factor = F.least(n.cast("double") / 100.0, F.lit(1.0))
+    score = F.lit(0.3) * length_factor + F.lit(0.4) * ttr + F.lit(0.3) * stop
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(length_factor, 6).alias("length_factor"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def langid_expr(text_col: str = "text") -> Column:
+    """Language-ID heuristic: highest distinct-token overlap with the
+    per-language stopword lists; ties resolved in en>es>de>fr order;
+    zero overlap everywhere -> 'und' (undetermined)."""
+    dtoks = distinct_tokens_expr(text_col)
+    r = {lang: _ratio(dtoks, words) for lang, words in STOPWORDS.items()}
+    return (
+        F.when(
+            (r["en"] > 0)
+            & (r["en"] >= r["es"]) & (r["en"] >= r["de"]) & (r["en"] >= r["fr"]),
+            F.lit("en"),
+        )
+        .when((r["es"] > 0) & (r["es"] >= r["de"]) & (r["es"] >= r["fr"]), F.lit("es"))
+        .when((r["de"] > 0) & (r["de"] >= r["fr"]), F.lit("de"))
+        .when(r["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def langid_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    dtoks = distinct_tokens_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        langid_expr(text_col).alias("detected_lang"),
+        F.round(_ratio(dtoks, STOPWORDS["en"]), 6).alias("en_ratio"),
+        F.round(_ratio(dtoks, STOPWORDS["es"]), 6).alias("es_ratio"),
+    )
+
+
+def fingerprint_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc content fingerprint (md5 of sorted distinct tokens)."""
+    return df.select(F.col(id_col), fingerprint_expr(text_col).alias("fingerprint"))

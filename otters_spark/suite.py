@@ -530,6 +530,327 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 # =====================================================================
+# LLM-data-pipeline operators (north star: dedup / similarity / text
+# analysis / multimodal at 100 TB scale)
+# =====================================================================
+
+_BLOCKS = ("lang", "source")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import token_stats
+
+    return token_stats(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+TEXT_TOKEN_STATS_SQL = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(w) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_tokens,
+       round(list_sum(list_transform(w, x -> length(x)::DOUBLE)) / len(w), 6)
+         AS avg_token_len
+FROM t ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import quality_features
+
+    return quality_features(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         list_distinct(string_split(text, ' ')) AS dw
+  FROM documents),
+m AS (
+  SELECT doc_id, len(w) AS n,
+         CASE WHEN len(w) > 0 THEN len(dw)::DOUBLE / len(w) ELSE 0.0 END AS ttr,
+         CASE WHEN len(dw) > 0 THEN
+           len(list_intersect(dw, ['the','a','of','and','to','in','is','for','on','with']))::DOUBLE / len(dw)
+         ELSE 0.0 END AS stop,
+         least(len(w)::DOUBLE / 100.0, 1.0) AS lf
+  FROM t)
+SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+       round(ttr, 6) AS type_token_ratio,
+       round(stop, 6) AS stopword_ratio,
+       round(lf, 6) AS length_factor,
+       round(0.3 * lf + 0.4 * ttr + 0.3 * stop, 6) AS quality_score
+FROM m ORDER BY doc_id
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import langid_table
+
+    return langid_table(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+TEXT_LANGID_SQL = """
+WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dw FROM documents),
+r AS (
+  SELECT doc_id,
+    CASE WHEN len(dw) > 0 THEN len(list_intersect(dw, ['the','a','of','and','to','in','is','for','on','with']))::DOUBLE / len(dw) ELSE 0.0 END AS r_en,
+    CASE WHEN len(dw) > 0 THEN len(list_intersect(dw, ['el','la','de','los','y','en','que','un','una','por']))::DOUBLE / len(dw) ELSE 0.0 END AS r_es,
+    CASE WHEN len(dw) > 0 THEN len(list_intersect(dw, ['der','die','das','und','ist','von','mit','den','im','ein']))::DOUBLE / len(dw) ELSE 0.0 END AS r_de,
+    CASE WHEN len(dw) > 0 THEN len(list_intersect(dw, ['le','la','les','de','et','un','une','dans','est','pour']))::DOUBLE / len(dw) ELSE 0.0 END AS r_fr
+  FROM t)
+SELECT doc_id,
+       CASE WHEN r_en > 0 AND r_en >= r_es AND r_en >= r_de AND r_en >= r_fr THEN 'en'
+            WHEN r_es > 0 AND r_es >= r_de AND r_es >= r_fr THEN 'es'
+            WHEN r_de > 0 AND r_de >= r_fr THEN 'de'
+            WHEN r_fr > 0 THEN 'fr'
+            ELSE 'und' END AS detected_lang,
+       round(r_en, 6) AS en_ratio, round(r_es, 6) AS es_ratio
+FROM r ORDER BY doc_id
+"""
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import duplicate_groups
+
+    return duplicate_groups(load(spark, sf_dir, "documents")).orderBy("content_key")
+
+
+DEDUP_EXACT_GROUPS_SQL = """
+SELECT md5(lower(trim(text))) AS content_key,
+       count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set fingerprint dedup — catches reordered/duplicated-token
+    docs that exact hashing misses (the testdata has no byte-identical
+    dups but does have fingerprint dups)."""
+    from .operators.dedup import fingerprint_groups
+
+    return (
+        fingerprint_groups(load(spark, sf_dir, "documents"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+DEDUP_FINGERPRINT_GROUPS_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+  FROM documents)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM f GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+"""
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-level Jaccard near-dup pairs, blocked by
+    (lang, source) so the pairwise join is bounded per block."""
+    from .operators.dedup import jaccard_pairs
+
+    out = jaccard_pairs(
+        load(spark, sf_dir, "documents"), 0.8, block_cols=list(_BLOCKS)
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_JACCARD_PAIRS_SQL = """
+WITH t AS (SELECT doc_id, lang, source,
+                  list_distinct(string_split(text, ' ')) AS w FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.w, b.w))::DOUBLE /
+             (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jaccard
+FROM t a JOIN t b
+  ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+WHERE len(list_intersect(a.w, b.w))::DOUBLE /
+      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+ORDER BY 1, 2
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs (16 md5-derived permutations, estimated
+    Jaccard >= 0.5), blocked by (lang, source). The signature build is
+    one codegen pass; cross-engine checkable because the hash is
+    md5-derived (see functions.text)."""
+    from .operators.dedup import minhash_pairs
+
+    out = minhash_pairs(
+        load(spark, sf_dir, "documents"), 0.5, n_hashes=16, block_cols=list(_BLOCKS)
+    )
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_perm_sql(n: int = 16) -> str:
+    from .functions.text import MINHASH_PERM_CONSTANTS
+
+    return "[" + ", ".join(f"{c}::BIGINT" for c in MINHASH_PERM_CONSTANTS[:n]) + "]"
+
+
+DEDUP_MINHASH_PAIRS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(unnest(list_distinct(string_split(text, ' ')))), 1, 15))::BIGINT AS h
+  FROM documents),
+perm AS (SELECT i, c FROM (SELECT unnest({_minhash_perm_sql()}) AS c,
+                                  generate_subscripts({_minhash_perm_sql()}, 1) - 1 AS i)),
+mh AS (
+  SELECT doc_id, any_value(lang) AS lang, any_value(source) AS source, i,
+         min(xor(xor(h, c), xor(h, c) >> 29)) AS mh
+  FROM tok CROSS JOIN perm
+  GROUP BY doc_id, i)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(avg(CASE WHEN a.mh = b.mh THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+FROM mh a JOIN mh b
+  ON a.i = b.i AND a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+GROUP BY 1, 2 HAVING avg(CASE WHEN a.mh = b.mh THEN 1.0 ELSE 0.0 END) >= 0.5
+ORDER BY 1, 2
+"""
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit, md5-derived) near-dup pairs with Hamming
+    distance <= 6, blocked by (lang, source)."""
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        load(spark, sf_dir, "documents"), 6, bits=32, block_cols=list(_BLOCKS)
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_SIMHASH_PAIRS_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents),
+th AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h, count(*) OVER (PARTITION BY doc_id) AS n
+  FROM tok),
+votes AS (
+  SELECT doc_id, any_value(lang) AS lang, any_value(source) AS source, b,
+         CASE WHEN 2 * sum((h >> b) & 1) > count(*) THEN (1::BIGINT << b) ELSE 0 END AS bitval
+  FROM th CROSS JOIN range(32) r(b)
+  GROUP BY doc_id, b),
+sh AS (
+  SELECT doc_id, any_value(lang) AS lang, any_value(source) AS source,
+         sum(bitval)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+ORDER BY 1, 2
+"""
+
+
+def neardup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (cosine >= 0.4 on
+    this corpus — it has no engineered near-dups, max pairwise ~0.51).
+    Uses the blocked-GEMM all-pairs path (one BLAS matmul per block
+    pair) rather than per-pair array expressions."""
+    from .operators.dedup import embedding_neardup_pairs_matmul
+
+    out = embedding_neardup_pairs_matmul(load(spark, sf_dir, "embeddings"), 0.4)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+NEARDUP_EMBEDDING_PAIRS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+ORDER BY 1, 2
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload column ->
+    Arrow-batched mapInPandas feature extraction. Features are the
+    deterministic stand-in (first 4 payload bytes); the decode step is
+    the documented stub (operators.multimodal)."""
+    from .operators.multimodal import attach_fake_payload, extract_features
+
+    media = attach_fake_payload(load(spark, sf_dir, "documents"))
+    feats = extract_features(media, n_features=4)
+    return feats.select(
+        F.col("media_id"),
+        F.col("features")[0].alias("f0"),
+        F.col("features")[1].alias("f1"),
+        F.col("features")[2].alias("f2"),
+        F.col("features")[3].alias("f3"),
+    ).orderBy("media_id")
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       ('0x' || substr(md5(text), 1, 2))::INT::DOUBLE AS f0,
+       ('0x' || substr(md5(text), 3, 2))::INT::DOUBLE AS f1,
+       ('0x' || substr(md5(text), 5, 2))::INT::DOUBLE AS f2,
+       ('0x' || substr(md5(text), 7, 2))::INT::DOUBLE AS f3
+FROM documents ORDER BY media_id
+"""
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: random-hyperplane LSH bucket prune + exact re-score.
+    Approximate by construction — no SQL oracle (driver records the
+    weaker rows-only check); recall is asserted against brute force in
+    tests/test_similarity.py."""
+    from .operators.similarity import hyperplanes, lsh_index, lsh_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    planes = hyperplanes(64, n_planes=4, seed=42)
+    indexed = lsh_index(emb, planes)
+    return lsh_search(indexed, Q7, planes, k=10, multiprobe=3)
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: IVF (KMeans batch index build) nprobe search. Approximate +
+    iterative build — no SQL oracle (rows-only check)."""
+    from .operators.similarity import ivf_build, ivf_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_cells=8, seed=42)
+    return ivf_search(assigned, centroids, Q11, k=10, nprobe=3)
+
+
+def sim_pandas_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/NumPy matmul scoring path (exact, for wide vectors /
+    big query batches) — same global top-k semantics as the codegen
+    path, so it shares an oracle shape with vs_batch_global_topk."""
+    from .operators.similarity import pandas_matmul_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = pandas_matmul_topk(emb, [Q7, Q11, Q13], k=12, metric="dot")
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+SIM_PANDAS_MATMUL_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT 0 AS query_id, vec_id, list_inner_product(embedding::DOUBLE[], {_sql_vec(Q7)}) AS s FROM embeddings
+  UNION ALL
+  SELECT 1, vec_id, list_inner_product(embedding::DOUBLE[], {_sql_vec(Q11)}) AS s FROM embeddings
+  UNION ALL
+  SELECT 2, vec_id, list_inner_product(embedding::DOUBLE[], {_sql_vec(Q13)}) AS s FROM embeddings)
+SELECT query_id, vec_id, round(s, 6) AS score
+FROM scored ORDER BY s DESC, vec_id LIMIT 12
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -551,6 +872,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_date_functions": rel_date_functions,
     "rel_distinct_aggregates": rel_distinct_aggregates,
     "events_tumbling_window": events_tumbling_window,
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "dedup_exact_groups": dedup_exact_groups,
+    "dedup_fingerprint_groups": dedup_fingerprint_groups,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "neardup_embedding_pairs": neardup_embedding_pairs,
+    "multimodal_features": multimodal_features,
+    "sim_lsh_topk": sim_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
+    "sim_pandas_matmul_topk": sim_pandas_matmul_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -571,4 +905,16 @@ ORACLE_SQL: dict[str, str] = {
     "rel_date_functions": REL_DATE_FUNCTIONS_SQL,
     "rel_distinct_aggregates": REL_DISTINCT_AGGREGATES_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_WINDOW_SQL,
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "dedup_exact_groups": DEDUP_EXACT_GROUPS_SQL,
+    "dedup_fingerprint_groups": DEDUP_FINGERPRINT_GROUPS_SQL,
+    "dedup_jaccard_pairs": DEDUP_JACCARD_PAIRS_SQL,
+    "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
+    "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
+    "neardup_embedding_pairs": NEARDUP_EMBEDDING_PAIRS_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "sim_pandas_matmul_topk": SIM_PANDAS_MATMUL_TOPK_SQL,
+    # sim_lsh_topk / sim_ivf_topk: approximate operators, rows-only check
 }

@@ -1,0 +1,46 @@
+"""Text-analysis operator semantics on crafted strings."""
+
+import pytest
+
+from otters_spark.operators.text_analysis import (
+    langid_table,
+    quality_features,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "el gato y la casa de los perros"),
+        (2, "xyzzy plugh qwerty"),
+        (3, "aa bb aa bb aa bb"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_stats(docs):
+    rows = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert rows[0]["n_tokens"] == 6
+    assert rows[0]["n_distinct_tokens"] == 5  # 'the' twice
+    assert rows[3]["n_tokens"] == 6 and rows[3]["n_distinct_tokens"] == 2
+    # 'the cat sat on the mat': 3+3+3+2+3+3 = 17/6
+    assert abs(rows[0]["avg_token_len"] - round(17 / 6, 6)) < 1e-9
+
+
+def test_quality_features(docs):
+    rows = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert rows[3]["type_token_ratio"] == round(2 / 6, 6)
+    assert rows[2]["stopword_ratio"] == 0.0
+    for r in rows.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+    # doc 0 has stopwords ('the','on') -> higher quality than doc 2
+    assert rows[0]["quality_score"] > rows[2]["quality_score"]
+
+
+def test_langid(docs):
+    rows = {r["doc_id"]: r["detected_lang"] for r in langid_table(docs).collect()}
+    assert rows[0] == "en"
+    assert rows[1] == "es"
+    assert rows[2] == "und"
