@@ -1,0 +1,8 @@
+from .events import (
+    run_windowed_stream,
+    sessionize,
+    stream_events,
+    windowed_agg,
+)
+
+__all__ = ["windowed_agg", "sessionize", "stream_events", "run_windowed_stream"]

@@ -1,0 +1,131 @@
+"""Structured Streaming over the events stream.
+
+The reference is batch/in-memory only (SURVEY.md §2.2: no watermarks,
+windows, or state); this module is the engine's streaming extension,
+built so every transformation is ONE function applied to either a batch
+DataFrame or a ``readStream`` DataFrame — the classic Structured
+Streaming pattern that keeps batch results the oracle for streaming
+results (tests/test_streaming.py asserts exactly that equivalence).
+
+At scale: file-source streams read new files per micro-batch;
+watermarks bound state for late data; session windows use the built-in
+state store (``F.session_window``), and anything fancier drops to
+``applyInPandasWithState``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+__all__ = ["EVENTS_SCHEMA", "windowed_agg", "sessionize", "stream_events", "run_windowed_stream"]
+
+#: schema of the events stream as Spark reads it (ts arrives as long
+#: nanos under spark.sql.legacy.parquet.nanosAsLong — see session.py)
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _with_ts(df: DataFrame) -> DataFrame:
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def windowed_agg(
+    df: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` given) window counts/sums per
+    event_type. Works identically on batch and streaming inputs; pass
+    ``watermark`` on streams to bound late-data state."""
+    df = _with_ts(df)
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    win = F.window(F.col("ts"), window, slide) if slide else F.window(F.col("ts"), window)
+    return (
+        df.groupBy(win.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("long").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Per-user session windows: a session extends while consecutive
+    events arrive within ``gap`` (built-in ``session_window`` state
+    merging — the streaming-native gaps-and-islands)."""
+    df = _with_ts(df)
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.session_window(F.col("ts"), gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.unix_timestamp(F.col("sw.start")).cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet. Spark's file stream
+    source requires a *directory* (each new file = a micro-batch), and
+    the testdata ships a single file, so it is staged into a temp
+    landing directory via symlink — exactly the landing-dir shape a
+    production pipeline would feed."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    landing = tempfile.mkdtemp(prefix="otters_events_landing_")
+    os.symlink(os.path.abspath(src), os.path.join(landing, "events.parquet"))
+    return spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(landing)
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    query_name: str = "events_windowed",
+) -> DataFrame:
+    """End-to-end streaming demo: readStream -> watermark -> windowed
+    agg -> complete-mode memory sink; drains all available input and
+    returns the sink contents as a DataFrame."""
+    agg = windowed_agg(stream_events(spark, sf_dir), window, watermark=watermark)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -529,6 +529,41 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap) via the
+    built-in ``session_window`` state operator — the batch twin of the
+    streaming sessionizer in otters_spark.streaming. Oracle: classic
+    gaps-and-islands SQL (lag + cumulative sum), microsecond-exact."""
+    from .streaming.events import sessionize
+
+    return sessionize(load(spark, sf_dir, "events"), gap="30 minutes").orderBy(
+        "user_id", "session_start"
+    )
+
+
+EVENTS_SESSIONIZATION_SQL = """
+WITH l AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events),
+g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM l),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id,
+       (min(epoch_us(ts)) // 1000000) AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
 # =====================================================================
 # LLM-data-pipeline operators (north star: dedup / similarity / text
 # analysis / multimodal at 100 TB scale)
@@ -872,6 +907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_date_functions": rel_date_functions,
     "rel_distinct_aggregates": rel_distinct_aggregates,
     "events_tumbling_window": events_tumbling_window,
+    "events_sessionization": events_sessionization,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -905,6 +941,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_date_functions": REL_DATE_FUNCTIONS_SQL,
     "rel_distinct_aggregates": REL_DISTINCT_AGGREGATES_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_WINDOW_SQL,
+    "events_sessionization": EVENTS_SESSIONIZATION_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,

@@ -1,0 +1,47 @@
+"""Physical-plan audits — lock in the plans we want at scale:
+top-k must be TakeOrderedAndProject (bounded heaps, no full sort),
+metadata predicates must reach the Parquet scan (row-group pruning),
+dimension joins must broadcast (no shuffle of the fact table)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otters_spark import MetaStore, col
+from otters_spark.suite import Q7, rel_brand_revenue
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir, tmp_path_factory):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    s = MetaStore.from_df(emb, vec_col="embedding", id_col="vec_id")
+    path = str(tmp_path_factory.mktemp("plans") / "store")
+    s.save(path, sort_cols=["label"])
+    return MetaStore.load(spark, path)
+
+
+def test_topk_is_take_ordered(store):
+    df = store.query(Q7, "cosine").take(10).df()
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_meta_filter_pushed_to_scan(store):
+    df = store.query(Q7, "cosine").meta_filter(col("label").eq(3)).take(5).df()
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(label,3)" in plan.replace(" ", "")
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(rel_brand_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the fact table must not be shuffled for the join itself
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_python_udf_in_vector_scoring(store):
+    plan = plan_of(store.query(Q7, "cosine").take(10).df())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
