@@ -26,7 +26,7 @@ from .errors import (
     UnsupportedStringOpError,
 )
 from .expr import CompiledFilter, Expr, col, compile_expr, lit
-from .plan import MetaQueryPlan, VecQueryPlan
+from .plan import MetaQueryPlan, QueryStats, VecQueryPlan
 from .session import get_spark
 from .store import MetaStore, VecStore, with_row_index
 
@@ -42,6 +42,7 @@ __all__ = [
     "MetaStore",
     "VecQueryPlan",
     "MetaQueryPlan",
+    "QueryStats",
     "get_spark",
     "with_row_index",
     "OttersError",

@@ -30,9 +30,11 @@ are reproducible and oracle-comparable.
 
 from __future__ import annotations
 
+import time
+from dataclasses import dataclass
 from typing import Any, Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 from .errors import (
     DimensionMismatchError,
@@ -45,7 +47,24 @@ from .expr import Expr, compile_expr
 from .functions.vector import METRICS, queries_df, score_expr
 from .store import INV_NORM_COL, MetaStore, VecStore
 
-__all__ = ["VecQueryPlan", "MetaQueryPlan"]
+__all__ = ["VecQueryPlan", "MetaQueryPlan", "QueryStats"]
+
+
+@dataclass
+class QueryStats:
+    """Analog of the reference's ``MetaQueryStats`` (src/meta.rs:832-842),
+    re-expressed for Spark's execution model. ``vectors_compared`` maps
+    to candidate rows entering scoring × queries; ``rows_after_filters``
+    to post-score-filter survivors; chunk prune counts have no direct
+    per-query API in Spark (row-group pruning happens inside the scan) —
+    the scan-level analog is visible in the Spark UI's scan metrics and
+    asserted structurally via PushedFilters in tests/test_plans.py."""
+
+    candidate_rows: int
+    vectors_compared: int
+    rows_after_filters: int
+    result_rows: int
+    elapsed_sec: float
 
 _CMPS = {"lt", "lte", "gt", "gte", "eq"}
 
@@ -76,6 +95,7 @@ class VecQueryPlan:
         self._metric = metric
         self._queries = _normalize_queries(queries)
         self._vec_filters: list[tuple[float, str]] = []
+        self._row_masks: list[Column] = []
         self._k: int | None = None
         self._take_dir: str | None = None
         if self._queries is None:
@@ -121,6 +141,18 @@ class VecQueryPlan:
             self._take_dir = "max"
         return self
 
+    def with_row_mask(self, mask: Column) -> "VecQueryPlan":
+        """Arbitrary boolean Column pre-filter on store rows — the
+        reference's ``with_row_mask`` (src/vec.rs:146), expressed as a
+        predicate instead of a positional bitmask (positional masks
+        don't survive distribution; a predicate pushes down)."""
+        if self._ok():
+            if isinstance(mask, Column):
+                self._row_masks.append(mask)
+            else:
+                self._error = PlanError("row mask must be a pyspark Column")
+        return self
+
     # --- execution ------------------------------------------------------
 
     def _validate(self) -> None:
@@ -148,12 +180,23 @@ class VecQueryPlan:
 
     def df(self) -> DataFrame:
         """Build the result DataFrame (lazy; the driver/action collects)."""
+        return self._build()
+
+    def _build(
+        self,
+        obs_candidates: Observation | None = None,
+        obs_survivors: Observation | None = None,
+    ) -> DataFrame:
         self._validate()
         store = self._store
         base = store.df
         cond = self._meta_condition()
         if cond is not None:
             base = base.filter(cond)
+        for mask in self._row_masks:
+            base = base.filter(mask)
+        if obs_candidates is not None:
+            base = base.observe(obs_candidates, F.count(F.lit(1)).alias("n"))
         spark = base.sparkSession
         qdf = queries_df(spark, self._queries)
         scored = base.crossJoin(F.broadcast(qdf)).withColumn(
@@ -174,6 +217,8 @@ class VecQueryPlan:
             scored = scored.filter(
                 {"lt": c < t, "lte": c <= t, "gt": c > t, "gte": c >= t, "eq": c == t}[cmp]
             )
+        if obs_survivors is not None:
+            scored = scored.observe(obs_survivors, F.count(F.lit(1)).alias("n"))
         direction = self._take_dir or METRICS[self._metric]
         order = [
             F.col("score").asc() if direction == "min" else F.col("score").desc(),
@@ -191,6 +236,26 @@ class VecQueryPlan:
         """Execute and materialize (reference ``collect``,
         src/vec.rs:206-311)."""
         return self.df().collect()
+
+    def collect_with_stats(self) -> tuple[list, QueryStats]:
+        """Execute and also report :class:`QueryStats` — the engine's
+        analog of the reference's per-query stats surface
+        (src/meta.rs:710-721,832-842), gathered via Spark Observations
+        so no extra job runs."""
+        obs_c, obs_s = Observation(), Observation()
+        df = self._build(obs_c, obs_s)
+        t0 = time.perf_counter()
+        rows = df.collect()
+        elapsed = time.perf_counter() - t0
+        candidates = int(obs_c.get["n"])
+        survivors = int(obs_s.get["n"])
+        return rows, QueryStats(
+            candidate_rows=candidates,
+            vectors_compared=candidates * len(self._queries or []),
+            rows_after_filters=survivors,
+            result_rows=len(rows),
+            elapsed_sec=elapsed,
+        )
 
     def explain(self, mode: str = "formatted") -> None:
         self.df().explain(mode)

@@ -1,0 +1,70 @@
+"""Sources & sinks.
+
+The reference has in-memory ingest only; file formats and persistence
+are explicit roadmap items (reference README.md:206,213). Here they are
+Spark's native readers/writers with engine conventions applied:
+
+* Parquet is the canonical store format (stats + bloom + sorted layout
+  via ``MetaStore.save``);
+* CSV/JSON are interchange formats — schema-explicit reads (inference
+  is a full extra scan at 100 TB) and header/timestamp conventions
+  pinned so round-trips are lossless where the format allows;
+* every reader returns a plain DataFrame, so any table feeds any
+  operator in the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["read_table", "read_csv", "read_json", "write_csv", "write_json", "TABLES"]
+
+#: tables shipped in the driver's testdata directories
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (parquet)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | str, header: bool = True
+) -> DataFrame:
+    """Schema-explicit CSV read — no inference scan, strict types."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("timestampFormat", _TS_FMT)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    """Schema-explicit JSON-lines read."""
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", _TS_FMT)
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    (
+        df.write.mode(mode)
+        .option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .csv(path)
+    )
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("timestampFormat", _TS_FMT).json(path)

@@ -145,6 +145,8 @@ class MetaStore(VecStore):
         mode: str = "overwrite",
         sort_cols: Sequence[str] | None = None,
         bloom_cols: Sequence[str] | None = None,
+        bloom_fpp: float | None = None,
+        bloom_ndv: int | None = None,
         row_group_bytes: int = 128 * 1024 * 1024,
         partitions: int | None = None,
     ) -> None:
@@ -167,8 +169,13 @@ class MetaStore(VecStore):
                 if isinstance(f.dataType, T.StringType)
             ]
         w = df.write.mode(mode).option("parquet.block.size", str(row_group_bytes))
+        if bloom_fpp is not None:
+            # reference clamps FPR to [0.01, 0.5] (src/meta.rs:92-101)
+            w = w.option("parquet.bloom.filter.fpp", str(min(max(bloom_fpp, 0.01), 0.5)))
         for c in bloom_cols:
             w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            if bloom_ndv is not None:
+                w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv))
         w.parquet(path)
         manifest = {
             "vec_col": self.vec_col,

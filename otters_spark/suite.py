@@ -505,6 +505,151 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: per (returnflag, linestatus) with subtotals
+    and grand total — multi-level aggs in one shuffle pass."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+REL_ROLLUP_REVENUE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def rel_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery through the engine's SQL front-end
+    (spark.sql over registered views): customers who have at least one
+    URGENT order, counted per market segment."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+REL_EXISTS_SUBQUERY_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    SQL-standard continuous quantile)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+REL_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def rel_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins: parts that were ordered at least
+    once vs never, one summary row each."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    ordered = part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+    never = part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+    return (
+        ordered.select(F.lit("ordered").alias("bucket"), "p_partkey")
+        .union(never.select(F.lit("never_ordered").alias("bucket"), "p_partkey"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("bucket")
+    )
+
+
+REL_SEMI_ANTI_JOIN_SQL = """
+WITH ordered AS (
+  SELECT 'ordered' AS bucket, p_partkey FROM part
+  WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)),
+never AS (
+  SELECT 'never_ordered' AS bucket, p_partkey FROM part
+  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey))
+SELECT bucket, count(*) AS n_parts
+FROM (SELECT * FROM ordered UNION ALL SELECT * FROM never)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+def rel_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-handling scalar functions: CASE, coalesce,
+    nullif, greatest/least."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.when(F.col("l_discount") >= 0.05, F.lit("high"))
+            .when(F.col("l_discount") > 0.0, F.lit("low"))
+            .otherwise(F.lit("none"))
+            .alias("discount_class"),
+            F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("X")).alias(
+                "flag_or_x"
+            ),
+            F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
+            F.least(F.col("l_tax"), F.col("l_discount")).alias("l"),
+        )
+        .groupBy("discount_class", "flag_or_x")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("g"), 4).alias("sum_g"),
+            F.round(F.sum("l"), 4).alias("sum_l"),
+        )
+        .orderBy("discount_class", "flag_or_x")
+    )
+
+
+REL_CONDITIONAL_FUNCTIONS_SQL = """
+WITH t AS (
+  SELECT CASE WHEN l_discount >= 0.05 THEN 'high'
+              WHEN l_discount > 0.0 THEN 'low'
+              ELSE 'none' END AS discount_class,
+         coalesce(nullif(l_returnflag, 'N'), 'X') AS flag_or_x,
+         greatest(l_quantity, l_discount * 100) AS g,
+         least(l_tax, l_discount) AS l
+  FROM lineitem)
+SELECT discount_class, flag_or_x, count(*) AS n,
+       round(sum(g), 4) AS sum_g, round(sum(l), 4) AS sum_l
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-windowed aggregation over the events table — 5-minute
     tumbling buckets keyed to the epoch, the batch-mode twin of the
@@ -906,6 +1051,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_scalar_functions": rel_scalar_functions,
     "rel_date_functions": rel_date_functions,
     "rel_distinct_aggregates": rel_distinct_aggregates,
+    "rel_rollup_revenue": rel_rollup_revenue,
+    "rel_exists_subquery": rel_exists_subquery,
+    "rel_percentiles": rel_percentiles,
+    "rel_semi_anti_join": rel_semi_anti_join,
+    "rel_conditional_functions": rel_conditional_functions,
     "events_tumbling_window": events_tumbling_window,
     "events_sessionization": events_sessionization,
     "text_token_stats": text_token_stats,
@@ -940,6 +1090,11 @@ ORACLE_SQL: dict[str, str] = {
     "rel_scalar_functions": REL_SCALAR_FUNCTIONS_SQL,
     "rel_date_functions": REL_DATE_FUNCTIONS_SQL,
     "rel_distinct_aggregates": REL_DISTINCT_AGGREGATES_SQL,
+    "rel_rollup_revenue": REL_ROLLUP_REVENUE_SQL,
+    "rel_exists_subquery": REL_EXISTS_SUBQUERY_SQL,
+    "rel_percentiles": REL_PERCENTILES_SQL,
+    "rel_semi_anti_join": REL_SEMI_ANTI_JOIN_SQL,
+    "rel_conditional_functions": REL_CONDITIONAL_FUNCTIONS_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_WINDOW_SQL,
     "events_sessionization": EVENTS_SESSIONIZATION_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,

@@ -1,0 +1,68 @@
+"""Sources/sinks: lossless CSV/JSON round-trips with explicit schemas,
+and query stats / row-mask / bloom knobs on the store."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otters_spark import MetaStore, col
+from otters_spark.sources import read_csv, read_json, write_csv, write_json
+from otters_spark.suite import Q7
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_csv")
+    write_csv(orders, path)
+    back = read_csv(spark, path, orders.schema)
+    assert back.count() == orders.count()
+    a = sorted(map(tuple, orders.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    path = str(tmp_path / "cust_json")
+    write_json(cust, path)
+    back = read_json(spark, path, cust.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return MetaStore.from_df(emb, vec_col="embedding", id_col="vec_id")
+
+
+def test_collect_with_stats(store):
+    rows, stats = (
+        store.query(Q7, "cosine")
+        .meta_filter(col("label").lte(4))
+        .vec_filter(0.0, "gt")
+        .take(5)
+        .collect_with_stats()
+    )
+    assert stats.result_rows == len(rows) == 5
+    assert stats.candidate_rows > 0
+    assert stats.vectors_compared == stats.candidate_rows  # 1 query
+    assert stats.rows_after_filters >= stats.result_rows
+    assert stats.candidate_rows >= stats.rows_after_filters
+    assert stats.elapsed_sec > 0
+
+
+def test_with_row_mask(store):
+    rows = (
+        store.query(Q7, "cosine")
+        .with_row_mask(F.col("vec_id") % 2 == 0)
+        .take(10)
+        .collect()
+    )
+    assert len(rows) == 10
+    assert all(r["vec_id"] % 2 == 0 for r in rows)
+
+
+def test_bloom_knobs_roundtrip(spark, store, tmp_path):
+    path = str(tmp_path / "store_bloom")
+    store.save(path, sort_cols=["label"], bloom_fpp=0.001, bloom_ndv=1000)
+    loaded = MetaStore.load(spark, path)
+    assert loaded.count() == store.count()
