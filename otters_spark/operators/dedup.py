@@ -305,22 +305,29 @@ def embedding_neardup_pairs_matmul(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
+    rows_per_block: int = 2000,
 ) -> DataFrame:
     """All-pairs cosine near-dup via blocked GEMM — the scale path for
     the unblocked O(n²) case.
 
-    Rows are bucketed into ``n_blocks`` blocks; each block is packed
-    into one row (ids + normalized matrix); block pairs (a <= b) are
-    joined and each pair scored with ONE NumPy matmul inside
-    mapInPandas. Work is O(n²/2) multiply-adds done in BLAS instead of
-    per-pair array expressions — orders of magnitude faster, and block
-    size (n/n_blocks rows) bounds executor memory. Returns
+    Rows are bucketed into blocks; each block is packed into one row
+    (ids + normalized matrix); block pairs (a <= b) are joined and each
+    pair scored with ONE NumPy matmul inside mapInPandas. Work is
+    O(n²/2) multiply-adds done in BLAS instead of per-pair array
+    expressions — orders of magnitude faster, and block size bounds
+    executor memory (``rows_per_block`` × dim × 8 bytes per matrix; the
+    default 2000×64 ≈ 1 MB). Block count defaults to n/rows_per_block —
+    more blocks than needed just multiplies shuffle and Arrow overhead
+    (block-pair count grows quadratically in n_blocks). Returns
     (id_a, id_b, cosine) with id_a < id_b.
     """
     import numpy as np
     from pyspark.sql import types as T
 
+    if n_blocks is None:
+        n = df.count()
+        n_blocks = max(1, -(-n // rows_per_block))
     with_inv = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__raw"),

@@ -15,10 +15,20 @@ Spark's native readers/writers with engine conventions applied:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["read_table", "read_csv", "read_json", "write_csv", "write_json", "TABLES"]
+__all__ = [
+    "read_table",
+    "read_csv",
+    "read_json",
+    "write_csv",
+    "write_json",
+    "write_bucketed_table",
+    "TABLES",
+]
 
 #: tables shipped in the driver's testdata directories
 TABLES = (
@@ -55,6 +65,28 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> Dat
         .option("mode", "FAILFAST")
         .json(path)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) managed table.
+
+    Bucketing is the co-located-join primitive: two tables bucketed the
+    same way on the join key join WITHOUT a shuffle — at 100 TB the
+    difference between a map-side merge and re-shuffling the fact table
+    every query. Pick ``n_buckets`` so one bucket of the largest table
+    fits an executor's memory (bucket ≈ table_size / n_buckets).
+    Asserted shuffle-free in tests/test_bucketing.py."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.saveAsTable(table)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -789,6 +789,54 @@ FROM r ORDER BY doc_id
 """
 
 
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letters / digit runs / single
+    punctuation as separate tokens) — the pre-tokenizer shape real BPE
+    vocabularies are trained over."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+TEXT_BPE_TOKENS_SQL = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '{_BPE_PATTERN}') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_bpe_tokens
+FROM t ORDER BY doc_id
+"""
+
+
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint:
+    h = fold(chars, h*31 + code mod 2^30) — order-sensitive (unlike the
+    token-set fingerprint), cheap, and cross-engine exact because the
+    modulus keeps every intermediate below 2^35 (no int64 overflow in
+    either engine)."""
+    docs = load(spark, sf_dir, "documents")
+    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long"))
+    rhash = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, c: (acc * 31 + c) % 1073741824
+    )
+    return docs.select("doc_id", rhash.alias("rolling_hash")).orderBy("doc_id")
+
+
+TEXT_ROLLING_HASH_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+         (a, b) -> (a * 31 + b) % 1073741824) AS rolling_hash
+FROM documents ORDER BY doc_id
+"""
+
+
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import duplicate_groups
 
@@ -1061,6 +1109,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
+    "text_bpe_tokens": text_bpe_tokens,
+    "text_rolling_hash": text_rolling_hash,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
@@ -1100,6 +1150,8 @@ ORACLE_SQL: dict[str, str] = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
+    "text_bpe_tokens": TEXT_BPE_TOKENS_SQL,
+    "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "dedup_exact_groups": DEDUP_EXACT_GROUPS_SQL,
     "dedup_fingerprint_groups": DEDUP_FINGERPRINT_GROUPS_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_PAIRS_SQL,
