@@ -505,6 +505,32 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def rel_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (null-side
+    aggregation semantics: count of the join key, coalesced sum)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+REL_LEFT_JOIN_ORDER_COUNTS_SQL = """
+SELECT c_custkey, c_mktsegment,
+       count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+ORDER BY c_custkey
+"""
+
+
 def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation: per (returnflag, linestatus) with subtotals
     and grand total — multi-level aggs in one shuffle pass."""
@@ -1099,6 +1125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_scalar_functions": rel_scalar_functions,
     "rel_date_functions": rel_date_functions,
     "rel_distinct_aggregates": rel_distinct_aggregates,
+    "rel_left_join_order_counts": rel_left_join_order_counts,
     "rel_rollup_revenue": rel_rollup_revenue,
     "rel_exists_subquery": rel_exists_subquery,
     "rel_percentiles": rel_percentiles,
@@ -1140,6 +1167,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_scalar_functions": REL_SCALAR_FUNCTIONS_SQL,
     "rel_date_functions": REL_DATE_FUNCTIONS_SQL,
     "rel_distinct_aggregates": REL_DISTINCT_AGGREGATES_SQL,
+    "rel_left_join_order_counts": REL_LEFT_JOIN_ORDER_COUNTS_SQL,
     "rel_rollup_revenue": REL_ROLLUP_REVENUE_SQL,
     "rel_exists_subquery": REL_EXISTS_SUBQUERY_SQL,
     "rel_percentiles": REL_PERCENTILES_SQL,

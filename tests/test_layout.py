@@ -1,0 +1,45 @@
+"""Z-order key correctness + layout round-trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otters_spark import MetaStore
+from otters_spark.functions.layout import zorder_key_expr
+
+
+def test_morton_known_values(spark):
+    df = spark.createDataFrame([(3, 5), (0, 0), (7, 0)], ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zorder_key_expr("a", "b", bits=3).alias("z")).collect()
+    }
+    # a=0b011,b=0b101 -> z bits (b2 a2 b1 a1 b0 a0) = 100111 = 39
+    assert got[(3, 5)] == 39
+    assert got[(0, 0)] == 0
+    assert got[(7, 0)] == 0b010101
+
+
+def test_bits_bounds():
+    with pytest.raises(ValueError):
+        zorder_key_expr("a", "b", bits=0)
+    with pytest.raises(ValueError):
+        zorder_key_expr("a", "b", bits=32)
+
+
+def test_zorder_layout_roundtrip(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    store = MetaStore.from_df(emb, vec_col="embedding", id_col="vec_id")
+    df = store.df.withColumn("zkey", zorder_key_expr("label", "vec_id", bits=12))
+    zstore = MetaStore(df, vec_col="embedding", id_col="vec_id", dim=store.dim)
+    path = str(tmp_path / "zstore")
+    zstore.save(path, sort_cols=["zkey"])
+    loaded = MetaStore.load(spark, path)
+    assert loaded.count() == store.count()
+    # predicate on either interleaved column still pushes to the scan
+    plan = (
+        loaded.df.filter(F.col("label") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
