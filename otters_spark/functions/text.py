@@ -157,13 +157,18 @@ def fingerprint_expr(text, delimiter: str = " ") -> Column:
 
 
 def char_shingles_expr(text, n: int = 3) -> Column:
-    """Distinct character n-gram shingles of a string."""
+    """Distinct character n-gram shingles of a string. Strings shorter
+    than n yield an empty array — guarded explicitly because Spark's
+    ``sequence(1, 0)`` counts DOWN ([1, 0]), it does not return empty."""
     t = _c(text)
-    return F.array_distinct(
+    shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
             lambda i: t.substr(i, F.lit(n)),
         )
+    )
+    return F.when(F.length(t) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -153,6 +153,18 @@ def lsh_index(
     return df.withColumn("lsh_bucket", lsh_bucket_expr(vec_col, planes))
 
 
+def lsh_save(indexed: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist an LSH-indexed store partitioned by bucket: a search's
+    ``lsh_bucket IN (...)`` filter becomes *partition pruning* — only
+    the probed buckets' files are even listed/opened. Asserted in
+    tests/test_ann_pruning.py."""
+    indexed.write.mode(mode).partitionBy("lsh_bucket").parquet(path)
+
+
+def lsh_load(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def _query_buckets(q: np.ndarray, planes: np.ndarray, multiprobe: int) -> list[int]:
     proj = planes @ q
     base = 0

@@ -968,6 +968,40 @@ ORDER BY 1, 2
 """
 
 
+def dedup_char_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 3-gram shingle Jaccard near-dup pairs (>= 0.55), blocked
+    by (lang, source) — catches edit-level near-dups that word-level
+    Jaccard smooths over."""
+    from .functions.text import char_shingles_expr
+    from .operators.dedup import jaccard_pairs
+
+    out = jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        0.55,
+        block_cols=list(_BLOCKS),
+        tokens_col=char_shingles_expr("text", 3),
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_CHAR_SHINGLE_PAIRS_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS w
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.w, b.w))::DOUBLE /
+             (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jaccard
+FROM t a JOIN t b
+  ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+WHERE len(list_intersect(a.w, b.w))::DOUBLE /
+      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.55
+ORDER BY 1, 2
+"""
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit, md5-derived) near-dup pairs with Hamming
     distance <= 6, blocked by (lang, source)."""
@@ -1142,6 +1176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_char_shingle_pairs": dedup_char_shingle_pairs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "neardup_embedding_pairs": neardup_embedding_pairs,
     "multimodal_features": multimodal_features,
@@ -1184,6 +1219,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_fingerprint_groups": DEDUP_FINGERPRINT_GROUPS_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_PAIRS_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
+    "dedup_char_shingle_pairs": DEDUP_CHAR_SHINGLE_PAIRS_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "neardup_embedding_pairs": NEARDUP_EMBEDDING_PAIRS_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
