@@ -157,9 +157,14 @@ def fingerprint_expr(text, delimiter: str = " ") -> Column:
 
 
 def char_shingles_expr(text, n: int = 3) -> Column:
-    """Distinct character n-gram shingles of a string. Strings shorter
-    than n yield an empty array — guarded explicitly because Spark's
-    ``sequence(1, 0)`` counts DOWN ([1, 0]), it does not return empty."""
+    """Distinct character n-gram shingles of a string.
+
+    Implementation notes: ``substr`` has an O(1) ASCII fast path in
+    UTF8String, so the direct form below beats char-array slicing
+    (measured: slice+concat_ws was 2-3x slower). Strings shorter than n
+    yield an empty array — guarded explicitly because Spark's
+    ``sequence(1, 0)`` counts DOWN ([1, 0]), it does not return
+    empty."""
     t = _c(text)
     shingles = F.array_distinct(
         F.transform(

@@ -422,6 +422,28 @@ ORDER BY custkey
 """
 
 
+def rel_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: BUILDING-segment customers who also placed an
+    urgent order (completes the union/except/intersect trio)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(urgent).orderBy("custkey")
+
+
+REL_INTERSECT_CUSTOMERS_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY custkey
+"""
+
+
 def rel_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function coverage: string/math/date built-ins."""
     part = load(spark, sf_dir, "part")
@@ -1156,6 +1178,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_brand_revenue": rel_brand_revenue,
     "rel_top_customers_per_nation": rel_top_customers_per_nation,
     "rel_setop_customers": rel_setop_customers,
+    "rel_intersect_customers": rel_intersect_customers,
     "rel_scalar_functions": rel_scalar_functions,
     "rel_date_functions": rel_date_functions,
     "rel_distinct_aggregates": rel_distinct_aggregates,
@@ -1199,6 +1222,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_brand_revenue": REL_BRAND_REVENUE_SQL,
     "rel_top_customers_per_nation": REL_TOP_CUSTOMERS_PER_NATION_SQL,
     "rel_setop_customers": REL_SETOP_CUSTOMERS_SQL,
+    "rel_intersect_customers": REL_INTERSECT_CUSTOMERS_SQL,
     "rel_scalar_functions": REL_SCALAR_FUNCTIONS_SQL,
     "rel_date_functions": REL_DATE_FUNCTIONS_SQL,
     "rel_distinct_aggregates": REL_DISTINCT_AGGREGATES_SQL,
