@@ -213,6 +213,17 @@ def lsh_search(
     return scored.orderBy(*order).limit(k).select(id_col, "score", "lsh_bucket")
 
 
+def ivf_save(assigned: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist an IVF-assigned store partitioned by cell — nprobe
+    searches then prune to the probed cells' files (partition pruning),
+    same layout trick as :func:`lsh_save`."""
+    assigned.write.mode(mode).partitionBy("ivf_cell").parquet(path)
+
+
+def ivf_load(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 # --- IVF (KMeans coarse quantizer) --------------------------------------
 
 

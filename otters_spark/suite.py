@@ -576,6 +576,29 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def rel_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all grouping combinations of
+    (o_orderpriority, o_orderstatus) in one pass."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+REL_CUBE_PRIORITY_STATUS_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
 def rel_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS subquery through the engine's SQL front-end
     (spark.sql over registered views): customers who have at least one
@@ -1184,6 +1207,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_distinct_aggregates": rel_distinct_aggregates,
     "rel_left_join_order_counts": rel_left_join_order_counts,
     "rel_rollup_revenue": rel_rollup_revenue,
+    "rel_cube_priority_status": rel_cube_priority_status,
     "rel_exists_subquery": rel_exists_subquery,
     "rel_percentiles": rel_percentiles,
     "rel_semi_anti_join": rel_semi_anti_join,
@@ -1228,6 +1252,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_distinct_aggregates": REL_DISTINCT_AGGREGATES_SQL,
     "rel_left_join_order_counts": REL_LEFT_JOIN_ORDER_COUNTS_SQL,
     "rel_rollup_revenue": REL_ROLLUP_REVENUE_SQL,
+    "rel_cube_priority_status": REL_CUBE_PRIORITY_STATUS_SQL,
     "rel_exists_subquery": REL_EXISTS_SUBQUERY_SQL,
     "rel_percentiles": REL_PERCENTILES_SQL,
     "rel_semi_anti_join": REL_SEMI_ANTI_JOIN_SQL,
