@@ -141,6 +141,63 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_exploded(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Sequence[str] = (),
+    tokens_col: F.Column | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs via the shuffle-parallel formulation: explode
+    distinct tokens, self-join on (token, blocks) to count
+    co-occurrences, then jaccard = c / (|A| + |B| - c).
+
+    Same results as :func:`jaccard_pairs` (pairs with zero intersection
+    can't reach any threshold > 0), but the work is Σ_token df(token)²
+    spread across a hash shuffle instead of per-pair array intersects in
+    a single join — the shape that scales out and that skew-splitting
+    (AQE) can handle when one token is hot. Prefer this for large
+    corpora; the array form for small blocked tables."""
+    toks = tokens_col if tokens_col is not None else distinct_tokens_expr(text_col)
+    base = df.select(
+        F.col(id_col).alias("__id"), toks.alias("__w"), *[F.col(c) for c in block_cols]
+    )
+    sizes = base.select(F.col("__id"), F.size("__w").alias("__n"))
+    tok = base.select(
+        F.col("__id"), F.explode("__w").alias("__t"), *[F.col(c) for c in block_cols]
+    )
+    a = tok.select(
+        F.col("__id").alias("id_a"), F.col("__t"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+    )
+    b = tok.select(
+        F.col("__id").alias("id_b"), F.col("__t").alias("__t2"),
+        *[F.col(c).alias(f"__b2_{c}") for c in block_cols],
+    )
+    cond = (F.col("__t") == F.col("__t2")) & (F.col("id_a") < F.col("id_b"))
+    for c in block_cols:
+        cond = cond & (F.col(f"__b_{c}") == F.col(f"__b2_{c}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__c").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # --- MinHash -------------------------------------------------------------
 
 

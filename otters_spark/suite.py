@@ -947,9 +947,9 @@ FROM f GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-level Jaccard near-dup pairs, blocked by
     (lang, source) so the pairwise join is bounded per block."""
-    from .operators.dedup import jaccard_pairs
+    from .operators.dedup import jaccard_pairs_exploded
 
-    out = jaccard_pairs(
+    out = jaccard_pairs_exploded(
         load(spark, sf_dir, "documents"), 0.8, block_cols=list(_BLOCKS)
     )
     return out.select(
@@ -1018,9 +1018,9 @@ def dedup_char_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (lang, source) — catches edit-level near-dups that word-level
     Jaccard smooths over."""
     from .functions.text import char_shingles_expr
-    from .operators.dedup import jaccard_pairs
+    from .operators.dedup import jaccard_pairs_exploded
 
-    out = jaccard_pairs(
+    out = jaccard_pairs_exploded(
         load(spark, sf_dir, "documents"),
         0.55,
         block_cols=list(_BLOCKS),
