@@ -261,6 +261,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     bands: int = 4,
+    block_cols: Sequence[str] = (),
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``n_hashes/bands`` rows, hash each band, and emit candidate pairs
@@ -269,9 +270,10 @@ def minhash_lsh_candidates(
     count tracks bucket occupancy rather than n². Follow with an exact
     or signature-estimate re-score."""
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, keep_cols=block_cols)
     banded = sigs.select(
         F.col(id_col),
+        *[F.col(c) for c in block_cols],
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -281,14 +283,11 @@ def minhash_lsh_candidates(
             )
         ).alias("band_id", "band_hash"),
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), "band_id", "band_hash"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), "band_id", "band_hash"
-    )
+    keys = ["band_id", "band_hash", *block_cols]
+    a = banded.select(F.col(id_col).alias("id_a"), *keys)
+    b = banded.select(F.col(id_col).alias("id_b"), *keys)
     return (
-        a.join(b, ["band_id", "band_hash"])
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
