@@ -680,6 +680,35 @@ GROUP BY bucket ORDER BY bucket
 """
 
 
+def rel_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic predicate forms — LIKE prefix/infix, IN-list, BETWEEN,
+    IS NOT NULL — all of which Catalyst pushes to the Parquet scan
+    (StartsWith/Contains/In/GtEq-LtEq pushed filters)."""
+    part = load(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_name").like("s%")
+            & F.col("p_name").like("%ring%")
+            & F.col("p_type").isin("SMALL", "ECONOMY", "PROMO")
+            & F.col("p_size").between(5, 40)
+            & F.col("p_brand").isNotNull()
+        )
+        .select("p_partkey", "p_name", "p_type", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+REL_PREDICATE_PUSHDOWN_SQL = """
+SELECT p_partkey, p_name, p_type, p_size
+FROM part
+WHERE p_name LIKE 's%' AND p_name LIKE '%ring%'
+  AND p_type IN ('SMALL', 'ECONOMY', 'PROMO')
+  AND p_size BETWEEN 5 AND 40
+  AND p_brand IS NOT NULL
+ORDER BY p_partkey
+"""
+
+
 def rel_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional/null-handling scalar functions: CASE, coalesce,
     nullif, greatest/least."""
@@ -1278,6 +1307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_percentiles": rel_percentiles,
     "rel_semi_anti_join": rel_semi_anti_join,
     "rel_conditional_functions": rel_conditional_functions,
+    "rel_predicate_pushdown": rel_predicate_pushdown,
     "events_tumbling_window": events_tumbling_window,
     "events_sessionization": events_sessionization,
     "text_token_stats": text_token_stats,
@@ -1324,6 +1354,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_percentiles": REL_PERCENTILES_SQL,
     "rel_semi_anti_join": REL_SEMI_ANTI_JOIN_SQL,
     "rel_conditional_functions": REL_CONDITIONAL_FUNCTIONS_SQL,
+    "rel_predicate_pushdown": REL_PREDICATE_PUSHDOWN_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_WINDOW_SQL,
     "events_sessionization": EVENTS_SESSIONIZATION_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
