@@ -1,0 +1,87 @@
+"""As-of join — the classic time-series operator Spark's DataFrame API
+lacks (DuckDB/kdb/Pandas have it natively; Spark users usually fall
+back to range joins that explode, or per-key mapGroups).
+
+Implemented Spark-first as the union + window trick:
+
+1. tag LEFT (probe) and RIGHT (reference) rows, union them;
+2. one window per key ordered by (ts, side-tag):
+   ``last_value(right_payload, ignorenulls=True)`` carries the most
+   recent reference row forward;
+3. keep probe rows.
+
+Cost: ONE shuffle on the key + a sort within partitions — no range
+explosion, no per-pair work, state is a single carried value per
+window frame. This is the plan you want at 100 TB: identical shape to
+a sessionization window, AQE-coalescible, skew-splittable.
+
+Semantics: for each left row, the right row with the greatest
+``right.ts <= left.ts`` on the same key (ties on equal ts: the right
+row IS visible to the left row, matching DuckDB ``ASOF JOIN ... ON
+l.ts >= r.ts``). Left rows with no prior right row get NULLs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join ``left`` to the most recent ``right`` row per key.
+
+    ``on``: equi-key columns present in both sides. ``right_cols``:
+    right-side payload columns to carry (default: all non-key,
+    non-ts). Carried columns are renamed with ``suffix``; the matched
+    right timestamp arrives as ``{ts_col}{suffix}``.
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != ts_col]
+    payload = [*right_cols, ts_col]
+
+    lhs = left.withColumn("__side", F.lit(1))
+    for c in payload:
+        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    rhs = right.select(
+        *[F.col(c) for c in on],
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+    )
+    # align schemas: left keeps all its columns; right contributes only
+    # key + ts + payload, with left-only columns nulled
+    left_only = [c for c in left.columns if c not in on and c != ts_col]
+    for c in left_only:
+        rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    rhs = rhs.select(*[F.col(c) for c in lhs.columns])
+
+    unioned = lhs.unionByName(rhs)
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1), so an
+    # exactly-simultaneous reference row is visible to the probe row —
+    # DuckDB ASOF `>=` semantics
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned
+    for c in payload:
+        carried = carried.withColumn(
+            f"__c_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
+        )
+    out = carried.filter(F.col("__side") == 1)
+    renames: list[Column] = [F.col(c) for c in left.columns]
+    renames += [F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in payload]
+    return out.select(*renames)

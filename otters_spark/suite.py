@@ -774,6 +774,46 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no native ASOF): each
+    purchase event attributed to the user's most recent prior-or-
+    simultaneous view event. One shuffle + window, no range explosion
+    (operators/asof.py). Oracle: DuckDB's native ASOF LEFT JOIN.
+    Timestamps normalized to microseconds on both sides so the ns-vs-µs
+    parquet precision difference can't flip sub-µs comparisons."""
+    from .operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    joined = asof_join(purchases, views, on=["user_id"], ts_col="ts", right_cols=[])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("ts_asof").alias("view_ts_us"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts
+  FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(v.ts) AS view_ts_us,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (30-minute inactivity gap) via the
     built-in ``session_window`` state operator — the batch twin of the
@@ -1310,6 +1350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_predicate_pushdown": rel_predicate_pushdown,
     "events_tumbling_window": events_tumbling_window,
     "events_sessionization": events_sessionization,
+    "events_asof_attribution": events_asof_attribution,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -1357,6 +1398,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_predicate_pushdown": REL_PREDICATE_PUSHDOWN_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_WINDOW_SQL,
     "events_sessionization": EVENTS_SESSIONIZATION_SQL,
+    "events_asof_attribution": EVENTS_ASOF_ATTRIBUTION_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,

@@ -1,0 +1,55 @@
+"""As-of join semantics on crafted data: nearest prior match,
+simultaneous-row visibility, no-match NULLs, key isolation."""
+
+import datetime as dt
+
+import pytest
+
+from otters_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, 100, T(2024, 1, 1, 10, 0, 0)),
+            (2, 100, T(2024, 1, 1, 12, 0, 0)),
+            (3, 100, T(2024, 1, 1, 9, 0, 0)),   # before any right row
+            (4, 200, T(2024, 1, 1, 11, 0, 0)),  # other key
+            (5, 300, T(2024, 1, 1, 11, 0, 0)),  # key with no right rows
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, T(2024, 1, 1, 9, 30, 0), "a"),
+            (100, T(2024, 1, 1, 10, 0, 0), "b"),   # simultaneous with left #1
+            (100, T(2024, 1, 1, 11, 30, 0), "c"),
+            (200, T(2024, 1, 1, 10, 59, 0), "d"),
+        ],
+        ["user_id", "ts", "tag"],
+    )
+    return left, right
+
+
+def test_asof_semantics(sides):
+    left, right = sides
+    out = {
+        r["event_id"]: (r["tag_asof"], r["ts_asof"])
+        for r in asof_join(left, right, on=["user_id"], right_cols=["tag"]).collect()
+    }
+    # simultaneous right row IS visible (>= semantics)
+    assert out[1][0] == "b"
+    # nearest prior among several
+    assert out[2][0] == "c"
+    # left row before any right row -> NULLs
+    assert out[3] == (None, None)
+    # keys don't leak
+    assert out[4][0] == "d"
+    assert out[5] == (None, None)
+
+
+def test_asof_preserves_left_rowcount(sides):
+    left, right = sides
+    assert asof_join(left, right, on=["user_id"], right_cols=["tag"]).count() == left.count()
