@@ -28,7 +28,49 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_count_join"]
+
+
+def range_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    lookback_sec: int,
+    ts_col: str = "ts",
+    out_col: str = "n_in_range",
+) -> DataFrame:
+    """Range join, aggregated: for each left row, COUNT of right rows
+    with ``left.ts - lookback <= right.ts <= left.ts`` on the same key.
+
+    Same union trick as :func:`asof_join`, but the window frame is a
+    RANGE over epoch-microseconds — one shuffle + one sorted pass,
+    versus the naive range join whose output explodes with the window
+    width. (A raw pair-producing range join stays expressible as
+    ``left.join(right, on + [right.ts.between(...)])`` when the pairs
+    themselves are wanted.)
+    """
+    on = list(on)
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+    )
+    rhs = right.select(*[F.col(c) for c in on], F.col(ts_col), F.lit(0).alias("__side"))
+    for c in left.columns:
+        if c not in on and c != ts_col:
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    rhs = rhs.select(*[F.col(c) for c in lhs.columns])
+    unioned = lhs.unionByName(rhs).withColumn("__ts_us", F.unix_micros(F.col(ts_col)))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts_us"))
+        .rangeBetween(-lookback_sec * 1_000_000, 0)
+    )
+    counted = unioned.withColumn(
+        out_col, F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).over(w)
+    )
+    return counted.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in left.columns], F.col(out_col)
+    )
 
 
 def asof_join(

@@ -814,6 +814,43 @@ ORDER BY p.event_id
 """
 
 
+def events_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, aggregated (custom operator): views in the 10
+    minutes preceding each purchase, per user — a RANGE window over one
+    shuffle instead of an exploding interval join. Oracle: plain SQL
+    range join + GROUP BY."""
+    from .operators.asof import range_count_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = range_count_join(
+        purchases, views, on=["user_id"], lookback_sec=600, out_col="n_views_10m"
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("purchase_ts_us"), "n_views_10m"
+    ).orderBy("event_id")
+
+
+EVENTS_RANGE_JOIN_COUNTS_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts
+  FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
+       count(v.ts) AS n_views_10m
+FROM p LEFT JOIN v
+  ON p.user_id = v.user_id
+ AND v.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+ORDER BY p.event_id
+"""
+
+
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (30-minute inactivity gap) via the
     built-in ``session_window`` state operator — the batch twin of the
@@ -1351,6 +1388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling_window": events_tumbling_window,
     "events_sessionization": events_sessionization,
     "events_asof_attribution": events_asof_attribution,
+    "events_range_join_counts": events_range_join_counts,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -1399,6 +1437,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_tumbling_window": EVENTS_TUMBLING_WINDOW_SQL,
     "events_sessionization": EVENTS_SESSIONIZATION_SQL,
     "events_asof_attribution": EVENTS_ASOF_ATTRIBUTION_SQL,
+    "events_range_join_counts": EVENTS_RANGE_JOIN_COUNTS_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
