@@ -33,7 +33,13 @@ from .errors import StoreBuildError
 from .expr import _schema_dtypes
 from .functions.vector import inv_norm_expr
 
-__all__ = ["VecStore", "MetaStore", "INV_NORM_COL", "with_row_index"]
+__all__ = [
+    "VecStore",
+    "MetaStore",
+    "INV_NORM_COL",
+    "with_row_index",
+    "parse_datetime_column",
+]
 
 INV_NORM_COL = "__inv_norm"
 _MANIFEST = "_otters_manifest.json"
@@ -49,6 +55,42 @@ def with_row_index(df: DataFrame, name: str = "vec_id") -> DataFrame:
     """
     w = Window.orderBy(F.monotonically_increasing_id())
     return df.withColumn(name, (F.row_number().over(w) - 1).cast("long"))
+
+
+def parse_datetime_column(
+    df: DataFrame,
+    column: str,
+    fmt: str | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Parse a string column to timestamps, with the REFERENCE's error
+    semantics: an unparseable non-null string is a hard engine error
+    with sample values (otters src/col.rs:524-526); ``strict=False``
+    yields NULL on failure. Built on ``try_to_timestamp`` so the
+    behavior is identical under ANSI and legacy modes (plain
+    ``to_timestamp`` throws a raw CAST_INVALID_INPUT under Spark 4's
+    default ANSI mode, NULLs under legacy).
+
+    The strict check is one filter over the parse expression; at scale
+    this is a single extra pass, the price of fail-fast ingest.
+    """
+    parsed = (
+        F.try_to_timestamp(F.col(column), F.lit(fmt))
+        if fmt
+        else F.try_to_timestamp(F.col(column))
+    )
+    out = df.withColumn(column, parsed)
+    if strict:
+        bad = df.filter(F.col(column).isNotNull() & parsed.isNull())
+        sample = bad.select(column).limit(3).collect()
+        if sample:
+            vals = [r[column] for r in sample]
+            raise StoreBuildError(
+                f"unparseable datetime strings in {column!r} (e.g. {vals}); "
+                "reference errors on parse failure (src/col.rs:524-526) — "
+                "pass strict=False for NULL-on-failure"
+            )
+    return out
 
 
 class VecStore:

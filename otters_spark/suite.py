@@ -851,6 +851,35 @@ ORDER BY p.event_id
 """
 
 
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured/JSON functions: extract a field from the events
+    ``props`` JSON column and aggregate it per event type."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_EXTRACT_SQL = """
+WITH t AS (SELECT event_type, CAST(props->>'k' AS INTEGER) AS k FROM events)
+SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM t GROUP BY event_type ORDER BY event_type
+"""
+
+
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (30-minute inactivity gap) via the
     built-in ``session_window`` state operator — the batch twin of the
@@ -1389,6 +1418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionization": events_sessionization,
     "events_asof_attribution": events_asof_attribution,
     "events_range_join_counts": events_range_join_counts,
+    "events_json_extract": events_json_extract,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -1438,6 +1468,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_sessionization": EVENTS_SESSIONIZATION_SQL,
     "events_asof_attribution": EVENTS_ASOF_ATTRIBUTION_SQL,
     "events_range_join_counts": EVENTS_RANGE_JOIN_COUNTS_SQL,
+    "events_json_extract": EVENTS_JSON_EXTRACT_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
