@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import json
 import os
+import time
+from dataclasses import dataclass
 from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -55,6 +57,17 @@ def with_row_index(df: DataFrame, name: str = "vec_id") -> DataFrame:
     """
     w = Window.orderBy(F.monotonically_increasing_id())
     return df.withColumn(name, (F.row_number().over(w) - 1).cast("long"))
+
+
+@dataclass
+class BuildStats:
+    """Analog of the reference's ``MetaBuildStats`` (src/meta.rs:844-852):
+    what the store build did and how long it took. ``chunks`` maps to
+    output partition count (the engine's chunk unit)."""
+
+    rows: int
+    chunks: int
+    elapsed_sec: float
 
 
 def parse_datetime_column(
@@ -191,12 +204,15 @@ class MetaStore(VecStore):
         bloom_ndv: int | None = None,
         row_group_bytes: int = 128 * 1024 * 1024,
         partitions: int | None = None,
-    ) -> None:
+    ) -> BuildStats:
         """Persist as Parquet with the pruning features the reference
         builds by hand: row-group stats (= zonemaps), bloom filters on
         string columns (= per-chunk blooms, src/meta_compute.rs:99-115),
         and optional sort-by-filter-columns layout (README.md:184-186).
+        Returns :class:`BuildStats` (reference ``MetaBuildStats``,
+        src/meta.rs:844-852).
         """
+        t0 = time.perf_counter()
         df = self.df
         if sort_cols:
             n = partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -229,6 +245,12 @@ class MetaStore(VecStore):
         if "://" not in path:
             with open(os.path.join(path, _MANIFEST), "w") as f:
                 json.dump(manifest, f)
+        written = self.df.sparkSession.read.parquet(path)
+        return BuildStats(
+            rows=written.count(),
+            chunks=written.rdd.getNumPartitions(),
+            elapsed_sec=time.perf_counter() - t0,
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "MetaStore":

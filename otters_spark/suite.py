@@ -599,6 +599,32 @@ ORDER BY o_orderpriority, o_orderstatus
 """
 
 
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-priority and per-status marginals in
+    one pass, no grand total) — the generalization rollup/cube are
+    sugar for, via the SQL front-end."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        ORDER BY o_orderpriority, o_orderstatus
+        """
+    )
+
+
+REL_GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
 def rel_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS subquery through the engine's SQL front-end
     (spark.sql over registered views): customers who have at least one
@@ -1409,6 +1435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_left_join_order_counts": rel_left_join_order_counts,
     "rel_rollup_revenue": rel_rollup_revenue,
     "rel_cube_priority_status": rel_cube_priority_status,
+    "rel_grouping_sets": rel_grouping_sets,
     "rel_exists_subquery": rel_exists_subquery,
     "rel_percentiles": rel_percentiles,
     "rel_semi_anti_join": rel_semi_anti_join,
@@ -1459,6 +1486,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_left_join_order_counts": REL_LEFT_JOIN_ORDER_COUNTS_SQL,
     "rel_rollup_revenue": REL_ROLLUP_REVENUE_SQL,
     "rel_cube_priority_status": REL_CUBE_PRIORITY_STATUS_SQL,
+    "rel_grouping_sets": REL_GROUPING_SETS_SQL,
     "rel_exists_subquery": REL_EXISTS_SUBQUERY_SQL,
     "rel_percentiles": REL_PERCENTILES_SQL,
     "rel_semi_anti_join": REL_SEMI_ANTI_JOIN_SQL,
