@@ -87,9 +87,12 @@ def _normalize_queries(queries: Any) -> list[list[float]] | None:
 
 
 class VecQueryPlan:
-    """Pure vector search plan (src/vec.rs:56-166)."""
+    """Pure vector search plan (src/vec.rs:56-166). ``store`` may be
+    None at construction and attached later with
+    :meth:`with_vector_store` (reference src/vec.rs:119); a store-less
+    plan errors at collect."""
 
-    def __init__(self, store: VecStore, queries: Any, metric: str | None):
+    def __init__(self, store: VecStore | None, queries: Any, metric: str | None):
         self._store = store
         self._error: OttersError | None = None
         self._metric = metric
@@ -141,6 +144,16 @@ class VecQueryPlan:
             self._take_dir = "max"
         return self
 
+    def with_vector_store(self, store: VecStore) -> "VecQueryPlan":
+        """Attach (or replace) the store after construction
+        (src/vec.rs:119)."""
+        if self._ok():
+            if isinstance(store, VecStore):
+                self._store = store
+            else:
+                self._error = PlanError("with_vector_store expects a VecStore")
+        return self
+
     def with_row_mask(self, mask: Column) -> "VecQueryPlan":
         """Arbitrary boolean Column pre-filter on store rows — the
         reference's ``with_row_mask`` (src/vec.rs:146), expressed as a
@@ -159,6 +172,8 @@ class VecQueryPlan:
         """Mirror of plan validation at collect (src/vec.rs:170-203)."""
         if self._error is not None:
             raise self._error
+        if self._store is None:
+            raise PlanError("no vector store attached (src/vec.rs:184-185)")
         if self._metric is None:
             raise MissingMetricError("no metric configured")
         if not self._queries:

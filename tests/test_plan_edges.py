@@ -1,0 +1,52 @@
+"""Plan edge cases from the reference test suite: take(0), k > n,
+duplicate batch queries, store attached late, store missing."""
+
+import pytest
+from pyspark.sql import types as T
+
+from otters_spark import PlanError, VecStore
+from otters_spark.plan import VecQueryPlan
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType(), False), False),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    rows = [(i, v) for i, v in enumerate([[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]])]
+    return VecStore.from_df(spark.createDataFrame(rows, VEC_SCHEMA))
+
+
+def test_take_zero_is_empty(store):
+    assert store.query([1.0, 0.0], "cosine").take(0).collect() == []
+
+
+def test_k_larger_than_store_returns_all(store):
+    rows = store.query([1.0, 0.0], "cosine").take(100).collect()
+    assert len(rows) == 3
+
+
+def test_duplicate_batch_queries_duplicate_rows(store):
+    # the same query twice scores every row twice; global merge keeps both
+    rows = store.query([[1.0, 0.0], [1.0, 0.0]], "dot").collect()
+    assert len(rows) == 6
+    ids = sorted(r["vec_id"] for r in rows)
+    assert ids == [0, 0, 1, 1, 2, 2]
+
+
+def test_with_vector_store_attaches_late(store):
+    plan = VecQueryPlan(None, [1.0, 0.0], "cosine").take(1)
+    with pytest.raises(PlanError):
+        plan.collect()
+    rows = plan.with_vector_store(store).collect()
+    assert rows[0]["vec_id"] == 0
+
+
+def test_with_vector_store_rejects_non_store(store):
+    plan = VecQueryPlan(None, [1.0, 0.0], "cosine").with_vector_store("nope")
+    with pytest.raises(PlanError):
+        plan.collect()
