@@ -26,6 +26,24 @@ def test_bits_bounds():
         zorder_key_expr("a", "b", bits=32)
 
 
+def test_zorder_n_columns(spark):
+    from otters_spark.functions.layout import zorder_key_n_expr
+
+    df = spark.createDataFrame([(1, 1, 1), (0, 0, 2)], ["a", "b", "c"])
+    got = {
+        (r["a"], r["b"], r["c"]): r["z"]
+        for r in df.select(
+            "a", "b", "c", zorder_key_n_expr(["a", "b", "c"], bits=2).alias("z")
+        ).collect()
+    }
+    # (1,1,1): bit0 of each -> output bits 0,1,2 -> 0b111 = 7
+    assert got[(1, 1, 1)] == 7
+    # (0,0,2): c's bit1 -> output bit 1*3+2 = 5 -> 32
+    assert got[(0, 0, 2)] == 32
+    with pytest.raises(ValueError):
+        zorder_key_n_expr(["a"], bits=2)
+
+
 def test_zorder_layout_roundtrip(spark, sf_dir, tmp_path):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     store = MetaStore.from_df(emb, vec_col="embedding", id_col="vec_id")
