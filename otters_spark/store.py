@@ -204,6 +204,7 @@ class MetaStore(VecStore):
         bloom_ndv: int | None = None,
         row_group_bytes: int = 128 * 1024 * 1024,
         partitions: int | None = None,
+        partition_by: Sequence[str] | None = None,
     ) -> BuildStats:
         """Persist as Parquet with the pruning features the reference
         builds by hand: row-group stats (= zonemaps), bloom filters on
@@ -227,6 +228,10 @@ class MetaStore(VecStore):
                 if isinstance(f.dataType, T.StringType)
             ]
         w = df.write.mode(mode).option("parquet.block.size", str(row_group_bytes))
+        if partition_by:
+            # hive-style directory partitioning: equality filters on
+            # these columns prune at the FILE level before row groups
+            w = w.partitionBy(*partition_by)
         if bloom_fpp is not None:
             # reference clamps FPR to [0.01, 0.5] (src/meta.rs:92-101)
             w = w.option("parquet.bloom.filter.fpp", str(min(max(bloom_fpp, 0.01), 0.5)))
@@ -241,6 +246,7 @@ class MetaStore(VecStore):
             "dim": self.dim,
             "sort_cols": list(sort_cols or []),
             "bloom_cols": list(bloom_cols),
+            "partition_by": list(partition_by or []),
         }
         if "://" not in path:
             with open(os.path.join(path, _MANIFEST), "w") as f:

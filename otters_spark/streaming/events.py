@@ -92,6 +92,36 @@ def sessionize(
     )
 
 
+def view_purchase_join(views: DataFrame, purchases: DataFrame, within: str = "10 minutes") -> DataFrame:
+    """Stream-stream (or batch-batch) interval join: purchases matched
+    to same-user views that happened up to ``within`` before them. On
+    streams, the time-range condition + watermarks bound the join state
+    (Spark evicts view state older than the range). Works identically
+    on batch inputs — the usual batch-as-oracle pattern."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return v.join(p, cond).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_event_id",
+        "view_event_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.unix_micros("view_ts").alias("view_ts_us"),
+    )
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. Spark's file stream
     source requires a *directory* (each new file = a micro-batch), and

@@ -66,3 +66,18 @@ def test_bloom_knobs_roundtrip(spark, store, tmp_path):
     store.save(path, sort_cols=["label"], bloom_fpp=0.001, bloom_ndv=1000)
     loaded = MetaStore.load(spark, path)
     assert loaded.count() == store.count()
+
+
+def test_partitioned_store_prunes(spark, store, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "store_part")
+    store.save(path, partition_by=["label"])
+    from otters_spark import MetaStore
+
+    loaded = MetaStore.load(spark, path)
+    df = loaded.df.filter(F.col("label") == 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "label" in pf_line.split("PartitionFilters")[1][:80]
+    assert df.count() == store.df.filter(F.col("label") == 3).count()
