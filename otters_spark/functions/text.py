@@ -109,27 +109,6 @@ def minhash_signature_expr(token_hashes, n_hashes: int = 16) -> Column:
     return F.array(*sig)
 
 
-def simhash_votes_exprs(token_hash, bits: int = 32) -> list[Column]:
-    """Per-bit vote terms for SimHash, to be summed in a groupBy: +1 if
-    bit set in the token hash else -1."""
-    h = _c(token_hash)
-    return [
-        F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias(f"__bit{b}")
-        for b in range(bits)
-    ]
-
-
-def simhash_from_votes_expr(bits: int = 32) -> Column:
-    """Fold summed votes (columns __bit0..__bitN) into the SimHash
-    integer: bit b set iff the vote sum is positive."""
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        out = out + F.when(F.col(f"__bit{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return out
-
-
 def simhash_expr(token_hashes, bits: int = 32) -> Column:
     """SimHash over a precomputed token-hash array (see
     :func:`token_hashes_expr`), no explode: for each bit, count hashes
