@@ -163,6 +163,12 @@ class VecStore:
 
         return VecQueryPlan(self, queries, metric)
 
+    def query_batch(self, queries: Any, metric: str = "cosine"):
+        """Explicit batch entry point (reference ``query_batch``,
+        src/meta.rs:569-576) — same plan as :meth:`query`, which
+        already accepts batches."""
+        return self.query(queries, metric)
+
     def count(self) -> int:
         return self.df.count()
 

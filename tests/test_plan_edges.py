@@ -50,3 +50,9 @@ def test_with_vector_store_rejects_non_store(store):
     plan = VecQueryPlan(None, [1.0, 0.0], "cosine").with_vector_store("nope")
     with pytest.raises(PlanError):
         plan.collect()
+
+
+def test_query_batch_alias(store):
+    a = store.query([[1.0, 0.0], [0.0, 1.0]], "dot").take(3).collect()
+    b = store.query_batch([[1.0, 0.0], [0.0, 1.0]], "dot").take(3).collect()
+    assert a == b
