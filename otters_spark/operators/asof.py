@@ -87,6 +87,12 @@ def asof_join(
     right-side payload columns to carry (default: all non-key,
     non-ts). Carried columns are renamed with ``suffix``; the matched
     right timestamp arrives as ``{ts_col}{suffix}``.
+
+    Determinism caveat: if two RIGHT rows share (key, ts) exactly,
+    which one's payload is carried is unspecified (same as DuckDB
+    ASOF with duplicate timestamps) — the carried ``ts{suffix}`` is
+    still deterministic. Dedupe the right side first if payload
+    determinism matters.
     """
     on = list(on)
     if right_cols is None:
