@@ -877,6 +877,49 @@ ORDER BY p.event_id
 """
 
 
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass produces BOTH
+    the hourly and daily rollups of the event stream (GROUPING SETS
+    over derived time buckets) — the materialized-view shape a
+    TimescaleDB-like hypertable maintains incrementally; here it's a
+    single shuffle over the derived keys."""
+    ev = load_events(spark, sf_dir)
+    ev = ev.withColumn(
+        "day_start", (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    ).withColumn(
+        "hour_start", (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    )
+    ev.createOrReplaceTempView("ev_buckets")
+    return spark.sql(
+        """
+        SELECT day_start, hour_start, event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM ev_buckets
+        GROUP BY GROUPING SETS (
+          (day_start, event_type),
+          (day_start, hour_start, event_type))
+        ORDER BY day_start, hour_start, event_type
+        """
+    )
+
+
+EVENTS_HYPERTABLE_ROLLUP_SQL = """
+WITH b AS (
+  SELECT (epoch_ms(ts) // 86400000) * 86400 AS day_start,
+         (epoch_ms(ts) // 3600000) * 3600 AS hour_start,
+         event_type, value
+  FROM events)
+SELECT day_start, hour_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM b
+GROUP BY GROUPING SETS (
+  (day_start, event_type),
+  (day_start, hour_start, event_type))
+ORDER BY day_start, hour_start, event_type
+"""
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured/JSON functions: extract a field from the events
     ``props`` JSON column and aggregate it per event type."""
@@ -1446,6 +1489,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_attribution": events_asof_attribution,
     "events_range_join_counts": events_range_join_counts,
     "events_json_extract": events_json_extract,
+    "events_hypertable_rollup": events_hypertable_rollup,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -1497,6 +1541,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_asof_attribution": EVENTS_ASOF_ATTRIBUTION_SQL,
     "events_range_join_counts": EVENTS_RANGE_JOIN_COUNTS_SQL,
     "events_json_extract": EVENTS_JSON_EXTRACT_SQL,
+    "events_hypertable_rollup": EVENTS_HYPERTABLE_ROLLUP_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
