@@ -1286,11 +1286,13 @@ ORDER BY 1, 2
 def dedup_char_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 3-gram shingle Jaccard near-dup pairs (>= 0.55), blocked
     by (lang, source) — catches edit-level near-dups that word-level
-    Jaccard smooths over."""
+    Jaccard smooths over. Shingle blocks are pair-dense, so this uses
+    the incidence-matmul kernel (one BLAS call per block for all
+    pairwise intersections) rather than the exploded self-join."""
     from .functions.text import char_shingles_expr
-    from .operators.dedup import jaccard_pairs_exploded
+    from .operators.dedup import jaccard_pairs_blocked_matmul
 
-    out = jaccard_pairs_exploded(
+    out = jaccard_pairs_blocked_matmul(
         load(spark, sf_dir, "documents"),
         0.55,
         block_cols=list(_BLOCKS),

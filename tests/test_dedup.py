@@ -91,3 +91,22 @@ def test_embedding_neardup(spark):
     pairs = embedding_neardup_pairs(df, 0.95).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
     assert pairs[0]["cosine"] > 0.99
+
+
+def test_jaccard_formulations_agree(docs):
+    from otters_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_blocked_matmul,
+        jaccard_pairs_exploded,
+    )
+
+    def rounded(df):
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in df.collect()
+        }
+
+    kw = dict(block_cols=["lang", "source"])
+    a = rounded(jaccard_pairs(docs, 0.5, **kw))
+    b = rounded(jaccard_pairs_exploded(docs, 0.5, **kw))
+    c = rounded(jaccard_pairs_blocked_matmul(docs, 0.5, **kw))
+    assert a == b == c
