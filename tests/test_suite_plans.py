@@ -13,7 +13,12 @@ import pytest
 from otters_spark.suite import QUERIES
 
 # queries whose operators intentionally use mapInPandas (Arrow batches)
-ARROW_OK = {"neardup_embedding_pairs", "multimodal_features", "sim_pandas_matmul_topk"}
+ARROW_OK = {
+    "neardup_embedding_pairs",
+    "multimodal_features",
+    "sim_pandas_matmul_topk",
+    "dedup_char_shingle_pairs",  # incidence-matmul kernel
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
