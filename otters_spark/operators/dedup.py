@@ -547,3 +547,30 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate embedding near-dup at corpus scale: random-hyperplane
+    LSH buckets are the blocking key, exact cosine verifies inside each
+    bucket. Candidate volume tracks bucket occupancy (n²/2^planes on
+    uniform data) instead of n²; recall falls with angular distance —
+    near-identical vectors (the dedup target) collide in almost every
+    bucket. Returns a SUBSET of :func:`embedding_neardup_pairs`."""
+    from .similarity import hyperplanes, lsh_bucket_expr
+
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    planes = hyperplanes(dim, n_planes=n_planes, seed=seed)
+    bucketed = df.withColumn("__lsh", lsh_bucket_expr(vec_col, planes))
+    return embedding_neardup_pairs(
+        bucketed, threshold, vec_col=vec_col, id_col=id_col, block_cols=["__lsh"]
+    )

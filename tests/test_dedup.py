@@ -110,3 +110,30 @@ def test_jaccard_formulations_agree(docs):
     b = rounded(jaccard_pairs_exploded(docs, 0.5, **kw))
     c = rounded(jaccard_pairs_blocked_matmul(docs, 0.5, **kw))
     assert a == b == c
+
+
+def test_embedding_neardup_lsh_subset(spark):
+    import numpy as np
+
+    from otters_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # 30 base vectors, each with a jittered near-duplicate
+    for i in range(30):
+        v = rng.standard_normal(16)
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.normal(0, 0.01, 16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df, 0.99).collect()}
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs_lsh(df, 0.99, n_planes=6).collect()
+    }
+    assert approx <= exact
+    # near-identical vectors collide in almost every bucket
+    recall = len(approx) / max(len(exact), 1)
+    assert recall >= 0.8, f"LSH near-dup recall too low: {recall}"
