@@ -12,7 +12,7 @@ key cardinality, not stream length; at scale the state store backend
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator
+from typing import Iterable, Iterator
 
 import pandas as pd
 
