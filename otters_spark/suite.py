@@ -1112,6 +1112,58 @@ FROM documents ORDER BY doc_id
 """
 
 
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composition: quality-score the
+    corpus, keep docs above threshold (0.4 ~ the top quartile of this
+    corpus), exact-dedup the survivors (keep
+    lowest id per normalized-content key), then summarize per language.
+    One declarative plan — Catalyst fuses the stages; the oracle
+    reproduces every step in SQL."""
+    from .operators.dedup import exact_dedup_keep_first
+    from .operators.text_analysis import quality_features
+
+    docs = load(spark, sf_dir, "documents")
+    scored = quality_features(docs).select("doc_id", "quality_score")
+    good = docs.join(scored, "doc_id").filter(F.col("quality_score") >= 0.4)
+    kept = exact_dedup_keep_first(good)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+PIPELINE_CLEAN_CORPUS_SQL = """
+WITH q AS (
+  SELECT doc_id, lang, text, n_chars,
+         round(
+         0.3 * least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
+       + 0.4 * (CASE WHEN len(string_split(text, ' ')) > 0
+                     THEN len(list_distinct(string_split(text, ' ')))::DOUBLE
+                          / len(string_split(text, ' '))
+                     ELSE 0.0 END)
+       + 0.3 * (CASE WHEN len(list_distinct(string_split(text, ' '))) > 0
+                     THEN len(list_intersect(list_distinct(string_split(text, ' ')),
+                          ['the','a','of','and','to','in','is','for','on','with']))::DOUBLE
+                          / len(list_distinct(string_split(text, ' ')))
+                     ELSE 0.0 END), 6) AS quality_score
+  FROM documents),
+good AS (SELECT * FROM q WHERE quality_score >= 0.4),
+kept AS (
+  SELECT * FROM good
+  WHERE doc_id IN (
+    SELECT min(doc_id) FROM good GROUP BY md5(lower(trim(text)))))
+SELECT lang, count(*) AS n_docs,
+       round(avg(quality_score), 6) AS avg_quality,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import duplicate_groups
 
@@ -1497,6 +1549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": text_langid,
     "text_bpe_tokens": text_bpe_tokens,
     "text_rolling_hash": text_rolling_hash,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
@@ -1549,6 +1602,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_langid": TEXT_LANGID_SQL,
     "text_bpe_tokens": TEXT_BPE_TOKENS_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
+    "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "dedup_exact_groups": DEDUP_EXACT_GROUPS_SQL,
     "dedup_fingerprint_groups": DEDUP_FINGERPRINT_GROUPS_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_PAIRS_SQL,
