@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_user_totals", "RUNNING_TOTALS_SCHEMA"]
+__all__ = ["running_user_totals", "streaming_exact_dedup", "RUNNING_TOTALS_SCHEMA"]
 
 RUNNING_TOTALS_SCHEMA = T.StructType(
     [
@@ -48,6 +48,54 @@ def _update(
     state.update((n, s))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+    )
+
+
+def streaming_exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Online exact dedup over a document stream: rows whose normalized
+    content key was already seen (in ANY earlier micro-batch) are
+    dropped; first occurrence wins. State = one row per distinct key —
+    the streaming twin of ``dedup.exact_dedup_keep_first``. At scale the
+    key state lives in the state store (RocksDB off-heap), so the
+    "seen" set never transits the driver."""
+    from pyspark.sql import functions as F
+
+    keyed = docs.select(
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("content_key"),
+        F.col(id_col),
+        F.col(text_col),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("content_key", T.StringType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField(text_col, T.StringType()),
+        ]
+    )
+    seen_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def dedupe(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        first_batch = not state.exists
+        state.update((True,))
+        if not first_batch:
+            return
+        best = None
+        for pdf in pdfs:
+            cand = pdf.loc[pdf[id_col].idxmin()]
+            if best is None or cand[id_col] < best[id_col]:
+                best = cand
+        if best is not None:
+            yield pd.DataFrame(
+                {"content_key": [key[0]], id_col: [best[id_col]], text_col: [best[text_col]]}
+            )
+
+    return keyed.groupBy("content_key").applyInPandasWithState(
+        dedupe,
+        outputStructType=out_schema,
+        stateStructType=seen_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
