@@ -1371,6 +1371,87 @@ ORDER BY 1, 2
 """
 
 
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dups: |A∩B| / min(|A|,|B|) >= 0.9 within
+    (lang, source) blocks — catches subset relationships (one doc
+    mostly contained in another) that symmetric Jaccard dilutes."""
+    from .functions.text import distinct_tokens_expr
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("doc_id"), distinct_tokens_expr("text").alias("__w"), "lang", "source"
+    )
+    a = t.select(
+        F.col("doc_id").alias("id_a"), F.col("__w").alias("__wa"),
+        F.col("lang").alias("__la"), F.col("source").alias("__sa"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("id_b"), F.col("__w").alias("__wb"),
+        F.col("lang").alias("__lb"), F.col("source").alias("__sb"),
+    )
+    inter = F.size(F.array_intersect(F.col("__wa"), F.col("__wb")))
+    containment = inter.cast("double") / F.least(F.size("__wa"), F.size("__wb"))
+    return (
+        a.join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__la") == F.col("__lb"))
+            & (F.col("__sa") == F.col("__sb")),
+        )
+        .withColumn("containment", F.round(containment, 6))
+        .filter(F.col("containment") >= 0.9)
+        .select("id_a", "id_b", "containment")
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_CONTAINMENT_PAIRS_SQL = """
+WITH t AS (SELECT doc_id, lang, source,
+                  list_distinct(string_split(text, ' ')) AS w FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.w, b.w))::DOUBLE /
+             least(len(a.w), len(b.w)), 6) AS containment
+FROM t a JOIN t b
+  ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+WHERE len(list_intersect(a.w, b.w))::DOUBLE / least(len(a.w), len(b.w)) >= 0.9
+ORDER BY 1, 2
+"""
+
+
+def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary extraction: top-50 tokens by document
+    frequency (the tokenizer-building primitive) with total term
+    frequency alongside."""
+    docs = load(spark, sf_dir, "documents")
+    tf = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    df_counts = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    )
+    out = (
+        df_counts.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .join(tf.groupBy("token").agg(F.count(F.lit(1)).alias("term_freq")), "token")
+        .orderBy(F.col("doc_freq").desc(), F.col("term_freq").desc(), F.col("token"))
+        .limit(50)
+    )
+    return out
+
+
+TEXT_VOCABULARY_TOPK_SQL = """
+WITH tf AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+dfq AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token FROM documents)
+SELECT d.token, count(*) AS doc_freq, t.term_freq
+FROM dfq d
+JOIN (SELECT token, count(*) AS term_freq FROM tf GROUP BY token) t USING (token)
+GROUP BY d.token, t.term_freq
+ORDER BY doc_freq DESC, term_freq DESC, token
+LIMIT 50
+"""
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit, md5-derived) near-dup pairs with Hamming
     distance <= 6, blocked by (lang, source)."""
@@ -1556,6 +1637,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_banded_verified": dedup_minhash_banded_verified,
     "dedup_char_shingle_pairs": dedup_char_shingle_pairs,
+    "dedup_containment_pairs": dedup_containment_pairs,
+    "text_vocabulary_topk": text_vocabulary_topk,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "neardup_embedding_pairs": neardup_embedding_pairs,
     "multimodal_features": multimodal_features,
@@ -1609,6 +1692,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "dedup_minhash_banded_verified": DEDUP_MINHASH_BANDED_VERIFIED_SQL,
     "dedup_char_shingle_pairs": DEDUP_CHAR_SHINGLE_PAIRS_SQL,
+    "dedup_containment_pairs": DEDUP_CONTAINMENT_PAIRS_SQL,
+    "text_vocabulary_topk": TEXT_VOCABULARY_TOPK_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "neardup_embedding_pairs": NEARDUP_EMBEDDING_PAIRS_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
