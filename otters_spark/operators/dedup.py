@@ -205,8 +205,11 @@ def jaccard_pairs_blocked_matmul(
     id_col: str = "doc_id",
     block_cols: Sequence[str] = (),
     tokens_col: F.Column | None = None,
+    measure: str = "jaccard",
 ) -> DataFrame:
-    """Exact Jaccard pairs via a per-block incidence-matrix matmul.
+    """Exact set-similarity pairs via a per-block incidence-matrix
+    matmul. ``measure``: 'jaccard' (|A∩B| / |A∪B|) or 'containment'
+    (|A∩B| / min(|A|,|B|)) — same kernel, different denominator.
 
     Each block packs into one row (doc ids + token arrays); the kernel
     factorizes the block vocabulary, builds a docs×vocab 0/1 matrix M,
@@ -218,6 +221,10 @@ def jaccard_pairs_blocked_matmul(
     × 4 B — size blocks accordingly."""
     import numpy as np
     from pyspark.sql import types as T
+
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(f"unknown measure {measure!r}")
+    out_name = "jaccard" if measure == "jaccard" else "containment"
 
     toks = tokens_col if tokens_col is not None else distinct_tokens_expr(text_col)
     base = df.select(
@@ -235,7 +242,7 @@ def jaccard_pairs_blocked_matmul(
         [
             T.StructField("id_a", T.LongType()),
             T.StructField("id_b", T.LongType()),
-            T.StructField("jaccard", T.DoubleType()),
+            T.StructField(out_name, T.DoubleType()),
         ]
     )
 
@@ -258,14 +265,17 @@ def jaccard_pairs_blocked_matmul(
                 M[np.repeat(np.arange(n), lens), codes] = 1.0
                 inter = M @ M.T
                 sizes = lens.astype(np.float64)
-                denom = sizes[:, None] + sizes[None, :] - inter
-                jac = np.where(denom > 0, inter / denom, 0.0)
+                if measure == "jaccard":
+                    denom = sizes[:, None] + sizes[None, :] - inter
+                else:
+                    denom = np.minimum(sizes[:, None], sizes[None, :])
+                sim = np.where(denom > 0, inter / denom, 0.0)
                 iu, ju = np.triu_indices(n, k=1)
-                keep = jac[iu, ju] >= threshold
+                keep = sim[iu, ju] >= threshold
                 a, b = ids[iu[keep]], ids[ju[keep]]
                 lo, hi = np.minimum(a, b), np.maximum(a, b)
                 yield pd.DataFrame(
-                    {"id_a": lo, "id_b": hi, "jaccard": jac[iu, ju][keep]}
+                    {"id_a": lo, "id_b": hi, out_name: sim[iu, ju][keep]}
                 )
 
     return packed.mapInPandas(kernel, out_schema)

@@ -1375,34 +1375,15 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dups: |A∩B| / min(|A|,|B|) >= 0.9 within
     (lang, source) blocks — catches subset relationships (one doc
     mostly contained in another) that symmetric Jaccard dilutes."""
-    from .functions.text import distinct_tokens_expr
+    from .operators.dedup import jaccard_pairs_blocked_matmul
 
-    docs = load(spark, sf_dir, "documents")
-    t = docs.select(
-        F.col("doc_id"), distinct_tokens_expr("text").alias("__w"), "lang", "source"
+    out = jaccard_pairs_blocked_matmul(
+        load(spark, sf_dir, "documents"), 0.9,
+        block_cols=list(_BLOCKS), measure="containment",
     )
-    a = t.select(
-        F.col("doc_id").alias("id_a"), F.col("__w").alias("__wa"),
-        F.col("lang").alias("__la"), F.col("source").alias("__sa"),
-    )
-    b = t.select(
-        F.col("doc_id").alias("id_b"), F.col("__w").alias("__wb"),
-        F.col("lang").alias("__lb"), F.col("source").alias("__sb"),
-    )
-    inter = F.size(F.array_intersect(F.col("__wa"), F.col("__wb")))
-    containment = inter.cast("double") / F.least(F.size("__wa"), F.size("__wb"))
-    return (
-        a.join(
-            b,
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("__la") == F.col("__lb"))
-            & (F.col("__sa") == F.col("__sb")),
-        )
-        .withColumn("containment", F.round(containment, 6))
-        .filter(F.col("containment") >= 0.9)
-        .select("id_a", "id_b", "containment")
-        .orderBy("id_a", "id_b")
-    )
+    return out.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
+    ).orderBy("id_a", "id_b")
 
 
 DEDUP_CONTAINMENT_PAIRS_SQL = """

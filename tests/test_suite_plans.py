@@ -18,6 +18,7 @@ ARROW_OK = {
     "multimodal_features",
     "sim_pandas_matmul_topk",
     "dedup_char_shingle_pairs",  # incidence-matmul kernel
+    "dedup_containment_pairs",  # incidence-matmul kernel
 }
 
 
