@@ -56,3 +56,26 @@ def test_query_batch_alias(store):
     a = store.query([[1.0, 0.0], [0.0, 1.0]], "dot").take(3).collect()
     b = store.query_batch([[1.0, 0.0], [0.0, 1.0]], "dot").take(3).collect()
     assert a == b
+
+
+def test_mixed_dim_batch_rejected(store):
+    # only the SECOND query has a bad dim: whole batch errors at collect
+    plan = store.query([[1.0, 0.0], [1.0, 0.0, 9.9]], "dot").take(2)
+    import pytest as _pytest
+
+    from otters_spark import DimensionMismatchError
+
+    with _pytest.raises(DimensionMismatchError):
+        plan.collect()
+
+
+def test_lt_score_filter(store):
+    rows = store.query([1.0, 0.0], "cosine").filter(0.9, "lt").collect()
+    assert all(r["score"] < 0.9 for r in rows)
+    ids = sorted(r["vec_id"] for r in rows)
+    assert ids == [1, 2]  # row 0 is the exact match, excluded
+
+
+def test_eq_score_filter(store):
+    rows = store.query([1.0, 0.0], "cosine").filter(0.0, "eq").collect()
+    assert [r["vec_id"] for r in rows] == [1]  # orthogonal scores exactly 0
