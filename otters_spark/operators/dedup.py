@@ -206,19 +206,31 @@ def jaccard_pairs_blocked_matmul(
     block_cols: Sequence[str] = (),
     tokens_col: F.Column | None = None,
     measure: str = "jaccard",
+    rows_per_block: int = 2048,
 ) -> DataFrame:
-    """Exact set-similarity pairs via a per-block incidence-matrix
-    matmul. ``measure``: 'jaccard' (|A∩B| / |A∪B|) or 'containment'
-    (|A∩B| / min(|A|,|B|)) — same kernel, different denominator.
+    """Exact set-similarity pairs via incidence-matrix matmuls over
+    bounded sub-blocks. ``measure``: 'jaccard' (|A∩B| / |A∪B|) or
+    'containment' (|A∩B| / min(|A|,|B|)) — same kernel, different
+    denominator.
 
-    Each block packs into one row (doc ids + token arrays); the kernel
-    factorizes the block vocabulary, builds a docs×vocab 0/1 matrix M,
-    and ``M @ M.T`` yields ALL pairwise intersection counts in one BLAS
-    call — the pair-dense analog of the GEMM near-dup path. 2.8×
-    faster than the exploded self-join on dense blocks (intersection
-    counts ≤ 2^24 stay exact in float32). Same results as
-    :func:`jaccard_pairs`. Memory per task ≈ block_docs × block_vocab
-    × 4 B — size blocks accordingly."""
+    Every (block_cols) group is salted into sub-blocks of ~``rows_per_
+    block`` docs (hash striping on the id, so no per-block sort and no
+    single-task window); each sub-block PAIR (a <= b) joins into one
+    kernel row. The kernel factorizes the pair's union vocabulary,
+    builds docs×vocab 0/1 matrices, and ``Ma @ Mb.T`` yields all
+    cross-pair intersection counts in one BLAS call — the pair-dense
+    analog of the GEMM near-dup path (2.8× faster than the exploded
+    self-join on dense blocks; counts ≤ 2^24 stay exact in float32).
+    Same results as :func:`jaccard_pairs`.
+
+    Scale design: per-task memory is capped at ~``rows_per_block`` ×
+    vocab × 4 B regardless of how skewed the block key distribution is
+    — a billion-doc (lang, source) shard becomes ⌈n/cap⌉ sub-blocks and
+    ⌈n/cap⌉² kernel tasks instead of one OOM-ing task, and parallelism
+    grows with data volume instead of being pinned at #blocks. Docs are
+    packed as collect_list(struct(id, tokens)) so a NULL token array
+    can never misalign ids against token sets (it is filtered, matching
+    SQL semantics where a NULL set yields NULL similarity)."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -229,15 +241,42 @@ def jaccard_pairs_blocked_matmul(
     toks = tokens_col if tokens_col is not None else distinct_tokens_expr(text_col)
     base = df.select(
         F.col(id_col).alias("__id"), toks.alias("__w"), *[F.col(c) for c in block_cols]
+    ).filter(F.col("__w").isNotNull())
+    # per-block doc counts are tiny (one row per distinct block key) —
+    # broadcast back to size the salt: n_sub = ceil(block_n / cap).
+    grp = [F.col(c) for c in block_cols] if block_cols else [F.lit(1).alias("__all")]
+    counts = base.groupBy(*grp).agg(F.count(F.lit(1)).alias("__bn"))
+    key_cols = block_cols if block_cols else ["__all"]
+    if not block_cols:
+        base = base.withColumn("__all", F.lit(1))
+    salted = base.join(F.broadcast(counts), list(key_cols)).withColumn(
+        "__nsub", F.ceil(F.col("__bn") / F.lit(rows_per_block)).cast("int")
     )
-    if block_cols:
-        packed = base.groupBy(*block_cols).agg(
-            F.collect_list("__id").alias("ids"), F.collect_list("__w").alias("ws")
+    # hash striping: deterministic, one narrow projection, balanced in
+    # expectation (row_number striping would be exact but needs a
+    # per-block sort through a single task — the OOM we are avoiding)
+    salted = salted.withColumn(
+        "__sub", F.pmod(F.xxhash64(F.col("__id")), F.col("__nsub")).cast("int")
+    )
+    packed = salted.groupBy(*key_cols, "__sub").agg(
+        F.collect_list(F.struct(F.col("__id").alias("i"), F.col("__w").alias("w"))).alias(
+            "docs"
         )
-    else:
-        packed = base.groupBy(F.lit(1).alias("__all")).agg(
-            F.collect_list("__id").alias("ids"), F.collect_list("__w").alias("ws")
-        )
+    )
+    a = packed.select(
+        *[F.col(c).alias(f"__ka_{c}") for c in key_cols],
+        F.col("__sub").alias("sub_a"),
+        F.col("docs").alias("docs_a"),
+    )
+    b = packed.select(
+        *[F.col(c).alias(f"__kb_{c}") for c in key_cols],
+        F.col("__sub").alias("sub_b"),
+        F.col("docs").alias("docs_b"),
+    )
+    cond = F.col("sub_a") <= F.col("sub_b")
+    for c in key_cols:
+        cond = cond & (F.col(f"__ka_{c}") == F.col(f"__kb_{c}"))
+    joined = a.join(b, cond).select("sub_a", "sub_b", "docs_a", "docs_b")
     out_schema = T.StructType(
         [
             T.StructField("id_a", T.LongType()),
@@ -246,39 +285,63 @@ def jaccard_pairs_blocked_matmul(
         ]
     )
 
+    def _unpack(docs):
+        ids = np.array([d["i"] for d in docs], dtype=np.int64)
+        ws = [np.asarray(d["w"]) for d in docs]
+        lens = np.array([len(w) for w in ws], dtype=np.int64)
+        return ids, ws, lens
+
+    def _incidence(ws, lens, codes, n_vocab):
+        M = np.zeros((len(ws), n_vocab), dtype=np.float32)
+        if lens.sum():
+            M[np.repeat(np.arange(len(ws)), lens), codes] = 1.0
+        return M
+
     def kernel(batches):
         import pandas as pd
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                ids = np.asarray(row["ids"], dtype=np.int64)
-                ws = row["ws"]
-                n = len(ids)
-                if n < 2:
+                same = row["sub_a"] == row["sub_b"]
+                ids_a, ws_a, lens_a = _unpack(row["docs_a"])
+                ids_b, ws_b, lens_b = _unpack(row["docs_b"])
+                if len(ids_a) == 0 or len(ids_b) == 0 or (same and len(ids_a) < 2):
                     continue
-                lens = np.array([len(w) for w in ws])
-                if lens.sum() == 0:
+                nonempty = [w for w in (*ws_a, *ws_b) if len(w)]
+                if not nonempty:
                     continue
-                flat = np.concatenate([np.asarray(w) for w in ws])
-                vocab, codes = np.unique(flat, return_inverse=True)
-                M = np.zeros((n, len(vocab)), dtype=np.float32)
-                M[np.repeat(np.arange(n), lens), codes] = 1.0
-                inter = M @ M.T
-                sizes = lens.astype(np.float64)
+                flat = np.concatenate(nonempty)
+                _, codes = np.unique(flat, return_inverse=True)
+                n_vocab = int(codes.max()) + 1 if len(codes) else 0
+                split = int(lens_a.sum())
+                Ma = _incidence(ws_a, lens_a, codes[:split], n_vocab)
+                Mb = (
+                    Ma
+                    if same
+                    else _incidence(ws_b, lens_b, codes[split:], n_vocab)
+                )
+                inter = Ma @ Mb.T
+                sa = lens_a.astype(np.float64)
+                sb = lens_b.astype(np.float64)
                 if measure == "jaccard":
-                    denom = sizes[:, None] + sizes[None, :] - inter
+                    denom = sa[:, None] + sb[None, :] - inter
                 else:
-                    denom = np.minimum(sizes[:, None], sizes[None, :])
+                    denom = np.minimum(sa[:, None], sb[None, :])
                 sim = np.where(denom > 0, inter / denom, 0.0)
-                iu, ju = np.triu_indices(n, k=1)
+                if same:
+                    iu, ju = np.triu_indices(len(ids_a), k=1)
+                else:
+                    iu, ju = map(
+                        np.ravel, np.indices((len(ids_a), len(ids_b)))
+                    )
                 keep = sim[iu, ju] >= threshold
-                a, b = ids[iu[keep]], ids[ju[keep]]
-                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                pa, pb = ids_a[iu[keep]], ids_b[ju[keep]]
+                lo, hi = np.minimum(pa, pb), np.maximum(pa, pb)
                 yield pd.DataFrame(
                     {"id_a": lo, "id_b": hi, out_name: sim[iu, ju][keep]}
                 )
 
-    return packed.mapInPandas(kernel, out_schema)
+    return joined.mapInPandas(kernel, out_schema)
 
 
 # --- MinHash -------------------------------------------------------------
