@@ -99,14 +99,20 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in on and c != ts_col]
     payload = [*right_cols, ts_col]
 
-    lhs = left.withColumn("__side", F.lit(1))
-    for c in payload:
-        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    # the whole payload travels as ONE struct: the struct is non-null
+    # for every right row (even when individual payload values are
+    # NULL), so last(ignorenulls) carries the matched right row intact.
+    # Carrying columns independently would back-fill a NULL payload
+    # value from an OLDER right row — a row stitched from two reference
+    # rows, diverging from DuckDB ASOF semantics.
     rhs = right.select(
         *[F.col(c) for c in on],
         F.col(ts_col),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__r"),
+    )
+    lhs = left.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(dict(rhs.dtypes)["__r"])
     )
     # align schemas: left keeps all its columns; right contributes only
     # key + ts + payload, with left-only columns nulled
@@ -124,12 +130,8 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned
-    for c in payload:
-        carried = carried.withColumn(
-            f"__c_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
-        )
+    carried = unioned.withColumn("__c", F.last(F.col("__r"), ignorenulls=True).over(w))
     out = carried.filter(F.col("__side") == 1)
     renames: list[Column] = [F.col(c) for c in left.columns]
-    renames += [F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in payload]
+    renames += [F.col("__c").getField(c).alias(f"{c}{suffix}") for c in payload]
     return out.select(*renames)

@@ -65,7 +65,20 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, replicate the small side
-    across all salt values, join on (key, salt)."""
+    across all salt values, join on (key, salt).
+
+    ``how`` is restricted to joins whose semantics survive small-side
+    replication: inner/left/left_semi/left_anti/cross. A right or full
+    outer join would emit each UNMATCHED small-side row once per salt
+    replica — run it un-salted (AQE skew handling still applies) or
+    swap the sides."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicating the "
+            "small side would duplicate its unmatched rows"
+        )
     big_s = big.withColumn(
         _SALT, F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt))
     )

@@ -96,8 +96,15 @@ class VecQueryPlan:
         self._store = store
         self._error: OttersError | None = None
         self._metric = metric
-        self._queries = _normalize_queries(queries)
-        self._vec_filters: list[tuple[float, str]] = []
+        # malformed input (a string, mixed scalar/list batch, ...) must
+        # not raise here: the builder is deferred-error end to end
+        # (src/vec.rs:63-90), so coercion failures park an OttersError
+        # and surface at collect()
+        try:
+            self._queries = _normalize_queries(queries)
+        except (TypeError, ValueError):
+            self._queries = None
+        self._vec_filter: tuple[float, str] | None = None
         self._row_masks: list[Column] = []
         self._k: int | None = None
         self._take_dir: str | None = None
@@ -114,13 +121,20 @@ class VecQueryPlan:
         return self._error is None
 
     def filter(self, threshold: float, cmp: str = "gt") -> "VecQueryPlan":
-        """Score filter (vec_filter): keep rows where score CMP threshold
-        (src/vec.rs:151-153, src/meta.rs:618-621)."""
+        """Score filter (vec_filter): keep rows where score CMP threshold.
+        A repeated call REPLACES the criterion — reference semantics
+        (src/vec.rs:152 assigns ``filter_criteria = Some(...)``), not
+        AND-accumulation."""
         if self._ok():
             if cmp not in _CMPS:
                 self._error = PlanError(f"bad score cmp {cmp!r}; expected {sorted(_CMPS)}")
             else:
-                self._vec_filters.append((float(threshold), cmp))
+                try:
+                    self._vec_filter = (float(threshold), cmp)
+                except (TypeError, ValueError):
+                    self._error = PlanError(
+                        f"score threshold must be numeric, got {threshold!r}"
+                    )
         return self
 
     vec_filter = filter
@@ -226,7 +240,8 @@ class VecQueryPlan:
         )
         # NaN scores silently dropped (src/vec_compute.rs:236-239)
         scored = scored.filter(~F.isnan(F.col("score")))
-        for thr, cmp in self._vec_filters:
+        if self._vec_filter is not None:
+            thr, cmp = self._vec_filter
             c = F.col("score")
             t = F.lit(thr)
             scored = scored.filter(

@@ -53,3 +53,25 @@ def test_asof_semantics(sides):
 def test_asof_preserves_left_rowcount(sides):
     left, right = sides
     assert asof_join(left, right, on=["user_id"], right_cols=["tag"]).count() == left.count()
+
+
+def test_asof_null_payload_not_backfilled(spark):
+    # the matched right row carries its OWN NULLs; an older right row's
+    # value must never be stitched in (ADVICE r1: per-column
+    # last(ignorenulls) back-filled NULL payload fields)
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, 100, T(2024, 1, 1, 12, 0, 0))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (100, T(2024, 1, 1, 10, 0, 0), "old", 7),
+            (100, T(2024, 1, 1, 11, 0, 0), None, None),  # matched row
+        ],
+        "user_id long, ts timestamp, tag string, weight long",
+    )
+    out = asof_join(left, right, on=["user_id"], right_cols=["tag", "weight"]).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["ts_asof"] == T(2024, 1, 1, 11, 0, 0)
+    assert row["tag_asof"] is None and row["weight_asof"] is None

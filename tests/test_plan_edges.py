@@ -79,3 +79,30 @@ def test_lt_score_filter(store):
 def test_eq_score_filter(store):
     rows = store.query([1.0, 0.0], "cosine").filter(0.0, "eq").collect()
     assert [r["vec_id"] for r in rows] == [1]  # orthogonal scores exactly 0
+
+
+def test_repeated_filter_replaces(store):
+    # reference semantics: vec.rs:152 ASSIGNS filter_criteria, so the
+    # second call replaces the first (not AND)
+    rows = store.query([1.0, 0.0], "cosine").filter(0.9, "gt").filter(0.9, "lt").collect()
+    ids = sorted(r["vec_id"] for r in rows)
+    assert ids == [1, 2]  # only the second (lt) criterion applies
+
+
+def test_malformed_queries_defer_errors(store):
+    from otters_spark import EmptyQueryError, OttersError
+
+    # a bare string, and a mixed scalar/list batch: builder must NOT
+    # raise; the error surfaces at collect as an OttersError
+    for bad in ("not a vector", [1.0, [2.0, 3.0]], [["a", "b"]]):
+        plan = store.query(bad, "cosine").take(1)  # no raise here
+        with pytest.raises(OttersError):
+            plan.collect()
+    with pytest.raises(EmptyQueryError):
+        store.query("oops", "cosine").collect()
+
+
+def test_non_numeric_threshold_defers(store):
+    plan = store.query([1.0, 0.0], "cosine").filter("high", "gt")
+    with pytest.raises(PlanError):
+        plan.collect()

@@ -46,3 +46,13 @@ def test_salted_join_matches_plain(spark, sf_dir, li):
 def test_salted_agg_rejects_avg(li):
     with pytest.raises(ValueError):
         salted_agg(li, ["l_returnflag"], {"a": "avg(l_quantity)"})
+
+
+def test_salted_join_rejects_outer(spark, sf_dir, li):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li2 = li.withColumnRenamed("l_partkey", "p_partkey")
+    # replicating the small side would emit unmatched rows salt times
+    with pytest.raises(ValueError):
+        salted_join(li2, part, "p_partkey", how="full_outer")
+    with pytest.raises(ValueError):
+        salted_join(li2, part, "p_partkey", how="right")
