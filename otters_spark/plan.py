@@ -55,18 +55,59 @@ class QueryStats:
     """Analog of the reference's ``MetaQueryStats`` (src/meta.rs:832-842),
     re-expressed for Spark's execution model. ``vectors_compared`` maps
     to candidate rows entering scoring × queries; ``rows_after_filters``
-    to post-score-filter survivors; chunk prune counts have no direct
-    per-query API in Spark (row-group pruning happens inside the scan) —
-    the scan-level analog is visible in the Spark UI's scan metrics and
-    asserted structurally via PushedFilters in tests/test_plans.py."""
+    to post-score-filter survivors.
+
+    The reference counts pruned vs evaluated CHUNKS; Spark's chunk
+    analog for a saved store is the Parquet file (row-group pruning
+    additionally happens inside the reader and has no SQL metric).
+    ``evaluated_chunks`` is the scan's ``numFiles`` metric —
+    files actually read after static/dynamic partition pruning —
+    and ``pruned_chunks`` = total store files − evaluated. Both are
+    None for in-memory stores (no files to prune) or if the executed
+    plan exposes no scan metrics."""
 
     candidate_rows: int
     vectors_compared: int
     rows_after_filters: int
     result_rows: int
     elapsed_sec: float
+    evaluated_chunks: int | None = None
+    pruned_chunks: int | None = None
 
 _CMPS = {"lt", "lte", "gt", "gte", "eq"}
+
+
+def _scan_files_read(df: DataFrame) -> int | None:
+    """Best-effort sum of the ``numFiles`` SQL metric over scan leaves
+    of the EXECUTED plan (call after an action so metrics are
+    populated). Returns None when no file scan exists (in-memory
+    relations) or plan internals are unavailable."""
+    state = {"total": 0, "found": False}
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        # AQE materializes work in QueryStageExec wrappers whose inner
+        # plan is reachable only via .plan(); collectLeaves() stops at
+        # the stage boundary and would miss every scan
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        metrics = node.metrics()
+        if metrics.contains("numFiles"):
+            state["total"] += int(metrics.apply("numFiles").value())
+            state["found"] = True
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.executedPlan()
+        walk(plan)
+        return state["total"] if state["found"] else None
+    except Exception:
+        return None
 
 
 def _normalize_queries(queries: Any) -> list[list[float]] | None:
@@ -279,12 +320,24 @@ class VecQueryPlan:
         elapsed = time.perf_counter() - t0
         candidates = int(obs_c.get["n"])
         survivors = int(obs_s.get["n"])
+        evaluated = _scan_files_read(df)
+        pruned = None
+        if evaluated is not None:
+            # total chunk count: the store's file listing (cached by the
+            # relation; no extra Spark job)
+            try:
+                total = len(self._store.df.inputFiles())
+                pruned = max(total - evaluated, 0)
+            except Exception:
+                pruned = None
         return rows, QueryStats(
             candidate_rows=candidates,
             vectors_compared=candidates * len(self._queries or []),
             rows_after_filters=survivors,
             result_rows=len(rows),
             elapsed_sec=elapsed,
+            evaluated_chunks=evaluated,
+            pruned_chunks=pruned,
         )
 
     def explain(self, mode: str = "formatted") -> None:

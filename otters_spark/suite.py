@@ -655,17 +655,22 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile`` ==
-    SQL-standard continuous quantile)."""
+    SQL-standard continuous quantile). Exact quantiles buffer per-group
+    multisets — the oracle needs them, but the documented scale path is
+    ``group_percentiles(..., exact=False)`` (bounded-memory GK sketch;
+    see operators/stats.py and SCALE.md §Percentiles)."""
+    from .operators.stats import group_percentiles
+
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return group_percentiles(
+        li,
+        ["l_returnflag"],
+        {"l_extendedprice": [0.5, 0.9], "l_quantity": [0.5]},
+        exact=True,
+    ).select("l_returnflag", "p50_l_extendedprice", "p90_l_extendedprice",
+             "p50_l_quantity").toDF(
+        "l_returnflag", "p50_price", "p90_price", "p50_qty"
+    ).orderBy("l_returnflag")
 
 
 REL_PERCENTILES_SQL = """

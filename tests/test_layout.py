@@ -61,3 +61,38 @@ def test_zorder_layout_roundtrip(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan
+
+
+def test_pruning_stats_on_saved_store(spark, sf_dir, tmp_path):
+    """O19 parity: pruned/evaluated chunk counts (reference
+    MetaQueryStats.pruned_chunks, src/meta.rs:832-842). The Spark chunk
+    analog is the Parquet file; a hive-partitioned store prunes at
+    planning time and the scan's numFiles metric records survivors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    store = MetaStore.from_df(emb, vec_col="embedding", id_col="vec_id")
+    path = str(tmp_path / "pstore")
+    store.save(path, partition_by=["label"])
+    loaded = MetaStore.load(spark, path)
+    total = len(loaded.df.inputFiles())
+    assert total > 1
+
+    from otters_spark import col
+
+    q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    _, stats = (
+        loaded.query(q, "cosine").meta_filter(col("label").eq(5)).take(5)
+        .collect_with_stats()
+    )
+    assert stats.evaluated_chunks is not None and stats.evaluated_chunks < total
+    assert stats.pruned_chunks == total - stats.evaluated_chunks > 0
+
+    # unfiltered: every chunk is evaluated, nothing pruned
+    _, full = loaded.query(q, "cosine").take(5).collect_with_stats()
+    assert full.evaluated_chunks == total and full.pruned_chunks == 0
+
+    # truly in-memory store: no files, fields stay None
+    mem = MetaStore.from_df(
+        spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    )
+    _, mstats = mem.query([1.0, 0.0], "cosine").take(1).collect_with_stats()
+    assert mstats.evaluated_chunks is None and mstats.pruned_chunks is None
