@@ -330,7 +330,7 @@ class VecQueryPlan:
                 pruned = max(total - evaluated, 0)
             except Exception:
                 pruned = None
-        return rows, QueryStats(
+        stats = QueryStats(
             candidate_rows=candidates,
             vectors_compared=candidates * len(self._queries or []),
             rows_after_filters=survivors,
@@ -339,9 +339,18 @@ class VecQueryPlan:
             evaluated_chunks=evaluated,
             pruned_chunks=pruned,
         )
+        self._store.last_query_stats = stats  # src/meta.rs:710-721
+        return rows, stats
 
     def explain(self, mode: str = "formatted") -> None:
         self.df().explain(mode)
+
+    def show(self) -> None:
+        """Collect and print the reference-shaped result table
+        (``index, score, <name-sorted meta cols>``, src/display.rs:164-187)."""
+        from .display import format_result
+
+        print(format_result(self.collect(), self._store.id_col))
 
 
 class MetaQueryPlan(VecQueryPlan):

@@ -119,6 +119,10 @@ class VecStore:
         self.vec_col = vec_col
         self.id_col = id_col
         self.dim = dim
+        # reference keeps last build/query stats on the store for the
+        # stats printers (src/meta.rs:547-565)
+        self.last_build_stats = None
+        self.last_query_stats = None
 
     @classmethod
     def from_df(
@@ -171,6 +175,38 @@ class VecStore:
 
     def count(self) -> int:
         return self.df.count()
+
+    # --- display parity (src/display.rs, src/meta.rs:367-374,547-565) ----
+
+    def show_head(self, n: int = 5) -> None:
+        """Print the first-n preview as the reference's ASCII table
+        (src/meta.rs:367-374 → src/display.rs:126-162)."""
+        from .display import format_head
+
+        print(format_head(self, n))
+
+    def print_build_stats(self) -> None:
+        """src/meta.rs:547-553."""
+        from .display import format_build_stats
+
+        if self.last_build_stats is None:
+            print("No build stats available")
+        else:
+            print(format_build_stats(self.last_build_stats))
+
+    def print_last_query_stats(self) -> None:
+        """src/meta.rs:555-561."""
+        from .display import format_query_stats
+
+        if self.last_query_stats is None:
+            print("No query stats available (run collect_with_stats)")
+        else:
+            print(format_query_stats(self.last_query_stats))
+
+    def print_stats(self) -> None:
+        """src/meta.rs:563-565."""
+        self.print_build_stats()
+        self.print_last_query_stats()
 
 
 class MetaStore(VecStore):
@@ -258,11 +294,12 @@ class MetaStore(VecStore):
             with open(os.path.join(path, _MANIFEST), "w") as f:
                 json.dump(manifest, f)
         written = self.df.sparkSession.read.parquet(path)
-        return BuildStats(
+        self.last_build_stats = BuildStats(
             rows=written.count(),
             chunks=written.rdd.getNumPartitions(),
             elapsed_sec=time.perf_counter() - t0,
         )
+        return self.last_build_stats
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "MetaStore":
