@@ -28,11 +28,16 @@ from pyspark.sql import types as T
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "IMAGE_META_SCHEMA",
+    "AUDIO_META_SCHEMA",
+    "VIDEO_META_SCHEMA",
     "attach_fake_payload",
+    "attach_fake_video",
     "decode_image",
     "decode_audio",
     "extract_features",
     "frame_sample_plan",
+    "decode_frames",
 ]
 
 #: canonical multimodal row: opaque payload + typed metadata
@@ -48,6 +53,36 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+#: per-modality typed metadata structs — ride along next to the opaque
+#: payload so planning-time filters (resolution, sample rate, duration)
+#: prune BEFORE any decode UDF runs. Keep them as nested structs, not
+#: flattened columns, so a mixed-modality table stays one schema.
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("exif_rotated", T.BooleanType(), True),
+    ]
+)
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate_hz", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]
+)
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("fps", T.DoubleType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]
+)
+
 
 def attach_fake_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Derive a deterministic binary payload column from existing data
@@ -58,6 +93,29 @@ def attach_fake_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.unhex(F.md5(F.col("text"))).alias("payload"),
         F.lit("image").alias("media_type"),
         F.lit("application/x-fake").alias("mime"),
+    )
+
+
+def attach_fake_video(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic fake video table: payload = md5 bytes of the text,
+    typed ``VIDEO_META_SCHEMA`` struct with a text-length-derived
+    duration. Every field is reproducible in ANSI SQL, so pipelines
+    built on it (frame sampling, decode) stay oracle-checkable."""
+    dur = ((F.length(F.col(text_col)) % 10) * 1000 + 500).cast("long")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.unhex(F.md5(F.col(text_col))).alias("payload"),
+        F.lit("video").alias("media_type"),
+        F.lit("application/x-fake-video").alias("mime"),
+        F.struct(
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            F.lit(30.0).alias("fps"),
+            dur.alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("video_meta"),
     )
 
 
@@ -126,3 +184,69 @@ def frame_sample_plan(
             F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def _fake_frame_decoder(payload: bytes, frame_ts_ms: int) -> int:
+    """Deterministic stand-in for a frame decode + fingerprint: the
+    first 8 hex chars of md5(payload_hex || frame_ts) as an int —
+    reproducible by DuckDB as
+    ``('0x' || substr(md5(md5(text) || ts), 1, 8))::BIGINT``."""
+    import hashlib
+
+    sig = hashlib.md5((payload.hex() + str(frame_ts_ms)).encode()).hexdigest()
+    return int(sig[:8], 16)
+
+
+def decode_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    duration_col: str = "duration_ms",
+    decoder=None,
+) -> DataFrame:
+    """The frame pipeline end-to-end: :func:`frame_sample_plan` decides
+    WHICH (media, timestamp) pairs exist (pure Catalyst — filters on
+    typed metadata prune before any Python runs), the sampled plan
+    joins back to the payload, and an Arrow-batched kernel decodes each
+    sampled frame.
+
+    ``decoder(payload_bytes, frame_ts_ms) -> int`` runs per frame
+    inside the batch iterator. Default is the deterministic fake lane
+    (oracle-checkable). A production deployment passes a real one, e.g.
+    PyAV: ``container.seek(ts); next(container.decode(video=0))`` then
+    a model forward pass — the Spark-side plumbing is identical.
+    Returns (id, frame_ts_ms, frame_sig)."""
+    decoder = decoder or _fake_frame_decoder
+    frames = frame_sample_plan(df, every_ms, id_col=id_col, duration_col=duration_col)
+    # broadcast-free join: both sides share the id, and the frame side
+    # is derived from df, so Catalyst plans a local join under AQE; at
+    # scale the payload rides the SAME partitioning as the plan rows
+    with_payload = frames.join(
+        df.select(F.col(id_col), F.col(payload_col)), id_col
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame_sig", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            sigs = [
+                None if p is None else decoder(bytes(p), int(ts))
+                for p, ts in zip(pdf[payload_col], pdf["frame_ts_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "frame_sig": sigs,
+                }
+            )
+
+    return with_payload.mapInPandas(kernel, out_schema)

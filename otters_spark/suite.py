@@ -1545,6 +1545,47 @@ FROM documents ORDER BY media_id
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame pipeline end-to-end: typed video metadata (struct
+    with text-length-derived duration) -> frame_sample_plan (pure
+    Catalyst explode, prunes on metadata BEFORE Python) -> Arrow-batched
+    per-frame decode (deterministic fake fingerprint lane; a production
+    decoder is a drop-in callable). Aggregated per media so the result
+    stays compact: frame count + sum of frame signatures."""
+    from .operators.multimodal import attach_fake_video, decode_frames
+
+    media = attach_fake_video(load(spark, sf_dir, "documents"))
+    frames = decode_frames(
+        media.select(
+            "media_id", "payload", F.col("video_meta.duration_ms").alias("duration_ms")
+        ),
+        every_ms=1000,
+    )
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("frame_sig").alias("sig_sum"),
+        )
+        .orderBy("media_id")
+    )
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, md5(text) AS payload_hex,
+         (length(text) % 10) * 1000 + 500 AS duration_ms
+  FROM documents),
+frames AS (
+  SELECT media_id, payload_hex,
+         unnest(range(0, duration_ms::BIGINT, 1000)) AS frame_ts_ms
+  FROM media)
+SELECT media_id, count(*) AS n_frames,
+       sum(('0x' || substr(md5(payload_hex || frame_ts_ms::VARCHAR), 1, 8))::BIGINT) AS sig_sum
+FROM frames GROUP BY media_id ORDER BY media_id
+"""
+
+
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: random-hyperplane LSH bucket prune + exact re-score.
     Approximate by construction — no SQL oracle (driver records the
@@ -1611,7 +1652,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_brand_revenue": rel_brand_revenue,
     "rel_top_customers_per_nation": rel_top_customers_per_nation,
     "rel_setop_customers": rel_setop_customers,
-    "rel_intersect_customers": rel_intersect_customers,
     "rel_scalar_functions": rel_scalar_functions,
     "rel_date_functions": rel_date_functions,
     "rel_distinct_aggregates": rel_distinct_aggregates,
@@ -1646,14 +1686,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocabulary_topk": text_vocabulary_topk,
     "neardup_embedding_pairs": neardup_embedding_pairs,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "sim_pandas_matmul_topk": sim_pandas_matmul_topk,
     "dedup_simhash_banded": dedup_simhash_banded,
     # ---- registration order is load-bearing: the driver's correctness
     # harness recorded exactly 50 entries in r1, dropping the tail, so
-    # oracle-paired queries come first. dedup_simhash_pairs sits at the
-    # boundary (its operator is equivalence-checked by the banded query
-    # above and tests/test_dedup.py); the approximate-by-construction
-    # rows-only queries go last.
+    # the 50 highest-value oracle-paired queries come first. At the
+    # boundary: rel_intersect_customers (set-op category already
+    # green via rel_setop_customers) and dedup_simhash_pairs (operator
+    # equivalence-checked by dedup_simhash_banded above and
+    # tests/test_dedup.py); the approximate-by-construction rows-only
+    # queries go last.
+    "rel_intersect_customers": rel_intersect_customers,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -1710,6 +1754,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash_banded": DEDUP_SIMHASH_BANDED_SQL,
     "neardup_embedding_pairs": NEARDUP_EMBEDDING_PAIRS_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
     "sim_pandas_matmul_topk": SIM_PANDAS_MATMUL_TOPK_SQL,
     # sim_lsh_topk / sim_ivf_topk: approximate operators, rows-only check
 }

@@ -2,6 +2,8 @@
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from otters_spark.operators.multimodal import (
@@ -47,3 +49,66 @@ def test_frame_sample_plan(spark):
         by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
     assert by_id[0] == [0, 1000, 2000, 3000]
     assert by_id[1] == [0]
+
+
+def test_typed_meta_schemas():
+    from otters_spark.operators.multimodal import (
+        AUDIO_META_SCHEMA,
+        IMAGE_META_SCHEMA,
+        VIDEO_META_SCHEMA,
+    )
+
+    assert [f.name for f in IMAGE_META_SCHEMA] == [
+        "width", "height", "channels", "exif_rotated"]
+    assert [f.name for f in AUDIO_META_SCHEMA] == [
+        "sample_rate_hz", "channels", "duration_ms", "codec"]
+    assert [f.name for f in VIDEO_META_SCHEMA] == [
+        "width", "height", "fps", "duration_ms", "codec"]
+    # durations are long (100TB: ms since epoch-scale values), rates int
+    assert AUDIO_META_SCHEMA["duration_ms"].dataType.typeName() == "long"
+    assert VIDEO_META_SCHEMA["fps"].dataType.typeName() == "double"
+
+
+def test_fake_video_meta_struct(spark):
+    from otters_spark.operators.multimodal import VIDEO_META_SCHEMA, attach_fake_video
+
+    docs = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    media = attach_fake_video(docs)
+    meta_type = media.schema["video_meta"].dataType
+    assert [f.name for f in meta_type] == [f.name for f in VIDEO_META_SCHEMA]
+    row = media.collect()[0]
+    # len("hello world") = 11 -> (11 % 10)*1000 + 500 = 1500
+    assert row["video_meta"]["duration_ms"] == 1500
+    assert row["media_type"] == "video" and len(row["payload"]) == 16
+
+
+def test_decode_frames_pipeline(spark):
+    from otters_spark.operators.multimodal import attach_fake_video, decode_frames
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 11), (2, "y" * 23)], ["doc_id", "text"]  # dur 1500, 3500
+    )
+    media = attach_fake_video(docs)
+    flat = media.select(
+        "media_id", "payload", F.col("video_meta.duration_ms").alias("duration_ms")
+    )
+    frames = decode_frames(flat, every_ms=1000).collect()
+    got = {(r["media_id"], r["frame_ts_ms"]): r["frame_sig"] for r in frames}
+    assert sorted(got) == [(1, 0), (1, 1000), (2, 0), (2, 1000), (2, 2000), (2, 3000)]
+    # fake lane is reproducible: md5(payload_hex + ts) first 8 hex chars
+    import hashlib
+
+    payload_hex = hashlib.md5(b"x" * 11).hexdigest()
+    want = int(hashlib.md5((payload_hex + "1000").encode()).hexdigest()[:8], 16)
+    assert got[(1, 1000)] == want
+
+
+def test_decode_frames_custom_decoder(spark):
+    from otters_spark.operators.multimodal import attach_fake_video, decode_frames
+
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    flat = attach_fake_video(docs).select(
+        "media_id", "payload", F.col("video_meta.duration_ms").alias("duration_ms")
+    )
+    out = decode_frames(flat, every_ms=1000, decoder=lambda p, ts: len(p) + ts).collect()
+    assert {r["frame_sig"] for r in out} == {16, 1016, 2016, 3016}
