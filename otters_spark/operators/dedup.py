@@ -230,8 +230,8 @@ def jaccard_pairs_blocked_matmul(
     ⌈n/cap⌉² kernel tasks instead of one OOM-ing task, and parallelism
     grows with data volume instead of being pinned at #blocks. Docs are
     packed as collect_list(struct(id, tokens)) so a NULL token array
-    can never misalign ids against token sets (it is filtered, matching
-    SQL semantics where a NULL set yields NULL similarity)."""
+    can never misalign ids against token sets (the kernel drops it,
+    matching SQL semantics where a NULL set yields NULL similarity)."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -240,13 +240,22 @@ def jaccard_pairs_blocked_matmul(
     out_name = "jaccard" if measure == "jaccard" else "containment"
 
     toks = tokens_col if tokens_col is not None else distinct_tokens_expr(text_col)
+    # NO .filter(__w.isNotNull()) here: the pushed-down predicate would
+    # re-evaluate the (expensive) token expression a second time —
+    # Catalyst has no CSE across the filter/project boundary (measured
+    # +1.7 s at sf0.1, a full extra tokenize pass). NULL token sets are
+    # dropped inside the kernel instead, where it costs nothing.
     base = df.select(
         F.col(id_col).alias("__id"), toks.alias("__w"), *[F.col(c) for c in block_cols]
-    ).filter(F.col("__w").isNotNull())
+    )
     # per-block doc counts are tiny (one row per distinct block key) —
     # broadcast back to size the salt: n_sub = ceil(block_n / cap).
+    # Counted on the RAW df, not the tokenized projection: the count
+    # only sizes the salt, so including null-token rows merely rounds
+    # nsub up — and the (expensive) token expression is evaluated once,
+    # not once more for the count branch.
     grp = [F.col(c) for c in block_cols] if block_cols else [F.lit(1).alias("__all")]
-    counts = base.groupBy(*grp).agg(F.count(F.lit(1)).alias("__bn"))
+    counts = df.groupBy(*grp).agg(F.count(F.lit(1)).alias("__bn"))
     key_cols = block_cols if block_cols else ["__all"]
     if not block_cols:
         base = base.withColumn("__all", F.lit(1))
@@ -259,25 +268,31 @@ def jaccard_pairs_blocked_matmul(
     salted = salted.withColumn(
         "__sub", F.pmod(F.xxhash64(F.col("__id")), F.col("__nsub")).cast("int")
     )
-    packed = salted.groupBy(*key_cols, "__sub").agg(
-        F.collect_list(F.struct(F.col("__id").alias("i"), F.col("__w").alias("w"))).alias(
-            "docs"
-        )
+    # single-tree pair generation (no pack-then-self-join, which would
+    # re-evaluate the whole tokenize+pack subtree once per join branch):
+    # each doc in sub-block s explodes into every pair (min(s,t),
+    # max(s,t)), tagged with which side of the pair it sits on; one
+    # groupBy packs both sides. A doc ships nsub times — the same
+    # volume the join formulation shuffles, in one shuffle, one pass.
+    doc = F.struct(F.col("__id").alias("i"), F.col("__w").alias("w"))
+    exploded = salted.select(
+        *key_cols,
+        doc.alias("__doc"),
+        F.col("__sub"),
+        F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1)).alias("__t"),
     )
-    a = packed.select(
-        *[F.col(c).alias(f"__ka_{c}") for c in key_cols],
-        F.col("__sub").alias("sub_a"),
-        F.col("docs").alias("docs_a"),
+    with_pair = exploded.select(
+        *key_cols,
+        F.least(F.col("__sub"), F.col("__t")).alias("pa"),
+        F.greatest(F.col("__sub"), F.col("__t")).alias("pb"),
+        F.when(F.col("__sub") <= F.col("__t"), F.col("__doc")).alias("__doc_a"),
+        F.when(F.col("__sub") > F.col("__t"), F.col("__doc")).alias("__doc_b"),
     )
-    b = packed.select(
-        *[F.col(c).alias(f"__kb_{c}") for c in key_cols],
-        F.col("__sub").alias("sub_b"),
-        F.col("docs").alias("docs_b"),
+    # collect_list skips NULLs: each doc lands in exactly one side list
+    joined = with_pair.groupBy(*key_cols, "pa", "pb").agg(
+        F.collect_list("__doc_a").alias("docs_a"),
+        F.collect_list("__doc_b").alias("docs_b"),
     )
-    cond = F.col("sub_a") <= F.col("sub_b")
-    for c in key_cols:
-        cond = cond & (F.col(f"__ka_{c}") == F.col(f"__kb_{c}"))
-    joined = a.join(b, cond).select("sub_a", "sub_b", "docs_a", "docs_b")
     out_schema = T.StructType(
         [
             T.StructField("id_a", T.LongType()),
@@ -287,6 +302,9 @@ def jaccard_pairs_blocked_matmul(
     )
 
     def _unpack(docs):
+        # a NULL token set (null text) contributes no pairs — SQL
+        # semantics where NULL similarity fails every threshold
+        docs = [d for d in docs if d["w"] is not None]
         ids = np.array([d["i"] for d in docs], dtype=np.int64)
         ws = [np.asarray(d["w"]) for d in docs]
         lens = np.array([len(w) for w in ws], dtype=np.int64)
@@ -303,12 +321,15 @@ def jaccard_pairs_blocked_matmul(
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                same = row["sub_a"] == row["sub_b"]
+                same = row["pa"] == row["pb"]
                 ids_a, ws_a, lens_a = _unpack(row["docs_a"])
-                ids_b, ws_b, lens_b = _unpack(row["docs_b"])
+                ids_b, ws_b, lens_b = (
+                    (ids_a, ws_a, lens_a) if same else _unpack(row["docs_b"])
+                )
                 if len(ids_a) == 0 or len(ids_b) == 0 or (same and len(ids_a) < 2):
                     continue
-                nonempty = [w for w in (*ws_a, *ws_b) if len(w)]
+                all_ws = ws_a if same else [*ws_a, *ws_b]
+                nonempty = [w for w in all_ws if len(w)]
                 if not nonempty:
                     continue
                 flat = np.concatenate(nonempty)

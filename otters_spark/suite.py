@@ -19,6 +19,7 @@ value-hash over name-sorted columns):
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -54,12 +55,33 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
+_STORE_CACHE: "OrderedDict[tuple[str, str], MetaStore]" = OrderedDict()
+_STORE_CACHE_MAX = 2
+
+
 def emb_store(spark: SparkSession, sf_dir: str) -> MetaStore:
-    # dim is fixed by the dataset; skip the validation scan per query
-    return MetaStore.from_df(
-        load(spark, sf_dir, "embeddings"), vec_col="embedding", id_col="vec_id",
-        dim=64, validate=False,
-    )
+    """Per-(session, sf_dir) memoized MetaStore (vectors + precomputed
+    inverse norms) so repeated suite queries reuse one plan lineage.
+
+    Deliberately NOT ``.cache()``-persisted: measured at sf0.1, Spark's
+    in-memory columnar cache decodes ``array<float>`` rows SLOWER than
+    the Parquet vectorized reader re-reads them (vs_* queries regressed
+    0.3-1.0 s each when pinned) — for wide-array columns the parquet
+    scan IS the fast path, so pin nothing."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    st = _STORE_CACHE.get(key)
+    if st is None:
+        # dim is fixed by the dataset; skip the validation scan per query
+        st = MetaStore.from_df(
+            load(spark, sf_dir, "embeddings"), vec_col="embedding", id_col="vec_id",
+            dim=64, validate=False,
+        )
+        _STORE_CACHE[key] = st
+        while len(_STORE_CACHE) > _STORE_CACHE_MAX:
+            _STORE_CACHE.popitem(last=False)
+    else:
+        _STORE_CACHE.move_to_end(key)
+    return st
 
 
 def _rounded(df: DataFrame, score_dp: int = 6) -> DataFrame:

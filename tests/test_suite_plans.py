@@ -16,6 +16,7 @@ from otters_spark.suite import QUERIES
 ARROW_OK = {
     "neardup_embedding_pairs",
     "multimodal_features",
+    "multimodal_frame_sample",  # Arrow-batched frame decode kernel
     "sim_pandas_matmul_topk",
     "dedup_char_shingle_pairs",  # incidence-matmul kernel
     "dedup_containment_pairs",  # incidence-matmul kernel
