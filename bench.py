@@ -66,6 +66,7 @@ def main() -> int:
     # serving loop would see — the apples-to-apples point against the
     # reference's in-memory engine)
     qps = None
+    batch_qps = None
     try:
         import numpy as np
 
@@ -81,10 +82,39 @@ def main() -> int:
             [float(x) for x in rng.standard_normal(64)] for _ in range(19)
         ]
         store.query(qs[0], "cosine").take(10).collect()  # warm
+        # sequential point queries: dominated by local-mode per-job
+        # overhead (documented in SCALE.md); AQE's extra stage
+        # conversion is pure overhead on sub-second plans, so a serving
+        # loop turns it off
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         t0 = time.perf_counter()
         for q in qs:
             store.query(q, "cosine").take(10).collect()
         qps = round(len(qs) / (time.perf_counter() - t0), 2)
+
+        # batched serving (the engine's documented throughput path):
+        # all queries in ONE job, per-query top-10 via a window
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from otters_spark.functions.vector import queries_df, score_expr
+        from otters_spark.store import INV_NORM_COL
+
+        qdf = queries_df(spark, qs)
+        scored = store.df.crossJoin(F.broadcast(qdf)).withColumn(
+            "score",
+            score_expr("embedding", "qvec", "cosine", INV_NORM_COL, F.col("q_inv_norm")),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+        batched = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("query_id", "vec_id", "score")
+        )
+        t0 = time.perf_counter()
+        batched.collect()
+        batch_qps = round(len(qs) / (time.perf_counter() - t0), 2)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         emb.unpersist()
     except Exception as e:
         print(f"bench: qps loop failed: {e}", file=sys.stderr)
@@ -98,6 +128,7 @@ def main() -> int:
                 "queries": times,
                 "sf": sf,
                 "vector_query_qps": qps,
+                "vector_batch_qps": batch_qps,
             }
         )
     )
