@@ -121,24 +121,22 @@ def jaccard_pairs(
     t = df.select(
         F.col(id_col).alias("__id"), toks.alias("__w"), *[F.col(c) for c in block_cols]
     )
-    a = t.select(
-        F.col("__id").alias("id_a"),
-        F.col("__w").alias("__wa"),
-        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
-    )
-    b = t.select(
-        F.col("__id").alias("id_b"),
-        F.col("__w").alias("__wb"),
-        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
-    )
-    cond = F.col("id_a") < F.col("id_b")
+    # alias-style self-join: both branches are the SAME canonical
+    # subtree, making shuffle-stage reuse possible and keeping the
+    # projection list in one place (AQE canonicalizes away simple
+    # renames too, so this is correctness-of-intent, not a local-mode
+    # speedup)
+    a, b = t.alias("a"), t.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
     for c in block_cols:
-        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
         a.join(b, cond)
-        .withColumn("jaccard", jaccard_expr("__wa", "__wb"))
+        .withColumn("jaccard", jaccard_expr(F.col("a.__w"), F.col("b.__w")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), "jaccard"
+        )
     )
 
 
@@ -402,24 +400,23 @@ def minhash_pairs(
     """Pairs whose estimated Jaccard (fraction of equal signature
     slots) >= threshold, within blocks. Returns (id_a, id_b, est_jaccard)."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, keep_cols=block_cols)
-    a = sigs.select(
-        F.col(id_col).alias("id_a"),
-        F.col("signature").alias("__sa"),
-        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
-    )
-    b = sigs.select(
-        F.col(id_col).alias("id_b"),
-        F.col("signature").alias("__sb"),
-        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
-    )
-    cond = F.col("id_a") < F.col("id_b")
+    # alias self-join: one canonical signature subtree, computed once
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
-        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
         a.join(b, cond)
-        .withColumn("est_jaccard", est_jaccard_from_sigs_expr("__sa", "__sb"))
+        .withColumn(
+            "est_jaccard",
+            est_jaccard_from_sigs_expr(F.col("a.signature"), F.col("b.signature")),
+        )
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "est_jaccard",
+        )
     )
 
 
@@ -452,12 +449,16 @@ def minhash_lsh_candidates(
         ).alias("band_id", "band_hash"),
     )
     keys = ["band_id", "band_hash", *block_cols]
-    a = banded.select(F.col(id_col).alias("id_a"), *keys)
-    b = banded.select(F.col(id_col).alias("id_b"), *keys)
+    # alias self-join: the banded-signature subtree is computed once
+    a, b = banded.alias("a"), banded.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in keys:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
-        a.join(b, keys)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
         .distinct()
     )
 
@@ -498,26 +499,23 @@ def simhash_pairs(
     """Pairs with Hamming distance <= max_hamming between SimHashes,
     within blocks. Returns (id_a, id_b, hamming)."""
     t = simhash_table(df, text_col, id_col, bits, keep_cols=block_cols)
-    a = t.select(
-        F.col(id_col).alias("id_a"),
-        F.col("simhash").alias("__ha"),
-        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
-    )
-    b = t.select(
-        F.col(id_col).alias("id_b"),
-        F.col("simhash").alias("__hb"),
-        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
-    )
-    cond = F.col("id_a") < F.col("id_b")
+    # alias self-join: one canonical fingerprint subtree, computed once
+    a, b = t.alias("a"), t.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
-        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
         a.join(b, cond)
         .withColumn(
-            "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int")
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
     )
 
 
@@ -565,16 +563,23 @@ def simhash_banded_pairs(
         F.posexplode(chunks).alias("__chunk_id", "__chunk_val"),
     )
     keys = ["__chunk_id", "__chunk_val", *block_cols]
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__ha"), *keys)
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"), *keys)
+    # alias self-join: one canonical banded-fingerprint subtree
+    a, b = banded.alias("a"), banded.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in keys:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
-        a.join(b, keys)
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, cond)
         .withColumn(
-            "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int")
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
         .distinct()
     )
 
@@ -683,26 +688,23 @@ def embedding_neardup_pairs(
         inv_norm_expr(vec_col).alias("__inv"),
         *[F.col(c) for c in block_cols],
     )
-    a = t.select(
-        F.col("__id").alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__inv").alias("__inva"),
-        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
-    )
-    b = t.select(
-        F.col("__id").alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__inv").alias("__invb"),
-        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
-    )
-    cond = F.col("id_a") < F.col("id_b")
+    # alias self-join: the norm-precompute subtree is computed once
+    a, b = t.alias("a"), t.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
     for c in block_cols:
-        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
         a.join(b, cond)
-        .withColumn("cosine", cosine_expr("__va", "__vb", F.col("__inva"), F.col("__invb")))
+        .withColumn(
+            "cosine",
+            cosine_expr(
+                F.col("a.__v"), F.col("b.__v"), F.col("a.__inv"), F.col("b.__inv")
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), "cosine"
+        )
     )
 
 
