@@ -676,11 +676,12 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 
 def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark ``percentile`` ==
-    SQL-standard continuous quantile). Exact quantiles buffer per-group
-    multisets — the oracle needs them, but the documented scale path is
-    ``group_percentiles(..., exact=False)`` (bounded-memory GK sketch;
-    see operators/stats.py and SCALE.md §Percentiles)."""
+    """Exact interpolated percentiles per group, via the window-rank
+    formulation (sort within group through a spillable shuffle, sum the
+    two interpolation neighbors) — identical numbers to SQL-standard
+    ``quantile_cont`` without the aggregator's per-group multiset
+    buffering. ``group_percentiles(..., exact=False)`` is the
+    approximate knob (see operators/stats.py, SCALE.md §Percentiles)."""
     from .operators.stats import group_percentiles
 
     li = load(spark, sf_dir, "lineitem")

@@ -50,3 +50,27 @@ def test_approx_tracks_exact(li):
 def test_empty_request_rejected(li):
     with pytest.raises(ValueError):
         group_percentiles(li, ["l_returnflag"], {})
+
+
+def test_sort_method_matches_agg(li):
+    kw = dict(
+        group_cols=["l_returnflag"],
+        value_cols={"l_extendedprice": [0.0, 0.25, 0.5, 0.9, 1.0], "l_quantity": [0.5]},
+        round_to=6,
+    )
+    agg = {r["l_returnflag"]: tuple(r) for r in group_percentiles(li, method="agg", **kw).collect()}
+    srt = {r["l_returnflag"]: tuple(r) for r in group_percentiles(li, method="sort", **kw).collect()}
+    assert agg == srt
+
+
+def test_sort_method_nulls_and_single_row(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", 7.0)], "g string, v double"
+    )
+    got = {
+        r["g"]: (r["p50_v"], r["p100_v"])
+        for r in group_percentiles(
+            df, ["g"], {"v": [0.5, 1.0]}, method="sort", round_to=None
+        ).collect()
+    }
+    assert got == {"a": (2.0, 3.0), "b": (7.0, 7.0)}  # nulls ignored
