@@ -58,6 +58,7 @@ from .errors import (
 __all__ = ["col", "lit", "Expr", "CompiledFilter", "compile_expr", "SchemaLike"]
 
 _CMP_OPS = ("eq", "neq", "lt", "lte", "gt", "gte")
+_STR_OPS = ("contains", "starts_with", "ends_with")
 
 # otters dtype names (src/type_utils.rs:11-19) keyed by Spark type class.
 _SPARK_TO_DTYPE = {
@@ -164,6 +165,19 @@ class Expr:
     def gte(self, other: Any) -> "Expr":
         return self._cmp("gte", other)
 
+    # string predicates — the reference's named roadmap items
+    # (reference README.md:210: "contains, starts_with, ends_with");
+    # strict-typed like everything else: string columns + string
+    # literals only, checked at compile
+    def contains(self, other: Any) -> "Expr":
+        return self._cmp("contains", other)
+
+    def starts_with(self, other: Any) -> "Expr":
+        return self._cmp("starts_with", other)
+
+    def ends_with(self, other: Any) -> "Expr":
+        return self._cmp("ends_with", other)
+
     # python operator sugar (same surface as pyspark Columns)
     __eq__ = eq  # type: ignore[assignment]
     __ne__ = neq  # type: ignore[assignment]
@@ -227,7 +241,7 @@ class ColumnFilter:
     src/expr.rs:222-240). ``value`` is the coerced Python literal."""
 
     column: str
-    op: str  # one of _CMP_OPS
+    op: str  # one of _CMP_OPS or _STR_OPS
     value: Any
     dtype: str
 
@@ -303,10 +317,16 @@ def _compile_leaf(node: Expr, dtypes: dict[str, str], fmts: dict[str, str]) -> C
     dtype = dtypes[name]
     v = right.value
 
+    if op in _STR_OPS and dtype != "string":
+        raise TypeMismatchError(
+            f"{op} applies only to string columns, not {name!r} ({dtype})"
+        )
+
     if dtype == "string":
-        if op not in ("eq", "neq"):
+        if op not in ("eq", "neq", *_STR_OPS):
             raise UnsupportedStringOpError(
-                f"string column {name!r} supports only ==/!= (src/expr.rs:400-419)"
+                f"string column {name!r} supports only ==/!=/contains/"
+                "starts_with/ends_with (src/expr.rs:400-419 + README.md:210)"
             )
         if not isinstance(v, str):
             raise TypeMismatchError(f"string column {name!r} vs {type(v).__name__} literal")
@@ -351,6 +371,11 @@ def _leaf_to_spark(leaf: ColumnFilter) -> Column:
         "lte": c <= v,
         "gt": c > v,
         "gte": c >= v,
+        # Catalyst lowers these to StringContains/StartsWith/EndsWith,
+        # all pushable to the Parquet scan
+        "contains": c.contains(leaf.value),
+        "starts_with": c.startswith(leaf.value),
+        "ends_with": c.endswith(leaf.value),
     }[leaf.op]
 
 

@@ -7,6 +7,7 @@ without an active session... actually pyspark Columns need no session)."""
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from otters_spark.expr import col, compile_expr, lit, parse_datetime_literal
 from otters_spark.errors import (
@@ -139,3 +140,58 @@ def test_datetime_custom_format():
 def test_datetime_offset_normalized_to_utc():
     c = compile_expr(col("created").eq("2024-01-02T03:04:05+02:00"), SCHEMA)
     assert c.plan[0][0].value == dt.datetime(2024, 1, 2, 1, 4, 5)
+
+
+class TestStringPredicates:
+    """Reference roadmap items (README.md:210): contains/starts_with/
+    ends_with, with the DSL's strict typing."""
+
+    def test_string_predicate_filtering(self, spark):
+        from otters_spark import MetaStore, col
+
+        rows = [(0, [1.0], "alpha"), (1, [1.0], "beta"), (2, [1.0], "alphabet")]
+        store = MetaStore.from_df(
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>, name string"),
+            vec_col="embedding",
+        )
+
+        def ids(expr):
+            return sorted(
+                r["vec_id"]
+                for r in store.query([1.0], "dot").meta_filter(expr).take(None).collect()
+            )
+
+        assert ids(col("name").starts_with("alpha")) == [0, 2]
+        assert ids(col("name").ends_with("a")) == [0, 1]
+        assert ids(col("name").contains("phab")) == [2]
+        assert ids(col("name").contains("zz")) == []
+
+    def test_strict_typing(self):
+        import pytest as _pytest
+
+        from otters_spark.errors import TypeMismatchError
+        from otters_spark.expr import col, compile_expr
+
+        schema = {"name": "string", "n": "int64"}
+        with _pytest.raises(TypeMismatchError):
+            compile_expr(col("n").contains("5"), schema)  # not a string column
+        with _pytest.raises(TypeMismatchError):
+            compile_expr(col("name").contains(5), schema)  # not a string literal
+
+    def test_pushes_to_scan(self, spark, sf_dir, tmp_path):
+        from otters_spark import MetaStore, col
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        store = MetaStore.from_df(
+            emb.withColumn("tag", F.concat(F.lit("t"), F.col("label"))),
+            vec_col="embedding", id_col="vec_id",
+        )
+        path = str(tmp_path / "strstore")
+        store.save(path)
+        loaded = MetaStore.load(spark, path)
+        df = (
+            loaded.query([0.0] * 64, "dot").meta_filter(col("tag").starts_with("t1"))
+            .take(5).df()
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "StringStartsWith(tag,t1)" in plan.replace(" ", "").replace("[", "(").replace("]", ")") or "StartsWith" in plan
