@@ -89,17 +89,19 @@ def main() -> int:
     rows, stats = plan.collect_with_stats()
 
     print("\ncosine top-5 with price<=50 & version>=2 & exp>='2024-08-01' & score>0.1:")
-    for r in rows:
-        print(
-            f"  id={r['vec_id']:<4} score={r['score']:+.4f} "
-            f"name={r['name']:<9} price={r['price']:5.1f} version={r['version']}"
-        )
-    print(
-        f"\nstats: candidates={stats.candidate_rows} "
-        f"compared={stats.vectors_compared} "
-        f"after_filters={stats.rows_after_filters} "
-        f"results={stats.result_rows} elapsed={stats.elapsed_sec:.3f}s"
+    from otters_spark.display import format_result
+
+    print(format_result(rows, store.id_col))
+    store.print_last_query_stats()
+
+    # string roadmap predicates (reference README.md:210) push to the scan
+    named = (
+        store.query(query, "cosine")
+        .meta_filter(col("name").starts_with("item_1") & col("name").ends_with("9"))
+        .take(3)
     )
+    print("\nname starts_with 'item_1' & ends_with '9':")
+    named.show()
 
     # strict typing demo: float literal vs int column is an error, not a cast
     try:

@@ -364,19 +364,22 @@ def _compile_leaf(node: Expr, dtypes: dict[str, str], fmts: dict[str, str]) -> C
 def _leaf_to_spark(leaf: ColumnFilter) -> Column:
     c = F.col(leaf.column)
     v = F.lit(leaf.value)
+    # lazy dispatch: branches must not be built eagerly — Column method
+    # calls like startswith(<double>) raise immediately for non-string
+    # values, so a dict of pre-built Columns would crash numeric leaves
     return {
-        "eq": c == v,
-        "neq": c != v,
-        "lt": c < v,
-        "lte": c <= v,
-        "gt": c > v,
-        "gte": c >= v,
+        "eq": lambda: c == v,
+        "neq": lambda: c != v,
+        "lt": lambda: c < v,
+        "lte": lambda: c <= v,
+        "gt": lambda: c > v,
+        "gte": lambda: c >= v,
         # Catalyst lowers these to StringContains/StartsWith/EndsWith,
         # all pushable to the Parquet scan
-        "contains": c.contains(leaf.value),
-        "starts_with": c.startswith(leaf.value),
-        "ends_with": c.endswith(leaf.value),
-    }[leaf.op]
+        "contains": lambda: c.contains(leaf.value),
+        "starts_with": lambda: c.startswith(leaf.value),
+        "ends_with": lambda: c.endswith(leaf.value),
+    }[leaf.op]()
 
 
 def _to_spark_condition(node: Expr, dtypes: dict[str, str], fmts: dict[str, str]) -> Column:
