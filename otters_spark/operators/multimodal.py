@@ -33,6 +33,7 @@ __all__ = [
     "VIDEO_META_SCHEMA",
     "attach_fake_payload",
     "attach_fake_video",
+    "resize_images",
     "decode_image",
     "decode_audio",
     "extract_features",
@@ -117,6 +118,60 @@ def attach_fake_video(
             F.lit("fake").alias("codec"),
         ).alias("video_meta"),
     )
+
+
+def _fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resize: md5(payload ‖ 'WxH') bytes. Keeps
+    the full pipeline runnable/testable without image codecs."""
+    import hashlib
+
+    return hashlib.md5(payload + f"{width}x{height}".encode()).digest()
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    resizer=None,
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads: returns
+    (id, payload, width, height) with the resized bytes. ``resizer
+    (payload, w, h) -> bytes`` runs inside the batch iterator — the
+    deterministic fake by default; production drops in PIL:
+    ``Image.open(io.BytesIO(p)).resize((w, h)).tobytes()``. NULL
+    payloads pass through as NULL (SQL semantics)."""
+    from pyspark.sql import types as T
+
+    resizer = resizer or _fake_resizer
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(payload_col, T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            resized = [
+                None if p is None else resizer(bytes(p), width, height)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    payload_col: resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -17,6 +17,7 @@ __all__ = [
     "langid_expr",
     "langid_table",
     "fingerprint_table",
+    "vocab_coverage",
 ]
 
 #: small deterministic stopword lists per language for the n-gram
@@ -120,3 +121,34 @@ def fingerprint_table(
 ) -> DataFrame:
     """Per-doc content fingerprint (md5 of sorted distinct tokens)."""
     return df.select(F.col(id_col), fingerprint_expr(text_col).alias("fingerprint"))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Per-document vocabulary coverage / OOV rate against a vocabulary
+    table — the tokenizer-fit diagnostic a training pipeline runs before
+    committing to a vocab. The vocabulary is collapsed to ONE array and
+    broadcast (vocabularies are small relative to corpora; a 1M-token
+    vocab is a few MB), so coverage is a single narrow pass over the
+    corpus: no shuffle, no join on the corpus side.
+
+    Returns (id, n_tokens, n_oov, oov_rate) where oov_rate counts
+    DISTINCT tokens of the doc missing from the vocabulary."""
+    vocab_arr = vocab.agg(F.collect_set(vocab_col).alias("v"))
+    with_v = df.crossJoin(F.broadcast(vocab_arr))
+    dtoks = distinct_tokens_expr(text_col)
+    n = F.size(dtoks)
+    oov = F.size(F.array_except(dtoks, F.col("v")))
+    return with_v.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        oov.alias("n_oov"),
+        F.round(
+            F.when(n > 0, oov.cast("double") / n).otherwise(F.lit(0.0)), 6
+        ).alias("oov_rate"),
+    )

@@ -112,3 +112,23 @@ def test_decode_frames_custom_decoder(spark):
     )
     out = decode_frames(flat, every_ms=1000, decoder=lambda p, ts: len(p) + ts).collect()
     assert {r["frame_sig"] for r in out} == {16, 1016, 2016, 3016}
+
+
+def test_resize_images_deterministic(spark):
+    import hashlib
+
+    from otters_spark.operators.multimodal import attach_fake_payload, resize_images
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, None)], ["doc_id", "text"]
+    )
+    media = attach_fake_payload(docs)  # payload NULL for null text
+    out = {r["media_id"]: r for r in resize_images(media, 32, 32).collect()}
+    assert out[1]["width"] == 32 and out[1]["height"] == 32
+    want = hashlib.md5(hashlib.md5(b"hello").digest() + b"32x32").digest()
+    assert bytes(out[1]["payload"]) == want
+    assert out[2]["payload"] is None  # NULL passes through
+
+    # custom resizer is a drop-in
+    out2 = resize_images(media, 8, 8, resizer=lambda p, w, h: p[:4]).collect()
+    assert all(r["payload"] is None or len(r["payload"]) == 4 for r in out2)

@@ -44,3 +44,17 @@ def test_langid(docs):
     assert rows[0] == "en"
     assert rows[1] == "es"
     assert rows[2] == "und"
+
+
+def test_vocab_coverage(spark):
+    from otters_spark.operators.text_analysis import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a"), (3, "x y")], ["doc_id", "text"]
+    )
+    vocab = spark.createDataFrame([("a",), ("b",), ("y",)], ["token"])
+    got = {r["doc_id"]: r for r in vocab_coverage(docs, vocab).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (4, 2)  # c, d oov
+    assert got[1]["oov_rate"] == 0.5
+    assert (got[2]["n_tokens"], got[2]["n_oov"]) == (1, 0)  # distinct tokens
+    assert got[3]["oov_rate"] == 0.5
