@@ -50,6 +50,8 @@ __all__ = [
     "simhash_pairs",
     "simhash_banded_pairs",
     "embedding_neardup_pairs",
+    "connected_components",
+    "keep_representatives",
 ]
 
 
@@ -733,3 +735,86 @@ def embedding_neardup_pairs_lsh(
     return embedding_neardup_pairs(
         bucketed, threshold, vec_col=vec_col, id_col=id_col, block_cols=["__lsh"]
     )
+
+
+# --- duplicate clustering (pairs -> components -> representatives) --------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components: returns
+    (id, component) where component is the smallest id reachable
+    through any chain of pairs — the step between pair generation
+    (MinHash banding / SimHash / embedding near-dup) and actually
+    DROPPING duplicates.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round joins labels across edges (both directions) and keeps the
+    minimum neighbor label; stops when no label changed. Rounds needed
+    = graph diameter (dup clusters are near-cliques, so 2-3 in
+    practice, never more than log n for chains); each round is one
+    hash-shuffle join, and ``localCheckpoint`` cuts the lineage so the
+    plan does not grow with iterations — the standard Spark shape for
+    convergent iteration. Raises after ``max_iter`` rounds without
+    convergence (pathological chain longer than max_iter)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # smallest label among each node's neighbors (and itself)
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("__nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nmin"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("__nmin"), F.col("component")) < F.col("component"))
+                .alias("__changed"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(duplicate chain longer than max_iter?)"
+    )
+
+
+def keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop near-duplicates: cluster ``pairs`` into components and keep
+    one representative (the min id) per component; rows never appearing
+    in any pair pass through untouched. The composition a corpus
+    pipeline runs after any pair generator."""
+    comps = connected_components(pairs, id_a, id_b)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -242,3 +242,51 @@ def test_embedding_neardup_lsh_subset(spark):
     # near-identical vectors collide in almost every bucket
     recall = len(approx) / max(len(exact), 1)
     assert recall >= 0.8, f"LSH near-dup recall too low: {recall}"
+
+
+def test_connected_components_and_keep(spark):
+    from otters_spark.operators.dedup import connected_components, keep_representatives
+
+    # components: {1,2,3,4} (chain), {10,11}, singleton edge-free 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 10, 11, 99)], ["doc_id", "text"]
+    )
+    kept = sorted(r["doc_id"] for r in keep_representatives(docs, pairs).collect())
+    assert kept == [1, 10, 99]  # one rep per component, untouched rows pass
+
+
+def test_connected_components_random_vs_unionfind(spark):
+    import random
+
+    from otters_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+
+    # python union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    # canonical min-id per component
+    want = {x: min(y for y in parent if find(y) == find(x)) for x in parent}
+
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == want
