@@ -1400,6 +1400,49 @@ ORDER BY 1, 2
 """
 
 
+def pipeline_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE 100 TB dedup pipeline in one oracle-checked query:
+    MinHash-LSH banding generates candidates (bucket shuffle, never
+    n²) → exact Jaccard verifies at >= 0.8 → connected components
+    cluster the verified pairs (min-label propagation) → one
+    representative per component survives. Output: per-language kept
+    count + checksum of kept ids. The DuckDB oracle reproduces the
+    clustering with a recursive-CTE transitive closure."""
+    from .operators.dedup import keep_representatives
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_minhash_banded_verified(spark, sf_dir).select("id_a", "id_b")
+    kept = keep_representatives(docs, pairs)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("lang")
+    )
+
+
+PIPELINE_DEDUP_END_TO_END_SQL = f"""
+WITH pairs AS (
+  SELECT id_a, id_b FROM ({DEDUP_MINHASH_BANDED_VERIFIED_SQL.replace("ORDER BY 1, 2", "")}) t),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+  SELECT * FROM r),
+comp AS (
+  SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src),
+kept AS (
+  SELECT * FROM documents
+  WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id))
+SELECT lang, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 def dedup_char_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 3-gram shingle Jaccard near-dup pairs (>= 0.55), blocked
     by (lang, source) — catches edit-level near-dups that word-level
@@ -1786,6 +1829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rel_setop_customers), dedup_simhash_pairs (equivalence-checked by
     # dedup_simhash_banded and tests/test_dedup.py); the rows-only
     # KMeans-based IVF query goes last.
+    "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
     "rel_conditional_functions": rel_conditional_functions,
     "rel_grouping_sets": rel_grouping_sets,
     "rel_intersect_customers": rel_intersect_customers,
@@ -1833,6 +1877,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,
+    "pipeline_dedup_end_to_end": PIPELINE_DEDUP_END_TO_END_SQL,
     "dedup_exact_groups": DEDUP_EXACT_GROUPS_SQL,
     "dedup_fingerprint_groups": DEDUP_FINGERPRINT_GROUPS_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_PAIRS_SQL,
