@@ -18,6 +18,7 @@ __all__ = [
     "langid_table",
     "fingerprint_table",
     "vocab_coverage",
+    "repetition_features",
 ]
 
 #: small deterministic stopword lists per language for the n-gram
@@ -121,6 +122,82 @@ def fingerprint_table(
 ) -> DataFrame:
     """Per-doc content fingerprint (md5 of sorted distinct tokens)."""
     return df.select(F.col(id_col), fingerprint_expr(text_col).alias("fingerprint"))
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_token_max: float = 0.55,
+    top_bigram_max: float = 0.06,
+    dup_bigram_max: float = 0.05,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    duplicate-token fraction, most-common-bigram fraction, and
+    duplicate-bigram fraction, plus a ``keep`` verdict under the given
+    thresholds. The standard pre-training repetition gate.
+
+    Scale shape: bigram mode needs a per-(doc, bigram) count, which no
+    per-row array expression can do without O(len²) work — so the doc
+    is exploded into bigrams and aggregated twice: shuffle 1 keyed
+    (doc, bigram) with map-side partial counts, shuffle 2 keyed (doc).
+    Both shuffles carry ~20-byte rows and state per key is a few
+    counters, so the plan is corpus-size-linear and skew-bounded by
+    max document length, not corpus size. Token-level stats ride along
+    as ``first()`` so no third shuffle / join is needed.
+    """
+    toks = tokens_expr(text_col)
+    t = F.col("__t")
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), toks.alias("__t")).select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.explode_outer(bigrams).alias("bg"),
+    )
+    cnt = base.groupBy(id_col, "bg").agg(
+        F.count("*").alias("c"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n_distinct").alias("n_distinct"),
+    )
+    real = F.col("bg").isNotNull()
+    agg = cnt.groupBy(id_col).agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n_distinct").alias("n_distinct"),
+        F.max(F.when(real, F.col("c")).otherwise(0)).alias("mx"),
+        F.sum(F.when(real, F.col("c")).otherwise(0)).alias("tot"),
+        F.count(F.when(real, 1)).alias("ndb"),
+    )
+    nt = F.col("n_tokens")
+    dup_tok = F.when(nt > 0, (nt - F.col("n_distinct")).cast("double") / nt).otherwise(
+        F.lit(0.0)
+    )
+    tot = F.col("tot")
+    top_bg = F.when(tot > 0, F.col("mx").cast("double") / tot).otherwise(F.lit(0.0))
+    dup_bg = F.when(tot > 0, (tot - F.col("ndb")).cast("double") / tot).otherwise(
+        F.lit(0.0)
+    )
+    return agg.select(
+        F.col(id_col),
+        nt,
+        F.round(dup_tok, 6).alias("dup_token_frac"),
+        F.round(top_bg, 6).alias("top_bigram_frac"),
+        F.round(dup_bg, 6).alias("dup_bigram_frac"),
+        (
+            (dup_tok <= dup_token_max)
+            & (top_bg <= top_bigram_max)
+            & (dup_bg <= dup_bigram_max)
+        ).alias("keep"),
+    )
 
 
 def vocab_coverage(

@@ -1140,6 +1140,41 @@ FROM documents ORDER BY doc_id
 """
 
 
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (duplicate-token / top-bigram /
+    duplicate-bigram fractions + keep verdict). See
+    operators/text_analysis.py:repetition_features for the scale notes
+    (two narrow shuffles, no join, no Python)."""
+    from .operators.text_analysis import repetition_features
+
+    return repetition_features(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+TEXT_REPETITION_FILTERS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id, len(w) AS nt, len(list_distinct(w)) AS nd, w FROM t),
+b AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM s WHERE len(w) >= 2),
+c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+a AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot, count(*) AS ndb
+      FROM c GROUP BY 1),
+m AS (
+  SELECT s.doc_id, s.nt,
+         CASE WHEN s.nt > 0 THEN (s.nt - s.nd)::DOUBLE / s.nt ELSE 0.0 END AS dup_tok,
+         CASE WHEN coalesce(a.tot, 0) > 0 THEN a.mx::DOUBLE / a.tot ELSE 0.0 END AS top_bg,
+         CASE WHEN coalesce(a.tot, 0) > 0 THEN (a.tot - a.ndb)::DOUBLE / a.tot ELSE 0.0 END AS dup_bg
+  FROM s LEFT JOIN a USING (doc_id))
+SELECT doc_id, CAST(nt AS INTEGER) AS n_tokens,
+       round(dup_tok, 6) AS dup_token_frac,
+       round(top_bg, 6) AS top_bigram_frac,
+       round(dup_bg, 6) AS dup_bigram_frac,
+       (dup_tok <= 0.55 AND top_bg <= 0.06 AND dup_bg <= 0.05) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline composition: quality-score the
     corpus, keep docs above threshold (0.4 ~ the top quartile of this
@@ -1804,7 +1839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_bpe_tokens": text_bpe_tokens,
-    "text_rolling_hash": text_rolling_hash,
+    "text_repetition_filters": text_repetition_filters,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_split_reservoir": pipeline_split_reservoir,
     "dedup_exact_groups": dedup_exact_groups,
@@ -1827,9 +1862,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # operator families keep green rows via rel_scalar/date_functions
     # and rel_rollup/cube), rel_intersect_customers (set-op green via
     # rel_setop_customers), dedup_simhash_pairs (equivalence-checked by
-    # dedup_simhash_banded and tests/test_dedup.py); the rows-only
-    # KMeans-based IVF query goes last.
+    # dedup_simhash_banded and tests/test_dedup.py), text_rolling_hash
+    # (fingerprint family green via dedup_fingerprint_groups); the
+    # rows-only KMeans-based IVF query goes last.
     "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
+    "text_rolling_hash": text_rolling_hash,
     "rel_conditional_functions": rel_conditional_functions,
     "rel_grouping_sets": rel_grouping_sets,
     "rel_intersect_customers": rel_intersect_customers,
@@ -1874,6 +1911,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_bpe_tokens": TEXT_BPE_TOKENS_SQL,
+    "text_repetition_filters": TEXT_REPETITION_FILTERS_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,

@@ -58,3 +58,33 @@ def test_vocab_coverage(spark):
     assert got[1]["oov_rate"] == 0.5
     assert (got[2]["n_tokens"], got[2]["n_oov"]) == (1, 0)  # distinct tokens
     assert got[3]["oov_rate"] == 0.5
+
+
+def test_repetition_features(spark):
+    from otters_spark.operators.text_analysis import repetition_features
+
+    rows = [
+        (0, "a b a b a b a b"),        # one dominant bigram, heavy dup
+        (1, "u v w x y z"),            # all unique
+        (2, "solo"),                   # no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+
+    # doc 0: 8 tokens, 2 distinct -> dup_token_frac = 6/8; bigrams =
+    # ['a b'x4, 'b a'x3] -> top = 4/7, dup = (7-2)/7
+    assert out[0]["dup_token_frac"] == round(6 / 8, 6)
+    assert out[0]["top_bigram_frac"] == round(4 / 7, 6)
+    assert out[0]["dup_bigram_frac"] == round(5 / 7, 6)
+    assert out[0]["keep"] is False
+
+    # doc 1: no repetition anywhere; top bigram frac = 1/5 (all equally
+    # common) so only the dup fractions are zero
+    assert out[1]["dup_token_frac"] == 0.0
+    assert out[1]["dup_bigram_frac"] == 0.0
+    assert out[1]["top_bigram_frac"] == 0.2
+
+    # doc 2: single token -> no bigrams, all fractions 0, kept
+    assert out[2]["n_tokens"] == 1
+    assert out[2]["top_bigram_frac"] == 0.0
+    assert out[2]["keep"] is True
