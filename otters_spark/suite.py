@@ -1175,6 +1175,63 @@ FROM m ORDER BY doc_id
 """
 
 
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / phones / IPv4 -> placeholder tokens). The
+    corpus itself carries no PII, so the query deterministically
+    injects synthetic addresses into a doc_id-keyed subset IN BOTH
+    ENGINES — the oracle genuinely checks detection + masking, not a
+    no-op. Masked text is md5'd to keep the result compact."""
+    from .operators.pii import pii_scrub
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0,
+            F.concat(F.lit(" host 10.0."), (d % 250).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = pii_scrub(docs.select("doc_id", injected.alias("text")))
+    return scrubbed.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+TEXT_PII_REDACTION_SQL = f"""
+WITH inj AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' || (doc_id % 250) || '.7' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INTEGER) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS INTEGER) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g')) AS clean_md5
+FROM inj ORDER BY doc_id
+"""
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline composition: quality-score the
     corpus, keep docs above threshold (0.4 ~ the top quartile of this
@@ -1815,7 +1872,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_pricing_summary": rel_pricing_summary,
     "rel_shipping_priority": rel_shipping_priority,
     "rel_local_supplier_volume": rel_local_supplier_volume,
-    "rel_brand_revenue": rel_brand_revenue,
     "rel_top_customers_per_nation": rel_top_customers_per_nation,
     "rel_setop_customers": rel_setop_customers,
     "rel_scalar_functions": rel_scalar_functions,
@@ -1840,6 +1896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": text_langid,
     "text_bpe_tokens": text_bpe_tokens,
     "text_repetition_filters": text_repetition_filters,
+    "text_pii_redaction": text_pii_redaction,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_split_reservoir": pipeline_split_reservoir,
     "dedup_exact_groups": dedup_exact_groups,
@@ -1863,10 +1920,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and rel_rollup/cube), rel_intersect_customers (set-op green via
     # rel_setop_customers), dedup_simhash_pairs (equivalence-checked by
     # dedup_simhash_banded and tests/test_dedup.py), text_rolling_hash
-    # (fingerprint family green via dedup_fingerprint_groups); the
-    # rows-only KMeans-based IVF query goes last.
+    # (fingerprint family green via dedup_fingerprint_groups),
+    # rel_brand_revenue (groupBy-agg family green via
+    # rel_pricing_summary / rel_rollup_revenue); the rows-only
+    # KMeans-based IVF query goes last.
     "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
     "text_rolling_hash": text_rolling_hash,
+    "rel_brand_revenue": rel_brand_revenue,
     "rel_conditional_functions": rel_conditional_functions,
     "rel_grouping_sets": rel_grouping_sets,
     "rel_intersect_customers": rel_intersect_customers,
@@ -1912,6 +1972,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_langid": TEXT_LANGID_SQL,
     "text_bpe_tokens": TEXT_BPE_TOKENS_SQL,
     "text_repetition_filters": TEXT_REPETITION_FILTERS_SQL,
+    "text_pii_redaction": TEXT_PII_REDACTION_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,
