@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import (
     distinct_tokens_expr,
@@ -35,6 +36,7 @@ from ..functions.text import (
     minhash_signature_expr,
     simhash_expr,
     token_hashes_expr,
+    tokens_expr,
 )
 from ..functions.vector import cosine_expr, inv_norm_expr
 
@@ -43,6 +45,7 @@ __all__ = [
     "duplicate_groups",
     "fingerprint_groups",
     "jaccard_pairs",
+    "tfidf_cosine_pairs",
     "minhash_signatures",
     "minhash_pairs",
     "minhash_lsh_candidates",
@@ -161,12 +164,12 @@ def jaccard_pairs_exploded(
     (AQE) can handle when one token is hot. Prefer this for large
     corpora; the array form for small blocked tables."""
     toks = tokens_col if tokens_col is not None else distinct_tokens_expr(text_col)
-    base = df.select(
-        F.col(id_col).alias("__id"), toks.alias("__w"), *[F.col(c) for c in block_cols]
-    )
-    sizes = base.select(F.col("__id"), F.size("__w").alias("__n"))
-    tok = base.select(
-        F.col("__id"), F.explode("__w").alias("__t"), *[F.col(c) for c in block_cols]
+    # explode(expr) directly — see tfidf_cosine_pairs for why naming
+    # the array in an intermediate projection is a Generate-filter trap
+    sizes = df.select(F.col(id_col).alias("__id"), F.size(toks).alias("__n"))
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode(toks).alias("__t"),
+        *[F.col(c) for c in block_cols],
     )
     a = tok.select(
         F.col("__id").alias("id_a"), F.col("__t"),
@@ -196,6 +199,104 @@ def jaccard_pairs_exploded(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    terms_col: F.Column | None = None,
+    max_df_frac: float = 0.5,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """TF-IDF-weighted cosine-similar pairs (id_a < id_b) — the sparse
+    lexical near-dup measure (vs the set measures above): weighted by
+    term rarity, so boilerplate overlap scores low and rare-phrase
+    overlap scores high.
+
+    Semantics: terms with document frequency above ``max_df_frac`` are
+    removed from the vocabulary entirely (stopword-style), then cosine
+    is EXACT over the pruned vocabulary — deterministic and
+    SQL-reproducible, unlike candidate-only prefix filtering.
+
+    Scale shape (the classic sparse-similarity-join plan):
+    1. explode terms -> per-(doc, term) tf: one shuffle keyed
+       (doc, term), map-side combined.
+    2. global df + corpus size: tiny aggregates; idf joins back to the
+       postings by term — vocabulary-sized build side, which the
+       planner broadcasts when small (word/bigram vocabularies); for
+       unbounded term spaces (shingles) it degrades to a hash join,
+       still keyed by term.
+    3. postings self-join on (term, blocks): work is
+       Σ_term df(term)² *after* the max_df pruning — the pruning knob
+       is exactly what bounds the hot posting lists; AQE skew-split
+       handles the residue. Never O(n²) in docs.
+    4. per-pair dot via groupBy(id_a, id_b) partial sums; norms join.
+    ``block_cols`` additionally restricts pairs to same-block (e.g.
+    language), multiplying df-pruning rather than replacing it.
+    """
+    terms = terms_col if terms_col is not None else tokens_expr(text_col)
+    blocks = [F.col(c) for c in block_cols]
+    # explode(expr) DIRECTLY — naming the term array in an intermediate
+    # projection and exploding the column lets InferFiltersFromGenerate
+    # clone the whole generator expression into a pushed-down Filter
+    # with any referenced projections re-inlined (measured 10-20x on
+    # n-gram terms, where the inlined tokenization re-evaluates per
+    # element). Callers materialize heavy sub-exprs (e.g. split) as
+    # real columns of ``df`` instead.
+    tf = (
+        df.select(F.col(id_col).alias("__id"), F.explode(terms).alias("__t"), *blocks)
+        .groupBy("__id", "__t", *block_cols)
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__N"))
+    idf = (
+        tf.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df").cast("double") / F.col("__N") <= max_df_frac)
+        .select("__t", F.log(F.col("__N").cast("double") / F.col("__df")).alias("__idf"))
+    )
+    # One postings tree carrying the doc norm via a window (one shuffle
+    # keyed __id) instead of a separate groupBy + two post-hoc joins;
+    # the a/b branches below are then the SAME canonical subtree, so the
+    # join-side hash exchange on (__t, blocks) is computed once and
+    # ReusedExchange feeds the other side.
+    win = Window.partitionBy("__id")
+    post = (
+        tf.join(idf, "__t")
+        .select("__id", "__t", (F.col("__tf") * F.col("__idf")).alias("__w"),
+                *block_cols)
+        .withColumn("__norm", F.sqrt(F.sum(F.col("__w") * F.col("__w")).over(win)))
+    )
+    a, b = post.alias("a"), post.alias("b")
+    cond = (F.col("a.__t") == F.col("b.__t")) & (F.col("a.__id") < F.col("b.__id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    dots = (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .agg(
+            F.sum(F.col("a.__w") * F.col("b.__w")).alias("__dot"),
+            F.first(F.col("a.__norm")).alias("__na"),
+            F.first(F.col("b.__norm")).alias("__nb"),
+        )
+    )
+    # zero-norm guard (every surviving term can have idf 0 when its df
+    # hits the corpus size at max_df_frac=1.0): cosine defined as 0,
+    # matching the reference's zero-vector convention (src/vec.rs:131-133)
+    denom = F.col("__na") * F.col("__nb")
+    return (
+        dots.withColumn(
+            "cosine",
+            F.when(denom > 0, F.col("__dot") / denom).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

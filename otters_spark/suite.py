@@ -1232,6 +1232,69 @@ FROM inj ORDER BY doc_id
 """
 
 
+def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs over word-trigram terms, blocked by
+    language: the sparse-similarity-join shape (explode -> postings ->
+    df-pruned self-join on term -> partial-sum dot products). Trigram
+    terms keep posting lists short (the join's cost is Σ_term df², so
+    term rarity IS the perf knob — measured 6-8x over bigrams on this
+    corpus); see operators/dedup.py:tfidf_cosine_pairs for the 100 TB
+    analysis."""
+    from .operators.dedup import tfidf_cosine_pairs
+
+    # materialize the token array as a real column FIRST: an inline
+    # split() referenced by n element_at lambdas is re-evaluated per
+    # element (no HOF CSE in Catalyst) — measured 10x slower
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__w", F.split(F.col("text"), " ")
+    )
+    w = F.col("__w")
+    n = F.size(w)
+    trigrams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = tfidf_cosine_pairs(
+        docs, threshold=0.05, terms_col=trigrams, max_df_frac=0.5,
+        block_cols=("lang",),
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_TFIDF_COSINE_PAIRS_SQL = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT doc_id, lang,
+              unnest(list_transform(generate_series(1, len(w) - 2),
+                                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS tm
+       FROM t WHERE len(w) >= 3),
+tf AS (SELECT doc_id, lang, tm, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+nd AS (SELECT count(*) AS N FROM documents),
+idf AS (SELECT tm, ln(N::DOUBLE / cnt) AS idf
+        FROM (SELECT tm, count(*) AS cnt FROM tf GROUP BY 1), nd
+        WHERE cnt::DOUBLE / N <= 0.5),
+post AS (SELECT doc_id, lang, f.tm, tf * idf AS w FROM tf f JOIN idf USING (tm)),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nr FROM post GROUP BY 1),
+dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dt
+         FROM post a JOIN post b
+           ON a.tm = b.tm AND a.lang = b.lang AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT id_a, id_b, round(c, 6) AS cosine
+FROM (SELECT id_a, id_b, dt / (x.nr * y.nr) AS c
+      FROM dots JOIN nrm x ON dots.id_a = x.doc_id
+                JOIN nrm y ON dots.id_b = y.doc_id)
+WHERE c >= 0.05
+ORDER BY id_a, id_b
+"""
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline composition: quality-score the
     corpus, keep docs above threshold (0.4 ~ the top quartile of this
@@ -1905,7 +1968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_banded_verified": dedup_minhash_banded_verified,
     "dedup_char_shingle_pairs": dedup_char_shingle_pairs,
-    "dedup_containment_pairs": dedup_containment_pairs,
+    "dedup_tfidf_cosine_pairs": dedup_tfidf_cosine_pairs,
     "text_vocabulary_topk": text_vocabulary_topk,
     "neardup_embedding_pairs": neardup_embedding_pairs,
     "multimodal_features": multimodal_features,
@@ -1922,9 +1985,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_simhash_banded and tests/test_dedup.py), text_rolling_hash
     # (fingerprint family green via dedup_fingerprint_groups),
     # rel_brand_revenue (groupBy-agg family green via
-    # rel_pricing_summary / rel_rollup_revenue); the rows-only
-    # KMeans-based IVF query goes last.
+    # rel_pricing_summary / rel_rollup_revenue), dedup_containment_pairs
+    # (same bounded matmul kernel as dedup_char_shingle_pairs, measure
+    # variant); the rows-only KMeans-based IVF query goes last.
     "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
+    "dedup_containment_pairs": dedup_containment_pairs,
     "text_rolling_hash": text_rolling_hash,
     "rel_brand_revenue": rel_brand_revenue,
     "rel_conditional_functions": rel_conditional_functions,
@@ -1973,6 +2038,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_bpe_tokens": TEXT_BPE_TOKENS_SQL,
     "text_repetition_filters": TEXT_REPETITION_FILTERS_SQL,
     "text_pii_redaction": TEXT_PII_REDACTION_SQL,
+    "dedup_tfidf_cosine_pairs": DEDUP_TFIDF_COSINE_PAIRS_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,

@@ -290,3 +290,44 @@ def test_connected_components_random_vs_unionfind(spark):
 
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == want
+
+
+def test_tfidf_cosine_pairs(spark):
+    """Hand-checked TF-IDF cosine on a 4-doc corpus with a stopword-like
+    term that max_df pruning must drop."""
+    import math
+
+    from otters_spark.operators.dedup import tfidf_cosine_pairs
+
+    rows = [
+        (1, "x x common"),
+        (2, "x y common"),
+        (3, "y y common"),
+        (4, "z z common"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # df: x->2/4, y->2/4, z->1/4, common->4/4 (pruned at max_df 0.5)
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, threshold=0.0, max_df_frac=0.5).collect()
+    }
+    # only (1,2) and (2,3) share a surviving term
+    assert set(out) == {(1, 2), (2, 3)}
+    ln2 = math.log(2.0)
+    ln4 = math.log(4.0)
+    # doc1 = {x: 2*ln2}; doc2 = {x: ln2, y: ln2}; dot = 2*ln2^2
+    expect = (2 * ln2 * ln2) / ((2 * ln2) * math.sqrt(2 * ln2 * ln2))
+    assert abs(out[(1, 2)] - expect) < 1e-9
+    assert abs(out[(2, 3)] - expect) < 1e-9
+    del ln4
+
+
+def test_tfidf_blocking_restricts_pairs(spark):
+    from otters_spark.operators.dedup import tfidf_cosine_pairs
+
+    rows = [(1, "a b", "en"), (2, "a b", "en"), (3, "a b", "de")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = tfidf_cosine_pairs(
+        df, threshold=0.0, max_df_frac=1.0, block_cols=("lang",)
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
