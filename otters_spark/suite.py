@@ -621,6 +621,40 @@ ORDER BY o_orderpriority, o_orderstatus
 """
 
 
+def rel_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per status with one column per priority.
+    Explicit pivot values keep the plan a single pass (no distinct-scan
+    job to discover columns) and make the schema static — the form that
+    scales: a pivot with discovered values needs an extra job over the
+    full table before planning."""
+    orders = load(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderstatus",
+        F.coalesce(F.col("`1-URGENT`"), F.lit(0)).alias("n_urgent"),
+        F.coalesce(F.col("`2-HIGH`"), F.lit(0)).alias("n_high"),
+        F.coalesce(F.col("`3-MEDIUM`"), F.lit(0)).alias("n_medium"),
+        F.coalesce(F.col("`4-NOT SPECIFIED`"), F.lit(0)).alias("n_unspecified"),
+        F.coalesce(F.col("`5-LOW`"), F.lit(0)).alias("n_low"),
+    ).orderBy("o_orderstatus")
+
+
+REL_PIVOT_PRIORITY_SQL = """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_unspecified,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (per-priority and per-status marginals in
     one pass, no grand total) — the generalization rollup/cube are
@@ -1938,7 +1972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_top_customers_per_nation": rel_top_customers_per_nation,
     "rel_setop_customers": rel_setop_customers,
     "rel_scalar_functions": rel_scalar_functions,
-    "rel_date_functions": rel_date_functions,
+    "rel_pivot_priority": rel_pivot_priority,
     "rel_distinct_aggregates": rel_distinct_aggregates,
     "rel_left_join_order_counts": rel_left_join_order_counts,
     "rel_rollup_revenue": rel_rollup_revenue,
@@ -1987,8 +2021,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rel_brand_revenue (groupBy-agg family green via
     # rel_pricing_summary / rel_rollup_revenue), dedup_containment_pairs
     # (same bounded matmul kernel as dedup_char_shingle_pairs, measure
-    # variant); the rows-only KMeans-based IVF query goes last.
+    # variant), rel_date_functions (date built-ins also exercised by
+    # rel_scalar_functions and the events_* family); the rows-only
+    # KMeans-based IVF query goes last.
     "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
+    "rel_date_functions": rel_date_functions,
     "dedup_containment_pairs": dedup_containment_pairs,
     "text_rolling_hash": text_rolling_hash,
     "rel_brand_revenue": rel_brand_revenue,
@@ -2039,6 +2076,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_repetition_filters": TEXT_REPETITION_FILTERS_SQL,
     "text_pii_redaction": TEXT_PII_REDACTION_SQL,
     "dedup_tfidf_cosine_pairs": DEDUP_TFIDF_COSINE_PAIRS_SQL,
+    "rel_pivot_priority": REL_PIVOT_PRIORITY_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,
