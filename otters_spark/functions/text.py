@@ -16,6 +16,7 @@ from pyspark.sql import Column, functions as F
 __all__ = [
     "tokens_expr",
     "distinct_tokens_expr",
+    "word_ngrams_expr",
     "md5_long_expr",
     "minhash_signature_expr",
     "simhash_expr",
@@ -38,6 +39,24 @@ def tokens_expr(text, delimiter: str = " ") -> Column:
 
 def distinct_tokens_expr(text, delimiter: str = " ") -> Column:
     return F.array_distinct(tokens_expr(text, delimiter))
+
+
+def word_ngrams_expr(tokens, n: int) -> Column:
+    """Word n-gram strings over a token-array column. Pass a REAL
+    column (materialize the split first): referencing an inline
+    tokenizer here re-evaluates it per element, and exploding this
+    expression via an intermediate projection triggers the
+    Generate-filter trap (see operators/dedup.py:tfidf_cosine_pairs).
+    Shorter-than-n docs yield an empty array (``sequence(1, 0)``
+    counts DOWN, so the guard is explicit)."""
+    t = _c(tokens)
+    size = F.size(t)
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
+
+    grams = F.transform(F.sequence(F.lit(1), size - (n - 1)), gram)
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def md5_long_expr(x) -> Column:

@@ -1329,6 +1329,52 @@ ORDER BY id_a, id_b
 """
 
 
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (8-gram collision): the eval set is
+    synthesized IN BOTH ENGINES as 15-token excerpts of the docs with
+    doc_id % 37 == 0 — the realistic scenario where benchmark text also
+    circulates in the crawl — and the report lists every training doc
+    sharing an 8-gram span with any excerpt (sources + organic
+    near-dups). See operators/decontam.py for the broadcast-join scale
+    shape."""
+    from .operators.decontam import contamination_report
+
+    docs = load(spark, sf_dir, "documents")
+    eval_df = (
+        docs.filter(F.col("doc_id") % 37 == 0)
+        .withColumn("__ew", F.split(F.col("text"), " "))
+        .filter(F.size("__ew") >= 25)
+        .select(
+            "doc_id",
+            F.array_join(F.slice("__ew", 11, 15), " ").alias("text"),
+        )
+    )
+    rep = contamination_report(docs, eval_df, n=8)
+    return rep.orderBy("train_id")
+
+
+PIPELINE_DECONTAMINATE_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ev0 AS (SELECT doc_id AS eval_id, w[11:25] AS ew FROM t
+        WHERE doc_id % 37 = 0 AND len(w) >= 25),
+tr AS (SELECT doc_id,
+              ('0x' || substr(md5(unnest(list_distinct(
+                 list_transform(generate_series(1, len(w) - 7),
+                                i -> array_to_string(w[i:i+7], ' '))))), 1, 15))::BIGINT AS h
+       FROM t WHERE len(w) >= 8),
+ev AS (SELECT eval_id,
+              ('0x' || substr(md5(unnest(list_distinct(
+                 list_transform(generate_series(1, len(ew) - 7),
+                                i -> array_to_string(ew[i:i+7], ' '))))), 1, 15))::BIGINT AS h
+       FROM ev0)
+SELECT tr.doc_id AS train_id,
+       count(DISTINCT tr.h) AS n_shared_ngrams,
+       count(DISTINCT ev.eval_id) AS n_eval_docs
+FROM tr JOIN ev USING (h)
+GROUP BY 1 ORDER BY train_id
+"""
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline composition: quality-score the
     corpus, keep docs above threshold (0.4 ~ the top quartile of this
@@ -1991,8 +2037,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
-    "text_bpe_tokens": text_bpe_tokens,
     "text_repetition_filters": text_repetition_filters,
+    "pipeline_decontaminate": pipeline_decontaminate,
     "text_pii_redaction": text_pii_redaction,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_split_reservoir": pipeline_split_reservoir,
@@ -2019,7 +2065,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_simhash_banded and tests/test_dedup.py), text_rolling_hash
     # (fingerprint family green via dedup_fingerprint_groups),
     # rel_brand_revenue (groupBy-agg family green via
-    # rel_pricing_summary / rel_rollup_revenue), dedup_containment_pairs
+    # rel_pricing_summary / rel_rollup_revenue), text_bpe_tokens
+    # (tokenization family green via text_token_stats /
+    # text_vocabulary_topk), dedup_containment_pairs
     # (same bounded matmul kernel as dedup_char_shingle_pairs, measure
     # variant), rel_date_functions (date built-ins also exercised by
     # rel_scalar_functions and the events_* family); the rows-only
@@ -2027,6 +2075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
     "rel_date_functions": rel_date_functions,
     "dedup_containment_pairs": dedup_containment_pairs,
+    "text_bpe_tokens": text_bpe_tokens,
     "text_rolling_hash": text_rolling_hash,
     "rel_brand_revenue": rel_brand_revenue,
     "rel_conditional_functions": rel_conditional_functions,
@@ -2077,6 +2126,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_pii_redaction": TEXT_PII_REDACTION_SQL,
     "dedup_tfidf_cosine_pairs": DEDUP_TFIDF_COSINE_PAIRS_SQL,
     "rel_pivot_priority": REL_PIVOT_PRIORITY_SQL,
+    "pipeline_decontaminate": PIPELINE_DECONTAMINATE_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,
