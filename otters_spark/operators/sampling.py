@@ -28,7 +28,13 @@ from pyspark.sql.window import Window
 
 from ..functions.text import md5_long_expr
 
-__all__ = ["hash_split", "hash_sample", "reservoir_per_group"]
+__all__ = [
+    "hash_split",
+    "hash_sample",
+    "reservoir_per_group",
+    "stratified_sample",
+    "select_to_token_budget",
+]
 
 #: bucket space for split/sample fractions (1e4 → 0.01% granularity)
 _BUCKETS = 10_000
@@ -78,6 +84,89 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.filter(_bucket(F.col(key_col)) < F.lit(int(round(fraction * _BUCKETS))))
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group sampling rates in one narrow filter — the data-mixing
+    primitive (DoReMi-style source reweighting): sample each source at
+    its own rate to hit a target mixture. Zero shuffles, zero windows:
+    the predicate is ``hash_bucket(key) < rate(group) * B``, fused into
+    the scan stage, so remixing 100 TB is a map-only pass. Groups
+    absent from ``fractions`` get ``default`` (0.0 = drop)."""
+    for g, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {frac}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default must be in [0, 1], got {default}")
+    cut = None
+    for g, frac in fractions.items():
+        edge = F.lit(int(round(frac * _BUCKETS)))
+        cut = (
+            F.when(F.col(group_col) == g, edge)
+            if cut is None
+            else cut.when(F.col(group_col) == g, edge)
+        )
+    cut = (
+        F.lit(int(round(default * _BUCKETS)))
+        if cut is None
+        else cut.otherwise(F.lit(int(round(default * _BUCKETS))))
+    )
+    return df.filter(_bucket(F.col(key_col)) < cut)
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    budget: F.Column | int,
+    order_col: str,
+    tokens_col: str,
+    key_col: str = "doc_id",
+    bins: int = 1000,
+) -> DataFrame:
+    """Keep the best rows by ``order_col`` (descending, ties broken by
+    the key) until the cumulative ``tokens_col`` reaches ``budget`` —
+    the "fill the training run with the highest-quality tokens" step.
+
+    A naive global ``SUM OVER (ORDER BY quality)`` funnels the whole
+    corpus through ONE partition. This is the exact two-phase form:
+
+    1. bin rows by ``floor(order_col * bins)`` (order_col in [0, 1]);
+       per-bin token sums are a tiny aggregate, and the running total
+       across bins is a window over ≤ ``bins`` rows — constant-sized,
+       single partition by construction, not by accident.
+    2. broadcast the per-bin prior totals back; the within-bin running
+       sum is a window PARTITIONED BY BIN (parallel, spillable, bounded
+       by the largest bin, never the corpus).
+
+    Equivalent to the global-sort cumsum because the bin id is a
+    function of the ordering key, and exact because both frames are
+    ROWS-based over the unique (order, key) order."""
+    oc, tc = F.col(order_col), F.col(tokens_col)
+    binned = df.withColumn("__bin", F.floor(oc * bins).cast("long"))
+    per_bin = binned.groupBy("__bin").agg(F.sum(tc).alias("__bin_toks"))
+    bin_w = (
+        Window.orderBy(F.col("__bin").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    priors = per_bin.withColumn(
+        "__prior", F.coalesce(F.sum("__bin_toks").over(bin_w), F.lit(0))
+    ).select("__bin", "__prior")
+    in_w = (
+        Window.partitionBy("__bin")
+        .orderBy(oc.desc(), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        binned.join(F.broadcast(priors), "__bin")
+        .withColumn("__cum", F.col("__prior") + F.sum(tc).over(in_w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__bin", "__prior", "__cum")
+    )
 
 
 def reservoir_per_group(

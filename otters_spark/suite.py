@@ -1464,6 +1464,100 @@ SELECT split, doc_id, lang FROM ranked WHERE rn <= 5 ORDER BY split, doc_id
 """
 
 
+def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: per-source sampling rates (DoReMi-style target
+    mixture) applied as ONE scan-fused hash predicate — zero shuffles
+    until the reporting groupBy. srcs 0-4 keep everything, 5-9 half,
+    the long tail 10%."""
+    from .operators.sampling import stratified_sample
+
+    fractions = {f"src{i}": 1.0 for i in range(5)}
+    fractions.update({f"src{i}": 0.5 for i in range(5, 10)})
+    mixed = stratified_sample(
+        load(spark, sf_dir, "documents"), "source", fractions, default=0.1
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("source")
+    )
+
+
+PIPELINE_SOURCE_MIX_SQL = """
+WITH b AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
+  FROM documents)
+SELECT source, count(*) AS n_kept, sum(doc_id) AS id_sum
+FROM b
+WHERE bucket < CASE
+    WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 10000
+    WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9') THEN 5000
+    ELSE 1000 END
+GROUP BY source ORDER BY source
+"""
+
+
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: fill half the corpus token budget with
+    the highest-quality documents (quality-desc cumulative token sum,
+    exact two-phase bin formulation — no global single-partition
+    window; see operators/sampling.py:select_to_token_budget)."""
+    from .operators.sampling import select_to_token_budget
+    from .operators.text_analysis import quality_features
+
+    docs = load(spark, sf_dir, "documents")
+    q = quality_features(docs).select("doc_id", "n_tokens", "quality_score")
+    q = q.join(docs.select("doc_id", "lang"), "doc_id")
+    tot = q.agg(
+        F.floor(F.sum("n_tokens") * 0.5).cast("long").alias("__budget")
+    )
+    kept = select_to_token_budget(
+        q.crossJoin(F.broadcast(tot)),
+        F.col("__budget"),
+        "quality_score",
+        "n_tokens",
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("tok_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+PIPELINE_TOKEN_BUDGET_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w,
+         list_distinct(string_split(text, ' ')) AS dw
+  FROM documents),
+m AS (
+  SELECT doc_id, lang, len(w) AS n,
+         CASE WHEN len(w) > 0 THEN len(dw)::DOUBLE / len(w) ELSE 0.0 END AS ttr,
+         CASE WHEN len(dw) > 0 THEN
+           len(list_intersect(dw, ['the','a','of','and','to','in','is','for','on','with']))::DOUBLE / len(dw)
+         ELSE 0.0 END AS stop,
+         least(len(w)::DOUBLE / 100.0, 1.0) AS lf
+  FROM t),
+q AS (
+  SELECT doc_id, lang, n,
+         round(0.3 * lf + 0.4 * ttr + 0.3 * stop, 6) AS qs
+  FROM m),
+tot AS (SELECT CAST(floor(0.5 * sum(n)) AS BIGINT) AS budget FROM q),
+c AS (
+  SELECT doc_id, lang, n,
+         sum(n) OVER (ORDER BY qs DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM q)
+SELECT lang, count(*) AS n_kept, sum(n) AS tok_kept, sum(doc_id) AS id_sum
+FROM c, tot WHERE cum <= budget
+GROUP BY lang ORDER BY lang
+"""
+
+
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import duplicate_groups
 
@@ -2022,7 +2116,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_distinct_aggregates": rel_distinct_aggregates,
     "rel_left_join_order_counts": rel_left_join_order_counts,
     "rel_rollup_revenue": rel_rollup_revenue,
-    "rel_cube_priority_status": rel_cube_priority_status,
     "sim_lsh_topk": sim_lsh_topk,
     "rel_exists_subquery": rel_exists_subquery,
     "rel_percentiles": rel_percentiles,
@@ -2041,7 +2134,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "text_pii_redaction": text_pii_redaction,
     "pipeline_clean_corpus": pipeline_clean_corpus,
-    "pipeline_split_reservoir": pipeline_split_reservoir,
+    "pipeline_source_mix": pipeline_source_mix,
+    "pipeline_token_budget": pipeline_token_budget,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
@@ -2067,12 +2161,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rel_brand_revenue (groupBy-agg family green via
     # rel_pricing_summary / rel_rollup_revenue), text_bpe_tokens
     # (tokenization family green via text_token_stats /
-    # text_vocabulary_topk), dedup_containment_pairs
+    # text_vocabulary_topk), rel_cube_priority_status (multi-level agg
+    # family green via rel_rollup_revenue / rel_grouping_sets),
+    # pipeline_split_reservoir (hash-sampling family green via
+    # pipeline_source_mix / pipeline_token_budget), dedup_containment_pairs
     # (same bounded matmul kernel as dedup_char_shingle_pairs, measure
     # variant), rel_date_functions (date built-ins also exercised by
     # rel_scalar_functions and the events_* family); the rows-only
     # KMeans-based IVF query goes last.
     "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
+    "rel_cube_priority_status": rel_cube_priority_status,
+    "pipeline_split_reservoir": pipeline_split_reservoir,
     "rel_date_functions": rel_date_functions,
     "dedup_containment_pairs": dedup_containment_pairs,
     "text_bpe_tokens": text_bpe_tokens,
@@ -2127,6 +2226,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_tfidf_cosine_pairs": DEDUP_TFIDF_COSINE_PAIRS_SQL,
     "rel_pivot_priority": REL_PIVOT_PRIORITY_SQL,
     "pipeline_decontaminate": PIPELINE_DECONTAMINATE_SQL,
+    "pipeline_source_mix": PIPELINE_SOURCE_MIX_SQL,
+    "pipeline_token_budget": PIPELINE_TOKEN_BUDGET_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,

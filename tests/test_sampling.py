@@ -62,3 +62,66 @@ def test_reservoir_exact_k(docs):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in reservoir_per_group(docs, ["lang", "source"], k=3).collect())
     assert a == b
+
+
+def test_stratified_sample_rates(spark):
+    from otters_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = stratified_sample(df, "source", {"a": 1.0}, default=0.0)
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts == {"a": 1000}  # full keep for a, default drops b
+
+    half = stratified_sample(df, "source", {"a": 0.5, "b": 0.1})
+    c2 = {r["source"]: r["count"] for r in half.groupBy("source").count().collect()}
+    assert 380 <= c2["a"] <= 620 and 40 <= c2["b"] <= 180
+    # determinism: same rows kept on re-run
+    ids1 = sorted(r["doc_id"] for r in half.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(
+        df, "source", {"a": 0.5, "b": 0.1}).collect())
+    assert ids1 == ids2
+
+
+def test_stratified_sample_validates(spark):
+    import pytest
+
+    from otters_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        stratified_sample(df, "source", {"a": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(df, "source", {"a": 0.5}, default=-0.1)
+
+
+def test_select_to_token_budget_exact(spark):
+    from otters_spark.operators.sampling import select_to_token_budget
+
+    # quality ordering: doc 3 (0.9), doc 1 (0.5), doc 2 (0.5, id tie),
+    # doc 4 (0.1); tokens 10 each; budget 25 -> keep 3 and 1 only
+    rows = [
+        (1, 0.5, 10),
+        (2, 0.5, 10),
+        (3, 0.9, 10),
+        (4, 0.1, 10),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "q", "n"])
+    kept = sorted(
+        r["doc_id"]
+        for r in select_to_token_budget(df, 25, "q", "n").collect()
+    )
+    assert kept == [1, 3]
+    # budget exactly covers three docs -> tie broken by doc_id
+    kept30 = sorted(
+        r["doc_id"]
+        for r in select_to_token_budget(df, 30, "q", "n").collect()
+    )
+    assert kept30 == [1, 2, 3]
+    # tiny bins still exact (every doc its own bin boundary behavior)
+    kept_b2 = sorted(
+        r["doc_id"]
+        for r in select_to_token_budget(df, 25, "q", "n", bins=2).collect()
+    )
+    assert kept_b2 == [1, 3]
