@@ -416,6 +416,43 @@ QUALIFY rank_in_nation <= 3
 """
 
 
+def rel_rolling_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES: per-customer rolling mean/sum of order totals
+    over the current + 2 preceding orders (ROWS frame, deterministic
+    (date, key) order) — the moving-aggregate shape time-series
+    dashboards run; partitioned by customer so the sort is spillable
+    and parallel, never global."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.avg("o_totalprice").over(w), 4).alias("roll_avg"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("roll_sum"),
+            F.count(F.lit(1)).over(w).alias("roll_n"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+REL_ROLLING_AVERAGE_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(avg(o_totalprice) OVER w, 4) AS roll_avg,
+       round(sum(o_totalprice) OVER w, 2) AS roll_sum,
+       count(*) OVER w AS roll_n
+FROM orders
+WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 def rel_setop_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set ops: (BUILDING ∪ MACHINERY custkeys) minus big spenders."""
     cust = load(spark, sf_dir, "customer")
@@ -2059,6 +2096,60 @@ FROM cand ORDER BY s DESC, vec_id LIMIT 10
 SIM_LSH_TOPK_SQL = _lsh_oracle_sql()
 
 
+def sim_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding store (symmetric
+    per-vector scale = max|x|/127, code = floor(x/scale + 0.5)) and its
+    reconstruction error — the 4x memory-compression pass a production
+    vector store applies before serving. Pure codegen array math, no
+    shuffle until the top-k; deterministic arithmetic (fixed fold
+    order) makes even the per-vector MSE DuckDB-checkable. Returns the
+    20 worst-quantized vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), vd.alias("__v")).select(
+        "vec_id",
+        "__v",
+        (F.array_max(F.transform(F.col("__v"), F.abs)) / 127.0).alias("__scale"),
+    )
+    v, s = F.col("__v"), F.col("__scale")
+    sq_err = F.aggregate(
+        F.transform(
+            v,
+            lambda x: F.pow(x - F.floor(x / s + F.lit(0.5)) * s, F.lit(2.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    mse = F.when(s > 0, sq_err / F.size(v)).otherwise(F.lit(0.0))
+    return (
+        base.select(
+            "vec_id",
+            F.round(s, 6).alias("scale"),
+            F.round(mse, 8).alias("mse"),
+        )
+        .orderBy(F.col("mse").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+SIM_SCALAR_QUANT_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e),
+r AS (SELECT vec_id, scale,
+             CASE WHEN scale > 0 THEN
+               list_reduce(
+                 list_prepend(0.0,
+                   list_transform(v, x -> pow(x - floor(x / scale + 0.5) * scale, 2))),
+                 (a, b) -> a + b) / len(v)
+             ELSE 0.0 END AS mse
+      FROM m)
+SELECT vec_id, round(scale, 6) AS scale, round(mse, 8) AS mse
+FROM r ORDER BY mse DESC, vec_id LIMIT 20
+"""
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: IVF (KMeans batch index build) nprobe search. Approximate +
     iterative build — no SQL oracle (rows-only check)."""
@@ -2174,6 +2265,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_split_reservoir": pipeline_split_reservoir,
     "rel_date_functions": rel_date_functions,
     "dedup_containment_pairs": dedup_containment_pairs,
+    "rel_rolling_average": rel_rolling_average,
+    "sim_scalar_quant": sim_scalar_quant,
     "text_bpe_tokens": text_bpe_tokens,
     "text_rolling_hash": text_rolling_hash,
     "rel_brand_revenue": rel_brand_revenue,
@@ -2228,6 +2321,8 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_decontaminate": PIPELINE_DECONTAMINATE_SQL,
     "pipeline_source_mix": PIPELINE_SOURCE_MIX_SQL,
     "pipeline_token_budget": PIPELINE_TOKEN_BUDGET_SQL,
+    "rel_rolling_average": REL_ROLLING_AVERAGE_SQL,
+    "sim_scalar_quant": SIM_SCALAR_QUANT_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,
