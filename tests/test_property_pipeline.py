@@ -1,0 +1,149 @@
+"""Property-based differential tests for the round-2 pipeline
+operators: on random corpora, the scale-shaped formulations must agree
+EXACTLY with straightforward Python references computed driver-side.
+Randomness is seeded per case so failures reproduce."""
+
+import math
+import random
+from collections import Counter
+
+import pytest
+
+WORDS = [f"w{i}" for i in range(25)]
+
+
+def _corpus(seed: int, n_docs: int = 60):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        n = rng.randint(1, 30)
+        rows.append((i, " ".join(rng.choice(WORDS) for _ in range(n))))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_repetition_features_vs_python(spark, seed):
+    from otters_spark.operators.text_analysis import repetition_features
+
+    rows = _corpus(seed)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    for i, text in rows:
+        toks = text.split(" ")
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        c = Counter(bigrams)
+        nt, nd = len(toks), len(set(toks))
+        tot, ndb, mx = len(bigrams), len(c), max(c.values(), default=0)
+        r = got[i]
+        assert r["n_tokens"] == nt
+        assert r["dup_token_frac"] == round((nt - nd) / nt, 6)
+        assert r["top_bigram_frac"] == round(mx / tot if tot else 0.0, 6)
+        assert r["dup_bigram_frac"] == round((tot - ndb) / tot if tot else 0.0, 6)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_tfidf_pairs_vs_python(spark, seed):
+    from otters_spark.operators.dedup import tfidf_cosine_pairs
+
+    rows = _corpus(seed, n_docs=40)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, threshold=0.0, max_df_frac=0.6).collect()
+    }
+
+    n_docs = len(rows)
+    tf = {i: Counter(t.split(" ")) for i, t in rows}
+    dfreq = Counter(tok for c in tf.values() for tok in c)
+    idf = {
+        t: math.log(n_docs / d)
+        for t, d in dfreq.items()
+        if d / n_docs <= 0.6
+    }
+    vecs = {
+        i: {t: n * idf[t] for t, n in c.items() if t in idf}
+        for i, c in tf.items()
+    }
+    norms = {i: math.sqrt(sum(w * w for w in v.values())) for i, v in vecs.items()}
+    expect = {}
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            dot = sum(w * vecs[b].get(t, 0.0) for t, w in vecs[a].items())
+            if dot > 0 or (set(vecs[a]) & set(vecs[b])):
+                denom = norms[a] * norms[b]
+                expect[(a, b)] = dot / denom if denom > 0 else 0.0
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9, k
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_token_budget_vs_global_sort(spark, seed):
+    """The two-phase binned selection must equal the global-sort
+    prefix-sum reference for random qualities/budgets and ANY bins."""
+    from otters_spark.operators.sampling import select_to_token_budget
+
+    rng = random.Random(seed)
+    rows = [
+        (i, round(rng.random(), 6), rng.randint(1, 50)) for i in range(80)
+    ]
+    total = sum(n for _, _, n in rows)
+    budget = rng.randint(total // 4, 3 * total // 4)
+
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, expect = 0, set()
+    for i, q, n in order:
+        cum += n
+        if cum <= budget:
+            expect.add(i)
+
+    df = spark.createDataFrame(rows, ["doc_id", "q", "n"])
+    for bins in (7, 1000):
+        kept = {
+            r["doc_id"]
+            for r in select_to_token_budget(df, budget, "q", "n", bins=bins).collect()
+        }
+        assert kept == expect, bins
+
+
+@pytest.mark.parametrize("seed", [41])
+def test_contamination_vs_python(spark, seed):
+    from otters_spark.operators.decontam import contamination_report
+
+    rng = random.Random(seed)
+    train = _corpus(seed, n_docs=50)
+    # eval set: excerpts of random train docs + pure noise
+    ev = []
+    for j in range(8):
+        i, text = train[rng.randrange(len(train))]
+        toks = text.split(" ")
+        if len(toks) >= 10:
+            s = rng.randrange(0, len(toks) - 9)
+            ev.append((1000 + j, " ".join(toks[s:s + 10])))
+        else:
+            ev.append((1000 + j, " ".join(rng.choice(WORDS) for _ in range(9))))
+    n = 6
+    grams = lambda t: {
+        " ".join(t.split(" ")[k:k + n])
+        for k in range(len(t.split(" ")) - n + 1)
+    }
+    expect = {}
+    for i, text in train:
+        g = grams(text)
+        shared = set()
+        hits = set()
+        for j, et in ev:
+            inter = g & grams(et)
+            if inter:
+                shared |= inter
+                hits.add(j)
+        if shared:
+            expect[i] = (len(shared), len(hits))
+
+    tdf = spark.createDataFrame(train, ["doc_id", "text"])
+    edf = spark.createDataFrame(ev, ["doc_id", "text"])
+    got = {
+        r["train_id"]: (r["n_shared_ngrams"], r["n_eval_docs"])
+        for r in contamination_report(tdf, edf, n=n).collect()
+    }
+    assert got == expect
