@@ -108,6 +108,45 @@ def main() -> int:
         store.query(query, "cosine").meta_filter(col("version").gt(1.5)).collect()
     except ot.TypeMismatchError as e:
         print(f"\nstrict typing: {e}")
+
+    # --- the training-data pipeline lane, end to end on one corpus ---
+    from pyspark.sql import functions as F
+
+    from otters_spark.operators.pii import pii_scrub
+    from otters_spark.operators.sampling import (
+        select_to_token_budget,
+        stratified_sample,
+    )
+    from otters_spark.operators.text_analysis import (
+        quality_features,
+        repetition_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and then the cat sat again", "web"),
+            (1, "spam spam spam spam spam spam spam spam", "web"),
+            (2, "mail me at a@b.com or call 555-123-4567 today", "forum"),
+            (3, "a careful essay with varied vocabulary and structure", "books"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    print("\npipeline: scrub -> repetition gate -> quality -> mix -> budget")
+    clean = pii_scrub(docs).join(docs.select("doc_id", "source"), "doc_id")
+    # thresholds loosened for short demo docs (defaults are calibrated
+    # for long-form corpora where unique bigrams dominate)
+    gated = repetition_features(
+        clean.withColumnRenamed("clean_text", "text"),
+        dup_token_max=0.5, top_bigram_max=0.3, dup_bigram_max=0.3,
+    )
+    print("repetition verdicts:")
+    gated.select("doc_id", "dup_token_frac", "keep").show()
+    mixed = stratified_sample(docs, "source", {"web": 1.0, "books": 1.0}, default=0.5)
+    q = quality_features(docs).join(docs.select("doc_id"), "doc_id")
+    budgeted = select_to_token_budget(q, 20, "quality_score", "n_tokens")
+    print("kept under a 20-token budget (best quality first):")
+    budgeted.select("doc_id", "n_tokens", "quality_score").show()
+    del mixed
     return 0
 
 
