@@ -19,6 +19,7 @@ __all__ = [
     "fingerprint_table",
     "vocab_coverage",
     "repetition_features",
+    "chunk_passages",
 ]
 
 #: small deterministic stopword lists per language for the n-gram
@@ -214,6 +215,55 @@ def repetition_features(
             & (top_bg <= top_bigram_max)
             & (dup_bg <= dup_bigram_max)
         ).alias("keep"),
+    )
+
+
+def chunk_passages(
+    df: DataFrame,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window passage chunking — the doc→passage fan-out that
+    feeds embedding/RAG indexing and fixed-context training. Chunks
+    start every ``chunk_tokens - overlap`` tokens; a trailing start is
+    kept only while it contributes more than ``overlap`` new tokens, so
+    no content is lost and no chunk is pure overlap.
+
+    Scale shape: one Generate (explode of computed slices) — a narrow
+    map stage, output partitioning = input partitioning, no shuffle.
+    The token array is materialized once; the explode is of the
+    expression directly (see tfidf_cosine_pairs for the
+    Generate-filter trap this avoids)."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    w = F.col("__w")
+    n = F.size(w)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        lambda s: (s == 1) | (s <= n - overlap),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(F.slice(w, s, chunk_tokens), " ").alias("passage"),
+            F.least(n - s + 1, F.lit(chunk_tokens)).alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        df.withColumn("__w", F.split(F.col(text_col), " "))
+        .select(F.col(id_col), F.explode(chunks).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_id").alias("chunk_id"),
+            F.col("__c.passage").alias("passage"),
+            F.col("__c.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
     )
 
 

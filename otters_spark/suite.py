@@ -1412,6 +1412,37 @@ GROUP BY 1 ORDER BY train_id
 """
 
 
+def text_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking (50-token chunks, 10-token
+    overlap) — the doc→passage fan-out feeding embedding/RAG indexing;
+    one Generate, no shuffle. Passages are md5'd for a compact
+    result."""
+    from .operators.text_analysis import chunk_passages
+
+    out = chunk_passages(load(spark, sf_dir, "documents"), 50, 10)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.md5(F.col("passage")).alias("passage_md5"),
+        "n_chunk_tokens",
+    ).orderBy("doc_id", "chunk_id")
+
+
+TEXT_CHUNK_PASSAGES_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+t2 AS (SELECT doc_id, w, len(w) AS n FROM t),
+c AS (SELECT doc_id, w, n,
+             unnest(list_filter(generate_series(1, greatest(n, 1), 40),
+                                s -> s = 1 OR s <= n - 10)) AS s
+      FROM t2)
+SELECT doc_id,
+       CAST((s - 1) // 40 AS INTEGER) AS chunk_id,
+       md5(array_to_string(w[s:s+49], ' ')) AS passage_md5,
+       CAST(least(n - s + 1, 50) AS INTEGER) AS n_chunk_tokens
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline composition: quality-score the
     corpus, keep docs above threshold (0.4 ~ the top quartile of this
@@ -2267,6 +2298,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment_pairs": dedup_containment_pairs,
     "rel_rolling_average": rel_rolling_average,
     "sim_scalar_quant": sim_scalar_quant,
+    "text_chunk_passages": text_chunk_passages,
     "text_bpe_tokens": text_bpe_tokens,
     "text_rolling_hash": text_rolling_hash,
     "rel_brand_revenue": rel_brand_revenue,
@@ -2323,6 +2355,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_token_budget": PIPELINE_TOKEN_BUDGET_SQL,
     "rel_rolling_average": REL_ROLLING_AVERAGE_SQL,
     "sim_scalar_quant": SIM_SCALAR_QUANT_SQL,
+    "text_chunk_passages": TEXT_CHUNK_PASSAGES_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,

@@ -88,3 +88,34 @@ def test_repetition_features(spark):
     assert out[2]["n_tokens"] == 1
     assert out[2]["top_bigram_frac"] == 0.0
     assert out[2]["keep"] is True
+
+
+def test_chunk_passages(spark):
+    from otters_spark.operators.text_analysis import chunk_passages
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(12))), (2, "a b c")],
+        ["doc_id", "text"],
+    )
+    rows = chunk_passages(df, chunk_tokens=5, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 1,4,7,10 (start 13 would add <= overlap new tokens)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["passage"] for r in c1] == [
+        "t0 t1 t2 t3 t4", "t3 t4 t5 t6 t7", "t6 t7 t8 t9 t10", "t9 t10 t11",
+    ]
+    assert [r["n_chunk_tokens"] for r in c1] == [5, 5, 5, 3]
+    # every token appears in some chunk; consecutive chunks overlap by 2
+    assert by_doc[2][0]["passage"] == "a b c"
+
+
+def test_chunk_passages_validates(spark):
+    import pytest
+
+    from otters_spark.operators.text_analysis import chunk_passages
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_passages(df, chunk_tokens=5, overlap=5)
