@@ -57,15 +57,20 @@ def pii_scrub(
     id_col: str = "doc_id",
     patterns: dict[str, tuple[str, str]] | None = None,
     out_col: str = "clean_text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Redaction pass: counts per kind plus the masked text. Patterns
     apply in dict order, each replacing every match with its token, so
     downstream tokenizers see stable placeholder vocabulary instead of
-    unique secrets."""
+    unique secrets. ``keep_cols`` carries extra columns through so the
+    scrub chains with downstream gates in one narrow pass."""
     pats = patterns or PII_PATTERNS
     t = F.col(text_col)
     counts = [_count(t, rx).alias(f"n_{k}") for k, (rx, _) in pats.items()]
     masked = t
     for rx, repl in pats.values():
         masked = F.regexp_replace(masked, rx, repl)
-    return df.select(F.col(id_col), *counts, masked.alias(out_col))
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], *counts,
+        masked.alias(out_col),
+    )

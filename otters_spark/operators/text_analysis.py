@@ -6,6 +6,8 @@ row path, so these run at scan speed on any corpus size.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.text import distinct_tokens_expr, fingerprint_expr, tokens_expr
@@ -64,12 +66,21 @@ def token_stats(
 
 
 def quality_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Quality scoring: type-token ratio, English-stopword ratio, a
     length factor, and a fixed composite ``quality_score`` in [0,1].
     The composite is a transparent deterministic formula (documented
-    here, mirrored in the oracle SQL), not a learned model."""
+    here, mirrored in the oracle SQL), not a learned model.
+
+    ``keep_cols`` carries extra input columns through, so gates CHAIN
+    as one narrow pass instead of being joined back by id — joining
+    per-row feature branches lets Catalyst's constraint propagation
+    clone the (large) feature expressions into every branch (measured
+    20x+ on composed pipelines)."""
     toks = tokens_expr(text_col)
     dtoks = distinct_tokens_expr(text_col)
     n = F.size(toks)
@@ -79,6 +90,7 @@ def quality_features(
     score = F.lit(0.3) * length_factor + F.lit(0.4) * ttr + F.lit(0.3) * stop
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.size(toks).alias("n_tokens"),
         F.round(ttr, 6).alias("type_token_ratio"),
         F.round(stop, 6).alias("stopword_ratio"),
@@ -132,6 +144,7 @@ def repetition_features(
     dup_token_max: float = 0.55,
     top_bigram_max: float = 0.06,
     dup_bigram_max: float = 0.05,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
     duplicate-token fraction, most-common-bigram fraction, and
@@ -178,16 +191,19 @@ def repetition_features(
         ),
         lambda acc: acc.best,
     )
+    carried = [F.col(c) for c in keep_cols]
     agg = (
-        df.select(F.col(id_col), toks.alias("__t"))
+        df.select(F.col(id_col), *carried, toks.alias("__t"))
         .select(
             F.col(id_col),
+            *carried,
             F.size(t).alias("n_tokens"),
             F.size(F.array_distinct(t)).alias("n_distinct"),
             bigrams.alias("__bg"),
         )
         .select(
             F.col(id_col),
+            *carried,
             "n_tokens",
             "n_distinct",
             run_state.alias("mx"),
@@ -206,6 +222,7 @@ def repetition_features(
     )
     return agg.select(
         F.col(id_col),
+        *carried,
         nt,
         F.round(dup_tok, 6).alias("dup_token_frac"),
         F.round(top_bg, 6).alias("top_bigram_frac"),

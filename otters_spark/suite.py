@@ -1532,6 +1532,127 @@ SELECT split, doc_id, lang FROM ranked WHERE rn <= 5 ORDER BY split, doc_id
 """
 
 
+def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE modern curation pipeline in ONE oracle-checked
+    declarative plan: inject synthetic PII (both engines) -> scrub it
+    -> Gopher repetition gate -> quality threshold -> per-source mixing
+    rates -> exact dedup (keep lowest id per content key) -> per-lang
+    summary. Every stage is an operator from the engine composed as
+    DataFrames; Catalyst fuses the scan-speed gates into the scrub
+    pass, and the only shuffles are the dedup hash partition and the
+    final tiny aggregate."""
+    from .operators.dedup import exact_dedup_keep_first
+    from .operators.pii import pii_scrub
+    from .operators.sampling import stratified_sample
+    from .operators.text_analysis import quality_features, repetition_features
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    # gates CHAIN via keep_cols (one narrow pass, no re-join by id),
+    # then the fully-annotated corpus is materialized ONCE behind a
+    # lineage barrier before any filter: Catalyst pushes filters
+    # through projections unconditionally, re-inlining the (large)
+    # gate expressions into cloned Filter nodes — measured 20x+ on this
+    # composition. The barrier is also what a production pipeline does
+    # between stages (write the annotated corpus, gate from it).
+    clean = pii_scrub(injected, keep_cols=("lang", "source")).select(
+        "doc_id", "lang", "source", F.col("clean_text").alias("text")
+    )
+    rep = repetition_features(clean, keep_cols=("lang", "source", "text"))
+    annotated = quality_features(
+        rep.select("doc_id", "lang", "source", "text", "keep"),
+        keep_cols=("lang", "source", "text", "keep"),
+    ).localCheckpoint(eager=False)
+    gated = annotated.filter(F.col("keep") & (F.col("quality_score") >= 0.35))
+    fractions = {f"src{i}": 1.0 for i in range(5)}
+    fractions.update({f"src{i}": 0.5 for i in range(5, 10)})
+    mixed = stratified_sample(gated, "source", fractions, default=0.1)
+    deduped = exact_dedup_keep_first(mixed)
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("tok_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+PIPELINE_CURATE_FULL_SQL = """
+WITH inj AS (
+  SELECT doc_id, lang, source,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact user' || doc_id || '@example.com now'
+                      ELSE '' END AS t0
+  FROM documents),
+cln AS (
+  SELECT doc_id, lang, source,
+         regexp_replace(regexp_replace(regexp_replace(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS c
+  FROM inj),
+tok AS (SELECT doc_id, lang, source, c, string_split(c, ' ') AS w FROM cln),
+rep_b AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i + 1])) AS bg
+          FROM tok WHERE len(w) >= 2),
+rep_c AS (SELECT doc_id, bg, count(*) AS cnt FROM rep_b GROUP BY 1, 2),
+rep_a AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot, count(*) AS ndb
+          FROM rep_c GROUP BY 1),
+feat AS (
+  SELECT t.doc_id, t.lang, t.source, t.c, len(t.w) AS n,
+         CASE WHEN len(t.w) > 0
+              THEN (len(t.w) - len(list_distinct(t.w)))::DOUBLE / len(t.w)
+              ELSE 0.0 END AS dup_tok,
+         CASE WHEN coalesce(a.tot, 0) > 0 THEN a.mx::DOUBLE / a.tot ELSE 0.0 END AS top_bg,
+         CASE WHEN coalesce(a.tot, 0) > 0 THEN (a.tot - a.ndb)::DOUBLE / a.tot ELSE 0.0 END AS dup_bg,
+         CASE WHEN len(t.w) > 0
+              THEN len(list_distinct(t.w))::DOUBLE / len(t.w) ELSE 0.0 END AS ttr,
+         CASE WHEN len(list_distinct(t.w)) > 0 THEN
+           len(list_intersect(list_distinct(t.w),
+               ['the','a','of','and','to','in','is','for','on','with']))::DOUBLE
+             / len(list_distinct(t.w))
+         ELSE 0.0 END AS stop,
+         least(len(t.w)::DOUBLE / 100.0, 1.0) AS lf
+  FROM tok t LEFT JOIN rep_a a USING (doc_id)),
+gated AS (
+  SELECT doc_id, lang, source, c, n
+  FROM feat
+  WHERE dup_tok <= 0.55 AND top_bg <= 0.06 AND dup_bg <= 0.05
+    AND round(0.3 * lf + 0.4 * ttr + 0.3 * stop, 6) >= 0.35),
+mixed AS (
+  SELECT * FROM gated
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < CASE
+      WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 10000
+      WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9') THEN 5000
+      ELSE 1000 END),
+ded AS (
+  SELECT doc_id, lang, n,
+         row_number() OVER (PARTITION BY md5(lower(trim(c)))
+                            ORDER BY doc_id) AS rn
+  FROM mixed)
+SELECT lang, count(*) AS n_kept, sum(n) AS tok_kept, sum(doc_id) AS id_sum
+FROM ded WHERE rn = 1
+GROUP BY lang ORDER BY lang
+"""
+
+
 def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data mixing: per-source sampling rates (DoReMi-style target
     mixture) applied as ONE scan-fused hash predicate — zero shuffles
@@ -2255,7 +2376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition_filters": text_repetition_filters,
     "pipeline_decontaminate": pipeline_decontaminate,
     "text_pii_redaction": text_pii_redaction,
-    "pipeline_clean_corpus": pipeline_clean_corpus,
+    "pipeline_curate_full": pipeline_curate_full,
     "pipeline_source_mix": pipeline_source_mix,
     "pipeline_token_budget": pipeline_token_budget,
     "dedup_exact_groups": dedup_exact_groups,
@@ -2286,12 +2407,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text_vocabulary_topk), rel_cube_priority_status (multi-level agg
     # family green via rel_rollup_revenue / rel_grouping_sets),
     # pipeline_split_reservoir (hash-sampling family green via
-    # pipeline_source_mix / pipeline_token_budget), dedup_containment_pairs
+    # pipeline_source_mix / pipeline_token_budget), pipeline_clean_corpus
+    # (composition family superseded by the strictly-larger
+    # pipeline_curate_full), dedup_containment_pairs
     # (same bounded matmul kernel as dedup_char_shingle_pairs, measure
     # variant), rel_date_functions (date built-ins also exercised by
     # rel_scalar_functions and the events_* family); the rows-only
     # KMeans-based IVF query goes last.
     "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
     "rel_cube_priority_status": rel_cube_priority_status,
     "pipeline_split_reservoir": pipeline_split_reservoir,
     "rel_date_functions": rel_date_functions,
@@ -2351,6 +2475,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_tfidf_cosine_pairs": DEDUP_TFIDF_COSINE_PAIRS_SQL,
     "rel_pivot_priority": REL_PIVOT_PRIORITY_SQL,
     "pipeline_decontaminate": PIPELINE_DECONTAMINATE_SQL,
+    "pipeline_curate_full": PIPELINE_CURATE_FULL_SQL,
     "pipeline_source_mix": PIPELINE_SOURCE_MIX_SQL,
     "pipeline_token_budget": PIPELINE_TOKEN_BUDGET_SQL,
     "rel_rolling_average": REL_ROLLING_AVERAGE_SQL,
