@@ -22,6 +22,7 @@ __all__ = [
     "vocab_coverage",
     "repetition_features",
     "chunk_passages",
+    "unigram_logprob",
 ]
 
 #: small deterministic stopword lists per language for the n-gram
@@ -233,6 +234,45 @@ def repetition_features(
             & (dup_bg <= dup_bigram_max)
         ).alias("keep"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc cross-entropy under the corpus unigram distribution —
+    the simplest member of the CCNet/Gopher "LM perplexity" quality
+    family: outlier docs (wrong language, boilerplate, gibberish
+    relative to the corpus) score high.
+
+    Scale shape: explode -> (doc, token, tf) postings (one shuffle,
+    map-side combined); the unigram table is a token-keyed aggregate of
+    the SAME postings (vocabulary-sized, broadcast when small); one
+    join back by token and one groupBy doc. All counts integer until
+    the final log — deterministic enough to oracle at 6 dp."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("__t")
+    )
+    tf = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    uni = tf.groupBy("__t").agg(F.sum("__c").alias("__ct"))
+    # corpus total via a global window over the vocabulary-sized
+    # aggregate (bounded by |vocab|, not the corpus — single partition
+    # by construction); a crossJoin with an agg of the same subtree
+    # would be a self-join ambiguity
+    from pyspark.sql.window import Window
+
+    freq = uni.withColumn("__tot", F.sum("__ct").over(Window.partitionBy()))
+    scored = tf.join(freq, "__t").groupBy(id_col).agg(
+        F.sum("__c").cast("int").alias("n_tokens"),
+        F.round(
+            -F.sum(
+                F.col("__c")
+                * F.log(F.col("__ct").cast("double") / F.col("__tot"))
+            )
+            / F.sum("__c"),
+            6,
+        ).alias("avg_neg_logprob"),
+    )
+    return scored
 
 
 def chunk_passages(

@@ -1443,6 +1443,30 @@ FROM c ORDER BY doc_id, chunk_id
 """
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under the corpus unigram LM (CCNet-style
+    quality signal, unigram member). Returns the 25 most surprising
+    docs — the outlier-removal shortlist."""
+    from .operators.text_analysis import unigram_logprob
+
+    out = unigram_logprob(load(spark, sf_dir, "documents"))
+    return out.orderBy(F.col("avg_neg_logprob").desc(), "doc_id").limit(25)
+
+
+TEXT_UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+uni AS (SELECT t, sum(c) AS ct FROM tf GROUP BY 1),
+tot AS (SELECT sum(ct) AS tot_ct FROM uni)
+SELECT doc_id,
+       CAST(sum(c) AS INTEGER) AS n_tokens,
+       round(-sum(c * ln(ct::DOUBLE / tot_ct)) / sum(c), 6) AS avg_neg_logprob
+FROM tf JOIN uni USING (t), tot
+GROUP BY doc_id
+ORDER BY avg_neg_logprob DESC, doc_id LIMIT 25
+"""
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline composition: quality-score the
     corpus, keep docs above threshold (0.4 ~ the top quartile of this
@@ -2423,6 +2447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_rolling_average": rel_rolling_average,
     "sim_scalar_quant": sim_scalar_quant,
     "text_chunk_passages": text_chunk_passages,
+    "text_unigram_logprob": text_unigram_logprob,
     "text_bpe_tokens": text_bpe_tokens,
     "text_rolling_hash": text_rolling_hash,
     "rel_brand_revenue": rel_brand_revenue,
@@ -2481,6 +2506,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_rolling_average": REL_ROLLING_AVERAGE_SQL,
     "sim_scalar_quant": SIM_SCALAR_QUANT_SQL,
     "text_chunk_passages": TEXT_CHUNK_PASSAGES_SQL,
+    "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,

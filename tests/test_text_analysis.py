@@ -119,3 +119,19 @@ def test_chunk_passages_validates(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         chunk_passages(df, chunk_tokens=5, overlap=5)
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    from otters_spark.operators.text_analysis import unigram_logprob
+
+    # corpus: 'a' x6, 'b' x2 -> p(a)=0.75, p(b)=0.25
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a a a b")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    expect = -(3 * math.log(0.75) + math.log(0.25)) / 4
+    for i in (1, 2):
+        assert rows[i]["n_tokens"] == 4
+        assert abs(rows[i]["avg_neg_logprob"] - round(expect, 6)) < 1e-9
