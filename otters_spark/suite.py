@@ -416,6 +416,54 @@ QUALIFY rank_in_nation <= 3
 """
 
 
+def rel_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics torture (TPC-H data has no NULLs, so they are
+    synthesized with nullif): NULL group keys form their own group,
+    count(*) vs count(col) vs count(distinct col), aggregates ignoring
+    NULLs, null-safe equality (<=> / IS NOT DISTINCT FROM), and
+    coalesce — the semantics corner every engine must agree on."""
+    cust = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    phone7 = F.nullif(F.col("c_custkey") % 7, F.lit(3))
+    c = cust.select(
+        seg.alias("seg"),
+        phone7.alias("k7"),
+        "c_nationkey",
+        "c_acctbal",
+    )
+    return (
+        c.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("k7").alias("n_k7_nonnull"),
+            F.countDistinct("k7").alias("n_k7_distinct"),
+            F.count(F.when(F.col("k7").eqNullSafe(F.lit(None).cast("long")), 1)).alias(
+                "n_k7_null_safe"
+            ),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.sum(F.coalesce(F.col("k7"), F.lit(-1))).alias("k7_coalesced_sum"),
+        )
+        .orderBy("seg")
+    )
+
+
+REL_NULL_SEMANTICS_SQL = """
+WITH c AS (
+  SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+         nullif(c_custkey % 7, 3) AS k7,
+         c_nationkey, c_acctbal
+  FROM customer)
+SELECT seg,
+       count(*) AS n_rows,
+       count(k7) AS n_k7_nonnull,
+       count(DISTINCT k7) AS n_k7_distinct,
+       count(*) FILTER (WHERE k7 IS NOT DISTINCT FROM NULL) AS n_k7_null_safe,
+       round(avg(c_acctbal), 4) AS avg_bal,
+       sum(coalesce(k7, -1)) AS k7_coalesced_sum
+FROM c GROUP BY seg ORDER BY seg
+"""
+
+
 def rel_rolling_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window FRAMES: per-customer rolling mean/sum of order totals
     over the current + 2 preceding orders (ROWS frame, deterministic
@@ -2444,6 +2492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_split_reservoir": pipeline_split_reservoir,
     "rel_date_functions": rel_date_functions,
     "dedup_containment_pairs": dedup_containment_pairs,
+    "rel_null_semantics": rel_null_semantics,
     "rel_rolling_average": rel_rolling_average,
     "sim_scalar_quant": sim_scalar_quant,
     "text_chunk_passages": text_chunk_passages,
@@ -2503,6 +2552,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_curate_full": PIPELINE_CURATE_FULL_SQL,
     "pipeline_source_mix": PIPELINE_SOURCE_MIX_SQL,
     "pipeline_token_budget": PIPELINE_TOKEN_BUDGET_SQL,
+    "rel_null_semantics": REL_NULL_SEMANTICS_SQL,
     "rel_rolling_average": REL_ROLLING_AVERAGE_SQL,
     "sim_scalar_quant": SIM_SCALAR_QUANT_SQL,
     "text_chunk_passages": TEXT_CHUNK_PASSAGES_SQL,
