@@ -80,6 +80,7 @@ def asof_join(
     ts_col: str = "ts",
     right_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    tolerance=None,
 ) -> DataFrame:
     """As-of join ``left`` to the most recent ``right`` row per key.
 
@@ -87,6 +88,12 @@ def asof_join(
     right-side payload columns to carry (default: all non-key,
     non-ts). Carried columns are renamed with ``suffix``; the matched
     right timestamp arrives as ``{ts_col}{suffix}``.
+
+    ``tolerance``: optional maximum allowed ``left.ts - right.ts``
+    (same units/type as the ts column, e.g. an int for epoch-micros
+    columns or ``F.expr("INTERVAL 5 MINUTES")`` for timestamps); a
+    match older than the tolerance is dropped (whole payload NULL),
+    matching pandas ``merge_asof(tolerance=...)`` semantics.
 
     Determinism caveat: if two RIGHT rows share (key, ts) exactly,
     which one's payload is carried is unspecified (same as DuckDB
@@ -132,6 +139,14 @@ def asof_join(
     )
     carried = unioned.withColumn("__c", F.last(F.col("__r"), ignorenulls=True).over(w))
     out = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        within = (F.col(ts_col) - F.col("__c").getField(ts_col)) <= tolerance
+        out = out.withColumn(
+            "__c",
+            F.when(within, F.col("__c")).otherwise(
+                F.lit(None).cast(dict(rhs.dtypes)["__r"])
+            ),
+        )
     renames: list[Column] = [F.col(c) for c in left.columns]
     renames += [F.col("__c").getField(c).alias(f"{c}{suffix}") for c in payload]
     return out.select(*renames)

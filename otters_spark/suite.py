@@ -971,6 +971,45 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a matching tolerance (pandas merge_asof
+    semantics): views older than 48h are not valid attribution — the
+    whole payload nulls out, never a half-stitched row."""
+    from .operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    joined = asof_join(
+        purchases, views, on=["user_id"], ts_col="ts", right_cols=[],
+        tolerance=F.expr("INTERVAL 48 HOURS"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("ts_asof").alias("view_ts_us"),
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_TOLERANCE_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts
+  FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       CASE WHEN p.ts - v.ts <= INTERVAL 48 HOURS
+            THEN epoch_us(v.ts) ELSE NULL END AS view_ts_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+
 EVENTS_ASOF_ATTRIBUTION_SQL = """
 WITH p AS (
   SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
@@ -2493,6 +2532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_date_functions": rel_date_functions,
     "dedup_containment_pairs": dedup_containment_pairs,
     "rel_null_semantics": rel_null_semantics,
+    "events_asof_tolerance": events_asof_tolerance,
     "rel_rolling_average": rel_rolling_average,
     "sim_scalar_quant": sim_scalar_quant,
     "text_chunk_passages": text_chunk_passages,
@@ -2553,6 +2593,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_source_mix": PIPELINE_SOURCE_MIX_SQL,
     "pipeline_token_budget": PIPELINE_TOKEN_BUDGET_SQL,
     "rel_null_semantics": REL_NULL_SEMANTICS_SQL,
+    "events_asof_tolerance": EVENTS_ASOF_TOLERANCE_SQL,
     "rel_rolling_average": REL_ROLLING_AVERAGE_SQL,
     "sim_scalar_quant": SIM_SCALAR_QUANT_SQL,
     "text_chunk_passages": TEXT_CHUNK_PASSAGES_SQL,

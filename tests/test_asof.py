@@ -75,3 +75,26 @@ def test_asof_null_payload_not_backfilled(spark):
     row = out[0]
     assert row["ts_asof"] == T(2024, 1, 1, 11, 0, 0)
     assert row["tag_asof"] is None and row["weight_asof"] is None
+
+
+def test_asof_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from otters_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "k"), (2, 205, "k"), (3, 300, "k")], ["id", "ts", "key"]
+    )
+    right = spark.createDataFrame(
+        [(100, "k", "a"), (200, "k", "b")], ["ts", "key", "val"]
+    )
+    out = {
+        r["id"]: (r["val_asof"], r["ts_asof"])
+        for r in asof_join(
+            left, right, on=["key"], ts_col="ts", tolerance=10
+        ).collect()
+    }
+    assert out[1] == ("a", 100)      # exact match, gap 0
+    assert out[2] == ("b", 200)      # gap 5 <= 10
+    assert out[3] == (None, None)    # gap 100 > 10 -> whole payload null
+    del F
