@@ -81,8 +81,11 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
     tolerance=None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join ``left`` to the most recent ``right`` row per key.
+    """As-of join ``left`` to the most recent ``right`` row per key
+    (``direction="backward"``, the default: right.ts <= left.ts) or
+    the earliest following one (``"forward"``: right.ts >= left.ts).
 
     ``on``: equi-key columns present in both sides. ``right_cols``:
     right-side payload columns to carry (default: all non-key,
@@ -128,19 +131,30 @@ def asof_join(
         rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     rhs = rhs.select(*[F.col(c) for c in lhs.columns])
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     unioned = lhs.unionByName(rhs)
     # right rows sort BEFORE left rows at equal ts (side 0 < 1), so an
     # exactly-simultaneous reference row is visible to the probe row —
-    # DuckDB ASOF `>=` semantics
+    # DuckDB ASOF `>=` semantics. Forward = the same scan over
+    # descending time.
+    ts_order = (
+        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__c", F.last(F.col("__r"), ignorenulls=True).over(w))
     out = carried.filter(F.col("__side") == 1)
     if tolerance is not None:
-        within = (F.col(ts_col) - F.col("__c").getField(ts_col)) <= tolerance
+        gap = (
+            F.col(ts_col) - F.col("__c").getField(ts_col)
+            if direction == "backward"
+            else F.col("__c").getField(ts_col) - F.col(ts_col)
+        )
+        within = gap <= tolerance
         out = out.withColumn(
             "__c",
             F.when(within, F.col("__c")).otherwise(

@@ -1010,6 +1010,45 @@ ORDER BY p.event_id
 """
 
 
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (merge_asof direction='forward'): each view
+    matched to the user's EARLIEST following purchase — the
+    time-to-conversion primitive. Oracle: DuckDB ASOF with the
+    inequality flipped."""
+    from .operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = asof_join(
+        views, purchases, on=["user_id"], ts_col="ts", right_cols=[],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("view_ts_us"),
+        F.unix_micros("ts_asof").alias("purchase_ts_us"),
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_FORWARD_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
+  FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts
+  FROM events WHERE event_type = 'purchase')
+SELECT v.event_id, v.user_id,
+       epoch_us(v.ts) AS view_ts_us,
+       epoch_us(p.ts) AS purchase_ts_us
+FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+ORDER BY v.event_id
+"""
+
+
 EVENTS_ASOF_ATTRIBUTION_SQL = """
 WITH p AS (
   SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
@@ -2533,6 +2572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment_pairs": dedup_containment_pairs,
     "rel_null_semantics": rel_null_semantics,
     "events_asof_tolerance": events_asof_tolerance,
+    "events_asof_forward": events_asof_forward,
     "rel_rolling_average": rel_rolling_average,
     "sim_scalar_quant": sim_scalar_quant,
     "text_chunk_passages": text_chunk_passages,
@@ -2594,6 +2634,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_token_budget": PIPELINE_TOKEN_BUDGET_SQL,
     "rel_null_semantics": REL_NULL_SEMANTICS_SQL,
     "events_asof_tolerance": EVENTS_ASOF_TOLERANCE_SQL,
+    "events_asof_forward": EVENTS_ASOF_FORWARD_SQL,
     "rel_rolling_average": REL_ROLLING_AVERAGE_SQL,
     "sim_scalar_quant": SIM_SCALAR_QUANT_SQL,
     "text_chunk_passages": TEXT_CHUNK_PASSAGES_SQL,

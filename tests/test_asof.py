@@ -98,3 +98,43 @@ def test_asof_tolerance(spark):
     assert out[2] == ("b", 200)      # gap 5 <= 10
     assert out[3] == (None, None)    # gap 100 > 10 -> whole payload null
     del F
+
+
+def test_asof_forward(spark):
+    from otters_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "k"), (2, 150, "k"), (3, 300, "k")], ["id", "ts", "key"]
+    )
+    right = spark.createDataFrame(
+        [(100, "k", "a"), (200, "k", "b")], ["ts", "key", "val"]
+    )
+    out = {
+        r["id"]: (r["val_asof"], r["ts_asof"])
+        for r in asof_join(
+            left, right, on=["key"], ts_col="ts", direction="forward"
+        ).collect()
+    }
+    assert out[1] == ("a", 100)      # simultaneous row matches forward too
+    assert out[2] == ("b", 200)      # next following
+    assert out[3] == (None, None)    # nothing after 300
+
+    # forward + tolerance
+    out2 = {
+        r["id"]: r["val_asof"]
+        for r in asof_join(
+            left, right, on=["key"], ts_col="ts", direction="forward",
+            tolerance=20,
+        ).collect()
+    }
+    assert out2 == {1: "a", 2: None, 3: None}  # gap 50 > 20 for id 2
+
+
+def test_asof_bad_direction(spark):
+    import pytest
+
+    from otters_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1, "k")], ["id", "ts", "key"])
+    with pytest.raises(ValueError):
+        asof_join(df, df, on=["key"], direction="sideways").collect()
