@@ -53,6 +53,7 @@ __all__ = [
     "simhash_pairs",
     "simhash_banded_pairs",
     "embedding_neardup_pairs",
+    "semdedup",
     "connected_components",
     "keep_representatives",
 ]
@@ -839,6 +840,40 @@ def embedding_neardup_pairs_lsh(
 
 
 # --- duplicate clustering (pairs -> components -> representatives) --------
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — cluster with KMeans, find
+    near-identical cosine pairs WITHIN each cluster, keep one
+    representative per duplicate component.
+
+    Scale shape: the expensive pairwise stage is confined to clusters
+    (blocks), exactly the paper's trick — pair work is Σ_cell |cell|²
+    instead of n², and cells are tuned via ``n_cells`` so a cell's
+    pair block fits a task. The MLlib KMeans fit samples/aggregates
+    distributed-ly; assignment is one broadcast of k centroids. Not
+    SQL-reproducible (KMeans centroids), so correctness is asserted in
+    tests (planted duplicates) rather than the DuckDB oracle."""
+    from .similarity import ivf_build
+
+    assigned, _ = ivf_build(
+        df, n_cells=n_cells, vec_col=vec_col, seed=seed
+    )
+    pairs = embedding_neardup_pairs(
+        assigned, threshold, vec_col=vec_col, id_col=id_col,
+        block_cols=("ivf_cell",),
+    )
+    return keep_representatives(
+        df, pairs.select("id_a", "id_b"), id_col=id_col
+    )
 
 
 def connected_components(

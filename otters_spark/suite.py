@@ -2452,6 +2452,23 @@ FROM r ORDER BY mse DESC, vec_id LIMIT 20
 """
 
 
+def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): KMeans-clustered embedding space,
+    within-cluster cosine >= 0.99 near-identicals collapsed to one
+    representative. KMeans centroids are not SQL-reproducible ->
+    rows-only check here; the planted-duplicate correctness test is
+    tests/test_dedup.py::test_semdedup_planted_duplicates."""
+    from .operators.dedup import semdedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    kept = semdedup(emb, threshold=0.99, n_cells=16)
+    return (
+        kept.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("vec_id").alias("id_sum"))
+        .orderBy("label")
+    )
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: IVF (KMeans batch index build) nprobe search. Approximate +
     iterative build — no SQL oracle (rows-only check)."""
@@ -2584,6 +2601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_grouping_sets": rel_grouping_sets,
     "rel_intersect_customers": rel_intersect_customers,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "pipeline_semdedup": pipeline_semdedup,
     "sim_ivf_topk": sim_ivf_topk,
 }
 

@@ -331,3 +331,27 @@ def test_tfidf_blocking_restricts_pairs(spark):
         df, threshold=0.0, max_df_frac=1.0, block_cols=("lang",)
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+def test_semdedup_planted_duplicates(spark):
+    """SemDeDup must drop planted near-identical vectors and keep the
+    min-id representative, while distinct vectors all survive."""
+    import numpy as np
+
+    from otters_spark.operators.dedup import semdedup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 8)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant: 100-102 near-copies of vec 0; 103 near-copy of vec 7
+    for j, src in zip((100, 101, 102, 103), (0, 0, 0, 7)):
+        noisy = base[src] + rng.standard_normal(8).astype("float32") * 1e-4
+        rows.append((j, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    kept = {r["vec_id"] for r in semdedup(df, threshold=0.999, n_cells=4).collect()}
+    assert {100, 101, 102, 103}.isdisjoint(kept)  # copies dropped
+    assert {0, 7} <= kept                          # representatives stay
+    assert len(kept) == 30
