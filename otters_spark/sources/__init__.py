@@ -27,6 +27,8 @@ __all__ = [
     "write_csv",
     "write_json",
     "write_bucketed_table",
+    "table_file_stats",
+    "compact_table",
     "TABLES",
 ]
 
@@ -87,6 +89,57 @@ def write_bucketed_table(
     if sort:
         w = w.sortBy(*bucket_cols)
     w.saveAsTable(table)
+
+
+def table_file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file row counts for a parquet table (file name via the
+    ``_metadata`` hidden column — no extra listing job): the health
+    check that detects the small-files problem before it detects you.
+    Returns (file, n_rows, size_bytes) ordered largest first."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).select(
+        "_metadata.file_path", "_metadata.file_size"
+    )
+    return (
+        df.groupBy(
+            df["file_path"].alias("file"), df["file_size"].alias("size_bytes")
+        )
+        .count()
+        .withColumnRenamed("count", "n_rows")
+        .select("file", "n_rows", "size_bytes")
+        .orderBy(F.col("size_bytes").desc(), "file")
+    )
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 512,
+    sort_cols: Sequence[str] = (),
+) -> int:
+    """Rewrite a parquet table into ~``target_file_mb`` files — the
+    periodic maintenance pass that keeps scan parallelism healthy after
+    many small incremental writes (a 100 TB table of 1 MB files spends
+    more time opening files than reading them). Sizing is estimated
+    from the current on-disk bytes; ``sort_cols`` optionally restores a
+    zonemap-friendly order during the rewrite. Returns the number of
+    output files."""
+    src = spark.read.parquet(path)
+    total_bytes = (
+        src.select("_metadata.file_path", "_metadata.file_size")
+        .distinct()
+        .agg({"file_size": "sum"})
+        .collect()[0][0]
+        or 0
+    )
+    n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) + 1)
+    out = src.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(out_path)
+    return n_files
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -81,3 +81,25 @@ def test_partitioned_store_prunes(spark, store, tmp_path):
     pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "label" in pf_line.split("PartitionFilters")[1][:80]
     assert df.count() == store.df.filter(F.col("label") == 3).count()
+
+
+def test_table_file_stats_and_compact(spark, tmp_path):
+    from otters_spark.sources import compact_table, table_file_stats
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    # fragment a small table into many files
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(16).write.parquet(src)
+
+    stats = table_file_stats(spark, src).collect()
+    assert len(stats) == 16
+    assert sum(r["n_rows"] for r in stats) == 10_000
+    assert all(r["size_bytes"] > 0 for r in stats)
+
+    n_files = compact_table(spark, src, out, target_file_mb=512, sort_cols=["k"])
+    assert n_files == 1  # tiny table -> single file
+    after = table_file_stats(spark, out).collect()
+    assert len(after) == 1 and after[0]["n_rows"] == 10_000
+    # content preserved
+    assert spark.read.parquet(out).count() == 10_000
