@@ -2523,7 +2523,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_setop_customers": rel_setop_customers,
     "rel_scalar_functions": rel_scalar_functions,
     "rel_pivot_priority": rel_pivot_priority,
-    "rel_distinct_aggregates": rel_distinct_aggregates,
+    "rel_null_semantics": rel_null_semantics,
     "rel_left_join_order_counts": rel_left_join_order_counts,
     "rel_rollup_revenue": rel_rollup_revenue,
     "sim_lsh_topk": sim_lsh_topk,
@@ -2553,7 +2553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_banded_verified": dedup_minhash_banded_verified,
     "dedup_char_shingle_pairs": dedup_char_shingle_pairs,
     "dedup_tfidf_cosine_pairs": dedup_tfidf_cosine_pairs,
-    "text_vocabulary_topk": text_vocabulary_topk,
+    "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
     "neardup_embedding_pairs": neardup_embedding_pairs,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -2566,7 +2566,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # operator families keep green rows via rel_scalar/date_functions
     # and rel_rollup/cube), rel_intersect_customers (set-op green via
     # rel_setop_customers), dedup_simhash_pairs (equivalence-checked by
-    # dedup_simhash_banded and tests/test_dedup.py), text_rolling_hash
+    # dedup_simhash_banded and tests/test_dedup.py), text_vocabulary_topk
+    # + rel_distinct_aggregates (families green via text_token_stats and
+    # rel_null_semantics/rel_pricing_summary), text_rolling_hash
     # (fingerprint family green via dedup_fingerprint_groups),
     # rel_brand_revenue (groupBy-agg family green via
     # rel_pricing_summary / rel_rollup_revenue), text_bpe_tokens
@@ -2581,13 +2583,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # variant), rel_date_functions (date built-ins also exercised by
     # rel_scalar_functions and the events_* family); the rows-only
     # KMeans-based IVF query goes last.
-    "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
+    "text_vocabulary_topk": text_vocabulary_topk,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "rel_cube_priority_status": rel_cube_priority_status,
     "pipeline_split_reservoir": pipeline_split_reservoir,
     "rel_date_functions": rel_date_functions,
     "dedup_containment_pairs": dedup_containment_pairs,
-    "rel_null_semantics": rel_null_semantics,
+    "rel_distinct_aggregates": rel_distinct_aggregates,
     "events_asof_tolerance": events_asof_tolerance,
     "events_asof_forward": events_asof_forward,
     "rel_rolling_average": rel_rolling_average,
