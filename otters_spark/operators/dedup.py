@@ -849,6 +849,7 @@ def semdedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column — cluster with KMeans, find
@@ -864,8 +865,11 @@ def semdedup(
     tests (planted duplicates) rather than the DuckDB oracle."""
     from .similarity import ivf_build
 
+    # few KMeans rounds suffice: cells only need rough locality (a dup
+    # pair has near-identical vectors, so it lands in one cell under
+    # any reasonable partition of the space)
     assigned, _ = ivf_build(
-        df, n_cells=n_cells, vec_col=vec_col, seed=seed
+        df, n_cells=n_cells, vec_col=vec_col, seed=seed, max_iter=max_iter
     )
     pairs = embedding_neardup_pairs(
         assigned, threshold, vec_col=vec_col, id_col=id_col,
