@@ -20,8 +20,12 @@ from pyspark.sql import types as T
 
 __all__ = ["EVENTS_SCHEMA", "windowed_agg", "sessionize", "stream_events", "run_windowed_stream"]
 
-#: schema of the events stream as Spark reads it (ts arrives as long
-#: nanos under spark.sql.legacy.parquet.nanosAsLong — see session.py)
+#: schema of the events stream as Spark reads it when the parquet
+#: stores TIMESTAMP(NANOS) (read as long nanos under
+#: spark.sql.legacy.parquet.nanosAsLong — see session.py). Data
+#: generated with TIMESTAMP(MICROS) instead arrives as a real
+#: timestamp column; ``stream_events`` infers the actual on-disk
+#: schema from a batch read so both encodings stream correctly.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -35,8 +39,13 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def _with_ts(df: DataFrame) -> DataFrame:
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":  # TIMESTAMP(NANOS) read as long nanos
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":  # TIMESTAMP(MICROS, no tz): wall clock is
+        # UTC by data-gen convention and the session tz is UTC, so the
+        # cast is lossless; watermarks/windows require TIMESTAMP proper.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -134,7 +143,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     landing = tempfile.mkdtemp(prefix="otters_events_landing_")
     os.symlink(os.path.abspath(src), os.path.join(landing, "events.parquet"))
-    return spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(landing)
+    # File streams need an explicit schema; take it from a batch read of
+    # the same file so ts arrives exactly as the batch path sees it
+    # (long nanos under the legacy flag, or a real timestamp for
+    # TIMESTAMP(MICROS) data) and _with_ts stays the single normalizer.
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).format("parquet").load(landing)
 
 
 def run_windowed_stream(

@@ -50,8 +50,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     convert via exact integer division — float division would lose
     precision above 2^53."""
     ev = load(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    dt = dict(ev.dtypes).get("ts")
+    if dt == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        # TIMESTAMP(MICROS) data: UTC session tz makes the cast lossless
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
