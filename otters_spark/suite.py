@@ -800,11 +800,15 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group, via the window-rank
-    formulation (sort within group through a spillable shuffle, sum the
-    two interpolation neighbors) — identical numbers to SQL-standard
-    ``quantile_cont`` without the aggregator's per-group multiset
-    buffering. ``group_percentiles(..., exact=False)`` is the
-    approximate knob (see operators/stats.py, SCALE.md §Percentiles)."""
+    formulation (one melted shuffle sort across all value columns, sum
+    the two interpolation neighbors) — identical numbers to
+    SQL-standard ``quantile_cont`` without the aggregator's per-group
+    multiset buffering. ``method='sort'`` is picked explicitly: at
+    bench scale its single window pass beats the multi-stage binned
+    formulation, while ``method='bin'`` (the library default) is the
+    at-scale exact path whose parallelism never collapses to one task
+    per group — see operators/stats.py and SCALE.md §Percentiles;
+    tests/test_stats.py asserts all methods produce identical numbers."""
     from .operators.stats import group_percentiles
 
     li = load(spark, sf_dir, "lineitem")
@@ -813,6 +817,7 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         {"l_extendedprice": [0.5, 0.9], "l_quantity": [0.5]},
         exact=True,
+        method="sort",
     ).select("l_returnflag", "p50_l_extendedprice", "p90_l_extendedprice",
              "p50_l_quantity").toDF(
         "l_returnflag", "p50_price", "p90_price", "p50_qty"

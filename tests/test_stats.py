@@ -52,7 +52,7 @@ def test_empty_request_rejected(li):
         group_percentiles(li, ["l_returnflag"], {})
 
 
-def test_sort_method_matches_agg(li):
+def test_sort_and_bin_methods_match_agg(li):
     kw = dict(
         group_cols=["l_returnflag"],
         value_cols={"l_extendedprice": [0.0, 0.25, 0.5, 0.9, 1.0], "l_quantity": [0.5]},
@@ -60,17 +60,40 @@ def test_sort_method_matches_agg(li):
     )
     agg = {r["l_returnflag"]: tuple(r) for r in group_percentiles(li, method="agg", **kw).collect()}
     srt = {r["l_returnflag"]: tuple(r) for r in group_percentiles(li, method="sort", **kw).collect()}
-    assert agg == srt
+    bin_ = {r["l_returnflag"]: tuple(r) for r in group_percentiles(li, method="bin", **kw).collect()}
+    assert agg == srt == bin_
 
 
-def test_sort_method_nulls_and_single_row(spark):
+@pytest.mark.parametrize("method", ["sort", "bin"])
+def test_method_nulls_and_single_row(spark, method):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", None), ("a", 3.0), ("b", 7.0)], "g string, v double"
     )
     got = {
         r["g"]: (r["p50_v"], r["p100_v"])
         for r in group_percentiles(
-            df, ["g"], {"v": [0.5, 1.0]}, method="sort", round_to=None
+            df, ["g"], {"v": [0.5, 1.0]}, method=method, round_to=None
         ).collect()
     }
     assert got == {"a": (2.0, 3.0), "b": (7.0, 7.0)}  # nulls ignored
+
+
+def test_bin_constant_and_skewed_groups(spark):
+    # one constant-valued group (degenerate zero-width histogram), one
+    # extreme-outlier group (all mass lands in two bins — the fallback
+    # is sorting a fat bin, still exact)
+    rows = [("c", 5.0)] * 10 + [("s", float(i)) for i in range(100)] + [("s", 1e12)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["p50_v"], r["p90_v"])
+        for r in group_percentiles(
+            df, ["g"], {"v": [0.5, 0.9]}, method="bin", round_to=None
+        ).collect()
+    }
+    agg = {
+        r["g"]: (r["p50_v"], r["p90_v"])
+        for r in group_percentiles(
+            df, ["g"], {"v": [0.5, 0.9]}, method="agg", round_to=None
+        ).collect()
+    }
+    assert got == agg
