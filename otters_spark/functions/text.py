@@ -130,20 +130,45 @@ def minhash_signature_expr(token_hashes, n_hashes: int = 16) -> Column:
 
 def simhash_expr(token_hashes, bits: int = 32) -> Column:
     """SimHash over a precomputed token-hash array (see
-    :func:`token_hashes_expr`), no explode: for each bit, count hashes
-    with that bit set vs total; bit set in the output iff
-    set-count*2 > total. Equivalent to +1/-1 voting."""
+    :func:`token_hashes_expr`), no explode: bit set in the output iff
+    more than half the hashes have it set (equivalent to +1/-1
+    voting). ONE aggregate pass with SWAR bit-slicing: the accumulator
+    is ⌈bits/4⌉ longs, each packing four 16-bit per-bit counters, so a
+    token costs a handful of shift/mask adds instead of ``bits``
+    filtered-array materializations (the naive form allocates 32
+    arrays per doc and bloats codegen 32×). 16-bit lanes cap the token
+    count at 65535 per doc — far above any tokenizer output here; the
+    finish lambda unpacks lanes and assembles the fingerprint without
+    re-walking the array."""
     th = _c(token_hashes)
     n = F.size(th)
+    nlongs = (bits + 3) // 4
 
-    def bit_test(b: int):
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+    def spread(h, j: int):
+        # four bits' worth of this hash, spread into 16-bit lanes
+        out = None
+        for k in range(4):
+            b = 4 * j + k
+            if b >= bits:
+                break
+            term = F.shiftleft(F.shiftright(h, b).bitwiseAND(F.lit(1)), 16 * k)
+            out = term if out is None else out + term
+        return out
 
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        set_count = F.size(F.filter(th, bit_test(b)))
-        out = out + F.when(set_count * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
-    return out
+    init = F.struct(*[F.lit(0).cast("long").alias(f"c{j}") for j in range(nlongs)])
+
+    def merge(acc, h):
+        return F.struct(*[(acc[f"c{j}"] + spread(h, j)).alias(f"c{j}") for j in range(nlongs)])
+
+    def finish(acc):
+        out = F.lit(0).cast("long")
+        for b in range(bits):
+            j, k = divmod(b, 4)
+            cnt = F.shiftright(acc[f"c{j}"], 16 * k).bitwiseAND(F.lit(0xFFFF))
+            out = out + F.when(cnt * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+        return out
+
+    return F.aggregate(th, init, merge, finish)
 
 
 def fingerprint_expr(text, delimiter: str = " ") -> Column:

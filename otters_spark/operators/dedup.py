@@ -33,6 +33,7 @@ from ..functions.text import (
     distinct_tokens_expr,
     est_jaccard_from_sigs_expr,
     jaccard_expr,
+    md5_long_expr,
     minhash_signature_expr,
     simhash_expr,
     token_hashes_expr,
@@ -471,6 +472,33 @@ def jaccard_pairs_blocked_matmul(
 # --- MinHash -------------------------------------------------------------
 
 
+def _exploded_token_hashes(
+    df: DataFrame, text_col: str, id_col: str, keep_cols: Sequence[str]
+) -> DataFrame:
+    """(id, keep..., __h) — one row per distinct token, md5-hashed.
+
+    Why rows, not a packed array: signature builders that fan a packed
+    token-hash array into 16 permutation mins / 32 bit votes hit a
+    Catalyst blind spot — CollapseProject merges the array projection
+    into every consumer (it even merges through
+    RepartitionByExpression), and runtime subexpression elimination
+    skips lambda-bearing higher-order functions, so the md5 transform
+    ends up evaluated 16-68× per row (measured: a >5× slowdown).
+    Per-row scalar md5 has neither problem (plain scalars ARE CSE'd),
+    and the downstream hash aggregation gets map-side partial combine,
+    which a higher-order fold over arrays never does."""
+    tok = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.explode(distinct_tokens_expr(text_col)).alias("__tok"),
+    )
+    return tok.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        md5_long_expr(F.col("__tok")).alias("__h"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -478,18 +506,29 @@ def minhash_signatures(
     n_hashes: int = 16,
     keep_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Per-doc MinHash signature (array<long>, length n_hashes). The
-    token-hash array is materialized as its own projection first so the
-    md5 pass runs once, not once per permutation."""
-    hashed = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep_cols],
-        token_hashes_expr(distinct_tokens_expr(text_col)).alias("__th"),
-    )
-    return hashed.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep_cols],
-        minhash_signature_expr(F.col("__th"), n_hashes).alias("signature"),
+    """Per-doc MinHash signature (array<long>, length n_hashes), as a
+    hash aggregation over exploded token hashes: ``min(mix(h, c_i))``
+    per permutation with map-side partial combine — the scale shape
+    (the shuffle carries n_hashes longs per doc per map task, never
+    token arrays). Docs whose text is NULL produce no rows (they have
+    no token set)."""
+    from ..functions.text import MINHASH_PERM_CONSTANTS, _perm_mix
+
+    if n_hashes > len(MINHASH_PERM_CONSTANTS):
+        raise ValueError(f"n_hashes max {len(MINHASH_PERM_CONSTANTS)}")
+    hashed = _exploded_token_hashes(df, text_col, id_col, keep_cols)
+    aggs = [
+        F.min(_perm_mix(F.col("__h"), MINHASH_PERM_CONSTANTS[i])).alias(f"__m{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        hashed.groupBy(F.col(id_col), *[F.col(c) for c in keep_cols])
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("signature"),
+        )
     )
 
 
@@ -502,25 +541,57 @@ def minhash_pairs(
     block_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Pairs whose estimated Jaccard (fraction of equal signature
-    slots) >= threshold, within blocks. Returns (id_a, id_b, est_jaccard)."""
+    slots) >= threshold, within blocks. Returns (id_a, id_b, est_jaccard).
+
+    For threshold > 0 this is the SPARSE formulation: explode each
+    signature to (slot, value) rows and equi-join on (block, slot,
+    value), so work scales with the number of MATCHING slots, not with
+    block² dense signature compares — any pair with est >= threshold
+    shares >= 1 slot, so recall is exact (this is LSH banding with
+    1-row bands plus an exact match count). threshold <= 0 must emit
+    zero-match pairs too and falls back to the dense blocked compare."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, keep_cols=block_cols)
-    # alias self-join: one canonical signature subtree, computed once
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if threshold <= 0:
+        # dense all-pairs compare (alias self-join: the shuffle on the
+        # block keys is one exchange, reused for both sides)
+        a, b = sigs.alias("a"), sigs.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return (
+            a.join(b, cond)
+            .withColumn(
+                "est_jaccard",
+                est_jaccard_from_sigs_expr(F.col("a.signature"), F.col("b.signature")),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                "est_jaccard",
+            )
+        )
+    slots = sigs.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.posexplode("signature").alias("__slot", "__mh"),
+    )
+    a, b = slots.alias("a"), slots.alias("b")
+    cond = (
+        (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col("a.__slot") == F.col("b.__slot"))
+        & (F.col("a.__mh") == F.col("b.__mh"))
+    )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
         a.join(b, cond)
-        .withColumn(
-            "est_jaccard",
-            est_jaccard_from_sigs_expr(F.col("a.signature"), F.col("b.signature")),
-        )
-        .filter(F.col("est_jaccard") >= threshold)
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "est_jaccard",
         )
+        .agg((F.count(F.lit(1)) / F.lit(float(n_hashes))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
     )
 
 
@@ -577,18 +648,42 @@ def simhash_table(
     bits: int = 32,
     keep_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Per-doc SimHash fingerprint (long, ``bits`` low bits used). Token
-    hashes are materialized once, then the 32 bit-counts scan the
-    precomputed array — no md5 in the per-bit loop."""
-    hashed = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep_cols],
-        token_hashes_expr(distinct_tokens_expr(text_col)).alias("__th"),
+    """Per-doc SimHash fingerprint (long, ``bits`` low bits used), as a
+    hash aggregation over exploded token hashes with SWAR bit-slicing:
+    each of ⌈bits/4⌉ sum() accumulators packs four 16-bit per-bit vote
+    counters (so ≤ 65535 distinct tokens per doc — far above any real
+    document), with map-side partial combine; the fingerprint is
+    assembled from the unpacked lanes in one post-agg projection. No
+    md5 in the per-bit loop, no per-doc array materialization, and the
+    shuffle carries ~9 longs per doc per map task. Docs whose text is
+    NULL produce no rows."""
+    nlongs = (bits + 3) // 4
+    hashed = _exploded_token_hashes(df, text_col, id_col, keep_cols)
+
+    def spread(j: int):
+        # four bits' worth of this token's hash, spread into 16-bit lanes
+        out = None
+        for k in range(4):
+            b = 4 * j + k
+            if b >= bits:
+                break
+            term = F.shiftleft(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)), 16 * k)
+            out = term if out is None else out + term
+        return out
+
+    g = hashed.groupBy(F.col(id_col), *[F.col(c) for c in keep_cols]).agg(
+        *[F.sum(spread(j)).alias(f"__c{j}") for j in range(nlongs)],
+        F.count(F.lit(1)).alias("__n"),
     )
-    return hashed.select(
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        j, k = divmod(b, 4)
+        cnt = F.shiftright(F.col(f"__c{j}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+        fp = fp + F.when(cnt * 2 > F.col("__n"), F.lit(1 << b)).otherwise(F.lit(0))
+    return g.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        simhash_expr(F.col("__th"), bits).alias("simhash"),
+        fp.alias("simhash"),
     )
 
 
