@@ -944,7 +944,7 @@ def semdedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
-    max_iter: int = 8,
+    max_iter: int = 4,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column — cluster with KMeans, find
@@ -960,11 +960,12 @@ def semdedup(
     tests (planted duplicates) rather than the DuckDB oracle."""
     from .similarity import ivf_build
 
-    # few KMeans rounds suffice: cells only need rough locality (a dup
-    # pair has near-identical vectors, so it lands in one cell under
-    # any reasonable partition of the space)
+    # few KMeans rounds + random init suffice: cells only need rough
+    # locality (a dup pair has near-identical vectors, so it lands in
+    # one cell under any reasonable partition of the space)
     assigned, _ = ivf_build(
-        df, n_cells=n_cells, vec_col=vec_col, seed=seed, max_iter=max_iter
+        df, n_cells=n_cells, vec_col=vec_col, seed=seed, max_iter=max_iter,
+        init_mode="random",
     )
     pairs = embedding_neardup_pairs(
         assigned, threshold, vec_col=vec_col, id_col=id_col,
@@ -1004,9 +1005,17 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # fused first round: labels₁(v) = min(v, min neighbor) directly from
+    # the edge list — one shuffle agg replaces the identity-label init
+    # plus the first join round (dup clusters are near-cliques, so this
+    # start is usually one round from the fixpoint already)
     labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__nmin"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__nmin")).alias("component"),
+        )
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -1016,6 +1025,8 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("__nmin"))
         )
+        # lazy checkpoint: the convergence count below is the action
+        # that materializes it, so each round runs ONE job, not two
         updated = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
@@ -1026,7 +1037,7 @@ def connected_components(
                 (F.coalesce(F.col("__nmin"), F.col("component")) < F.col("component"))
                 .alias("__changed"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = updated.filter(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")
         if changed == 0:

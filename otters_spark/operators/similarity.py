@@ -233,17 +233,22 @@ def ivf_build(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
 ):
     """Batch index build: MLlib KMeans over the vectors; returns
     (assigned_df, centroids ndarray). The assigned DataFrame carries
-    ``ivf_cell``; persist it partitioned by cell for pruned search."""
+    ``ivf_cell``; persist it partitioned by cell for pruned search.
+    ``init_mode='random'`` skips the k-means|| init rounds — the right
+    trade when cells only need rough locality (e.g. SemDeDup blocking,
+    where each KMeans round is distributed jobs and centroid QUALITY
+    barely moves the result)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = df.withColumn("__features", array_to_vector(F.col(vec_col)))
     model = KMeans(
         k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__features",
-        predictionCol="ivf_cell",
+        predictionCol="ivf_cell", initMode=init_mode,
     ).fit(feat)
     assigned = model.transform(feat).drop("__features")
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])

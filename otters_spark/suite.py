@@ -2484,7 +2484,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_build, ivf_search
 
     emb = load(spark, sf_dir, "embeddings")
-    assigned, centroids = ivf_build(emb, n_cells=8, seed=42)
+    assigned, centroids = ivf_build(emb, n_cells=8, seed=42, max_iter=5)
     return ivf_search(assigned, centroids, Q11, k=10, nprobe=3)
 
 
