@@ -6,6 +6,13 @@ shape that dies at scale. Checks every QUERIES entry's executed plan:
   MapInPandas is allowed — that's the sanctioned Python lane)
 * broadcast nested-loop joins only with a broadcast side (the query
   batch / packed blocks), never as a fallback for a real join
+* bounded md5 fan-out in the optimized plan — CollapseProject merges
+  projections (even through RepartitionByExpression) and runtime
+  subexpression elimination skips lambda-bearing higher-order
+  functions, so an expensive hash fed into a fan-out of HOF consumers
+  silently re-inlines per consumer (observed 34-68 md5 nodes, >5×
+  slower; fixed by computing signatures as hash aggregations over
+  exploded scalars — see operators/dedup.py:_exploded_token_hashes)
 """
 
 import pytest
@@ -31,3 +38,10 @@ def test_plan_is_scale_safe(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in ARROW_OK:
         assert "MapInPandas" not in plan, f"{name}: unexpected Python stage"
+    # expensive-hash fan-out guard: suite-wide max is 6 md5 nodes; the
+    # re-inline failure mode lands at 30+
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("md5") <= 10, (
+        f"{name}: md5 evaluated {optimized.count('md5')}x in the optimized plan "
+        "— an expression fan-out re-inlined an expensive hash (see module doc)"
+    )
