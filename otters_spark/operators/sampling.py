@@ -34,6 +34,7 @@ __all__ = [
     "reservoir_per_group",
     "stratified_sample",
     "select_to_token_budget",
+    "pack_sequences",
 ]
 
 #: bucket space for split/sample fractions (1e4 → 0.01% granularity)
@@ -189,4 +190,60 @@ def reservoir_per_group(
         df.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)
         .drop("__rank")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int,
+    tokens_col: str,
+    order_col: str = "doc_id",
+    key_col: str = "doc_id",
+    bins: int = 1000,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay documents end to end in
+    ``order_col`` order and cut the stream into fixed ``ctx_len``
+    windows — the standard pre-training packing (documents may span
+    window boundaries). Returns the input plus, per document:
+    ``seq_start`` / ``seq_end`` (first/last window index the doc lands
+    in), ``start_offset`` (position within the first window) and
+    ``n_seqs``.
+
+    The global running token total is computed with the same exact
+    two-phase form as :func:`select_to_token_budget` — bin by a
+    monotone function of the ordering key, tiny cross-bin prior
+    window, parallel within-bin cumsum — so no task ever windows the
+    whole corpus. ``order_col`` must be numeric and non-negative
+    (document ids); ordering ties break on ``key_col``."""
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+    oc, tc = F.col(order_col), F.col(tokens_col)
+    mx = df.agg(F.max(oc).cast("double").alias("__mx"))
+    binned = df.crossJoin(F.broadcast(mx)).withColumn(
+        "__bin",
+        F.floor(oc.cast("double") * bins / (F.col("__mx") + 1.0)).cast("long"),
+    )
+    per_bin = binned.groupBy("__bin").agg(F.sum(tc).alias("__bin_toks"))
+    bin_w = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, -1)
+    priors = per_bin.withColumn(
+        "__prior", F.coalesce(F.sum("__bin_toks").over(bin_w), F.lit(0))
+    ).select("__bin", "__prior")
+    in_w = (
+        Window.partitionBy("__bin")
+        .orderBy(oc, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.col("__prior") + F.coalesce(F.sum(tc).over(in_w), F.lit(0))
+    start = F.floor(cum_before / ctx_len)
+    end = F.when(
+        tc > 0, F.floor((cum_before + tc - 1) / ctx_len)
+    ).otherwise(start)
+    return (
+        binned.join(F.broadcast(priors), "__bin")
+        .withColumn("__cb", cum_before)
+        .withColumn("seq_start", start.cast("long"))
+        .withColumn("seq_end", end.cast("long"))
+        .withColumn("start_offset", (F.col("__cb") - F.col("seq_start") * ctx_len).cast("long"))
+        .withColumn("n_seqs", (F.col("seq_end") - F.col("seq_start") + 1).cast("long"))
+        .drop("__bin", "__prior", "__cb", "__mx")
     )

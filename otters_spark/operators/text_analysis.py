@@ -23,6 +23,7 @@ __all__ = [
     "repetition_features",
     "chunk_passages",
     "unigram_logprob",
+    "bm25_topk",
 ]
 
 #: small deterministic stopword lists per language for the n-gram
@@ -352,4 +353,69 @@ def vocab_coverage(
         F.round(
             F.when(n > 0, oov.cast("double") / n).otherwise(F.lit(0.0)), 6
         ).alias("oov_rate"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval (Robertson/Spärck Jones): top-k documents for a
+    bag of query terms — the sparse lexical-search primitive a corpus
+    pipeline uses for targeted inspection and eval-set mining.
+
+    Scale shape: ONE explode + hash aggregation computes, per doc, the
+    total token count and a COLUMN of term frequencies per query term
+    (queries are a handful of terms, so tf-per-term-as-columns turns
+    the postings join into conditional sums with map-side combine).
+    Corpus stats (N, avgdl, per-term document frequencies) reduce to a
+    single broadcast row, scoring is a narrow projection, and the only
+    ordered exchange is the final top-k (TakeOrderedAndProject).
+    Documents matching no term are excluded (score 0).
+
+    score(d) = Σ_t ln(1 + (N-df+0.5)/(df+0.5)) ·
+               tf·(k1+1) / (tf + k1·(1 - b + b·|d|/avgdl))
+    """
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    ex = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("__t")
+    )
+    per_doc = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__dl"),
+        *[
+            F.sum(F.when(F.col("__t") == t, 1).otherwise(0)).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        idf = F.log(
+            1.0
+            + (F.col("__N") - F.col(f"__df{i}") + 0.5) / (F.col(f"__df{i}") + 0.5)
+        )
+        norm = tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+        part = idf * tf * (k1 + 1.0) / norm
+        score = part if score is None else score + part
+    return (
+        scored.select(F.col(id_col), score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
     )

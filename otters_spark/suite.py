@@ -2513,6 +2513,86 @@ FROM scored ORDER BY s DESC, vec_id LIMIT 12
 """
 
 
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-10 documents for a 4-term query — the
+    sparse lexical-search primitive (eval-set mining, targeted corpus
+    inspection). One explode+agg pass with per-term tf columns, a
+    broadcast stats row, TakeOrderedAndProject top-k."""
+    from .operators.text_analysis import bm25_topk
+
+    out = bm25_topk(
+        load(spark, sf_dir, "documents"),
+        ["vector", "hash", "join", "stream"],
+        k=10,
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+TEXT_BM25_TOPK_SQL = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+per_doc AS (
+  SELECT doc_id, count(*) AS dl,
+         sum(CASE WHEN t = 'vector' THEN 1 ELSE 0 END) AS tf0,
+         sum(CASE WHEN t = 'hash'   THEN 1 ELSE 0 END) AS tf1,
+         sum(CASE WHEN t = 'join'   THEN 1 ELSE 0 END) AS tf2,
+         sum(CASE WHEN t = 'stream' THEN 1 ELSE 0 END) AS tf3
+  FROM ex GROUP BY doc_id),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+  FROM per_doc)
+SELECT doc_id,
+       round(
+         ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+         ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+         ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+         ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+       6) AS score
+FROM per_doc CROSS JOIN stats
+WHERE tf0 + tf1 + tf2 + tf3 > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing into 512-token windows: per
+    document, which training sequences it lands in and at what offset
+    — the last step before a pre-training data loader. Exact two-phase
+    cumulative sum (no global single-partition window)."""
+    from .operators.sampling import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    out = pack_sequences(docs, 512, "n_tokens")
+    return out.select(
+        "doc_id", "n_tokens", "seq_start", "seq_end", "start_offset", "n_seqs"
+    ).orderBy("doc_id")
+
+
+PIPELINE_PACK_SEQUENCES_SQL = """
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM toks)
+SELECT doc_id, n_tokens,
+       (cb // 512)::BIGINT AS seq_start,
+       (CASE WHEN n_tokens > 0 THEN (cb + n_tokens - 1) // 512
+             ELSE cb // 512 END)::BIGINT AS seq_end,
+       (cb - (cb // 512) * 512)::BIGINT AS start_offset,
+       (CASE WHEN n_tokens > 0 THEN (cb + n_tokens - 1) // 512
+             ELSE cb // 512 END - cb // 512 + 1)::BIGINT AS n_seqs
+FROM cum ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2612,6 +2692,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_grouping_sets": rel_grouping_sets,
     "rel_intersect_customers": rel_intersect_customers,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "text_bm25_topk": text_bm25_topk,
+    "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_semdedup": pipeline_semdedup,
     "sim_ivf_topk": sim_ivf_topk,
 }
@@ -2681,6 +2763,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_containment_pairs": DEDUP_CONTAINMENT_PAIRS_SQL,
     "text_vocabulary_topk": TEXT_VOCABULARY_TOPK_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
+    "text_bm25_topk": TEXT_BM25_TOPK_SQL,
+    "pipeline_pack_sequences": PIPELINE_PACK_SEQUENCES_SQL,
     "dedup_simhash_banded": DEDUP_SIMHASH_BANDED_SQL,
     "neardup_embedding_pairs": NEARDUP_EMBEDDING_PAIRS_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,

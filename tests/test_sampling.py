@@ -125,3 +125,38 @@ def test_select_to_token_budget_exact(spark):
         for r in select_to_token_budget(df, 25, "q", "n", bins=2).collect()
     )
     assert kept_b2 == [1, 3]
+
+
+def test_pack_sequences_matches_python_cumsum(spark):
+    import math
+
+    rows = [(i, (i * 37) % 90 + 1) for i in range(40)]  # varied lengths
+    rows[7] = (7, 0)  # zero-length doc
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    from otters_spark.operators.sampling import pack_sequences
+
+    ctx = 64
+    got = {
+        r["doc_id"]: (r["seq_start"], r["seq_end"], r["start_offset"], r["n_seqs"])
+        for r in pack_sequences(df, ctx, "n", bins=5).collect()
+    }
+    cb = 0
+    total = 0
+    for i, n in rows:
+        start = cb // ctx
+        end = (cb + n - 1) // ctx if n > 0 else start
+        assert got[i] == (start, end, cb - start * ctx, end - start + 1), i
+        cb += n
+        total += n
+    # stream covers exactly ceil(total/ctx) sequences
+    assert max(e for _, e, _, _ in got.values()) == math.ceil(total / ctx) - 1
+
+
+def test_pack_sequences_rejects_bad_ctx(spark):
+    import pytest as _pytest
+
+    from otters_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame([(1, 2)], ["doc_id", "n"])
+    with _pytest.raises(ValueError):
+        pack_sequences(df, 0, "n")

@@ -135,3 +135,38 @@ def test_unigram_logprob(spark):
     for i in (1, 2):
         assert rows[i]["n_tokens"] == 4
         assert abs(rows[i]["avg_neg_logprob"] - round(expect, 6)) < 1e-9
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    import math
+
+    rows = [
+        (0, "apple apple apple pear"),       # high tf, short
+        (1, "apple pear plum quince fig"),   # tf 1, longer
+        (2, "plum quince fig date cherry"),  # no match
+        (3, "apple " * 2 + "x " * 40),       # tf 2 but long doc
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], ["doc_id", "text"])
+    from otters_spark.operators.text_analysis import bm25_topk
+
+    got = bm25_topk(df, ["apple"], k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 2 not in ids  # non-matching doc excluded
+    assert ids[0] == 0  # densest short doc wins
+    # hand-check doc 0's score: N=4, df=3, dl=4, avgdl computed over all
+    dls = [4, 5, 5, 42]
+    avgdl = sum(dls) / 4
+    idf = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
+    tf = 3.0
+    want = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * 4 / avgdl))
+    assert abs(got[0]["score"] - want) < 1e-9
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest as _pytest
+
+    from otters_spark.operators.text_analysis import bm25_topk
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        bm25_topk(df, [])
