@@ -811,18 +811,26 @@ def embedding_neardup_pairs_matmul(
     import numpy as np
     from pyspark.sql import types as T
 
-    if n_blocks is None:
-        n = df.count()
-        n_blocks = max(1, -(-n // rows_per_block))
     with_inv = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__raw"),
         inv_norm_expr(vec_col).alias("__inv"),
     )
+    if n_blocks is None:
+        # size blocks from a broadcast count ROW, not a driver count()
+        # action: the sizing joins into the same plan (no extra job,
+        # no action barrier), and the operator stays lazy
+        cnt = df.agg(F.count(F.lit(1)).alias("__n"))
+        with_inv = with_inv.crossJoin(F.broadcast(cnt))
+        nb = F.greatest(
+            F.lit(1), F.ceil(F.col("__n") / F.lit(float(rows_per_block)))
+        ).cast("long")
+    else:
+        nb = F.lit(n_blocks)
     norm = with_inv.select(
         F.col("__id"),
         F.transform(F.col("__raw"), lambda x: x.cast("double") * F.col("__inv")).alias("__v"),
-        F.pmod(F.col("__id"), F.lit(n_blocks)).alias("__blk"),
+        F.pmod(F.col("__id"), nb).alias("__blk"),
     )
     # one struct per doc: ids and vectors travel together, so a NULL
     # vector can never shift the lists out of alignment (collect_list
