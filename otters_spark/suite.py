@@ -2593,6 +2593,50 @@ FROM cum ORDER BY doc_id
 """
 
 
+def pipeline_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter end-to-end (the CCNet/RefinedWeb
+    classifier step): synthesize a labeled seed set (real docs =
+    positive, token-spam mutations = negative), train logistic
+    regression on the train hash-split, score the whole corpus with
+    the NATIVE sigmoid expression (no MLlib/UDF on the scoring path),
+    report per-language mean probability and keep counts. Iterative
+    fit -> rows-only check; planted-signal correctness is
+    tests/test_quality_model.py."""
+    from .operators.quality_model import (
+        quality_feature_table,
+        score_quality,
+        train_quality_classifier,
+    )
+    from .operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    spam = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.col("lang"),
+        F.concat_ws(
+            " ",
+            F.array_repeat(F.element_at(F.split(F.col("text"), " "), 1), 80),
+        ).alias("text"),
+    )
+    labeled = docs.select("doc_id", "lang", "text", F.lit(1.0).alias("label")).unionByName(
+        spam.select("doc_id", "lang", "text", F.lit(0.0).alias("label"))
+    )
+    feats = quality_feature_table(labeled, keep_cols=["lang", "label"])
+    train = hash_split(feats, weights={"train": 0.8, "held": 0.2})
+    coefs = train_quality_classifier(
+        train.filter(F.col("split") == "train").drop("split"), max_iter=20
+    )
+    scored = score_quality(feats.filter(F.col("label") == 1.0), coefs)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.round(F.avg("quality_prob"), 4).alias("avg_prob"),
+            F.sum((F.col("quality_prob") > 0.5).cast("long")).alias("n_keep"),
+        )
+        .orderBy("lang")
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2695,6 +2739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": text_bm25_topk,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_semdedup": pipeline_semdedup,
+    "pipeline_quality_model": pipeline_quality_model,
     "sim_ivf_topk": sim_ivf_topk,
 }
 
