@@ -79,15 +79,24 @@ def train_quality_classifier(
     label_col: str = "label",
     max_iter: int = 50,
     reg_param: float = 0.01,
+    train_partitions: int | None = 8,
 ) -> dict:
     """Fit logistic regression on a labeled feature table (columns
     QUALITY_FEATURES + ``label_col`` in {0,1}). Returns a plain dict
     {feature: coefficient, "__intercept": b} — deliberately NOT an
     MLlib model object, so scoring needs no MLlib at all (and the
-    coefficients serialize into job configs / SQL)."""
+    coefficients serialize into job configs / SQL).
+
+    Seed sets are small by construction (labeling is the expensive
+    part), while L-BFGS pays a full task wave per iteration — so the
+    train set is coalesced to ``train_partitions`` before the fit
+    (pass None to keep the input partitioning for genuinely large
+    labeled sets)."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
+    if train_partitions is not None:
+        labeled = labeled.coalesce(train_partitions)
     assembled = VectorAssembler(
         inputCols=list(QUALITY_FEATURES), outputCol="__features"
     ).transform(labeled)
