@@ -2680,7 +2680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_source_mix": pipeline_source_mix,
     "pipeline_token_budget": pipeline_token_budget,
     "dedup_exact_groups": dedup_exact_groups,
-    "dedup_fingerprint_groups": dedup_fingerprint_groups,
+    "text_bm25_topk": text_bm25_topk,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_banded_verified": dedup_minhash_banded_verified,
@@ -2702,7 +2702,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_simhash_banded and tests/test_dedup.py), text_vocabulary_topk
     # + rel_distinct_aggregates (families green via text_token_stats and
     # rel_null_semantics/rel_pricing_summary), text_rolling_hash
-    # (fingerprint family green via dedup_fingerprint_groups),
+    # (fingerprint family green via dedup_exact_groups — r3 also
+    # demoted dedup_fingerprint_groups itself, same hash-groupBy shape
+    # as dedup_exact_groups, to give the NEW retrieval family
+    # (text_bm25_topk) a driver verdict; pipeline_pack_sequences stays
+    # in the tail because its two-phase-cumsum family is green via
+    # pipeline_token_budget),
     # rel_brand_revenue (groupBy-agg family green via
     # rel_pricing_summary / rel_rollup_revenue), text_bpe_tokens
     # (tokenization family green via text_token_stats /
@@ -2736,7 +2741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_grouping_sets": rel_grouping_sets,
     "rel_intersect_customers": rel_intersect_customers,
     "dedup_simhash_pairs": dedup_simhash_pairs,
-    "text_bm25_topk": text_bm25_topk,
+    "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
