@@ -696,7 +696,17 @@ def simhash_pairs(
     block_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Pairs with Hamming distance <= max_hamming between SimHashes,
-    within blocks. Returns (id_a, id_b, hamming)."""
+    within blocks. Returns (id_a, id_b, hamming).
+
+    This is the blocked ALL-PAIRS form — kept deliberately alongside
+    :func:`simhash_banded_pairs` because pigeonhole banding only pays
+    when the chunks stay selective: with 32-bit fingerprints and
+    d = 6, the 7 chunks are ~4.5 bits each, so a random pair collides
+    in some chunk with probability ≈ 7/2^4.5 ≈ 30% and banding
+    degenerates toward all-pairs WITH extra join overhead. Rule of
+    thumb: band when bits/(d+1) >= 8 (d <= 3 at 32 bits; loose
+    thresholds want 64-bit fingerprints), go all-pairs within small
+    blocks otherwise."""
     t = simhash_table(df, text_col, id_col, bits, keep_cols=block_cols)
     # alias self-join: one canonical fingerprint subtree, computed once
     a, b = t.alias("a"), t.alias("b")

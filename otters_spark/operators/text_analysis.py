@@ -380,6 +380,12 @@ def bm25_topk(
 
     score(d) = Σ_t ln(1 + (N-df+0.5)/(df+0.5)) ·
                tf·(k1+1) / (tf + k1·(1 - b + b·|d|/avgdl))
+
+    The per-term-column layout suits interactive queries (up to tens
+    of terms — each term adds one conditional-sum aggregate). Bulk
+    scoring of a large query SET should instead join an exploded
+    query-term table against the postings (the tfidf_cosine_pairs
+    shape), which this function deliberately is not.
     """
     terms = list(dict.fromkeys(query_terms))
     if not terms:
