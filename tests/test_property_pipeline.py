@@ -147,3 +147,55 @@ def test_contamination_vs_python(spark, seed):
         for r in contamination_report(tdf, edf, n=n).collect()
     }
     assert got == expect
+
+
+@pytest.mark.parametrize("seed", [71, 72])
+def test_bm25_vs_python(spark, seed):
+    from otters_spark.operators.text_analysis import bm25_topk
+
+    rows = _corpus(seed, n_docs=50)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    terms = ["w0", "w3", "w7"]
+    k1, b = 1.2, 0.75
+    got = [(r["doc_id"], r["score"]) for r in bm25_topk(df, terms, k=50).collect()]
+
+    dls = {i: len(t.split(" ")) for i, t in rows}
+    n = len(rows)
+    avgdl = sum(dls.values()) / n
+    tfs = {i: Counter(t.split(" ")) for i, t in rows}
+    dfreq = {t: sum(1 for c in tfs.values() if c[t] > 0) for t in terms}
+    want = []
+    for i, _ in rows:
+        s = 0.0
+        for t in terms:
+            tf = tfs[i][t]
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+        if s > 0:
+            want.append((i, s))
+    want.sort(key=lambda p: (-p[1], p[0]))
+    assert [i for i, _ in got] == [i for i, _ in want[:50]]
+    for (gi, gs), (wi, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+@pytest.mark.parametrize("seed", [81, 82])
+def test_pack_sequences_vs_python(spark, seed):
+    from otters_spark.operators.sampling import pack_sequences
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(0, 120)) for i in range(80)]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    ctx = rng.choice([32, 64, 100])
+    got = {
+        r["doc_id"]: (r["seq_start"], r["seq_end"], r["start_offset"])
+        for r in pack_sequences(df, ctx, "n", bins=7).collect()
+    }
+    cb = 0
+    for i, n in rows:
+        start = cb // ctx
+        end = (cb + n - 1) // ctx if n > 0 else start
+        assert got[i] == (start, end, cb - start * ctx), (i, ctx)
+        cb += n
