@@ -28,7 +28,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_count_join"]
+__all__ = ["asof_join", "range_count_join", "gap_fill"]
 
 
 def range_count_join(
@@ -164,3 +164,53 @@ def asof_join(
     renames: list[Column] = [F.col(c) for c in left.columns]
     renames += [F.col("__c").getField(c).alias(f"{c}{suffix}") for c in payload]
     return out.select(*renames)
+
+
+def gap_fill(
+    bucketed: DataFrame,
+    bucket_col: str,
+    step: int,
+    group_cols: Sequence[str] = (),
+    zero_fill: Sequence[str] = (),
+    locf: Sequence[str] = (),
+) -> DataFrame:
+    """Time-series gap filling over an already-bucketed aggregate (the
+    TimescaleDB ``time_bucket_gapfill`` shape): densify each group's
+    bucket range to every ``step`` and fill the holes — counts to zero
+    (``zero_fill``), measures carried forward from the last observed
+    bucket (``locf``), anything else left NULL.
+
+    Scale shape: the grid is ``sequence(min, max, step)`` exploded per
+    group — grid size is span/step, never row count; the fill join is
+    one shuffle on (group, bucket); LOCF is
+    ``last(col, ignorenulls=True)`` over the per-group bucket order —
+    the same single-carried-value window as the as-of join, spillable
+    and skew-splittable. No driver-side range materialization.
+    """
+    groups = [F.col(c) for c in group_cols]
+    spans = bucketed.groupBy(*groups).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = spans.select(
+        *groups,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+        ).alias(bucket_col),
+    )
+    dense = grid.join(bucketed, [*group_cols, bucket_col], "left")
+    out_cols = []
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in bucketed.columns:
+        if c == bucket_col or c in group_cols:
+            continue
+        if c in zero_fill:
+            out_cols.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
+        elif c in locf:
+            out_cols.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return dense.select(*groups, F.col(bucket_col), *out_cols)

@@ -2593,6 +2593,55 @@ FROM cum ORDER BY doc_id
 """
 
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (TimescaleDB ``time_bucket_gapfill``
+    shape): hourly buckets of high-value events are sparse, so each
+    event_type's bucket range is densified to every hour — counts
+    zero-filled, the running sum carried forward (LOCF). Grid size is
+    span/step per group, never row count; LOCF is the same
+    single-carried-value window as the as-of join."""
+    from .operators.asof import gap_fill
+
+    ev = load_events(spark, sf_dir).filter(F.col("value") > 250)
+    bucketed = ev.groupBy(
+        F.col("event_type"),
+        (F.expr("unix_timestamp(ts) div 3600") * 3600).alias("bucket_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    filled = gap_fill(
+        bucketed,
+        "bucket_start",
+        3600,
+        group_cols=["event_type"],
+        zero_fill=["n_events"],
+        locf=["sum_value"],
+    )
+    return filled.orderBy("event_type", "bucket_start")
+
+
+EVENTS_GAP_FILL_SQL = """
+WITH b AS (
+  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600 AS bucket_start,
+         count(*) AS n_events, round(sum(value), 4) AS sum_value
+  FROM events WHERE value > 250 GROUP BY 1, 2),
+spans AS (
+  SELECT event_type, min(bucket_start) AS lo, max(bucket_start) AS hi
+  FROM b GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket_start
+  FROM spans)
+SELECT g.event_type, g.bucket_start,
+       coalesce(b.n_events, 0) AS n_events,
+       last_value(b.sum_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value
+FROM grid g LEFT JOIN b USING (event_type, bucket_start)
+ORDER BY 1, 2
+"""
+
+
 def pipeline_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality filter end-to-end (the CCNet/RefinedWeb
     classifier step): synthesize a labeled seed set (real docs =
@@ -2742,6 +2791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_intersect_customers": rel_intersect_customers,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
+    "events_gap_fill": events_gap_fill,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -2814,6 +2864,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_vocabulary_topk": TEXT_VOCABULARY_TOPK_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "text_bm25_topk": TEXT_BM25_TOPK_SQL,
+    "events_gap_fill": EVENTS_GAP_FILL_SQL,
     "pipeline_pack_sequences": PIPELINE_PACK_SEQUENCES_SQL,
     "dedup_simhash_banded": DEDUP_SIMHASH_BANDED_SQL,
     "neardup_embedding_pairs": NEARDUP_EMBEDDING_PAIRS_SQL,

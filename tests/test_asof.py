@@ -138,3 +138,29 @@ def test_asof_bad_direction(spark):
     df = spark.createDataFrame([(1, 1, "k")], ["id", "ts", "key"])
     with pytest.raises(ValueError):
         asof_join(df, df, on=["key"], direction="sideways").collect()
+
+
+def test_gap_fill_zero_and_locf(spark):
+    from pyspark.sql import functions as F
+
+    from otters_spark.operators.asof import gap_fill
+
+    rows = [
+        ("a", 0, 2, 10.0),
+        ("a", 30, 1, 7.5),   # gap at 10, 20
+        ("b", 10, 4, 1.0),   # single bucket: no densify needed
+    ]
+    df = spark.createDataFrame(rows, ["g", "bucket", "n", "s"])
+    got = {
+        (r["g"], r["bucket"]): (r["n"], r["s"])
+        for r in gap_fill(
+            df, "bucket", 10, group_cols=["g"], zero_fill=["n"], locf=["s"]
+        ).collect()
+    }
+    assert got == {
+        ("a", 0): (2, 10.0),
+        ("a", 10): (0, 10.0),   # count zero-filled, sum carried
+        ("a", 20): (0, 10.0),
+        ("a", 30): (1, 7.5),
+        ("b", 10): (4, 1.0),
+    }
