@@ -463,7 +463,7 @@ SELECT seg,
        count(DISTINCT k7) AS n_k7_distinct,
        count(*) FILTER (WHERE k7 IS NOT DISTINCT FROM NULL) AS n_k7_null_safe,
        round(avg(c_acctbal), 4) AS avg_bal,
-       sum(coalesce(k7, -1)) AS k7_coalesced_sum
+       sum(coalesce(k7, -1))::BIGINT AS k7_coalesced_sum
 FROM c GROUP BY seg ORDER BY seg
 """
 
@@ -1806,7 +1806,8 @@ ded AS (
          row_number() OVER (PARTITION BY md5(lower(trim(c)))
                             ORDER BY doc_id) AS rn
   FROM mixed)
-SELECT lang, count(*) AS n_kept, sum(n) AS tok_kept, sum(doc_id) AS id_sum
+SELECT lang, count(*) AS n_kept, sum(n)::BIGINT AS tok_kept,
+       sum(doc_id)::BIGINT AS id_sum
 FROM ded WHERE rn = 1
 GROUP BY lang ORDER BY lang
 """
@@ -1836,7 +1837,7 @@ WITH b AS (
   SELECT source, doc_id,
          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
   FROM documents)
-SELECT source, count(*) AS n_kept, sum(doc_id) AS id_sum
+SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
 FROM b
 WHERE bucket < CASE
     WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 10000
@@ -1900,7 +1901,8 @@ c AS (
          sum(n) OVER (ORDER BY qs DESC, doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM q)
-SELECT lang, count(*) AS n_kept, sum(n) AS tok_kept, sum(doc_id) AS id_sum
+SELECT lang, count(*) AS n_kept, sum(n)::BIGINT AS tok_kept,
+       sum(doc_id)::BIGINT AS id_sum
 FROM c, tot WHERE cum <= budget
 GROUP BY lang ORDER BY lang
 """
@@ -2361,7 +2363,7 @@ frames AS (
          unnest(range(0, duration_ms::BIGINT, 1000)) AS frame_ts_ms
   FROM media)
 SELECT media_id, count(*) AS n_frames,
-       sum(('0x' || substr(md5(payload_hex || frame_ts_ms::VARCHAR), 1, 8))::BIGINT) AS sig_sum
+       sum(('0x' || substr(md5(payload_hex || frame_ts_ms::VARCHAR), 1, 8))::BIGINT)::BIGINT AS sig_sum
 FROM frames GROUP BY media_id ORDER BY media_id
 """
 
