@@ -2704,11 +2704,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_shipping_priority": rel_shipping_priority,
     "rel_local_supplier_volume": rel_local_supplier_volume,
     "rel_top_customers_per_nation": rel_top_customers_per_nation,
-    "rel_setop_customers": rel_setop_customers,
     "rel_scalar_functions": rel_scalar_functions,
     "rel_pivot_priority": rel_pivot_priority,
     "rel_null_semantics": rel_null_semantics,
-    "rel_left_join_order_counts": rel_left_join_order_counts,
     "rel_rollup_revenue": rel_rollup_revenue,
     "sim_lsh_topk": sim_lsh_topk,
     "rel_exists_subquery": rel_exists_subquery,
@@ -2718,7 +2716,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling_window": events_tumbling_window,
     "events_sessionization": events_sessionization,
     "events_asof_attribution": events_asof_attribution,
-    "events_range_join_counts": events_range_join_counts,
+    "events_asof_tolerance": events_asof_tolerance,
+    "events_gap_fill": events_gap_fill,
     "events_json_extract": events_json_extract,
     "events_hypertable_rollup": events_hypertable_rollup,
     "text_token_stats": text_token_stats,
@@ -2732,8 +2731,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_token_budget": pipeline_token_budget,
     "dedup_exact_groups": dedup_exact_groups,
     "text_bm25_topk": text_bm25_topk,
-    "dedup_jaccard_pairs": dedup_jaccard_pairs,
-    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "text_unigram_logprob": text_unigram_logprob,
+    "pipeline_pack_sequences": pipeline_pack_sequences,
+    "sim_scalar_quant": sim_scalar_quant,
     "dedup_minhash_banded_verified": dedup_minhash_banded_verified,
     "dedup_char_shingle_pairs": dedup_char_shingle_pairs,
     "dedup_tfidf_cosine_pairs": dedup_tfidf_cosine_pairs,
@@ -2744,34 +2744,51 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pandas_matmul_topk": sim_pandas_matmul_topk,
     "dedup_simhash_banded": dedup_simhash_banded,
     # ---- registration order is load-bearing: the driver's correctness
-    # harness recorded exactly 50 entries in r1, dropping the tail, so
-    # the 50 highest-value oracle-paired queries come first. At the
-    # boundary: rel_conditional_functions + rel_grouping_sets (their
-    # operator families keep green rows via rel_scalar/date_functions
-    # and rel_rollup/cube), rel_intersect_customers (set-op green via
-    # rel_setop_customers), dedup_simhash_pairs (equivalence-checked by
-    # dedup_simhash_banded and tests/test_dedup.py), text_vocabulary_topk
-    # + rel_distinct_aggregates (families green via text_token_stats and
-    # rel_null_semantics/rel_pricing_summary), text_rolling_hash
-    # (fingerprint family green via dedup_exact_groups — r3 also
-    # demoted dedup_fingerprint_groups itself, same hash-groupBy shape
-    # as dedup_exact_groups, to give the NEW retrieval family
-    # (text_bm25_topk) a driver verdict; pipeline_pack_sequences stays
-    # in the tail because its two-phase-cumsum family is green via
-    # pipeline_token_budget),
+    # harness records exactly 50 entries, dropping the tail, so the 50
+    # highest-value oracle-paired queries come first. Round-3 rotation
+    # (per the r2 verdict): the never-driver-checked r2 families —
+    # events_asof_tolerance, events_gap_fill, text_unigram_logprob,
+    # pipeline_pack_sequences, sim_scalar_quant — were promoted into
+    # the top-50 by demoting five family-redundant greens:
+    # rel_setop_customers (set-op family also covered by
+    # rel_intersect_customers's sibling shape and r1/r2 green history),
+    # rel_left_join_order_counts (outer-join family green via
+    # rel_semi_anti_join + rel_shipping_priority),
+    # events_range_join_counts (interval-join family green via
+    # events_asof_attribution, which composes the same range machinery),
+    # dedup_jaccard_pairs + dedup_minhash_pairs (set-similarity /
+    # signature families green via dedup_char_shingle_pairs,
+    # dedup_minhash_banded_verified and pipeline_dedup_end_to_end).
+    # Still in the tail with builder-harness-only coverage:
+    # rel_conditional_functions + rel_grouping_sets (families green via
+    # rel_scalar_functions and rel_rollup_revenue),
+    # rel_intersect_customers, dedup_simhash_pairs
+    # (equivalence-checked by dedup_simhash_banded and
+    # tests/test_dedup.py), text_vocabulary_topk +
+    # rel_distinct_aggregates (families green via text_token_stats and
+    # rel_null_semantics/rel_pricing_summary), text_rolling_hash +
+    # dedup_fingerprint_groups (fingerprint family green via
+    # dedup_exact_groups), events_asof_forward (direction flag of the
+    # driver-green as-of operator), rel_rolling_average (window-frame
+    # family green via rel_top_customers_per_nation),
+    # text_chunk_passages (chunking shares the tokenizer family),
     # rel_brand_revenue (groupBy-agg family green via
     # rel_pricing_summary / rel_rollup_revenue), text_bpe_tokens
-    # (tokenization family green via text_token_stats /
-    # text_vocabulary_topk), rel_cube_priority_status (multi-level agg
-    # family green via rel_rollup_revenue / rel_grouping_sets),
-    # pipeline_split_reservoir (hash-sampling family green via
-    # pipeline_source_mix / pipeline_token_budget), pipeline_clean_corpus
-    # (composition family superseded by the strictly-larger
-    # pipeline_curate_full), dedup_containment_pairs
+    # (tokenization family green via text_token_stats),
+    # rel_cube_priority_status (multi-level agg family green via
+    # rel_rollup_revenue), pipeline_split_reservoir (hash-sampling
+    # family green via pipeline_source_mix / pipeline_token_budget),
+    # pipeline_clean_corpus (composition family superseded by the
+    # strictly-larger pipeline_curate_full), dedup_containment_pairs
     # (same bounded matmul kernel as dedup_char_shingle_pairs, measure
     # variant), rel_date_functions (date built-ins also exercised by
     # rel_scalar_functions and the events_* family); the rows-only
-    # KMeans-based IVF query goes last.
+    # KMeans-based queries go last.
+    "rel_setop_customers": rel_setop_customers,
+    "rel_left_join_order_counts": rel_left_join_order_counts,
+    "events_range_join_counts": events_range_join_counts,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
     "text_vocabulary_topk": text_vocabulary_topk,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "rel_cube_priority_status": rel_cube_priority_status,
@@ -2779,12 +2796,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_date_functions": rel_date_functions,
     "dedup_containment_pairs": dedup_containment_pairs,
     "rel_distinct_aggregates": rel_distinct_aggregates,
-    "events_asof_tolerance": events_asof_tolerance,
     "events_asof_forward": events_asof_forward,
     "rel_rolling_average": rel_rolling_average,
-    "sim_scalar_quant": sim_scalar_quant,
     "text_chunk_passages": text_chunk_passages,
-    "text_unigram_logprob": text_unigram_logprob,
     "text_bpe_tokens": text_bpe_tokens,
     "text_rolling_hash": text_rolling_hash,
     "rel_brand_revenue": rel_brand_revenue,
@@ -2793,8 +2807,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_intersect_customers": rel_intersect_customers,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
-    "events_gap_fill": events_gap_fill,
-    "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
     "sim_ivf_topk": sim_ivf_topk,
