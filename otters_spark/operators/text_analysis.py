@@ -255,13 +255,14 @@ def unigram_logprob(
     )
     tf = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
     uni = tf.groupBy("__t").agg(F.sum("__c").alias("__ct"))
-    # corpus total via a global window over the vocabulary-sized
-    # aggregate (bounded by |vocab|, not the corpus — single partition
-    # by construction); a crossJoin with an agg of the same subtree
-    # would be a self-join ambiguity
-    from pyspark.sql.window import Window
-
-    freq = uni.withColumn("__tot", F.sum("__ct").over(Window.partitionBy()))
+    # corpus total as a one-row aggregate broadcast back over the
+    # vocabulary — web-scale vocabularies run to billions of distinct
+    # tokens, so an unpartitioned window here would funnel the whole
+    # unigram table through one task; the aggregate side gets fresh
+    # attribute ids from the Aggregate node, so the crossJoin of a
+    # subtree with its own rollup is unambiguous
+    tot = uni.agg(F.sum("__ct").alias("__tot"))
+    freq = uni.crossJoin(F.broadcast(tot))
     scored = tf.join(freq, "__t").groupBy(id_col).agg(
         F.sum("__c").cast("int").alias("n_tokens"),
         F.round(

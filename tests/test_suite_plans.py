@@ -29,6 +29,36 @@ ARROW_OK = {
     "dedup_containment_pairs",  # incidence-matmul kernel
 }
 
+# queries allowed an UNPARTITIONED window: only the two-phase binned
+# cumsums, whose global window runs over BIN SUMMARIES (≤ n_bins ≈ 1000
+# rows by construction), never over corpus rows. Anything else with an
+# empty partition spec funnels its whole input through one task — the
+# unigram_logprob bug class (corpus-total window over a web-scale
+# vocabulary, fixed in r3 with agg-to-one-row + crossJoin(broadcast)).
+GLOBAL_WINDOW_OK = {
+    "pipeline_token_budget",
+    "pipeline_pack_sequences",
+}
+
+
+def _unpartitioned_windows(df) -> list[str]:
+    """Logical-plan walk: Window/WindowGroupLimit nodes whose partition
+    spec is empty (string-matching the plan dump is unreliable — the
+    partition columns print inside windowspecdefinition's nested
+    parens)."""
+    out: list[str] = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls in ("Window", "WindowGroupLimit") and node.partitionSpec().isEmpty():
+            out.append(cls)
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_is_scale_safe(spark, sf_dir, name):
@@ -45,3 +75,11 @@ def test_plan_is_scale_safe(spark, sf_dir, name):
         f"{name}: md5 evaluated {optimized.count('md5')}x in the optimized plan "
         "— an expression fan-out re-inlined an expensive hash (see module doc)"
     )
+    if name not in GLOBAL_WINDOW_OK:
+        glob = _unpartitioned_windows(df)
+        assert not glob, (
+            f"{name}: {glob} with empty partition spec — the whole input "
+            "funnels through ONE task; aggregate to one row and "
+            "crossJoin(broadcast) instead, or add to GLOBAL_WINDOW_OK with "
+            "a proof the window input is bounded"
+        )
