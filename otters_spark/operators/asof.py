@@ -186,26 +186,38 @@ def gap_fill(
     ``last(col, ignorenulls=True)`` over the per-group bucket order —
     the same single-carried-value window as the as-of join, spillable
     and skew-splittable. No driver-side range materialization.
+
+    The fill join matches group keys NULL-SAFELY (``eqNullSafe``): a
+    plain equality join would leave every observed bucket of a
+    NULL-keyed group unmatched, silently zero-filling counts and
+    NULL-ing LOCF measures for data that exists. Rows whose BUCKET is
+    NULL have no place on a numeric grid and are dropped, as before.
     """
-    groups = [F.col(c) for c in group_cols]
+    gcols = list(group_cols)
+    groups = [F.col(c) for c in gcols]
     spans = bucketed.groupBy(*groups).agg(
         F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
     )
+    # grid columns get fresh names so the join condition below can name
+    # both sides without tripping derived-frame attribute ambiguity
     grid = spans.select(
-        *groups,
+        *[F.col(c).alias(f"__g{i}") for i, c in enumerate(gcols)],
         F.explode(
             F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
-        ).alias(bucket_col),
+        ).alias("__gb"),
     )
-    dense = grid.join(bucketed, [*group_cols, bucket_col], "left")
+    cond = F.col("__gb") == F.col(bucket_col)
+    for i, c in enumerate(gcols):
+        cond = cond & F.col(f"__g{i}").eqNullSafe(F.col(c))
+    dense = grid.join(bucketed, cond, "left")
     out_cols = []
     w = (
-        Window.partitionBy(*groups)
-        .orderBy(bucket_col)
+        Window.partitionBy(*[f"__g{i}" for i in range(len(gcols))])
+        .orderBy("__gb")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for c in bucketed.columns:
-        if c == bucket_col or c in group_cols:
+        if c == bucket_col or c in gcols:
             continue
         if c in zero_fill:
             out_cols.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
@@ -213,4 +225,8 @@ def gap_fill(
             out_cols.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
         else:
             out_cols.append(F.col(c))
-    return dense.select(*groups, F.col(bucket_col), *out_cols)
+    return dense.select(
+        *[F.col(f"__g{i}").alias(c) for i, c in enumerate(gcols)],
+        F.col("__gb").alias(bucket_col),
+        *out_cols,
+    )

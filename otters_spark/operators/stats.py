@@ -40,24 +40,7 @@ def _sort_percentiles(
     from pyspark.sql.window import Window
 
     cols = list(value_cols)
-    melted = (
-        df.select(
-            *group_cols,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("__c"),
-                            F.col(c).cast("double").alias("__v"),
-                        )
-                        for c in cols
-                    ]
-                )
-            ).alias("__p"),
-        )
-        .select(*group_cols, F.col("__p.__c").alias("__c"), F.col("__p.__v").alias("__v"))
-        .filter(F.col("__v").isNotNull())
-    )
+    melted = _melt(df, group_cols, cols)
     w = Window.partitionBy(*group_cols, "__c").orderBy(F.col("__v"))
     wn = Window.partitionBy(*group_cols, "__c")
     ranked = melted.withColumn("__rn", F.row_number().over(w) - 1).withColumn(
@@ -123,12 +106,22 @@ def _binned_percentiles(
     path's limit: one task per group) and nothing buffers a multiset
     (the ``percentile`` aggregator's limit). Value-range binning can
     degenerate under extreme outliers — the fallback is sorting a fat
-    bin, which is still correct, just slower."""
+    bin, which is still correct, just slower.
+
+    Group keys ride through the locate/select joins as ONE struct
+    column: Spark struct equality compares fields null-safely, so
+    groups with NULL keys survive the equi-joins (plain multi-column
+    join keys would silently drop them — groupBy keeps NULL groups, but
+    ``a.k = b.k`` never matches them)."""
     from pyspark.sql.window import Window
 
-    g = list(group_cols)
+    out_g = list(group_cols)
     cols = list(value_cols)
-    m = _melt(df, g, cols)
+    m = _melt(df, out_g, cols)
+    g: list[str] = []
+    if out_g:
+        m = m.select(F.struct(*out_g).alias("__g"), "__c", "__v")
+        g = ["__g"]
     stats = m.groupBy(*g, "__c").agg(
         F.min("__v").alias("__mn"),
         F.max("__v").alias("__mx"),
@@ -196,6 +189,7 @@ def _binned_percentiles(
         located, [*g, "__c", "__b", "__lr"]
     )
     aggs = []
+    names = []
     for c in cols:
         for q in value_cols[c]:
             expr = F.sum(
@@ -206,8 +200,14 @@ def _binned_percentiles(
             )
             if round_to is not None:
                 expr = F.round(expr, round_to)
-            aggs.append(expr.alias(f"p{round(q * 100):d}_{c}"))
-    return picked.groupBy(*g).agg(*aggs)
+            names.append(f"p{round(q * 100):d}_{c}")
+            aggs.append(expr.alias(names[-1]))
+    res = picked.groupBy(*g).agg(*aggs)
+    if out_g:
+        res = res.select(
+            *[F.col(f"__g.{c}").alias(c) for c in out_g], *names
+        )
+    return res
 
 
 def group_percentiles(
@@ -245,10 +245,14 @@ def group_percentiles(
     for col, qs in value_cols.items():
         for q in qs:
             name = f"p{round(q * 100):d}_{col}"
+            # NaN -> NULL so every method agrees: bin/sort melt away
+            # NaN; the percentile aggregators would otherwise sort it
+            # last and poison the high quantiles
+            v = f"nanvl(cast({col} as double), cast(null as double))"
             if exact:
-                expr = F.expr(f"percentile({col}, {q!r})")
+                expr = F.expr(f"percentile({v}, {q!r})")
             else:
-                expr = F.expr(f"approx_percentile({col}, {q!r}, {accuracy})")
+                expr = F.expr(f"approx_percentile({v}, {q!r}, {accuracy})")
             if round_to is not None:
                 expr = F.round(expr, round_to)
             aggs.append(expr.alias(name))

@@ -164,3 +164,29 @@ def test_gap_fill_zero_and_locf(spark):
         ("a", 30): (1, 7.5),
         ("b", 10): (4, 1.0),
     }
+
+
+def test_gap_fill_null_group_key(spark):
+    from otters_spark.operators.asof import gap_fill
+
+    # a NULL-keyed group's OBSERVED buckets must come back intact — a
+    # plain equality join leaves them unmatched, zero-filling counts
+    # and NULL-ing LOCF measures for data that exists
+    rows = [
+        (None, 0, 4, 1.0),
+        (None, 20, 1, 9.0),  # gap at 10
+        ("a", 0, 2, 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "bucket", "n", "s"])
+    got = {
+        (r["g"], r["bucket"]): (r["n"], r["s"])
+        for r in gap_fill(
+            df, "bucket", 10, group_cols=["g"], zero_fill=["n"], locf=["s"]
+        ).collect()
+    }
+    assert got == {
+        (None, 0): (4, 1.0),
+        (None, 10): (0, 1.0),
+        (None, 20): (1, 9.0),
+        ("a", 0): (2, 5.0),
+    }

@@ -97,3 +97,45 @@ def test_bin_constant_and_skewed_groups(spark):
         ).collect()
     }
     assert got == agg
+
+
+@pytest.mark.parametrize("method", ["agg", "sort", "bin"])
+def test_null_group_key_kept(spark, method):
+    # equality joins drop NULL keys; the bin path must not lose the
+    # NULL-keyed group the way r2's struct-free join did
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 30.0)],
+        "g string, v double",
+    )
+    got = {
+        r["g"]: r["p50_v"]
+        for r in group_percentiles(
+            df, ["g"], {"v": [0.5]}, method=method, round_to=None
+        ).collect()
+    }
+    assert got == {"a": 2.0, None: 20.0}
+
+
+@pytest.mark.parametrize("method", ["agg", "sort", "bin"])
+def test_nan_filtered_like_null_every_method(spark, method):
+    # NaN sorts LAST under Spark ordering — untreated it poisons the
+    # high quantiles of the sort/agg paths while bin melts it away
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", nan), ("a", 3.0), ("a", nan)], "g string, v double"
+    )
+    got = group_percentiles(
+        df, ["g"], {"v": [0.5, 1.0]}, method=method, round_to=None
+    ).collect()[0]
+    assert (got["p50_v"], got["p100_v"]) == (2.0, 3.0)
+
+
+def test_approx_filters_nan_too(spark):
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", nan), ("a", 3.0)], "g string, v double"
+    )
+    got = group_percentiles(
+        df, ["g"], {"v": [1.0]}, exact=False, round_to=None
+    ).collect()[0]
+    assert got["p100_v"] == 3.0
