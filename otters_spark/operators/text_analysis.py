@@ -365,6 +365,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    round_to: int | None = None,
 ) -> DataFrame:
     """BM25 retrieval (Robertson/Spärck Jones): top-k documents for a
     bag of query terms — the sparse lexical-search primitive a corpus
@@ -387,6 +388,11 @@ def bm25_topk(
     scoring of a large query SET should instead join an exploded
     query-term table against the postings (the tfidf_cosine_pairs
     shape), which this function deliberately is not.
+
+    ``round_to`` rounds the score BEFORE the (score desc, id) top-k so
+    ties break identically across engines whose float summation order
+    differs — two docs equal to 6 dp then rank by id on both sides
+    instead of by sub-1e-6 noise. Leave None for exact ranking.
     """
     terms = list(dict.fromkeys(query_terms))
     if not terms:
@@ -420,6 +426,8 @@ def bm25_topk(
         norm = tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
         part = idf * tf * (k1 + 1.0) / norm
         score = part if score is None else score + part
+    if round_to is not None:
+        score = F.round(score, round_to)
     return (
         scored.select(F.col(id_col), score.alias("score"))
         .filter(F.col("score") > 0)

@@ -2522,12 +2522,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast stats row, TakeOrderedAndProject top-k."""
     from .operators.text_analysis import bm25_topk
 
-    out = bm25_topk(
+    # round BEFORE the top-k (both engines) so ties at 6 dp break on
+    # doc_id instead of sub-1e-6 float-summation-order noise
+    return bm25_topk(
         load(spark, sf_dir, "documents"),
         ["vector", "hash", "join", "stream"],
         k=10,
+        round_to=6,
     )
-    return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
 TEXT_BM25_TOPK_SQL = """
