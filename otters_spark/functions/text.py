@@ -64,6 +64,19 @@ def md5_long_expr(x) -> Column:
     return F.conv(F.substring(F.md5(_c(x).cast("string")), 1, 15), 16, 10).cast("long")
 
 
+def md5_long64_expr(x) -> Column:
+    """Deterministic FULL-64-bit hash: the 60-bit draw plus a 16th md5
+    nibble in bits 60-63. Composed from two conv() draws because one
+    16-hex-char conv would exceed the signed-long cast range; the
+    shiftleft wraps into the sign bit by design (bit patterns, not
+    arithmetic — the DuckDB twin builds the same pattern in unsigned
+    HUGEINT space: lo + hi * 2^60)."""
+    h = F.md5(_c(x).cast("string"))
+    lo = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    hi = F.conv(F.substring(h, 16, 1), 16, 10).cast("long")
+    return lo.bitwiseOR(F.shiftleft(hi, 60))
+
+
 #: fixed 60-bit permutation constants for the MinHash family
 #: (numpy default_rng(99); regenerating changes every signature)
 MINHASH_PERM_CONSTANTS: list[int] = [

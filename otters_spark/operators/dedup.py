@@ -34,6 +34,7 @@ from ..functions.text import (
     est_jaccard_from_sigs_expr,
     jaccard_expr,
     md5_long_expr,
+    md5_long64_expr,
     minhash_signature_expr,
     simhash_expr,
     token_hashes_expr,
@@ -473,9 +474,15 @@ def jaccard_pairs_blocked_matmul(
 
 
 def _exploded_token_hashes(
-    df: DataFrame, text_col: str, id_col: str, keep_cols: Sequence[str]
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_cols: Sequence[str],
+    wide: bool = False,
 ) -> DataFrame:
-    """(id, keep..., __h) — one row per distinct token, md5-hashed.
+    """(id, keep..., __h) — one row per distinct token, md5-hashed
+    (60-bit by default; ``wide=True`` fills all 64 bits for consumers
+    that index bits 60-63, e.g. 64-bit SimHash).
 
     Why rows, not a packed array: signature builders that fan a packed
     token-hash array into 16 permutation mins / 32 bit votes hit a
@@ -492,10 +499,11 @@ def _exploded_token_hashes(
         *[F.col(c) for c in keep_cols],
         F.explode(distinct_tokens_expr(text_col)).alias("__tok"),
     )
+    hash_expr = md5_long64_expr if wide else md5_long_expr
     return tok.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        md5_long_expr(F.col("__tok")).alias("__h"),
+        hash_expr(F.col("__tok")).alias("__h"),
     )
 
 
@@ -651,14 +659,24 @@ def simhash_table(
     """Per-doc SimHash fingerprint (long, ``bits`` low bits used), as a
     hash aggregation over exploded token hashes with SWAR bit-slicing:
     each of ⌈bits/4⌉ sum() accumulators packs four 16-bit per-bit vote
-    counters (so ≤ 65535 distinct tokens per doc — far above any real
-    document), with map-side partial combine; the fingerprint is
-    assembled from the unpacked lanes in one post-agg projection. No
-    md5 in the per-bit loop, no per-doc array materialization, and the
-    shuffle carries ~9 longs per doc per map task. Docs whose text is
-    NULL produce no rows."""
+    counters (so ≤ 32767 distinct tokens per doc before the top lane
+    could overflow a signed sum — far above any real document), with
+    map-side partial combine; the fingerprint is assembled from the
+    unpacked lanes in one post-agg projection. No md5 in the per-bit
+    loop, no per-doc array materialization, and the shuffle carries ~9
+    longs per doc per map task (17 at bits=64). Docs whose text is NULL
+    produce no rows.
+
+    ``bits`` up to 64: fingerprints above 60 bits switch to the
+    full-64-bit token hash (the default 60-bit draw leaves bits 60-63
+    permanently zero), and bit 63 lands in the long's sign bit — a bit
+    pattern, not a number."""
+    if not 0 < bits <= 64:
+        raise ValueError(f"bits must be in 1..64, got {bits}")
     nlongs = (bits + 3) // 4
-    hashed = _exploded_token_hashes(df, text_col, id_col, keep_cols)
+    hashed = _exploded_token_hashes(
+        df, text_col, id_col, keep_cols, wide=bits > 60
+    )
 
     def spread(j: int):
         # four bits' worth of this token's hash, spread into 16-bit lanes
@@ -679,7 +697,10 @@ def simhash_table(
     for b in range(bits):
         j, k = divmod(b, 4)
         cnt = F.shiftright(F.col(f"__c{j}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
-        fp = fp + F.when(cnt * 2 > F.col("__n"), F.lit(1 << b)).otherwise(F.lit(0))
+        # shiftleft, not a literal: 1 << 63 wraps into the sign bit,
+        # which Python's unbounded int literal cannot express as a long
+        bitval = F.shiftleft(F.lit(1).cast("long"), b)
+        fp = fp + F.when(cnt * 2 > F.col("__n"), bitval).otherwise(F.lit(0))
     return g.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
@@ -757,10 +778,15 @@ def simhash_banded_pairs(
         raise ValueError(f"need 0 <= max_hamming < bits, got {max_hamming}/{bits}")
     bounds = [(c * bits) // n_chunks for c in range(n_chunks + 1)]
     t = simhash_table(df, text_col, id_col, bits, keep_cols=block_cols)
+    def _mask(width: int):
+        # a full-width chunk (max_hamming=0, bits=64) needs all-ones,
+        # which only exists as -1 in signed-long space
+        return F.lit(-1 if width >= 64 else (1 << width) - 1).cast("long")
+
     chunks = F.array(
         *[
             F.shiftright(F.col("simhash"), bounds[c]).bitwiseAND(
-                F.lit((1 << (bounds[c + 1] - bounds[c])) - 1)
+                _mask(bounds[c + 1] - bounds[c])
             )
             for c in range(n_chunks)
         ]
@@ -777,19 +803,28 @@ def simhash_banded_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in keys:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return (
+    # a pair sharing m chunks surfaces m times — dedup the CANDIDATES
+    # (fingerprints ride along, functionally dependent on the ids)
+    # before the bit_count verify, so each pair is verified once and a
+    # dup-heavy corpus doesn't ship every near-dup pair m times through
+    # the final shuffle
+    cand = (
         a.join(b, cond)
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
         )
         .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -2276,6 +2276,52 @@ DEDUP_SIMHASH_BANDED_SQL = DEDUP_SIMHASH_PAIRS_SQL.replace(
 )
 
 
+def dedup_simhash64_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (Hamming <= 6) via pigeonhole
+    banding — the loose-threshold regime the selectivity rule
+    (band when bits/(d+1) >= 8, operators/dedup.py) prescribes 64-bit
+    fingerprints for: 7 chunks of ~9.1 bits keep random chunk
+    collisions near 7/2^9 ≈ 1.4%, where 32-bit chunks of ~4.5 bits
+    degenerate toward all-pairs. Exercises the full-64-bit token hash
+    and the sign-bit lane of the fingerprint; the oracle rebuilds the
+    same bit patterns in DuckDB's unsigned HUGEINT space."""
+    from .operators.dedup import simhash_banded_pairs
+
+    return simhash_banded_pairs(
+        load(spark, sf_dir, "documents"), 6, bits=64, block_cols=list(_BLOCKS)
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_SIMHASH64_BANDED_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents),
+th AS (
+  SELECT doc_id, lang, source,
+         (('0x' || substr(md5(tok), 1, 15))::BIGINT::HUGEINT
+          + ('0x' || substr(md5(tok), 16, 1))::BIGINT::HUGEINT
+            * 1152921504606846976::HUGEINT) AS h
+  FROM tok),
+votes AS (
+  SELECT doc_id, any_value(lang) AS lang, any_value(source) AS source, b,
+         CASE WHEN 2 * sum(((h >> b) & 1)::BIGINT) > count(*)
+              THEN (1::HUGEINT << b) ELSE 0::HUGEINT END AS bitval
+  FROM th CROSS JOIN range(64) r(b)
+  GROUP BY doc_id, b),
+sh AS (
+  SELECT doc_id, any_value(lang) AS lang, any_value(source) AS source,
+         sum(bitval)::HUGEINT AS simhash
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+ORDER BY 1, 2
+"""
+
+
 def neardup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (cosine >= 0.4 on
     this corpus — it has no engineered near-dups, max pairwise ~0.51).
@@ -2808,6 +2854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_grouping_sets": rel_grouping_sets,
     "rel_intersect_customers": rel_intersect_customers,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_simhash64_banded": dedup_simhash64_banded,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -2883,6 +2930,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
     "pipeline_pack_sequences": PIPELINE_PACK_SEQUENCES_SQL,
     "dedup_simhash_banded": DEDUP_SIMHASH_BANDED_SQL,
+    "dedup_simhash64_banded": DEDUP_SIMHASH64_BANDED_SQL,
     "neardup_embedding_pairs": NEARDUP_EMBEDDING_PAIRS_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,

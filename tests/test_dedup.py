@@ -145,6 +145,45 @@ def test_simhash_banded_equals_all_pairs(spark):
         assert banded == allp and allp, f"d={d}: {banded ^ allp}"
 
 
+def test_simhash64_banded_equals_all_pairs(spark):
+    # the loose-threshold regime (d=6) the selectivity rule prescribes
+    # 64-bit fingerprints for; exercises the full-64-bit token hash,
+    # the sign-bit lane (bit 63), and a max_hamming=0 full-width-chunk
+    # edge. Near-identical docs so pairs actually land under d<=6.
+    base = "the quick brown fox jumps over the lazy dog near the river bank today".split()
+    rows = []
+    for i in range(30):
+        w = list(base)
+        if i % 3:
+            w[i % len(w)] = f"tok{i}"
+        rows.append((i, " ".join(w), "en", "s0"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+    from otters_spark.operators.dedup import (
+        simhash_banded_pairs,
+        simhash_pairs,
+        simhash_table,
+    )
+
+    # bit 63 must actually occur across the corpus fingerprints —
+    # otherwise this test isn't exercising the sign-bit lane
+    fps = [r["simhash"] for r in simhash_table(docs, bits=64).collect()]
+    assert any(fp < 0 for fp in fps), "no fingerprint uses bit 63"
+
+    for d in (0, 6):
+        kw = dict(bits=64, block_cols=["lang", "source"])
+        allp = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs(docs, d, **kw).collect()
+        }
+        banded = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_banded_pairs(docs, d, **kw).collect()
+        }
+        assert banded == allp, f"d={d}: {banded ^ allp}"
+    assert allp, "d=6 should produce pairs on near-identical docs"
+
+
 def test_matmul_subblock_cap(spark):
     # one giant (lang, source) block, tiny cap: the salted kernel must
     # still return exactly the all-pairs answer, and no packed sub-block
