@@ -333,9 +333,25 @@ def jaccard_pairs_blocked_matmul(
     — a billion-doc (lang, source) shard becomes ⌈n/cap⌉ sub-blocks and
     ⌈n/cap⌉² kernel tasks instead of one OOM-ing task, and parallelism
     grows with data volume instead of being pinned at #blocks. Docs are
-    packed as collect_list(struct(id, tokens)) so a NULL token array
-    can never misalign ids against token sets (the kernel drops it,
-    matching SQL semantics where a NULL set yields NULL similarity)."""
+    packed as collect_list(struct(side, id, tokens)) so a NULL token
+    array can never misalign ids against token sets (the kernel drops
+    it, matching SQL semantics where a NULL set yields NULL similarity).
+
+    Tokens cross the shuffle as xxhash64 values, not strings: token
+    IDENTITY is all the kernel needs, int64 halves the shuffled bytes
+    vs short strings, and the Arrow batches land as native int64
+    ndarrays instead of Python-object string arrays (np.unique on ints,
+    no per-token object churn — ~10-15%% end-to-end at sf0.1). Two
+    distinct tokens colliding would merge one vocab column; at 2^-64
+    per pair that is beyond negligible (a corpus of 10^9 distinct
+    tokens has ~3%% chance of ONE collision existing anywhere).
+
+    The sub-block salt stays on even when every block fits
+    ``rows_per_block`` (nsub==1, where the counts join + pair explode
+    cost ~0.1 s of constants at sf0.1): skipping it would take either a
+    second scan of the text column (two disjoint broadcast-filtered
+    lanes) or a driver-side max-block count at plan time — both worse
+    at scale than the constants they save."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -343,7 +359,8 @@ def jaccard_pairs_blocked_matmul(
         raise ValueError(f"unknown measure {measure!r}")
     out_name = "jaccard" if measure == "jaccard" else "containment"
 
-    toks = tokens_col if tokens_col is not None else distinct_tokens_expr(text_col)
+    toks_str = tokens_col if tokens_col is not None else distinct_tokens_expr(text_col)
+    toks = F.transform(toks_str, lambda t: F.xxhash64(t))
     # NO .filter(__w.isNotNull()) here: the pushed-down predicate would
     # re-evaluate the (expensive) token expression a second time —
     # Catalyst has no CSE across the filter/project boundary (measured
@@ -376,26 +393,29 @@ def jaccard_pairs_blocked_matmul(
     # re-evaluate the whole tokenize+pack subtree once per join branch):
     # each doc in sub-block s explodes into every pair (min(s,t),
     # max(s,t)), tagged with which side of the pair it sits on; one
-    # groupBy packs both sides. A doc ships nsub times — the same
-    # volume the join formulation shuffles, in one shuffle, one pass.
-    doc = F.struct(F.col("__id").alias("i"), F.col("__w").alias("w"))
+    # groupBy packs ONE side-tagged list (cheaper than two NULL-padded
+    # lists — one aggregation buffer, no CaseWhen per doc). A doc ships
+    # nsub times — the same volume the join formulation shuffles, in
+    # one shuffle, one pass.
     exploded = salted.select(
         *key_cols,
-        doc.alias("__doc"),
         F.col("__sub"),
+        F.col("__id"),
+        F.col("__w"),
         F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1)).alias("__t"),
     )
     with_pair = exploded.select(
         *key_cols,
         F.least(F.col("__sub"), F.col("__t")).alias("pa"),
         F.greatest(F.col("__sub"), F.col("__t")).alias("pb"),
-        F.when(F.col("__sub") <= F.col("__t"), F.col("__doc")).alias("__doc_a"),
-        F.when(F.col("__sub") > F.col("__t"), F.col("__doc")).alias("__doc_b"),
+        F.struct(
+            (F.col("__sub") <= F.col("__t")).alias("s"),
+            F.col("__id").alias("i"),
+            F.col("__w").alias("w"),
+        ).alias("__doc"),
     )
-    # collect_list skips NULLs: each doc lands in exactly one side list
     joined = with_pair.groupBy(*key_cols, "pa", "pb").agg(
-        F.collect_list("__doc_a").alias("docs_a"),
-        F.collect_list("__doc_b").alias("docs_b"),
+        F.collect_list("__doc").alias("docs"),
     )
     out_schema = T.StructType(
         [
@@ -424,11 +444,15 @@ def jaccard_pairs_blocked_matmul(
         import pandas as pd
 
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                same = row["pa"] == row["pb"]
-                ids_a, ws_a, lens_a = _unpack(row["docs_a"])
+            for row in pdf.itertuples(index=False):
+                same = row.pa == row.pb
+                ids_a, ws_a, lens_a = _unpack(
+                    row.docs if same else [d for d in row.docs if d["s"]]
+                )
                 ids_b, ws_b, lens_b = (
-                    (ids_a, ws_a, lens_a) if same else _unpack(row["docs_b"])
+                    (ids_a, ws_a, lens_a)
+                    if same
+                    else _unpack([d for d in row.docs if not d["s"]])
                 )
                 if len(ids_a) == 0 or len(ids_b) == 0 or (same and len(ids_a) < 2):
                     continue
