@@ -58,13 +58,15 @@ class QueryStats:
     to post-score-filter survivors.
 
     The reference counts pruned vs evaluated CHUNKS; Spark's chunk
-    analog for a saved store is the Parquet file (row-group pruning
-    additionally happens inside the reader and has no SQL metric).
-    ``evaluated_chunks`` is the scan's ``numFiles`` metric —
-    files actually read after static/dynamic partition pruning —
-    and ``pruned_chunks`` = total store files − evaluated. Both are
-    None for in-memory stores (no files to prune) or if the executed
-    plan exposes no scan metrics."""
+    analog for a saved store is the Parquet ROW GROUP. When the store's
+    footers are readable, ``evaluated_chunks``/``pruned_chunks`` come
+    from evaluating the plan's CNF against each row group's min/max
+    zonemaps (hive partition values included as width-zero zonemaps) —
+    the same prune decision the Parquet reader makes from the pushed
+    filters, at the reference's granularity (src/meta_compute.rs:32-132).
+    Without footers (object stores), the coarser fallback is the scan's
+    ``numFiles`` metric vs total store files. Both fields are None for
+    in-memory stores (no chunks to prune)."""
 
     candidate_rows: int
     vectors_compared: int
@@ -108,6 +110,54 @@ def _scan_files_read(df: DataFrame) -> int | None:
         return state["total"] if state["found"] else None
     except Exception:
         return None
+
+
+# zonemap satisfiability: could ANY row in a chunk with stats
+# [mn, mx] satisfy ``col OP v``? NULL rows never satisfy a comparison,
+# so they cannot un-prune a chunk; string ops (contains/...) and
+# unknown types fall through to "possibly matches" (never prune on a
+# predicate we cannot reason about — pruning must be sound).
+_ZONEMAP_CAN_MATCH = {
+    "eq": lambda mn, mx, v: mn <= v <= mx,
+    "neq": lambda mn, mx, v: not (mn == v == mx),
+    "gt": lambda mn, mx, v: mx > v,
+    "gte": lambda mn, mx, v: mx >= v,
+    "lt": lambda mn, mx, v: mn < v,
+    "lte": lambda mn, mx, v: mn <= v,
+    "starts_with": lambda mn, mx, v: str(mn)[: len(v)] <= v <= str(mx)[: len(v)],
+}
+
+
+def _leaf_can_match(leaf, stats: dict) -> bool:
+    s = stats.get(leaf.column)
+    if s is None:
+        return True
+    fn = _ZONEMAP_CAN_MATCH.get(leaf.op)
+    if fn is None:
+        return True
+    mn, mx = s
+    v = leaf.value
+    if type(mn) is not type(v):
+        # hive partition values arrive as raw strings; anything else
+        # cross-typed is left unpruned (sound)
+        try:
+            mn, mx = type(v)(mn), type(v)(mx)
+        except (TypeError, ValueError):
+            return True
+    try:
+        return bool(fn(mn, mx, v))
+    except TypeError:
+        return True
+
+
+def _rowgroup_can_match(cnf: list, stats: dict) -> bool:
+    """CNF over zonemaps: every AND-clause needs at least one OR-leaf
+    that could match — the reference's per-chunk prune decision
+    (src/meta_compute.rs:32-132) evaluated on Parquet footer stats."""
+    for clause in cnf:
+        if not any(_leaf_can_match(leaf, stats) for leaf in clause):
+            return False
+    return True
 
 
 def _normalize_queries(queries: Any) -> list[list[float]] | None:
@@ -320,16 +370,33 @@ class VecQueryPlan:
         elapsed = time.perf_counter() - t0
         candidates = int(obs_c.get["n"])
         survivors = int(obs_s.get["n"])
-        evaluated = _scan_files_read(df)
-        pruned = None
-        if evaluated is not None:
-            # total chunk count: the store's file listing (cached by the
-            # relation; no extra Spark job)
-            try:
-                total = len(self._store.df.inputFiles())
-                pruned = max(total - evaluated, 0)
-            except Exception:
-                pruned = None
+        # chunk accounting at ROW-GROUP granularity when footers are
+        # readable (reference chunk ≈ row group): evaluate this plan's
+        # CNF against each row group's zonemaps — the same prune
+        # decision the Parquet reader makes from the pushed filters.
+        # Falls back to the scan's numFiles metric (files read vs store
+        # files) when no footer stats exist, and to None for in-memory
+        # stores.
+        evaluated = pruned = None
+        zonemaps = self._store.row_group_zonemaps()
+        if zonemaps:
+            cnf = [
+                clause
+                for compiled in getattr(self, "_compiled", [])
+                for clause in compiled.plan
+            ]
+            evaluated = sum(1 for s in zonemaps if _rowgroup_can_match(cnf, s))
+            pruned = len(zonemaps) - evaluated
+        else:
+            evaluated = _scan_files_read(df)
+            if evaluated is not None:
+                # total chunk count: the store's file listing (cached by
+                # the relation; no extra Spark job)
+                try:
+                    total = len(self._store.df.inputFiles())
+                    pruned = max(total - evaluated, 0)
+                except Exception:
+                    pruned = None
         stats = QueryStats(
             candidate_rows=candidates,
             vectors_compared=candidates * len(self._queries or []),

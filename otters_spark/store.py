@@ -123,6 +123,64 @@ class VecStore:
         # stats printers (src/meta.rs:547-565)
         self.last_build_stats = None
         self.last_query_stats = None
+        self._zonemap_cache: list[dict] | None | bool = False  # False = unread
+
+    def row_group_zonemaps(self) -> list[dict] | None:
+        """Per-ROW-GROUP (min, max) stats of the store's Parquet files —
+        the engine's literal zonemap table (reference chunk ≈ Parquet
+        row group, src/meta.rs:832-842). One dict per row group mapping
+        column → (min, max); hive partition directory values join in as
+        width-zero zonemaps (min = max = the partition value, as a raw
+        string — the evaluator coerces). None for in-memory stores,
+        object-store URIs, or when footers are unreadable. Footers are
+        read once per store, driver-side, and cached — the same
+        metadata read the reference's chunk index performs at build."""
+        if self._zonemap_cache is not False:
+            return self._zonemap_cache
+        self._zonemap_cache = self._read_zonemaps()
+        return self._zonemap_cache
+
+    def _read_zonemaps(self) -> list[dict] | None:
+        try:
+            import pyarrow.parquet as pq
+
+            files = self.df.inputFiles()
+        except Exception:
+            return None
+        if not files:
+            return None
+        out: list[dict] = []
+        for uri in files:
+            if uri.startswith("file:"):
+                path = uri[len("file:"):]
+                while path.startswith("//"):
+                    path = path[1:]
+            elif "://" in uri:
+                return None  # object store: no cheap local footer read
+            else:
+                path = uri
+            # hive-style key=value path segments act as zonemaps whose
+            # min == max == the partition value (string-typed here)
+            part: dict[str, tuple] = {}
+            for seg in path.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    if v != "__HIVE_DEFAULT_PARTITION__":
+                        part[k] = (v, v)
+            try:
+                meta = pq.ParquetFile(path).metadata
+            except Exception:
+                return None
+            for rg in range(meta.num_row_groups):
+                rgm = meta.row_group(rg)
+                stats = dict(part)
+                for ci in range(rgm.num_columns):
+                    colmeta = rgm.column(ci)
+                    st = colmeta.statistics
+                    if st is not None and st.has_min_max:
+                        stats[colmeta.path_in_schema] = (st.min, st.max)
+                out.append(stats)
+        return out or None
 
     @classmethod
     def from_df(

@@ -66,15 +66,17 @@ def test_zorder_layout_roundtrip(spark, sf_dir, tmp_path):
 def test_pruning_stats_on_saved_store(spark, sf_dir, tmp_path):
     """O19 parity: pruned/evaluated chunk counts (reference
     MetaQueryStats.pruned_chunks, src/meta.rs:832-842). The Spark chunk
-    analog is the Parquet file; a hive-partitioned store prunes at
-    planning time and the scan's numFiles metric records survivors."""
+    analog is the Parquet ROW GROUP: stats come from evaluating the
+    plan's CNF against footer zonemaps, with hive partition values as
+    width-zero zonemaps."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     store = MetaStore.from_df(emb, vec_col="embedding", id_col="vec_id")
     path = str(tmp_path / "pstore")
     store.save(path, partition_by=["label"])
     loaded = MetaStore.load(spark, path)
-    total = len(loaded.df.inputFiles())
-    assert total > 1
+    zm = loaded.row_group_zonemaps()
+    total = len(zm)
+    assert total >= len(loaded.df.inputFiles()) > 1
 
     from otters_spark import col
 
@@ -85,6 +87,10 @@ def test_pruning_stats_on_saved_store(spark, sf_dir, tmp_path):
     )
     assert stats.evaluated_chunks is not None and stats.evaluated_chunks < total
     assert stats.pruned_chunks == total - stats.evaluated_chunks > 0
+    # the partition-pruned chunk count equals the row groups under
+    # label=5 directories
+    expect = sum(1 for s in zm if s.get("label") == ("5", "5"))
+    assert stats.evaluated_chunks == expect
 
     # unfiltered: every chunk is evaluated, nothing pruned
     _, full = loaded.query(q, "cosine").take(5).collect_with_stats()
@@ -96,3 +102,33 @@ def test_pruning_stats_on_saved_store(spark, sf_dir, tmp_path):
     )
     _, mstats = mem.query([1.0, 0.0], "cosine").take(1).collect_with_stats()
     assert mstats.evaluated_chunks is None and mstats.pruned_chunks is None
+
+
+def test_row_group_pruning_within_one_file(spark, sf_dir, tmp_path):
+    """Row-group granularity beats the r2 file-level metric: a
+    single-partition sorted store written with tiny row groups must
+    report pruning on a range predicate even though every FILE is
+    touched — the case the file-level numFiles fallback scores as
+    zero pruned."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    store = MetaStore.from_df(emb, vec_col="embedding", id_col="vec_id")
+    path = str(tmp_path / "rgstore")
+    store.save(
+        path, sort_cols=["label"], partitions=1, row_group_bytes=16 * 1024
+    )
+    loaded = MetaStore.load(spark, path)
+    zm = loaded.row_group_zonemaps()
+    n_files = len(loaded.df.inputFiles())
+    assert len(zm) > n_files, "fixture must produce multiple row groups per file"
+
+    from otters_spark import col
+
+    q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    _, stats = (
+        loaded.query(q, "cosine").meta_filter(col("label").lt(2)).take(5)
+        .collect_with_stats()
+    )
+    # sorted layout: only the leading row group(s) can hold label < 2
+    assert stats.pruned_chunks > 0
+    assert stats.evaluated_chunks + stats.pruned_chunks == len(zm)
+    assert stats.evaluated_chunks < len(zm)
