@@ -9,9 +9,11 @@ import pytest
 from otters_spark.operators.multimodal import (
     attach_fake_payload,
     decode_audio,
+    decode_frames,
     decode_image,
     extract_features,
     frame_sample_plan,
+    resize_images,
 )
 
 
@@ -132,3 +134,79 @@ def test_resize_images_deterministic(spark):
     # custom resizer is a drop-in
     out2 = resize_images(media, 8, 8, resizer=lambda p, w, h: p[:4]).collect()
     assert all(r["payload"] is None or len(r["payload"]) == 4 for r in out2)
+
+
+def test_resize_images_real_pil_decoder(spark):
+    """Real-codec lane: the same resize_images plumbing with an actual
+    PIL decode→resize→encode resizer. Runs only where pillow is
+    installed (skipped in the codec-less sandbox); proves the stubbed
+    step is a drop-in boundary, not a design hole."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    def png_bytes(w, h, color):
+        buf = io.BytesIO()
+        PIL_Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    def pil_resizer(payload, w, h):
+        img = PIL_Image.open(io.BytesIO(payload)).convert("RGB").resize((w, h))
+        out = io.BytesIO()
+        img.save(out, format="PNG")
+        return out.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, png_bytes(64, 48, (255, 0, 0))), (2, None)],
+        "media_id long, payload binary",
+    )
+    out = {
+        r["media_id"]: r for r in resize_images(media, 16, 12, resizer=pil_resizer).collect()
+    }
+    resized = PIL_Image.open(io.BytesIO(bytes(out[1]["payload"])))
+    assert resized.size == (16, 12)
+    assert resized.convert("RGB").getpixel((0, 0)) == (255, 0, 0)
+    assert out[2]["payload"] is None
+
+
+def test_decode_frames_real_pyav_decoder(spark):
+    """Real-codec lane for the frame pipeline: decode_frames with a
+    PyAV-backed decoder over a genuine encoded video. Runs only where
+    av is installed (skipped in the codec-less sandbox)."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    def make_video(n_frames=3, fps=1):
+        buf = io.BytesIO()
+        container = av.open(buf, mode="w", format="mp4")
+        stream = container.add_stream("mpeg4", rate=fps)
+        stream.width, stream.height = 64, 48
+        stream.pix_fmt = "yuv420p"
+        for i in range(n_frames):
+            arr = np.full((48, 64, 3), i * 40, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+        container.close()
+        return buf.getvalue()
+
+    def pyav_decoder(payload, frame_ts_ms):
+        with av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            container.seek(
+                int(frame_ts_ms * av.time_base / 1000), any_frame=True
+            )
+            frame = next(container.decode(stream))
+            # luma mean as the frame signature
+            return int(frame.to_ndarray(format="gray").mean())
+
+    video = make_video()
+    media = spark.createDataFrame(
+        [(1, video, 3000)], "media_id long, payload binary, duration_ms long"
+    )
+    rows = decode_frames(media, every_ms=1000, decoder=pyav_decoder).collect()
+    assert len(rows) == 3
+    assert all(r["frame_sig"] is not None for r in rows)
