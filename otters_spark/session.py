@@ -1,10 +1,12 @@
 """SparkSession factory with engine defaults.
 
-Tuned for correctness parity (UTC session timezone, ANSI off so NaN
-score filtering matches the reference's silent NaN drop) and for scale
-(AQE on with skew handling, parquet pushdown + bloom filters, Arrow for
-the few pandas-UDF paths). On a real cluster the same configs apply; the
-master URL is the only local[...] artifact.
+Tuned for correctness parity (UTC session timezone; Spark 4's default
+ANSI mode stays ON — reference behaviors that differ, like the silent
+NaN score drop, are implemented as explicit plan steps, see
+plan.py:_build) and for scale (AQE on with skew handling, parquet
+pushdown + bloom filters, Arrow for the few pandas-UDF paths). On a
+real cluster the same configs apply; the master URL is the only
+local[...] artifact.
 """
 
 from __future__ import annotations
