@@ -54,6 +54,7 @@ __all__ = [
     "simhash_table",
     "simhash_pairs",
     "simhash_banded_pairs",
+    "edit_distance_pairs",
     "embedding_neardup_pairs",
     "semdedup",
     "connected_components",
@@ -849,6 +850,62 @@ def simhash_banded_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    max_edits: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level near-duplicate verification: bounded Levenshtein
+    over a candidate pair set — the second stage of the standard
+    two-stage char-level dedup (generator proposes, edit distance
+    decides). Returns (id_a, id_b, edits) for pairs within
+    ``max_edits``.
+
+    ``candidates`` is any (id_a, id_b) generator output —
+    :func:`minhash_lsh_candidates` for token-level blocking,
+    :func:`jaccard_pairs_blocked_matmul` over char shingles when the
+    target is char-level similarity (shingle threshold a notch below
+    the edit threshold, so the generator over-proposes slightly and
+    this stage trims).
+
+    Scale shape: texts join the candidate PAIRS by id (two hash joins
+    — text volume is candidates × doc length, which the generator's
+    selectivity already bounded), a ``|len_a − len_b| > max_edits``
+    prefilter eliminates pairs before any DP, and the verify is
+    Spark's THRESHOLDED ``levenshtein(l, r, k)`` — a banded
+    O(len · k) diagonal DP with early exit, not the full O(len²)
+    matrix (it returns -1 above k, which the filter drops together
+    with NULL texts). Never O(n²) in docs: pair volume is the
+    generator's, and each verify is linear in text length for fixed
+    ``max_edits``."""
+    if max_edits < 0:
+        raise ValueError(f"max_edits must be >= 0, got {max_edits}")
+    t = df.select(
+        F.col(id_col), F.col(text_col), F.length(text_col).alias("__l")
+    )
+    a = t.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("__ta"),
+        F.col("__l").alias("__la"),
+    )
+    b = t.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("__tb"),
+        F.col("__l").alias("__lb"),
+    )
+    return (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_edits)
+        .withColumn("edits", F.levenshtein(F.col("__ta"), F.col("__tb"), max_edits))
+        .filter((F.col("edits") >= 0) & (F.col("edits") <= max_edits))
+        .select("id_a", "id_b", "edits")
     )
 
 

@@ -2158,6 +2158,45 @@ ORDER BY 1, 2
 """
 
 
+def dedup_edit_distance_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup, two-stage: char-shingle similarity
+    (>= 0.8, the generator over-proposing a notch below the verify
+    bar) proposes candidate pairs, bounded Levenshtein (<= 200 edits,
+    Spark's thresholded banded DP — O(len·k), never the full matrix)
+    decides. The edit-distance verify is the metric token-set methods
+    cannot express: it sees transpositions, insertions and boilerplate
+    shifts at the character level. Deliberately FEW result rows — the
+    synthetic corpus has only a handful of true char-level near-dups,
+    and the oracle hash pins exactly those."""
+    from .operators.dedup import edit_distance_pairs, jaccard_pairs_blocked_matmul
+    from .functions.text import char_shingles_expr
+
+    docs = load(spark, sf_dir, "documents")
+    cand = jaccard_pairs_blocked_matmul(
+        docs, 0.8, block_cols=list(_BLOCKS), tokens_col=char_shingles_expr("text", 3)
+    )
+    return edit_distance_pairs(docs, cand, max_edits=200).orderBy("id_a", "id_b")
+
+
+DEDUP_EDIT_DISTANCE_VERIFIED_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, source, text, length(text) AS l,
+         list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS w
+  FROM documents),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.text AS ta, b.text AS tb, a.l AS la, b.l AS lb
+  FROM t a JOIN t b
+    ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+  WHERE len(list_intersect(a.w, b.w))::DOUBLE /
+        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8)
+SELECT id_a, id_b, levenshtein(ta, tb)::INTEGER AS edits
+FROM cand
+WHERE abs(la - lb) <= 200 AND levenshtein(ta, tb) <= 200
+ORDER BY 1, 2
+"""
+
+
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dups: |A∩B| / min(|A|,|B|) >= 0.9 within
     (lang, source) blocks — catches subset relationships (one doc
@@ -2855,6 +2894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_intersect_customers": rel_intersect_customers,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_simhash64_banded": dedup_simhash64_banded,
+    "dedup_edit_distance_verified": dedup_edit_distance_verified,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -2931,6 +2971,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_pack_sequences": PIPELINE_PACK_SEQUENCES_SQL,
     "dedup_simhash_banded": DEDUP_SIMHASH_BANDED_SQL,
     "dedup_simhash64_banded": DEDUP_SIMHASH64_BANDED_SQL,
+    "dedup_edit_distance_verified": DEDUP_EDIT_DISTANCE_VERIFIED_SQL,
     "neardup_embedding_pairs": NEARDUP_EMBEDDING_PAIRS_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,

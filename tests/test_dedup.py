@@ -394,3 +394,50 @@ def test_semdedup_planted_duplicates(spark):
     assert {100, 101, 102, 103}.isdisjoint(kept)  # copies dropped
     assert {0, 7} <= kept                          # representatives stay
     assert len(kept) == 30
+
+
+def test_edit_distance_pairs_planted(spark):
+    # planted char-level near-dups: b is a 3-edit mutation of a; c is
+    # unrelated; d is a transposition-heavy variant token methods
+    # mis-rank but edit distance sees as close
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "qvick").replace("lazy", "lazzy")),  # 2 edits
+        (3, "completely different text about cooking pasta with basil"),
+        (4, base[:20] + base[30:]),  # 10-char deletion
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # all-pairs candidates: the generator is not under test here
+    ids = docs.select("doc_id")
+    cand = (
+        ids.withColumnRenamed("doc_id", "id_a")
+        .crossJoin(ids.withColumnRenamed("doc_id", "id_b"))
+        .filter("id_a < id_b")
+    )
+    from otters_spark.operators.dedup import edit_distance_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["edits"]
+        for r in edit_distance_pairs(docs, cand, max_edits=12).collect()
+    }
+    assert got[(1, 2)] == 2
+    assert got[(1, 4)] == 10
+    assert (1, 3) not in got and (2, 3) not in got
+    assert not any(5 in p for p in got), "NULL text must produce no pairs"
+    # the bounded DP agrees with the unbounded metric on kept pairs
+    import itertools
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[-1]
+    texts = dict((r[0], r[1]) for r in rows)
+    for (ia, ib), e in got.items():
+        assert e == lev(texts[ia], texts[ib])
+
+    with pytest.raises(ValueError):
+        edit_distance_pairs(docs, cand, max_edits=-1)

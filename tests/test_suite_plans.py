@@ -27,6 +27,7 @@ ARROW_OK = {
     "sim_pandas_matmul_topk",
     "dedup_char_shingle_pairs",  # incidence-matmul kernel
     "dedup_containment_pairs",  # incidence-matmul kernel
+    "dedup_edit_distance_verified",  # shingle matmul candidate generator
 }
 
 # queries allowed an UNPARTITIONED window: only the two-phase binned
