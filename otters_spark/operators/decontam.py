@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import md5_long_expr, word_ngrams_expr
 
-__all__ = ["ngram_hashes", "contamination_report"]
+__all__ = [
+    "ngram_hashes",
+    "contamination_report",
+    "semantic_contamination_report",
+]
 
 
 def ngram_hashes(
@@ -59,5 +63,57 @@ def contamination_report(
         .agg(
             F.countDistinct("__h").alias("n_shared_ngrams"),
             F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+def semantic_contamination_report(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eval_vec_col: str | None = None,
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic complement of the
+    n-gram collision check: a train item whose embedding sits within
+    ``cosine >= threshold`` of ANY benchmark item is flagged even when
+    it shares no verbatim span (paraphrased eval leakage). Returns, per
+    contaminated train row, ``max_cosine`` (6 dp) and ``n_eval_hits``;
+    clean rows are absent — the report is the drop list.
+
+    Scale shape: the benchmark side is small by definition (eval sets
+    are thousands of rows, the corpus is billions), so it BROADCASTS
+    and scoring is a map-side nested-loop over each corpus partition —
+    one scan of the corpus, no shuffle until the per-train-id groupBy
+    (which AQE coalesces; its key is the train id, so it is as
+    parallel as the corpus). Cosine uses the engine's precomputed
+    inverse-norm convention (zero vectors score 0.0). For benchmark
+    sides too big to broadcast, generate candidates with the LSH
+    bucket machinery first (operators/similarity.py) and verify only
+    bucket collisions."""
+    from ..functions.vector import cosine_expr, inv_norm_expr
+
+    ev, ei = eval_vec_col or vec_col, eval_id_col or id_col
+    t = train_df.select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).alias("__v"),
+        inv_norm_expr(vec_col).alias("__iv"),
+    )
+    e = eval_df.select(
+        F.col(ei).alias("eval_id"),
+        F.col(ev).alias("__q"),
+        inv_norm_expr(ev).alias("__iq"),
+    )
+    scored = t.crossJoin(F.broadcast(e)).withColumn(
+        "__cos", cosine_expr("__v", "__q", F.col("__iv"), F.col("__iq"))
+    )
+    return (
+        scored.filter(F.col("__cos") >= threshold)
+        .groupBy("train_id")
+        .agg(
+            F.round(F.max("__cos"), 6).alias("max_cosine"),
+            F.count(F.lit(1)).alias("n_eval_hits"),
         )
     )

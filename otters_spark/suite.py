@@ -1908,6 +1908,32 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def pipeline_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: the benchmark set is the
+    embeddings with vec_id % 97 == 0 (synthesized in both engines),
+    and the report flags every corpus vector within cosine >= 0.4 of
+    any benchmark vector — the paraphrase-leakage check the n-gram
+    collision method (pipeline_decontaminate) cannot see. Benchmark
+    side broadcasts; scoring is one map-side pass over the corpus
+    (operators/decontam.py for the scale shape)."""
+    from .operators.decontam import semantic_contamination_report
+
+    emb = load(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    return semantic_contamination_report(emb, bench, 0.4).orderBy("train_id")
+
+
+PIPELINE_SEMANTIC_DECONTAM_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id AS eval_id, v FROM e WHERE vec_id % 97 = 0)
+SELECT e.vec_id AS train_id,
+       round(max(list_cosine_similarity(e.v, b.v)), 6) AS max_cosine,
+       count(*) AS n_eval_hits
+FROM e JOIN b ON list_cosine_similarity(e.v, b.v) >= 0.4
+GROUP BY e.vec_id ORDER BY train_id
+"""
+
+
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import duplicate_groups
 
@@ -2895,6 +2921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_simhash64_banded": dedup_simhash64_banded,
     "dedup_edit_distance_verified": dedup_edit_distance_verified,
+    "pipeline_semantic_decontam": pipeline_semantic_decontam,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -2972,6 +2999,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash_banded": DEDUP_SIMHASH_BANDED_SQL,
     "dedup_simhash64_banded": DEDUP_SIMHASH64_BANDED_SQL,
     "dedup_edit_distance_verified": DEDUP_EDIT_DISTANCE_VERIFIED_SQL,
+    "pipeline_semantic_decontam": PIPELINE_SEMANTIC_DECONTAM_SQL,
     "neardup_embedding_pairs": NEARDUP_EMBEDDING_PAIRS_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
