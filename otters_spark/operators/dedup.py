@@ -262,8 +262,13 @@ def tfidf_cosine_pairs(
     # n-gram terms, where the inlined tokenization re-evaluates per
     # element). Callers materialize heavy sub-exprs (e.g. split) as
     # real columns of ``df`` instead.
+    # terms become xxhash64 longs right after the Generate: the tf
+    # shuffle, the idf join and the postings self-join all key on one
+    # long instead of term bytes (identity is all they consume; the
+    # 2^-64 collision caveat from the matmul kernel applies)
     tf = (
-        df.select(F.col(id_col).alias("__id"), F.explode(terms).alias("__t"), *blocks)
+        df.select(F.col(id_col).alias("__id"), F.explode(terms).alias("__ts"), *blocks)
+        .select("__id", F.xxhash64("__ts").alias("__t"), *block_cols)
         .groupBy("__id", "__t", *block_cols)
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
