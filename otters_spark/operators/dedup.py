@@ -127,12 +127,13 @@ def jaccard_pairs(
     cross join and only sane on small tables. Returns
     (id_a, id_b, jaccard).
 
-    Tokens travel as xxhash64 values (identity is all the intersect
-    needs — half the join bytes, same result; the 2^-64-per-pair
-    collision caveat from :func:`jaccard_pairs_blocked_matmul`
-    applies)."""
-    toks_str = tokens_col if tokens_col is not None else distinct_tokens_expr(text_col)
-    toks = F.transform(toks_str, lambda x: F.xxhash64(x))
+    Tokens stay STRINGS here, unlike the keyed formulations: in the
+    array form the tokens are not a join key — the block join ships
+    whole arrays either way and the intersect runs post-join — so
+    per-element xxhash64 (an uncodegen'd HOF lambda, evaluated in both
+    join branches) costs more than it saves (measured 2× slower at
+    sf0.1 when tried)."""
+    toks = tokens_col if tokens_col is not None else distinct_tokens_expr(text_col)
     t = df.select(
         F.col(id_col).alias("__id"), toks.alias("__w"), *[F.col(c) for c in block_cols]
     )
