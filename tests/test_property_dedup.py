@@ -71,3 +71,63 @@ def test_salted_matmul_equals_join_random(spark, seed, cap):
         ).collect()
     }
     assert salted == exact
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, d[0] = d[0], i
+        for j, cb in enumerate(b, 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+    return d[-1]
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_edit_distance_pairs_match_python_reference(spark, seed):
+    """On random mutated corpora, the bounded Spark verify must return
+    exactly the pairs (and distances) an unbounded Python Levenshtein
+    finds under the threshold — including the length-prefilter edge
+    (|len diff| == max_edits) and mutations that push pairs just past
+    the bound."""
+    from otters_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(seed)
+    alphabet = "abcdef "
+    rows = []
+    for i in range(25):
+        if rng.random() < 0.4 and rows:
+            base = rows[rng.randrange(len(rows))][1] or "abc"
+            s = list(base)
+            for _ in range(rng.randrange(0, 8)):
+                op = rng.randrange(3)
+                pos = rng.randrange(len(s)) if s else 0
+                if op == 0 and s:
+                    s[pos] = rng.choice(alphabet)
+                elif op == 1:
+                    s.insert(pos, rng.choice(alphabet))
+                elif s:
+                    del s[pos]
+            text = "".join(s)
+        else:
+            text = "".join(rng.choice(alphabet) for _ in range(rng.randint(5, 30)))
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ids = docs.select("doc_id")
+    cand = (
+        ids.withColumnRenamed("doc_id", "id_a")
+        .crossJoin(ids.withColumnRenamed("doc_id", "id_b"))
+        .filter("id_a < id_b")
+    )
+    k = 5
+    got = {
+        (r["id_a"], r["id_b"]): r["edits"]
+        for r in edit_distance_pairs(docs, cand, max_edits=k).collect()
+    }
+    texts = dict(rows)
+    want = {}
+    for ia in range(25):
+        for ib in range(ia + 1, 25):
+            e = _py_levenshtein(texts[ia], texts[ib])
+            if e <= k:
+                want[(ia, ib)] = e
+    assert got == want
