@@ -1157,6 +1157,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # a clean corpus is the common case: no pairs → no components, and
+    # the propagation machinery (fused-round checkpoint + per-round
+    # convergence job) would still cost ~2 s of empty-job scheduling.
+    # The check reads the just-checkpointed partitions — no new shuffle.
+    if edges.isEmpty():
+        return edges.select(F.col("src").alias("id"), F.col("src").alias("component"))
     # fused first round: labels₁(v) = min(v, min neighbor) directly from
     # the edge list — one shuffle agg replaces the identity-label init
     # plus the first join round (dup clusters are near-cliques, so this
