@@ -55,6 +55,8 @@ __all__ = [
     "simhash_pairs",
     "simhash_banded_pairs",
     "edit_distance_pairs",
+    "frequent_segments",
+    "remove_frequent_segments",
     "embedding_neardup_pairs",
     "semdedup",
     "connected_components",
@@ -1222,3 +1224,130 @@ def keep_representatives(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# --- segment-level (line) dedup ------------------------------------------
+
+
+def _segments_expr(toks: F.Column, width: int) -> F.Column:
+    """Non-overlapping ``width``-token segments as an array of strings
+    (the trailing segment may be shorter). The line/paragraph analog
+    for corpora whose documents carry no newlines: CCNet-style line
+    dedup generalizes to any deterministic segmentation, and fixed
+    token windows are the deterministic choice here.
+
+    Takes a REAL token-array column, not a text column: the transform
+    lambda references the array ``width+1`` times per element, so an
+    inlined ``split`` would re-tokenize per segment after projection
+    collapse (the Generate-filter trap, see ``tfidf_cosine_pairs``)."""
+    n = F.size(toks)
+    nseg = F.ceil(n / F.lit(width)).cast("int")
+    segs = F.transform(
+        # sequence() counts DOWN when start > stop, so guard n == 0
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
+    )
+    return F.when(n > 0, segs).otherwise(F.array().cast("array<string>"))
+
+
+def _exploded_segments(
+    df: DataFrame, width: int, text_col: str, id_col: str, with_pos: bool
+) -> DataFrame:
+    base = df.select(
+        F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__w")
+    )
+    gen = (
+        F.posexplode(_segments_expr(F.col("__w"), width)).alias("__pos", "__seg")
+        if with_pos
+        else F.explode(_segments_expr(F.col("__w"), width)).alias("__seg")
+    )
+    return base.select("__id", gen)
+
+
+def frequent_segments(
+    df: DataFrame,
+    width: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency table of document segments: (segment, n_docs)
+    for every non-overlapping ``width``-token segment appearing in at
+    least ``min_docs`` DISTINCT documents.
+
+    Distinct-doc counting (not raw occurrence counting) is the robust
+    form: a segment repeated many times inside ONE document is
+    repetition (a quality gate's business, see
+    ``text_analysis.repetition_features``), while a segment shared
+    ACROSS documents is boilerplate. Work is one explode + a
+    (segment, doc) distinct + a map-side-combinable count — all hash
+    shuffles on the segment, no joins, no n² anywhere."""
+    segs = _exploded_segments(df, width, text_col, id_col, with_pos=False)
+    return (
+        segs.distinct()
+        .groupBy("__seg")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(min_docs))
+        .select(F.col("__seg").alias("segment"), "n_docs")
+    )
+
+
+def remove_frequent_segments(
+    df: DataFrame,
+    width: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate removal by corpus-level segment dedup (the CCNet
+    line-dedup shape: drop every line whose hash recurs across the
+    corpus, here over fixed ``width``-token segments because the test
+    corpus has no newlines — pass a different segmentation upstream
+    for real line-structured text).
+
+    Returns one row per input document that has at least one token:
+    (id, n_segments, n_dropped, cleaned) where ``cleaned`` is the
+    document text with every segment that occurs in >= ``min_docs``
+    distinct documents removed and the survivors re-joined in original
+    order. Docs whose text is NULL or empty produce no segments and
+    hence no row (same convention as ``minhash_signatures``).
+
+    Scale shape: segment stats from :func:`frequent_segments` (hash
+    shuffles only); the mark step joins exploded segments to the
+    frequent set on the segment string — the frequent set is the
+    heavy-hitter tail so it is NOT broadcast; AQE picks the strategy.
+    Reassembly is one groupBy(doc) with a bounded per-doc payload
+    (the document's own segments), so per-task memory is bounded by
+    the largest single document, never the corpus."""
+    freq = frequent_segments(df, width, min_docs, text_col, id_col)
+    segs = _exploded_segments(df, width, text_col, id_col, with_pos=True)
+    marked = segs.join(
+        freq.select(F.col("segment").alias("__seg"), F.lit(True).alias("__hot")),
+        "__seg",
+        "left",
+    ).select(
+        "__id",
+        "__pos",
+        "__seg",
+        F.coalesce(F.col("__hot"), F.lit(False)).alias("__drop"),
+    )
+    return (
+        marked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("__drop").cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("__pos", "__drop", "__seg"))
+                        ),
+                        lambda s: ~s["__drop"],
+                    ),
+                    lambda s: s["__seg"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+        .select(F.col("__id").alias(id_col), "n_segments", "n_dropped", "cleaned")
+    )

@@ -2257,6 +2257,84 @@ ORDER BY 1, 2
 """
 
 
+def dedup_frequent_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style segment-level boilerplate removal: drop every
+    non-overlapping 3-token segment that recurs in >= 2 distinct
+    documents, re-join survivors in order. The line-level-dedup
+    analog for a corpus without newlines — corpus-frequency stats are
+    pure hash shuffles (explode -> distinct -> count), never a pair
+    join."""
+    from .operators.dedup import remove_frequent_segments
+
+    out = remove_frequent_segments(
+        load(spark, sf_dir, "documents"), width=3, min_docs=2
+    )
+    return out.orderBy("doc_id")
+
+
+DEDUP_FREQUENT_SEGMENTS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT doc_id, i AS pos, array_to_string(w[(3*i+1):(3*i+3)], ' ') AS seg
+  FROM toks, UNNEST(range((len(w) + 2) // 3)) AS t(i)
+  WHERE len(w) > 0),
+freq AS (
+  SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+marked AS (
+  SELECT s.doc_id, s.pos, s.seg, f.seg IS NOT NULL AS dropped
+  FROM segs s LEFT JOIN freq f USING (seg))
+SELECT doc_id,
+       count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN seg END, ' ' ORDER BY pos),
+                '') AS cleaned
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def link_fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: a 10% probe split of the corpus
+    matched against the remaining 90%, each probe doc linked to its
+    single most word-trigram-Jaccard-similar counterpart at >= 0.5.
+    Candidates come from the shared-shingle inverted index (exact for
+    threshold > 0), the argmax from a bounded per-probe window."""
+    from .operators.linkage import fuzzy_best_match
+
+    docs = load(spark, sf_dir, "documents")
+    out = fuzzy_best_match(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        0.5,
+        ngram=3,
+    )
+    return out.select(
+        "left_id", "right_id", F.round("score", 6).alias("score")
+    ).orderBy("left_id")
+
+
+LINK_FUZZY_BEST_MATCH_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[(i+1):(i+3)], ' ')
+                        for i in range(len(w) - 2)]) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3),
+p AS (
+  SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+         len(list_intersect(l.g, r.g))::DOUBLE
+           / (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))) AS score
+  FROM g l, g r
+  WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 != 0)
+SELECT left_id, right_id, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY left_id
+                                   ORDER BY score DESC, right_id) AS rk
+      FROM p WHERE score >= 0.5)
+WHERE rk = 1
+ORDER BY left_id
+"""
+
+
 def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary extraction: top-50 tokens by document
     frequency (the tokenizer-building primitive) with total term
@@ -2929,6 +3007,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_edit_distance_verified": dedup_edit_distance_verified,
     "pipeline_semantic_decontam": pipeline_semantic_decontam,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
+    "dedup_frequent_segments": dedup_frequent_segments,
+    "link_fuzzy_best_match": link_fuzzy_best_match,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
     "sim_ivf_topk": sim_ivf_topk,
@@ -3011,5 +3091,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
     "sim_pandas_matmul_topk": SIM_PANDAS_MATMUL_TOPK_SQL,
     "sim_lsh_topk": SIM_LSH_TOPK_SQL,
+    "dedup_frequent_segments": DEDUP_FREQUENT_SEGMENTS_SQL,
+    "link_fuzzy_best_match": LINK_FUZZY_BEST_MATCH_SQL,
     # sim_ivf_topk: KMeans centroids are not SQL-reproducible — rows-only check
 }

@@ -1,0 +1,130 @@
+"""Fuzzy best-match join (operators/linkage.py) and segment-level
+dedup (operators/dedup.py: remove_frequent_segments)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from otters_spark.operators.dedup import frequent_segments, remove_frequent_segments
+from otters_spark.operators.linkage import fuzzy_best_match, fuzzy_join_candidates
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows], "doc_id long, text string"
+    )
+
+
+def _trigrams(text):
+    w = text.split(" ")
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+def _jac(a, b):
+    ga, gb = _trigrams(a), _trigrams(b)
+    return len(ga & gb) / len(ga | gb) if ga | gb else 0.0
+
+
+class TestFuzzyJoin:
+    def test_candidates_match_bruteforce(self, spark):
+        left = _docs(spark, [(0, "a b c d e f"), (1, "x y z w v u")])
+        right = _docs(
+            spark,
+            [
+                (10, "a b c d q r"),  # shares 2 of l0's grams
+                (11, "a b c d e f g"),  # shares all 4 of l0's grams
+                (12, "p q r s t u"),  # nothing shared with l0/l1
+            ],
+        )
+        got = {
+            (r.left_id, r.right_id): r.score
+            for r in fuzzy_join_candidates(left, right, 0.2).collect()
+        }
+        lt = {r.doc_id: r.text for r in left.collect()}
+        rt = {r.doc_id: r.text for r in right.collect()}
+        want = {
+            (li, ri): _jac(a, b)
+            for li, a in lt.items()
+            for ri, b in rt.items()
+            if _jac(a, b) >= 0.2
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    def test_best_match_argmax_and_threshold(self, spark):
+        left = _docs(spark, [(0, "a b c d e f")])
+        right = _docs(
+            spark,
+            [
+                (10, "a b c d q r"),
+                (11, "a b c d e f g"),
+                (12, "p q r s t u"),
+            ],
+        )
+        out = fuzzy_best_match(left, right, 0.2).collect()
+        assert len(out) == 1
+        assert (out[0].left_id, out[0].right_id) == (0, 11)
+        # threshold above the best score -> left row absent
+        assert fuzzy_best_match(left, right, 0.99).count() == 0
+
+    def test_tie_breaks_on_smaller_right_id(self, spark):
+        left = _docs(spark, [(0, "a b c d")])
+        # identical right docs -> identical scores; min right id wins
+        right = _docs(spark, [(20, "a b c z"), (10, "a b c z")])
+        out = fuzzy_best_match(left, right, 0.1).collect()
+        assert [(r.left_id, r.right_id) for r in out] == [(0, 10)]
+
+    def test_zero_threshold_rejected(self, spark):
+        d = _docs(spark, [(0, "a b c")])
+        with pytest.raises(ValueError):
+            fuzzy_join_candidates(d, d, 0.0)
+
+    def test_short_docs_never_match(self, spark):
+        left = _docs(spark, [(0, "a b")])  # < ngram tokens: empty shingle set
+        right = _docs(spark, [(10, "a b c")])
+        assert fuzzy_best_match(left, right, 0.1).count() == 0
+
+
+class TestFrequentSegments:
+    def test_stats_and_removal_hand_computed(self, spark):
+        # width=2 segments: d0 -> ["a b","c d"], d1 -> ["a b","e f"],
+        # d2 -> ["c d","x"]; "a b" in 2 docs, "c d" in 2 docs
+        docs = _docs(spark, [(0, "a b c d"), (1, "a b e f"), (2, "c d x")])
+        freq = {
+            r.segment: r.n_docs
+            for r in frequent_segments(docs, width=2, min_docs=2).collect()
+        }
+        assert freq == {"a b": 2, "c d": 2}
+        out = {
+            r.doc_id: r
+            for r in remove_frequent_segments(docs, width=2, min_docs=2).collect()
+        }
+        assert out[0].n_segments == 2 and out[0].n_dropped == 2
+        assert out[0].cleaned == ""
+        assert out[1].n_segments == 2 and out[1].n_dropped == 1
+        assert out[1].cleaned == "e f"
+        assert out[2].n_segments == 2 and out[2].n_dropped == 1
+        assert out[2].cleaned == "x"
+
+    def test_within_doc_repetition_not_boilerplate(self, spark):
+        # the same segment many times in ONE doc is repetition, not
+        # cross-doc boilerplate: distinct-doc counting keeps it
+        docs = _docs(spark, [(0, "a b a b a b"), (1, "c d e f")])
+        assert frequent_segments(docs, width=2, min_docs=2).count() == 0
+        out = {r.doc_id: r for r in remove_frequent_segments(docs, width=2).collect()}
+        assert out[0].n_dropped == 0 and out[0].cleaned == "a b a b a b"
+
+    def test_order_preserved_and_trailing_partial(self, spark):
+        # width=2 over 5 tokens -> trailing 1-token segment "e"
+        docs = _docs(spark, [(0, "a b c d e"), (1, "c d z w")])
+        out = {r.doc_id: r for r in remove_frequent_segments(docs, width=2).collect()}
+        assert out[0].n_segments == 3
+        assert out[0].cleaned == "a b e"  # "c d" dropped, order kept
+
+    def test_null_and_empty_text_absent(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=0, text="a b c d"), Row(doc_id=1, text=None)],
+            "doc_id long, text string",
+        )
+        ids = {r.doc_id for r in remove_frequent_segments(docs, width=2).collect()}
+        assert ids == {0}
