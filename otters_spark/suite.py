@@ -2899,18 +2899,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vs_per_query_topk": vs_per_query_topk,
     "rel_pricing_summary": rel_pricing_summary,
     "rel_shipping_priority": rel_shipping_priority,
-    "rel_local_supplier_volume": rel_local_supplier_volume,
     "rel_top_customers_per_nation": rel_top_customers_per_nation,
     "rel_scalar_functions": rel_scalar_functions,
-    "rel_pivot_priority": rel_pivot_priority,
     "rel_null_semantics": rel_null_semantics,
     "rel_rollup_revenue": rel_rollup_revenue,
     "sim_lsh_topk": sim_lsh_topk,
-    "rel_exists_subquery": rel_exists_subquery,
     "rel_percentiles": rel_percentiles,
     "rel_semi_anti_join": rel_semi_anti_join,
     "rel_predicate_pushdown": rel_predicate_pushdown,
-    "events_tumbling_window": events_tumbling_window,
     "events_sessionization": events_sessionization,
     "events_asof_attribution": events_asof_attribution,
     "events_asof_tolerance": events_asof_tolerance,
@@ -2939,14 +2935,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "sim_pandas_matmul_topk": sim_pandas_matmul_topk,
-    "dedup_simhash_banded": dedup_simhash_banded,
+    "dedup_simhash64_banded": dedup_simhash64_banded,
+    "dedup_edit_distance_verified": dedup_edit_distance_verified,
+    "pipeline_semantic_decontam": pipeline_semantic_decontam,
+    "dedup_frequent_segments": dedup_frequent_segments,
+    "link_fuzzy_best_match": link_fuzzy_best_match,
     # ---- registration order is load-bearing: the driver's correctness
     # harness records exactly 50 entries, dropping the tail, so the 50
     # highest-value oracle-paired queries come first. Round-3 rotation
     # (per the r2 verdict): the never-driver-checked r2 families —
     # events_asof_tolerance, events_gap_fill, text_unigram_logprob,
     # pipeline_pack_sequences, sim_scalar_quant — were promoted into
-    # the top-50 by demoting five family-redundant greens:
+    # the top-50, and later in round 3 the five r3-new families —
+    # dedup_simhash64_banded, dedup_edit_distance_verified,
+    # pipeline_semantic_decontam, dedup_frequent_segments,
+    # link_fuzzy_best_match — were promoted by demoting
+    # rel_local_supplier_volume (multi-join agg family green via
+    # rel_shipping_priority + rel_semi_anti_join),
+    # rel_pivot_priority (pivot lowers to groupBy + conditional agg —
+    # families green via rel_scalar_functions + rel_rollup_revenue),
+    # rel_exists_subquery (EXISTS compiles to the semi join the
+    # driver checks via rel_semi_anti_join),
+    # events_tumbling_window (tumbling-window machinery checked via
+    # its superset events_hypertable_rollup + events_sessionization),
+    # dedup_simhash_banded (same banded generator as the promoted
+    # 64-bit variant; 32-bit equivalence in tests/test_dedup.py).
+    # The original r2->r3 demotions:
     # rel_setop_customers (set-op family also covered by
     # rel_intersect_customers's sibling shape and r1/r2 green history),
     # rel_left_join_order_counts (outer-join family green via
@@ -2981,6 +2995,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # variant), rel_date_functions (date built-ins also exercised by
     # rel_scalar_functions and the events_* family); the rows-only
     # KMeans-based queries go last.
+    "rel_local_supplier_volume": rel_local_supplier_volume,
+    "rel_pivot_priority": rel_pivot_priority,
+    "rel_exists_subquery": rel_exists_subquery,
+    "events_tumbling_window": events_tumbling_window,
+    "dedup_simhash_banded": dedup_simhash_banded,
     "rel_setop_customers": rel_setop_customers,
     "rel_left_join_order_counts": rel_left_join_order_counts,
     "events_range_join_counts": events_range_join_counts,
@@ -3003,12 +3022,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_grouping_sets": rel_grouping_sets,
     "rel_intersect_customers": rel_intersect_customers,
     "dedup_simhash_pairs": dedup_simhash_pairs,
-    "dedup_simhash64_banded": dedup_simhash64_banded,
-    "dedup_edit_distance_verified": dedup_edit_distance_verified,
-    "pipeline_semantic_decontam": pipeline_semantic_decontam,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
-    "dedup_frequent_segments": dedup_frequent_segments,
-    "link_fuzzy_best_match": link_fuzzy_best_match,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
     "sim_ivf_topk": sim_ivf_topk,
