@@ -56,6 +56,8 @@ __all__ = [
     "simhash_banded_pairs",
     "edit_distance_pairs",
     "frequent_segments",
+    "incremental_dedup",
+    "incremental_dedup_matches",
     "remove_frequent_segments",
     "embedding_neardup_pairs",
     "semdedup",
@@ -648,6 +650,33 @@ def minhash_pairs(
     )
 
 
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    bands: int,
+    block_cols: Sequence[str],
+) -> DataFrame:
+    """(id, blocks..., band_id, band_hash): each signature split into
+    ``bands`` bands of ``n_hashes/bands`` rows, each band md5-hashed —
+    deterministic, so a DuckDB oracle rebuilds identical buckets."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, keep_cols=block_cols)
+    return sigs.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.md5(
+                    F.array_join(F.slice(F.col("signature"), bnd * rows + 1, rows), ",")
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -662,20 +691,7 @@ def minhash_lsh_candidates(
     generator: shuffle is on (band_id, band_hash) buckets, candidate
     count tracks bucket occupancy rather than n². Follow with an exact
     or signature-estimate re-score."""
-    rows = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, keep_cols=block_cols)
-    banded = sigs.select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.md5(
-                    F.array_join(F.slice(F.col("signature"), bnd * rows + 1, rows), ",")
-                ),
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    banded = _banded_signatures(df, text_col, id_col, n_hashes, bands, block_cols)
     keys = ["band_id", "band_hash", *block_cols]
     # alias self-join: the banded-signature subtree is computed once
     a, b = banded.alias("a"), banded.alias("b")
@@ -1351,3 +1367,99 @@ def remove_frequent_segments(
         )
         .select(F.col("__id").alias(id_col), "n_segments", "n_dropped", "cleaned")
     )
+
+
+# --- incremental (batch-vs-corpus) dedup ---------------------------------
+
+
+def incremental_dedup_matches(
+    new: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Verified near-dup matches of an ingest batch against an existing
+    corpus: (new_id, corpus_id, jaccard) for every new doc whose exact
+    word Jaccard with a corpus doc reaches ``threshold``, candidates
+    generated by BIPARTITE MinHash-LSH banding (same deterministic
+    banding as :func:`minhash_lsh_candidates`, joined new-vs-corpus
+    instead of self).
+
+    This is the production ingest-gate shape for a continuously
+    growing corpus: the corpus side's banded signatures are computed
+    once per batch (or maintained as a persisted signature table —
+    pass a pre-banded corpus through ``corpus_banded``-style caching
+    upstream if ingesting many batches), the join shuffles on
+    (band_id, band_hash) buckets so candidate count tracks bucket
+    occupancy, never |new| x |corpus|, and only candidates pay the
+    exact-verify token join."""
+    bn = _banded_signatures(new, text_col, id_col, n_hashes, bands, block_cols)
+    bc = _banded_signatures(corpus, text_col, id_col, n_hashes, bands, block_cols)
+    keys = ["band_id", "band_hash", *block_cols]
+    cand = (
+        bn.withColumnRenamed(id_col, "new_id")
+        .join(bc.withColumnRenamed(id_col, "corpus_id"), keys)
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    # token IDENTITY is all the verify intersect needs (the keyed
+    # convention of dedup_minhash_banded_verified)
+    def _toks(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.transform(
+                distinct_tokens_expr(text_col), lambda t: F.xxhash64(t)
+            ).alias(f"__w_{out}"),
+        )
+
+    return (
+        cand.join(_toks(new, "new_id"), "new_id")
+        .join(_toks(corpus, "corpus_id"), "corpus_id")
+        .withColumn("jaccard", jaccard_expr("__w_new_id", "__w_corpus_id"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+def incremental_dedup(
+    new: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Admit only the rows of ``new`` that are neither exact nor
+    near-duplicates (word Jaccard >= ``threshold``) of any ``corpus``
+    row. Returns surviving ``new`` rows with all their columns.
+
+    Two reject sets, unioned, then ONE anti-join: an md5 content-key
+    semi-join finds verbatim copies (a ~50 B/row shuffle at 100 TB),
+    and the banded near-dup gate of :func:`incremental_dedup_matches`
+    finds the rest. The exact gate is deliberately UNBLOCKED: with
+    ``block_cols`` set, the near gate only sees same-block candidates,
+    so the content-key pass is what still catches a verbatim copy
+    whose block metadata differs (same text relabeled to another
+    language/source). Both gates read ``new`` directly — chaining them
+    (near gate over the exact gate's survivors) replays the exact
+    gate's subtree into every consumer, tripling its shuffles, for no
+    change in the survivor set (rejects union either way). NULL-text
+    rows carry a NULL content key and no signature, so they always
+    survive — gate them with a quality filter upstream, not here."""
+    key = _content_key(text_col, normalize=False)
+    exact_ids = (
+        new.select(F.col(id_col), key.alias("__k"))
+        .join(corpus.select(key.alias("__k")).distinct(), "__k", "left_semi")
+        .select(id_col)
+    )
+    near_ids = incremental_dedup_matches(
+        new, corpus, threshold, text_col, id_col, n_hashes, bands, block_cols
+    ).select(F.col("new_id").alias(id_col))
+    rejected = exact_ids.union(near_ids).distinct()
+    return new.join(rejected, id_col, "left_anti")

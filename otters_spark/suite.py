@@ -2154,6 +2154,78 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ingest gate for a continuously growing corpus: a
+    ~14% 'new batch' (doc_id % 7 == 3; the synthetic dup clusters
+    preserve id mod 20, so a mod-7 split genuinely crosses them)
+    admitted against the remaining corpus. Exact md5 content-key anti-join first (unblocked — catches
+    cross-block verbatim copies), then bipartite MinHash-LSH banding
+    (2 bands of 8 within (lang, source)) with exact-Jaccard verify at
+    >= 0.8. Shuffles on band buckets, never |new| x |corpus|. Output:
+    per-language admitted counts + id checksum."""
+    from .operators.dedup import incremental_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    kept = incremental_dedup(
+        docs.filter(F.col("doc_id") % 7 == 3),
+        docs.filter(F.col("doc_id") % 7 != 3),
+        0.8,
+        n_hashes=16,
+        bands=2,
+        block_cols=list(_BLOCKS),
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+DEDUP_INCREMENTAL_INGEST_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(list_distinct(string_split(text, ' ')))), 1, 15))::BIGINT AS h
+  FROM documents),
+perm AS (SELECT i, c FROM (SELECT unnest({_minhash_perm_sql(16)}) AS c,
+                                  generate_subscripts({_minhash_perm_sql(16)}, 1) - 1 AS i)),
+mh AS (
+  SELECT doc_id, i, min(xor(xor(h, c), xor(h, c) >> 29)) AS mh
+  FROM tok CROSS JOIN perm GROUP BY doc_id, i),
+sig AS (
+  SELECT doc_id, list(mh ORDER BY i) AS s FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT s.doc_id, d.lang, d.source, b,
+         md5(array_to_string(s.s[b*8+1:b*8+8], ',')) AS bh
+  FROM sig s JOIN documents d ON d.doc_id = s.doc_id
+  CROSS JOIN range(2) r(b)),
+w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+near AS (
+  SELECT DISTINCT c.new_id FROM (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+    FROM bands a JOIN bands b
+      ON a.b = b.b AND a.bh = b.bh AND a.lang = b.lang AND a.source = b.source
+    WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 != 3) c
+  JOIN w wa ON wa.doc_id = c.new_id
+  JOIN w wb ON wb.doc_id = c.corpus_id
+  WHERE len(list_intersect(wa.w, wb.w))::DOUBLE /
+        (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) >= 0.8),
+exact AS (
+  SELECT DISTINCT n.doc_id FROM documents n
+  JOIN documents c ON md5(n.text) = md5(c.text) AND c.doc_id % 7 != 3
+  WHERE n.doc_id % 7 = 3),
+admitted AS (
+  SELECT * FROM documents
+  WHERE doc_id % 7 = 3
+    AND doc_id NOT IN (SELECT new_id FROM near)
+    AND doc_id NOT IN (SELECT doc_id FROM exact))
+SELECT lang, count(*)::BIGINT AS n_admitted, sum(doc_id)::BIGINT AS id_sum
+FROM admitted GROUP BY lang ORDER BY lang
+"""
+
+
 def dedup_char_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 3-gram shingle Jaccard near-dup pairs (>= 0.55), blocked
     by (lang, source) — catches edit-level near-dups that word-level
@@ -2927,7 +2999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_logprob": text_unigram_logprob,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "sim_scalar_quant": sim_scalar_quant,
-    "dedup_minhash_banded_verified": dedup_minhash_banded_verified,
+    "dedup_incremental_ingest": dedup_incremental_ingest,
     "dedup_char_shingle_pairs": dedup_char_shingle_pairs,
     "dedup_tfidf_cosine_pairs": dedup_tfidf_cosine_pairs,
     "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
@@ -2960,6 +3032,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # its superset events_hypertable_rollup + events_sessionization),
     # dedup_simhash_banded (same banded generator as the promoted
     # 64-bit variant; 32-bit equivalence in tests/test_dedup.py).
+    # dedup_minhash_banded_verified was demoted for
+    # dedup_incremental_ingest: pipeline_dedup_end_to_end composes the
+    # identical banding+verify stage and stays green in the top-50.
     # The original r2->r3 demotions:
     # rel_setop_customers (set-op family also covered by
     # rel_intersect_customers's sibling shape and r1/r2 green history),
@@ -3000,6 +3075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_exists_subquery": rel_exists_subquery,
     "events_tumbling_window": events_tumbling_window,
     "dedup_simhash_banded": dedup_simhash_banded,
+    "dedup_minhash_banded_verified": dedup_minhash_banded_verified,
     "rel_setop_customers": rel_setop_customers,
     "rel_left_join_order_counts": rel_left_join_order_counts,
     "events_range_join_counts": events_range_join_counts,
@@ -3089,6 +3165,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_jaccard_pairs": DEDUP_JACCARD_PAIRS_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "dedup_minhash_banded_verified": DEDUP_MINHASH_BANDED_VERIFIED_SQL,
+    "dedup_incremental_ingest": DEDUP_INCREMENTAL_INGEST_SQL,
     "dedup_char_shingle_pairs": DEDUP_CHAR_SHINGLE_PAIRS_SQL,
     "dedup_containment_pairs": DEDUP_CONTAINMENT_PAIRS_SQL,
     "text_vocabulary_topk": TEXT_VOCABULARY_TOPK_SQL,

@@ -441,3 +441,41 @@ def test_edit_distance_pairs_planted(spark):
 
     with pytest.raises(ValueError):
         edit_distance_pairs(docs, cand, max_edits=-1)
+
+
+def test_incremental_dedup_gates(spark):
+    from pyspark.sql import Row
+    from otters_spark.operators.dedup import incremental_dedup, incremental_dedup_matches
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19"
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=100, lang="en", text=base),
+            Row(doc_id=101, lang="en", text="q0 q1 q2 q3 q4 q5 q6 q7 q8 q9"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    near = base.replace("w19", "zz")  # 19/21 shared tokens -> jaccard ~0.905
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text=base),          # exact, same block
+            Row(doc_id=2, lang="de", text=base),          # exact, OTHER block
+            Row(doc_id=3, lang="en", text=near),          # near dup, same block
+            Row(doc_id=4, lang="de", text=near),          # near dup, other block: blocked gate misses it
+            Row(doc_id=5, lang="en", text="a0 a1 a2 a3 a4 a5 a6 a7"),  # novel
+            Row(doc_id=6, lang="en", text=None),          # NULL text survives
+        ],
+        "doc_id long, lang string, text string",
+    )
+    kept = incremental_dedup(new, corpus, 0.8, block_cols=["lang"])
+    assert {r.doc_id for r in kept.collect()} == {4, 5, 6}
+    assert set(kept.columns) == {"doc_id", "lang", "text"}
+
+    # unblocked near gate also catches the cross-block near dup
+    kept_unblocked = incremental_dedup(new, corpus, 0.8)
+    assert {r.doc_id for r in kept_unblocked.collect()} == {5, 6}
+
+    m = incremental_dedup_matches(new, corpus, 0.8).collect()
+    assert {(r.new_id, r.corpus_id) for r in m} >= {(3, 100), (4, 100)}
+    for r in m:
+        assert r.jaccard >= 0.8
