@@ -1230,14 +1230,48 @@ def keep_representatives(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    quality_col: str | None = None,
 ) -> DataFrame:
     """Drop near-duplicates: cluster ``pairs`` into components and keep
-    one representative (the min id) per component; rows never appearing
-    in any pair pass through untouched. The composition a corpus
-    pipeline runs after any pair generator."""
+    one representative per component; rows never appearing in any pair
+    pass through untouched. The composition a corpus pipeline runs
+    after any pair generator.
+
+    Default representative is the min id (cheap: it IS the component
+    label, no extra pass). With ``quality_col`` the HIGHEST-quality
+    member survives instead — the production policy when a quality
+    score exists (keep the cleanest copy, not the earliest-crawled) —
+    chosen per component via one bounded min_by aggregation (ties on
+    quality break to the smaller id for determinism; NULL quality
+    sorts last). Either way the work added on top of the pair
+    generator is the connected-components shuffle plus one
+    component-keyed agg — nothing scales with pair count squared."""
     comps = connected_components(pairs, id_a, id_b)
-    losers = comps.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    if quality_col is None:
+        losers = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    q = df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q"))
+    ranked = comps.join(q, "id").select(
+        "id",
+        "component",
+        # min_by over (-quality, id): max quality, then min id; NULL
+        # quality maps to +inf so it never wins over a scored member
+        F.struct(
+            F.coalesce(-F.col("__q").cast("double"), F.lit(float("inf"))).alias(
+                "__negq"
+            ),
+            F.col("id").alias("__tid"),
+        ).alias("__ord"),
+    )
+    winners = ranked.groupBy("component").agg(
+        F.min_by("id", "__ord").alias("__keep")
+    )
+    losers = (
+        ranked.join(winners, "component")
+        .filter(F.col("id") != F.col("__keep"))
+        .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
 

@@ -479,3 +479,35 @@ def test_incremental_dedup_gates(spark):
     assert {(r.new_id, r.corpus_id) for r in m} >= {(3, 100), (4, 100)}
     for r in m:
         assert r.jaccard >= 0.8
+
+
+def test_keep_representatives_by_quality(spark):
+    from pyspark.sql import Row
+    from otters_spark.operators.dedup import keep_representatives
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, q=0.2),   # cluster {1,2,3}: best q is doc 2
+            Row(doc_id=2, q=0.9),
+            Row(doc_id=3, q=0.9),   # ties with 2 -> smaller id (2) wins
+            Row(doc_id=10, q=None), # cluster {10,11}: NULL q never beats scored
+            Row(doc_id=11, q=0.1),
+            Row(doc_id=20, q=0.0),  # untouched singleton passes through
+        ],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11)],
+        "id_a long, id_b long",
+    )
+    by_q = {r.doc_id for r in keep_representatives(docs, pairs, quality_col="q").collect()}
+    assert by_q == {2, 11, 20}
+    # default stays min-id
+    by_id = {r.doc_id for r in keep_representatives(docs, pairs).collect()}
+    assert by_id == {1, 10, 20}
+    # all-NULL cluster still keeps exactly one member (min id)
+    docs2 = spark.createDataFrame(
+        [Row(doc_id=1, q=None), Row(doc_id=2, q=None)], "doc_id long, q double"
+    )
+    pairs2 = spark.createDataFrame([Row(id_a=1, id_b=2)], "id_a long, id_b long")
+    assert {r.doc_id for r in keep_representatives(docs2, pairs2, quality_col="q").collect()} == {1}
