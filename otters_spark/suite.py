@@ -2392,12 +2392,18 @@ WITH g AS (
                         for i in range(len(w) - 2)]) AS g
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
   WHERE len(w) >= 3),
-p AS (
+-- inverted-index candidates, the same exact-for-threshold>0
+-- formulation the engine uses (a pair sharing no trigram has
+-- similarity 0) -- NOT the all-pairs cross join, which is 200x slower
+-- and would misrepresent the baseline
+e AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM g),
+c AS (
   SELECT l.doc_id AS left_id, r.doc_id AS right_id,
-         len(list_intersect(l.g, r.g))::DOUBLE
-           / (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))) AS score
-  FROM g l, g r
-  WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 != 0)
+         count(*) AS c, any_value(l.n) AS nl, any_value(r.n) AS nr
+  FROM (SELECT * FROM e WHERE doc_id % 10 = 0) l
+  JOIN (SELECT * FROM e WHERE doc_id % 10 != 0) r USING (gram)
+  GROUP BY 1, 2),
+p AS (SELECT left_id, right_id, c::DOUBLE / (nl + nr - c) AS score FROM c)
 SELECT left_id, right_id, round(score, 6) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY left_id
                                    ORDER BY score DESC, right_id) AS rk
