@@ -23,6 +23,7 @@ __all__ = [
     "repetition_features",
     "chunk_passages",
     "unigram_logprob",
+    "bigram_logprob",
     "bm25_topk",
 ]
 
@@ -275,6 +276,83 @@ def unigram_logprob(
         ).alias("avg_neg_logprob"),
     )
     return scored
+
+
+def bigram_logprob(
+    df: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc cross-entropy under a corpus-trained bigram model with
+    add-k smoothing — the next member of the LM-perplexity quality
+    family after :func:`unigram_logprob` (CCNet filters on KenLM
+    n-gram perplexity; a corpus-trained bigram model is the
+    self-contained analog): P(cur|prev) = (c(prev,cur) + k) /
+    (c(prev) + k·V). Sequence structure matters here — shuffled or
+    repetitive word salad that fools unigram stats scores high.
+
+    Scale shape mirrors :func:`unigram_logprob`: one Generate off a
+    materialized token array (bigram pairs via zip_with of two
+    slices — no self-join on position), per-(doc, bigram) counts with
+    map-side combine, the corpus bigram and context tables as
+    aggregates OF THOSE COUNTS (never a second corpus scan), V as a
+    one-row broadcast. All counts stay integer until the final log,
+    so 6-dp rounding oracles cleanly.
+
+    The per-(doc, bigram) counts table has three consumers (the
+    per-doc join branch, the bigram rollup, the context rollup), and
+    Spark re-expands a shared subtree per consumer — a lazy
+    localCheckpoint pins it to ONE computation shared across all
+    three (measured 2.5x at sf0.1; same device as
+    ``dedup.connected_components``). Deliberately NOT a window
+    reformulation: sum-over-partitionBy(context) funnels every bigram
+    of a hot context word through one task, while groupBy keeps the
+    rollups map-side combinable."""
+    base = df.select(F.col(id_col), tokens_expr(text_col).alias("__w"))
+    n = F.size("__w")
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("__w"), 1, n - 1),
+            F.slice(F.col("__w"), 2, n - 1),
+            lambda a, b: F.struct(a.alias("p"), b.alias("c")),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:string,c:string>>"))
+    bg = base.select(F.col(id_col), F.explode(pairs).alias("__pc")).select(
+        F.col(id_col),
+        F.col("__pc.p").alias("__p"),
+        F.col("__pc.c").alias("__c2"),
+    )
+    tf = bg.groupBy(id_col, "__p", "__c2").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).localCheckpoint(eager=False)
+    bgc = tf.groupBy("__p", "__c2").agg(F.sum("__n").alias("__cbg"))
+    ctx = bgc.groupBy("__p").agg(F.sum("__cbg").alias("__cp"))
+    vocab = (
+        df.select(F.explode(distinct_tokens_expr(text_col)).alias("__t"))
+        .agg(F.count_distinct("__t").alias("__v"))
+    )
+    return (
+        tf.join(bgc, ["__p", "__c2"])
+        .join(ctx, "__p")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").cast("int").alias("n_bigrams"),
+            F.round(
+                -F.sum(
+                    F.col("__n")
+                    * F.log(
+                        (F.col("__cbg") + F.lit(k))
+                        / (F.col("__cp") + F.lit(k) * F.col("__v"))
+                    )
+                )
+                / F.sum("__n"),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )
 
 
 def chunk_passages(

@@ -1602,6 +1602,39 @@ ORDER BY avg_neg_logprob DESC, doc_id LIMIT 25
 """
 
 
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under a corpus-trained add-0.5-smoothed
+    bigram LM (the CCNet KenLM-perplexity quality filter's
+    self-contained analog; sequence-aware where the unigram member is
+    not). Returns the 25 most surprising docs."""
+    from .operators.text_analysis import bigram_logprob
+
+    out = bigram_logprob(load(spark, sf_dir, "documents"), k=0.5)
+    return out.orderBy(F.col("avg_neg_logprob").desc(), "doc_id").limit(25)
+
+
+TEXT_BIGRAM_LOGPROB_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, w[i] AS p, w[i+1] AS c
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2),
+tf AS (SELECT doc_id, p, c, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+bgc AS (SELECT p, c, sum(n) AS cbg FROM tf GROUP BY 1, 2),
+ctx AS (SELECT p, sum(cbg) AS cp FROM bgc GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT t) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents))
+SELECT doc_id,
+       CAST(sum(n) AS INTEGER) AS n_bigrams,
+       round(-sum(n * ln((cbg + 0.5) / (cp + 0.5 * v))) / sum(n), 6)
+         AS avg_neg_logprob
+FROM tf JOIN bgc USING (p, c) JOIN ctx USING (p), v
+GROUP BY doc_id
+ORDER BY avg_neg_logprob DESC, doc_id LIMIT 25
+"""
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline composition: quality-score the
     corpus, keep docs above threshold (0.4 ~ the top quartile of this
@@ -3104,6 +3137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_grouping_sets": rel_grouping_sets,
     "rel_intersect_customers": rel_intersect_customers,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "text_bigram_logprob": text_bigram_logprob,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -3162,6 +3196,7 @@ ORACLE_SQL: dict[str, str] = {
     "sim_scalar_quant": SIM_SCALAR_QUANT_SQL,
     "text_chunk_passages": TEXT_CHUNK_PASSAGES_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
+    "text_bigram_logprob": TEXT_BIGRAM_LOGPROB_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,

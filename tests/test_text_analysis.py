@@ -170,3 +170,49 @@ def test_bm25_rejects_empty_query(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         bm25_topk(df, [])
+
+
+def test_bigram_logprob_vs_python_reference(spark):
+    import math
+    from collections import Counter
+    from pyspark.sql import Row
+    from otters_spark.operators.text_analysis import bigram_logprob
+
+    texts = {
+        0: "a b a b c",
+        1: "a b c d",
+        2: "d d d d d d",
+        3: "x",            # single token: no bigrams -> no row
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    k = 0.5
+    bg = Counter()
+    for t in texts.values():
+        w = t.split(" ")
+        bg.update(zip(w[:-1], w[1:]))
+    ctx = Counter()
+    for (p, _), n in bg.items():
+        ctx[p] += n
+    vocab = {w for t in texts.values() for w in t.split(" ")}
+    V = len(vocab)
+
+    def ref(t):
+        w = t.split(" ")
+        ps = [
+            math.log((bg[(p, c)] + k) / (ctx[p] + k * V))
+            for p, c in zip(w[:-1], w[1:])
+        ]
+        return len(ps), round(-sum(ps) / len(ps), 6)
+
+    got = {r.doc_id: (r.n_bigrams, r.avg_neg_logprob) for r in bigram_logprob(df, k).collect()}
+    assert set(got) == {0, 1, 2}
+    for i in (0, 1, 2):
+        n, v = ref(texts[i])
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(v, abs=2e-6)
+    # repetitive word salad ("d d d ...") must score LOW surprise under
+    # the bigram model only if the corpus supports it -- here (d,d)
+    # dominates its own context, so doc 2 is the least surprising
+    assert got[2][1] == min(v for _, v in got.values())
