@@ -6,6 +6,8 @@ Spark's native readers/writers with engine conventions applied:
 
 * Parquet is the canonical store format (stats + bloom + sorted layout
   via ``MetaStore.save``);
+* ORC is the columnar interchange peer (stats-pruned scans like
+  parquet; bloom filters via ``orc.bloom.filter.columns``);
 * CSV/JSON are interchange formats — schema-explicit reads (inference
   is a full extra scan at 100 TB) and header/timestamp conventions
   pinned so round-trips are lossless where the format allows;
@@ -24,8 +26,10 @@ __all__ = [
     "read_table",
     "read_csv",
     "read_json",
+    "read_orc",
     "write_csv",
     "write_json",
+    "write_orc",
     "write_bucketed_table",
     "table_file_stats",
     "compact_table",
@@ -153,3 +157,19 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("timestampFormat", _TS_FMT).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC read — native vectorized reader; predicate pushdown works
+    the same as parquet (min/max stripe stats + optional blooms)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    bloom_cols: Sequence[str] = (),
+) -> None:
+    w = df.write.mode(mode)
+    if bloom_cols:
+        w = w.option("orc.bloom.filter.columns", ",".join(bloom_cols))
+    w.orc(path)

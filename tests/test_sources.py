@@ -103,3 +103,21 @@ def test_table_file_stats_and_compact(spark, tmp_path):
     assert len(after) == 1 and after[0]["n_rows"] == 10_000
     # content preserved
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    from otters_spark.sources import read_orc, write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, bloom_cols=["lang"])
+    back = read_orc(spark, path)
+    assert back.count() == docs.count()
+    assert dict(back.dtypes) == dict(docs.dtypes)
+    a = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert {r.doc_id for r in back.select("doc_id").collect()} == a
+    # predicate reaches the ORC scan
+    plan = (
+        back.filter(back.doc_id > 100)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in plan
