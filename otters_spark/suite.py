@@ -2952,6 +2952,23 @@ ORDER BY 1, 2
 """
 
 
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule training over the corpus (6 rounds): iterative
+    most-frequent-adjacent-pair merging from characters, ties broken
+    lexicographically. Rows-only check by design: the merge choice is
+    a data-dependent argmax per round (not SQL-expressible without
+    unrolling); correctness is pinned against a Python reference BPE
+    in tests/test_text_analysis.py."""
+    from .operators.text_analysis import train_bpe_merges
+
+    merges = train_bpe_merges(
+        load(spark, sf_dir, "documents"), n_merges=6, vocab_partitions=4
+    )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    ).orderBy("rank")
+
+
 def pipeline_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality filter end-to-end (the CCNet/RefinedWeb
     classifier step): synthesize a labeled seed set (real docs =
@@ -3139,6 +3156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "text_bigram_logprob": text_bigram_logprob,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
+    "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
     "sim_ivf_topk": sim_ivf_topk,
@@ -3226,4 +3244,6 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_frequent_segments": DEDUP_FREQUENT_SEGMENTS_SQL,
     "link_fuzzy_best_match": LINK_FUZZY_BEST_MATCH_SQL,
     # sim_ivf_topk: KMeans centroids are not SQL-reproducible — rows-only check
+    # text_bpe_train: iterative data-dependent argmax — rows-only; pinned
+    #   against a Python reference BPE in tests/test_text_analysis.py
 }

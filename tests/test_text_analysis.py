@@ -216,3 +216,47 @@ def test_bigram_logprob_vs_python_reference(spark):
     # the bigram model only if the corpus supports it -- here (d,d)
     # dominates its own context, so doc 2 is the least surprising
     assert got[2][1] == min(v for _, v in got.values())
+
+
+def test_train_bpe_merges_vs_python_reference(spark):
+    from collections import Counter
+    from pyspark.sql import Row
+    from otters_spark.operators.text_analysis import train_bpe_merges
+
+    texts = ["low low low lower lowest", "new newer newest low", "wider wide new"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    wc = Counter(w for t in texts for w in t.split(" "))
+    syms = {w: list(w) for w in wc}
+    want = []
+    for rank in range(8):
+        pc = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for a, b in zip(s[:-1], s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, c))
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+
+    got = train_bpe_merges(df, n_merges=8)
+    assert got == want
+
+    # exhaustion: single-char vocabulary runs dry before n_merges
+    tiny = spark.createDataFrame([Row(doc_id=0, text="a b a")], "doc_id long, text string")
+    m = train_bpe_merges(tiny, n_merges=5)
+    assert m == []
+
+    with pytest.raises(ValueError):
+        train_bpe_merges(df, n_merges=0)
