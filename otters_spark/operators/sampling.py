@@ -33,6 +33,7 @@ __all__ = [
     "hash_sample",
     "reservoir_per_group",
     "stratified_sample",
+    "temperature_mix",
     "select_to_token_budget",
     "pack_sequences",
 ]
@@ -246,4 +247,64 @@ def pack_sequences(
         .withColumn("start_offset", (F.col("__cb") - F.col("seq_start") * ctx_len).cast("long"))
         .withColumn("n_seqs", (F.col("seq_end") - F.col("seq_start") + 1).cast("long"))
         .drop("__bin", "__prior", "__cb", "__mx")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    total: int | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source re-weighting with rates computed FROM
+    the data (the standard pretraining mixture knob): target share of
+    group g is n_g^alpha / Σ_h n_h^alpha (alpha < 1 flattens the
+    mixture toward uniform, alpha = 1 keeps natural proportions), so
+    the sampling rate is min(1, total·w_g / (Σw · n_g)). No
+    upsampling: groups whose target exceeds their size cap at rate 1
+    (repeat epochs upstream if small sources must be over-represented).
+
+    Unlike :func:`stratified_sample` (caller supplies rates), the
+    rates here derive from group counts — one tiny groupBy, a one-row
+    broadcast of the weight sum, and a broadcast join back; the kept
+    predicate stays the scan-fused deterministic hash bucket.
+
+    Cross-engine determinism is engineered, not hoped for: weights
+    snap to integer micro-units (round(n^alpha · 1e6)), so the weight
+    SUM is exact integer arithmetic (float sums are
+    addition-order-dependent — partial aggregation order would
+    otherwise wobble rates by ULPs and flip rows near bucket edges),
+    and the final rate is one division of exactly-representable
+    integers. alpha = 0.5 uses sqrt (correctly rounded by IEEE 754 in
+    every engine, unlike pow)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    n = F.col("__n").cast("double")
+    w_expr = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    weighted = counts.select(
+        group_col,
+        "__n",
+        F.round(w_expr * 1_000_000).cast("long").alias("__w"),
+    )
+    tot_cols = [F.sum("__w").alias("__sw")]
+    if total is None:
+        tot_cols.append(F.sum("__n").alias("__t"))
+    totals = weighted.agg(*tot_cols)
+    if total is not None:
+        totals = totals.withColumn("__t", F.lit(int(total)))
+    rates = weighted.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("__t") * F.col("__w")).cast("double")
+            / (F.col("__sw") * F.col("__n")).cast("double"),
+        ).alias("__rate"),
+    )
+    edge = F.round(F.col("__rate") * _BUCKETS).cast("long")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(_bucket(F.col(key_col)) < edge)
+        .drop("__rate")
     )

@@ -1880,6 +1880,38 @@ GROUP BY source ORDER BY source
 """
 
 
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture re-weighting (alpha = 0.5): per-language
+    sampling rates computed FROM the corpus counts — share ∝ sqrt(n),
+    so the dominant language downsamples toward a flatter mixture and
+    small ones keep everything. Rates are integer-micro-unit exact, so
+    the hash-bucket kept-set is bit-identical cross-engine."""
+    from .operators.sampling import temperature_mix
+
+    kept = temperature_mix(load(spark, sf_dir, "documents"), "lang", 0.5)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("lang")
+    )
+
+
+PIPELINE_TEMPERATURE_MIX_SQL = """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+w AS (SELECT lang, n, CAST(round(sqrt(n) * 1000000) AS BIGINT) AS w FROM counts),
+tot AS (SELECT sum(w) AS sw, sum(n) AS t FROM w),
+rates AS (
+  SELECT lang, least(1.0, (t * w)::DOUBLE / (sw * n)::DOUBLE) AS rate
+  FROM w, tot),
+kept AS (
+  SELECT d.lang, d.doc_id FROM documents d JOIN rates r USING (lang)
+  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+        < CAST(round(r.rate * 10000) AS BIGINT))
+SELECT lang, count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS id_sum
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget curation: fill half the corpus token budget with
     the highest-quality documents (quality-desc cumulative token sum,
@@ -3155,6 +3187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_intersect_customers": rel_intersect_customers,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "text_bigram_logprob": text_bigram_logprob,
+    "pipeline_temperature_mix": pipeline_temperature_mix,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
@@ -3215,6 +3248,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_chunk_passages": TEXT_CHUNK_PASSAGES_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_bigram_logprob": TEXT_BIGRAM_LOGPROB_SQL,
+    "pipeline_temperature_mix": PIPELINE_TEMPERATURE_MIX_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,

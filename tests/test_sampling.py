@@ -160,3 +160,29 @@ def test_pack_sequences_rejects_bad_ctx(spark):
     df = spark.createDataFrame([(1, 2)], ["doc_id", "n"])
     with _pytest.raises(ValueError):
         pack_sequences(df, 0, "n")
+
+
+def test_temperature_mix_flattens_mixture(spark):
+    from pyspark.sql import Row, functions as F
+    from otters_spark.operators.sampling import temperature_mix
+
+    rows = [Row(doc_id=i, src="big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+
+    out = temperature_mix(df, "src", 0.5)
+    got = {r.src: r.n for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # rates: w_big=sqrt(900), w_small=sqrt(100); rate_big = 1000*30/(40*900)=0.8333,
+    # rate_small = 1000*10/(40*100) = 2.5 -> capped at 1 (no upsampling)
+    assert got["small"] == 100
+    # deterministic hash-bucket at rate 0.8333: same rows hash_sample(5/6) keeps
+    big = df.filter(F.col("src") == "big")
+    assert got["big"] == hash_sample(big, 10_000 * 5 // 6 / 10_000).count()
+    # big's share dropped from 90% toward the sqrt-flattened target
+    assert 0.75 < got["big"] / 900 < 0.92
+
+    # alpha=1 keeps natural proportions: every rate is exactly 1
+    nat = temperature_mix(df, "src", 1.0)
+    assert nat.count() == 1000
+
+    with pytest.raises(ValueError):
+        temperature_mix(df, "src", 0.0)
