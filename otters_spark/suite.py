@@ -3123,6 +3123,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_minhash_banded_verified was demoted for
     # dedup_incremental_ingest: pipeline_dedup_end_to_end composes the
     # identical banding+verify stage and stays green in the top-50.
+    # Newest tail entries (builder-harness green at 3 SFs, first in
+    # line for next round's rotation): text_bigram_logprob,
+    # pipeline_temperature_mix.
     # The original r2->r3 demotions:
     # rel_setop_customers (set-op family also covered by
     # rel_intersect_customers's sibling shape and r1/r2 green history),
