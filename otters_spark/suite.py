@@ -1880,6 +1880,85 @@ GROUP BY source ORDER BY source
 """
 
 
+def rel_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window RANGE frames over time: per-customer trailing-90-day
+    order-total sum/count at each order — the value-based frame
+    (interval lookback) that ROWS frames cannot express; date ties
+    all join the frame per RANGE semantics. Spark orders by epoch
+    seconds with a +/-seconds range (UTC session tz makes the ntz
+    cast lossless); the DuckDB twin uses the native INTERVAL frame —
+    same inclusive bounds."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("trail_sum"),
+            F.count(F.lit(1)).over(w).alias("trail_n"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+REL_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER w, 2) AS trail_sum,
+       count(*) OVER w AS trail_n
+FROM orders
+WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL '90 days' PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def rel_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): per-nation wide aggregate (acctbal sum, customer
+    count, max balance) unpivoted to long (nation, measure, value) —
+    the wide-to-long reshape feeding generic metric sinks. The melt
+    itself is a zero-shuffle Expand over the aggregated (tiny) table."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    wide = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"],
+        ["sum_acctbal", "n_customers", "max_acctbal"],
+        "measure",
+        "value",
+    ).orderBy("n_name", "measure")
+
+
+REL_UNPIVOT_MEASURES_SQL = """
+WITH wide AS (
+  SELECT n_name,
+         round(sum(c_acctbal), 2) AS sum_acctbal,
+         count(*)::DOUBLE AS n_customers,
+         round(max(c_acctbal), 2) AS max_acctbal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name, measure, value FROM (
+  SELECT n_name, 'sum_acctbal' AS measure, sum_acctbal AS value FROM wide
+  UNION ALL
+  SELECT n_name, 'n_customers', n_customers FROM wide
+  UNION ALL
+  SELECT n_name, 'max_acctbal', max_acctbal FROM wide)
+ORDER BY n_name, measure
+"""
+
+
 def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture re-weighting (alpha = 0.5): per-language
     sampling rates computed FROM the corpus counts — share ∝ sqrt(n),
@@ -3191,6 +3270,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "text_bigram_logprob": text_bigram_logprob,
     "pipeline_temperature_mix": pipeline_temperature_mix,
+    "rel_range_frame": rel_range_frame,
+    "rel_unpivot_measures": rel_unpivot_measures,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
@@ -3252,6 +3333,8 @@ ORACLE_SQL: dict[str, str] = {
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_bigram_logprob": TEXT_BIGRAM_LOGPROB_SQL,
     "pipeline_temperature_mix": PIPELINE_TEMPERATURE_MIX_SQL,
+    "rel_range_frame": REL_RANGE_FRAME_SQL,
+    "rel_unpivot_measures": REL_UNPIVOT_MEASURES_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,
