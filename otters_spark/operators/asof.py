@@ -84,8 +84,10 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join ``left`` to the most recent ``right`` row per key
-    (``direction="backward"``, the default: right.ts <= left.ts) or
-    the earliest following one (``"forward"``: right.ts >= left.ts).
+    (``direction="backward"``, the default: right.ts <= left.ts), the
+    earliest following one (``"forward"``: right.ts >= left.ts), or
+    whichever is closer in time (``"nearest"``, ties to the backward
+    match — pandas ``merge_asof`` direction set, complete).
 
     ``on``: equi-key columns present in both sides. ``right_cols``:
     right-side payload columns to carry (default: all non-key,
@@ -131,35 +133,59 @@ def asof_join(
         rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     rhs = rhs.select(*[F.col(c) for c in lhs.columns])
 
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward or forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward, forward or nearest, got {direction!r}"
+        )
     unioned = lhs.unionByName(rhs)
     # right rows sort BEFORE left rows at equal ts (side 0 < 1), so an
     # exactly-simultaneous reference row is visible to the probe row —
     # DuckDB ASOF `>=` semantics. Forward = the same scan over
-    # descending time.
-    ts_order = (
-        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
-    )
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_order, F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn("__c", F.last(F.col("__r"), ignorenulls=True).over(w))
+    # descending time. Nearest = both scans (one exchange, two sorts —
+    # the windows share the partitioning), then pick the closer match
+    # per probe row, ties to the backward side (pandas merge_asof).
+    def _carry(asc: bool) -> Column:
+        order = F.col(ts_col).asc() if asc else F.col(ts_col).desc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(order, F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(F.col("__r"), ignorenulls=True).over(w)
+
+    null_payload = F.lit(None).cast(dict(rhs.dtypes)["__r"])
+    if direction == "nearest":
+        cb, cf = F.col("__cb"), F.col("__cf")
+        gap_b = F.col(ts_col) - cb.getField(ts_col)
+        gap_f = cf.getField(ts_col) - F.col(ts_col)
+        carried = (
+            unioned.withColumn("__cb", _carry(asc=True))
+            .withColumn("__cf", _carry(asc=False))
+            .withColumn(
+                "__c",
+                F.when(cb.isNull(), cf)
+                .when(cf.isNull(), cb)
+                .when(gap_b <= gap_f, cb)
+                .otherwise(cf),
+            )
+        )
+    else:
+        carried = unioned.withColumn("__c", _carry(asc=direction == "backward"))
     out = carried.filter(F.col("__side") == 1)
     if tolerance is not None:
-        gap = (
-            F.col(ts_col) - F.col("__c").getField(ts_col)
-            if direction == "backward"
-            else F.col("__c").getField(ts_col) - F.col(ts_col)
-        )
-        within = gap <= tolerance
+        if direction == "nearest":
+            # |gap| as greatest of the two signed forms: abs() is not
+            # defined on intervals, greatest is
+            gap = F.greatest(
+                F.col(ts_col) - F.col("__c").getField(ts_col),
+                F.col("__c").getField(ts_col) - F.col(ts_col),
+            )
+        elif direction == "backward":
+            gap = F.col(ts_col) - F.col("__c").getField(ts_col)
+        else:
+            gap = F.col("__c").getField(ts_col) - F.col(ts_col)
         out = out.withColumn(
-            "__c",
-            F.when(within, F.col("__c")).otherwise(
-                F.lit(None).cast(dict(rhs.dtypes)["__r"])
-            ),
+            "__c", F.when(gap <= tolerance, F.col("__c")).otherwise(null_payload)
         )
     renames: list[Column] = [F.col(c) for c in left.columns]
     renames += [F.col("__c").getField(c).alias(f"{c}{suffix}") for c in payload]

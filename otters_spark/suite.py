@@ -1019,6 +1019,57 @@ ORDER BY p.event_id
 """
 
 
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (merge_asof direction='nearest'): each
+    purchase matched to the user's temporally CLOSEST view, before or
+    after, ties to the preceding one. DuckDB has no nearest ASOF, so
+    the oracle composes its backward and forward ASOF joins and picks
+    the closer match — the composition the operator fuses into one
+    exchange with two window scans."""
+    from .operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    joined = asof_join(
+        purchases, views, on=["user_id"], ts_col="ts", right_cols=[],
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("ts_asof").alias("view_ts_us"),
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_NEAREST_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts
+  FROM events WHERE event_type = 'view'),
+b AS (
+  SELECT p.event_id, v.ts AS bts
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+f AS (
+  SELECT p.event_id, v.ts AS fts
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts)
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(CASE
+         WHEN bts IS NULL THEN fts
+         WHEN fts IS NULL THEN bts
+         WHEN p.ts - bts <= fts - p.ts THEN bts
+         ELSE fts END) AS view_ts_us
+FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+ORDER BY p.event_id
+"""
+
+
 def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join (merge_asof direction='forward'): each view
     matched to the user's EARLIEST following purchase — the
@@ -3272,6 +3323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_temperature_mix": pipeline_temperature_mix,
     "rel_range_frame": rel_range_frame,
     "rel_unpivot_measures": rel_unpivot_measures,
+    "events_asof_nearest": events_asof_nearest,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
@@ -3335,6 +3387,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_temperature_mix": PIPELINE_TEMPERATURE_MIX_SQL,
     "rel_range_frame": REL_RANGE_FRAME_SQL,
     "rel_unpivot_measures": REL_UNPIVOT_MEASURES_SQL,
+    "events_asof_nearest": EVENTS_ASOF_NEAREST_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,

@@ -190,3 +190,47 @@ def test_gap_fill_null_group_key(spark):
         (None, 20): (1, 9.0),
         ("a", 0): (2, 5.0),
     }
+
+
+def test_asof_nearest_direction(spark):
+    from pyspark.sql import Row, functions as F
+    from otters_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, ts=10, lid=1), Row(k=1, ts=100, lid=2), Row(k=2, ts=5, lid=3)],
+        "k long, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=7, v="b"), Row(k=1, ts=12, v="f"), Row(k=1, ts=99, v="n")],
+        "k long, ts long, v string",
+    )
+    out = {
+        r.lid: (r.v_asof, r.ts_asof)
+        for r in asof_join(left, right, on=["k"], direction="nearest").collect()
+    }
+    # lid=1 at ts=10: backward 7 (gap 3) vs forward 12 (gap 2) -> forward
+    assert out[1] == ("f", 12)
+    # lid=2 at ts=100: backward 99 (gap 1) wins
+    assert out[2] == ("n", 99)
+    # k=2 has no right rows at all -> NULL payload
+    assert out[3] == (None, None)
+
+    # exact tie goes to the backward match (pandas semantics)
+    tie_r = spark.createDataFrame(
+        [Row(k=1, ts=8, v="before"), Row(k=1, ts=12, v="after")],
+        "k long, ts long, v string",
+    )
+    tied = asof_join(
+        left.filter(F.col("lid") == 1), tie_r, on=["k"], direction="nearest"
+    ).collect()[0]
+    assert (tied.v_asof, tied.ts_asof) == ("before", 8)
+
+    # tolerance bounds |gap| on the chosen side
+    tol = asof_join(
+        left.filter(F.col("lid") == 1), right, on=["k"],
+        direction="nearest", tolerance=1,
+    ).collect()[0]
+    assert tol.v_asof is None and tol.ts_asof is None
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, on=["k"], direction="sideways")
