@@ -131,3 +131,89 @@ def test_edit_distance_pairs_match_python_reference(spark, seed):
             if e <= k:
                 want[(ia, ib)] = e
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_remove_frequent_segments_vs_python_reference(spark, seed):
+    from collections import defaultdict
+
+    from otters_spark.operators.dedup import remove_frequent_segments
+
+    rows = [(i, t) for i, t, _, _ in _corpus(seed, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    width, min_docs = 2, 2
+    segs_by_doc: dict[int, list[str]] = {}
+    docs_per_seg: dict[str, set[int]] = defaultdict(set)
+    for i, t in rows:
+        if not t:
+            continue
+        w = t.split(" ")
+        segs = [" ".join(w[j : j + width]) for j in range(0, len(w), width)]
+        segs_by_doc[i] = segs
+        for s in segs:
+            docs_per_seg[s].add(i)
+    hot = {s for s, ds in docs_per_seg.items() if len(ds) >= min_docs}
+    want = {
+        i: (
+            len(segs),
+            sum(s in hot for s in segs),
+            " ".join(s for s in segs if s not in hot),
+        )
+        for i, segs in segs_by_doc.items()
+    }
+
+    got = {
+        r.doc_id: (r.n_segments, r.n_dropped, r.cleaned)
+        for r in remove_frequent_segments(df, width, min_docs).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_incremental_dedup_vs_bruteforce(spark, seed):
+    from otters_spark.operators.dedup import incremental_dedup
+
+    rows = _corpus(seed, 50)
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    new_rows = [r for r in rows if r[0] % 5 == 0]
+    corp_rows = [r for r in rows if r[0] % 5 != 0]
+    new = df.filter(df.doc_id % 5 == 0)
+    corpus = df.filter(df.doc_id % 5 != 0)
+
+    thr = 0.8
+
+    def jac(a, b):
+        if not a or not b:
+            return 0.0
+        sa, sb = set(a.split()), set(b.split())
+        return len(sa & sb) / len(sa | sb)
+
+    exact_dups, brute_survivors = set(), set()
+    for i, t, lang, src in new_rows:
+        if any(t is not None and t == ct for _, ct, _, _ in corp_rows):
+            exact_dups.add(i)
+        near = any(
+            lang == cl and src == cs and jac(t, ct) >= thr
+            for _, ct, cl, cs in corp_rows
+        )
+        if i not in exact_dups and not near:
+            brute_survivors.add(i)
+
+    got = {
+        r.doc_id
+        for r in incremental_dedup(
+            new, corpus, thr, block_cols=["lang", "source"]
+        ).collect()
+    }
+    # SOUND one-sided properties (LSH banding is a candidate generator:
+    # it may MISS a borderline near-dup pair, never invent one, so the
+    # operator can only over-admit relative to exhaustive brute force):
+    # 1. nothing the brute force admits is rejected (no false rejects)
+    assert got >= brute_survivors
+    # 2. verbatim copies are ALWAYS rejected (the exact gate is
+    #    deterministic, independent of banding recall)
+    assert not (got & exact_dups)
+    # 3. every extra admit beyond brute force is a banding recall miss
+    #    on a genuinely >= thr pair — i.e., it must NOT be exact
+    assert (got - brute_survivors) <= ({i for i, *_ in new_rows} - exact_dups)
