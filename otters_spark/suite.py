@@ -1931,6 +1931,40 @@ GROUP BY source ORDER BY source
 """
 
 
+def rel_statistical_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates per return flag: sample stddev,
+    Pearson correlation and sample covariance of (quantity, extended
+    price). Rounding is precision-aware, not uniform: corr is
+    scale-free (6 dp), stddev ~1e4 (2 dp), covar ~1e4 with a
+    sum-of-products accumulation whose float error grows with row
+    count (0 dp) — both engines accumulate in doubles but in
+    different orders, so the rounding budget is what absorbs the
+    order-dependence."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_sd"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 0).alias("qty_price_covar"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+REL_STATISTICAL_AGGREGATES_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(stddev_samp(l_extendedprice), 2) AS price_sd,
+       round(stddev_samp(l_quantity), 6) AS qty_sd,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 0) AS qty_price_covar
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def rel_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window RANGE frames over time: per-customer trailing-90-day
     order-total sum/count at each order — the value-based frame
@@ -3321,6 +3355,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "text_bigram_logprob": text_bigram_logprob,
     "pipeline_temperature_mix": pipeline_temperature_mix,
+    "rel_statistical_aggregates": rel_statistical_aggregates,
     "rel_range_frame": rel_range_frame,
     "rel_unpivot_measures": rel_unpivot_measures,
     "events_asof_nearest": events_asof_nearest,
@@ -3385,6 +3420,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_bigram_logprob": TEXT_BIGRAM_LOGPROB_SQL,
     "pipeline_temperature_mix": PIPELINE_TEMPERATURE_MIX_SQL,
+    "rel_statistical_aggregates": REL_STATISTICAL_AGGREGATES_SQL,
     "rel_range_frame": REL_RANGE_FRAME_SQL,
     "rel_unpivot_measures": REL_UNPIVOT_MEASURES_SQL,
     "events_asof_nearest": EVENTS_ASOF_NEAREST_SQL,
