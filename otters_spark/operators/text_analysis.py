@@ -25,6 +25,7 @@ __all__ = [
     "unigram_logprob",
     "bigram_logprob",
     "train_bpe_merges",
+    "apply_bpe_merges",
     "bm25_topk",
 ]
 
@@ -608,3 +609,65 @@ def train_bpe_merges(
         if checkpoint_every and (rank + 1) % checkpoint_every == 0:
             syms = syms.localCheckpoint(eager=False)
     return merges
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: Sequence[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize the corpus with a trained merge table (the inference
+    side of :func:`train_bpe_merges`): each word starts as characters,
+    then merges apply in rank order, each greedy left-to-right —
+    exactly the trainer's application semantics, so
+    train-then-apply round-trips.
+
+    This is the engine's canonical Arrow slow-path shape: a real merge
+    table is tens of thousands of rules, far past what a chained
+    Column expression can encode (codegen depth grows per rule), so
+    the kernel is an Arrow-batched ``mapInPandas`` with the rank-dict
+    closure shipped once per task — never row-at-a-time Python. The
+    stage is narrow (no shuffle; output partitioning = input
+    partitioning) and per-row cost is O(word_len · matches), the
+    standard tokenizer cost model."""
+    rules = [(m[1], m[2]) if len(m) >= 3 else (m[0], m[1]) for m in merges]
+    ranks = {pair: i for i, pair in enumerate(rules)}
+    out_schema = f"{id_col} long, {out_col} array<string>"
+
+    def _encode_word(word: str) -> list:
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            a, b = rules[best_rank]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks = [
+                None
+                if t is None
+                else [s for w in t.split(" ") if w for s in _encode_word(w)]
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: toks})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)

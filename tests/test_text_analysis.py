@@ -260,3 +260,29 @@ def test_train_bpe_merges_vs_python_reference(spark):
 
     with pytest.raises(ValueError):
         train_bpe_merges(df, n_merges=0)
+
+
+def test_apply_bpe_merges_roundtrip(spark):
+    from pyspark.sql import Row
+    from otters_spark.operators.text_analysis import apply_bpe_merges, train_bpe_merges
+
+    texts = ["low low low lower lowest", "new newer newest low", "wider wide new"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = train_bpe_merges(df, n_merges=6)
+    out = {r.doc_id: r.bpe_tokens for r in apply_bpe_merges(df, merges).collect()}
+
+    # fixpoint property: after full application no adjacent symbol
+    # pair may still match a learned rule (the encoder loops until no
+    # rule applies)
+    merged_pairs = {(m[1], m[2]) for m in merges}
+    for toks in out.values():
+        for a, b in zip(toks[:-1], toks[1:]):
+            assert (a, b) not in merged_pairs
+    # concatenation is lossless: joining symbols rebuilds each word
+    for i, t in enumerate(texts):
+        assert "".join(out[i]) == t.replace(" ", "")
+    # NULL text passes through as NULL tokens
+    nul = spark.createDataFrame([Row(doc_id=9, text=None)], "doc_id long, text string")
+    assert apply_bpe_merges(nul, merges).collect()[0].bpe_tokens is None
