@@ -303,8 +303,13 @@ def temperature_mix(
         ).alias("__rate"),
     )
     edge = F.round(F.col("__rate") * _BUCKETS).cast("long")
+    # null-safe group equality: groupBy keeps a NULL group, so the
+    # rates table has a NULL-keyed row — a plain equi-join would
+    # silently drop every NULL-group input row (the advisor's
+    # gap_fill/percentiles NULL-key class of bug)
+    r = rates.withColumnRenamed(group_col, "__g")
     return (
-        df.join(F.broadcast(rates), group_col)
+        df.join(F.broadcast(r), F.col(group_col).eqNullSafe(F.col("__g")))
         .filter(_bucket(F.col(key_col)) < edge)
-        .drop("__rate")
+        .drop("__g", "__rate")
     )

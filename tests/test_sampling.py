@@ -186,3 +186,19 @@ def test_temperature_mix_flattens_mixture(spark):
 
     with pytest.raises(ValueError):
         temperature_mix(df, "src", 0.0)
+
+
+def test_temperature_mix_null_group_kept(spark):
+    from pyspark.sql import Row, functions as F
+    from otters_spark.operators.sampling import temperature_mix
+
+    rows = [Row(doc_id=i, src="a" if i < 50 else None) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_mix(df, "src", 0.5)
+    got = {
+        (r.src, r.n)
+        for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # equal-size groups at alpha=0.5 -> both rates exactly 1; the NULL
+    # group must survive the rates join (null-safe equality)
+    assert got == {("a", 50), (None, 50)}
