@@ -3289,7 +3289,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # identical banding+verify stage and stays green in the top-50.
     # Newest tail entries (builder-harness green at 3 SFs, first in
     # line for next round's rotation): text_bigram_logprob,
-    # pipeline_temperature_mix.
+    # pipeline_temperature_mix, rel_statistical_aggregates,
+    # rel_range_frame, rel_unpivot_measures, events_asof_nearest.
     # The original r2->r3 demotions:
     # rel_setop_customers (set-op family also covered by
     # rel_intersect_customers's sibling shape and r1/r2 green history),

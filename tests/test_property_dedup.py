@@ -217,3 +217,46 @@ def test_incremental_dedup_vs_bruteforce(spark, seed):
     # 3. every extra admit beyond brute force is a banding recall miss
     #    on a genuinely >= thr pair — i.e., it must NOT be exact
     assert (got - brute_survivors) <= ({i for i, *_ in new_rows} - exact_dups)
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_fuzzy_best_match_vs_bruteforce(spark, seed):
+    from otters_spark.operators.linkage import fuzzy_best_match
+
+    rows = [(i, t) for i, t, _, _ in _corpus(seed, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    left_rows = [r for r in rows if r[0] % 4 == 0]
+    right_rows = [r for r in rows if r[0] % 4 != 0]
+    left = df.filter(df.doc_id % 4 == 0)
+    right = df.filter(df.doc_id % 4 != 0)
+
+    def grams(t):
+        if not t:
+            return set()
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    thr = 0.3
+    want = {}
+    for li, lt in left_rows:
+        best = None
+        for ri, rt in right_rows:
+            ga, gb = grams(lt), grams(rt)
+            if not ga or not gb:
+                continue
+            j = len(ga & gb) / len(ga | gb)
+            if j >= thr and (best is None or j > best[1] or (j == best[1] and ri < best[0])):
+                best = (ri, j)
+        if best:
+            want[li] = best
+
+    got = {
+        r.left_id: (r.right_id, r.score)
+        for r in fuzzy_best_match(left, right, thr).collect()
+    }
+    # EQUALITY is sound here (unlike LSH banding): the shared-shingle
+    # inverted index is exact for any threshold > 0
+    assert set(got) == set(want)
+    for li, (ri, j) in want.items():
+        assert got[li][0] == ri
+        assert got[li][1] == pytest.approx(j, abs=1e-12)
