@@ -17,6 +17,7 @@ __all__ = [
     "tokens_expr",
     "distinct_tokens_expr",
     "word_ngrams_expr",
+    "adjacent_pairs_expr",
     "md5_long_expr",
     "minhash_signature_expr",
     "simhash_expr",
@@ -57,6 +58,25 @@ def word_ngrams_expr(tokens, n: int) -> Column:
 
     grams = F.transform(F.sequence(F.lit(1), size - (n - 1)), gram)
     return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def adjacent_pairs_expr(tokens, left_name: str = "l", right_name: str = "r") -> Column:
+    """Adjacent (tokens[i], tokens[i+1]) pairs as an array of two-field
+    structs; fewer than two tokens yields a typed empty array (the
+    ``sequence()`` counts-down guard). Shared by the bigram LM and the
+    BPE pair counter — pass a REAL array column (see
+    ``word_ngrams_expr`` for the re-evaluation trap)."""
+    t = _c(tokens)
+    n = F.size(t)
+    pairs = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.struct(a.alias(left_name), b.alias(right_name)),
+    )
+    empty = F.array().cast(
+        f"array<struct<{left_name}:string,{right_name}:string>>"
+    )
+    return F.when(n >= 2, pairs).otherwise(empty)
 
 
 def md5_long_expr(x) -> Column:

@@ -57,6 +57,8 @@ __all__ = [
     "edit_distance_pairs",
     "frequent_segments",
     "incremental_dedup",
+    "prepare_ingest_corpus",
+    "PreparedCorpus",
     "incremental_dedup_matches",
     "remove_frequent_segments",
     "embedding_neardup_pairs",
@@ -1406,9 +1408,84 @@ def remove_frequent_segments(
 # --- incremental (batch-vs-corpus) dedup ---------------------------------
 
 
+class PreparedCorpus:
+    """Persisted corpus-side artifacts for the incremental ingest gate:
+    distinct content keys, banded signatures and token-hash arrays.
+    Build once with :func:`prepare_ingest_corpus` when gating MANY
+    batches against the same corpus (the streaming case) — passing a
+    raw DataFrame instead recomputes all three derivations per call,
+    which means re-scanning and re-hashing the whole corpus every
+    micro-batch. Call :meth:`unpersist` when the gate retires."""
+
+    def __init__(
+        self,
+        keys: DataFrame,
+        banded: DataFrame,
+        toks: DataFrame,
+        n_hashes: int,
+        bands: int,
+        block_cols: tuple,
+    ):
+        self.keys = keys
+        self.banded = banded
+        self.toks = toks
+        self.n_hashes = n_hashes
+        self.bands = bands
+        self.block_cols = block_cols
+
+    def persist(self) -> "PreparedCorpus":
+        for df in (self.keys, self.banded, self.toks):
+            df.persist()
+        return self
+
+    def unpersist(self) -> None:
+        for df in (self.keys, self.banded, self.toks):
+            df.unpersist()
+
+    def check(self, n_hashes: int, bands: int, block_cols: Sequence[str]) -> None:
+        got = (self.n_hashes, self.bands, tuple(self.block_cols))
+        want = (n_hashes, bands, tuple(block_cols))
+        if got != want:
+            raise ValueError(
+                f"PreparedCorpus built with (n_hashes, bands, block_cols)={got}, "
+                f"gate called with {want} — rebuild the artifacts"
+            )
+
+
+def prepare_ingest_corpus(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    block_cols: Sequence[str] = (),
+    persist: bool = True,
+) -> PreparedCorpus:
+    """Derive (and by default persist) the three corpus-side tables the
+    ingest gate needs, so repeated gating amortizes ONE corpus pass per
+    artifact instead of recomputing signatures every batch."""
+    key = _content_key(text_col, normalize=False)
+    pc = PreparedCorpus(
+        keys=corpus.select(key.alias("__k")).distinct(),
+        banded=_banded_signatures(
+            corpus, text_col, id_col, n_hashes, bands, block_cols
+        ).withColumnRenamed(id_col, "corpus_id"),
+        toks=corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            F.transform(
+                distinct_tokens_expr(text_col), lambda t: F.xxhash64(t)
+            ).alias("__w_corpus_id"),
+        ),
+        n_hashes=n_hashes,
+        bands=bands,
+        block_cols=tuple(block_cols),
+    )
+    return pc.persist() if persist else pc
+
+
 def incremental_dedup_matches(
     new: DataFrame,
-    corpus: DataFrame,
+    corpus: "DataFrame | PreparedCorpus",
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -1424,35 +1501,45 @@ def incremental_dedup_matches(
     instead of self).
 
     This is the production ingest-gate shape for a continuously
-    growing corpus: the corpus side's banded signatures are computed
-    once per batch (or maintained as a persisted signature table —
-    pass a pre-banded corpus through ``corpus_banded``-style caching
-    upstream if ingesting many batches), the join shuffles on
-    (band_id, band_hash) buckets so candidate count tracks bucket
-    occupancy, never |new| x |corpus|, and only candidates pay the
-    exact-verify token join."""
+    growing corpus: the join shuffles on (band_id, band_hash) buckets
+    so candidate count tracks bucket occupancy, never
+    |new| x |corpus|, and only candidates pay the exact-verify token
+    join. ``corpus`` may be a :class:`PreparedCorpus` (persisted
+    signature/token tables — build once per corpus snapshot when
+    gating many batches) or a raw DataFrame (derivations built
+    inline, recomputed per call)."""
+    if isinstance(corpus, PreparedCorpus):
+        corpus.check(n_hashes, bands, block_cols)
+        bc, ctoks = corpus.banded, corpus.toks
+    else:
+        bc = _banded_signatures(
+            corpus, text_col, id_col, n_hashes, bands, block_cols
+        ).withColumnRenamed(id_col, "corpus_id")
+        ctoks = corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            F.transform(
+                distinct_tokens_expr(text_col), lambda t: F.xxhash64(t)
+            ).alias("__w_corpus_id"),
+        )
     bn = _banded_signatures(new, text_col, id_col, n_hashes, bands, block_cols)
-    bc = _banded_signatures(corpus, text_col, id_col, n_hashes, bands, block_cols)
     keys = ["band_id", "band_hash", *block_cols]
     cand = (
         bn.withColumnRenamed(id_col, "new_id")
-        .join(bc.withColumnRenamed(id_col, "corpus_id"), keys)
+        .join(bc, keys)
         .select("new_id", "corpus_id")
         .distinct()
     )
     # token IDENTITY is all the verify intersect needs (the keyed
     # convention of dedup_minhash_banded_verified)
-    def _toks(df: DataFrame, out: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out),
-            F.transform(
-                distinct_tokens_expr(text_col), lambda t: F.xxhash64(t)
-            ).alias(f"__w_{out}"),
-        )
-
+    ntoks = new.select(
+        F.col(id_col).alias("new_id"),
+        F.transform(
+            distinct_tokens_expr(text_col), lambda t: F.xxhash64(t)
+        ).alias("__w_new_id"),
+    )
     return (
-        cand.join(_toks(new, "new_id"), "new_id")
-        .join(_toks(corpus, "corpus_id"), "corpus_id")
+        cand.join(ntoks, "new_id")
+        .join(ctoks, "corpus_id")
         .withColumn("jaccard", jaccard_expr("__w_new_id", "__w_corpus_id"))
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
@@ -1461,7 +1548,7 @@ def incremental_dedup_matches(
 
 def incremental_dedup(
     new: DataFrame,
-    corpus: DataFrame,
+    corpus: "DataFrame | PreparedCorpus",
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -1472,6 +1559,8 @@ def incremental_dedup(
     """Admit only the rows of ``new`` that are neither exact nor
     near-duplicates (word Jaccard >= ``threshold``) of any ``corpus``
     row. Returns surviving ``new`` rows with all their columns.
+    ``corpus`` may be a :class:`PreparedCorpus` to amortize the
+    corpus-side derivations across many batches.
 
     Two reject sets, unioned, then ONE anti-join: an md5 content-key
     semi-join finds verbatim copies (a ~50 B/row shuffle at 100 TB),
@@ -1487,9 +1576,14 @@ def incremental_dedup(
     rows carry a NULL content key and no signature, so they always
     survive — gate them with a quality filter upstream, not here."""
     key = _content_key(text_col, normalize=False)
+    ckeys = (
+        corpus.keys
+        if isinstance(corpus, PreparedCorpus)
+        else corpus.select(key.alias("__k")).distinct()
+    )
     exact_ids = (
         new.select(F.col(id_col), key.alias("__k"))
-        .join(corpus.select(key.alias("__k")).distinct(), "__k", "left_semi")
+        .join(ckeys, "__k", "left_semi")
         .select(id_col)
     )
     near_ids = incremental_dedup_matches(

@@ -294,12 +294,18 @@ def temperature_mix(
     totals = weighted.agg(*tot_cols)
     if total is not None:
         totals = totals.withColumn("__t", F.lit(int(total)))
+    # cast each factor BEFORE multiplying: long*long overflows int64
+    # (ANSI crash / silent wrap) once total*weight > 9.2e18 — a
+    # single-group corpus of only ~3M rows at alpha=1. Double products
+    # are exact below 2^53 and correctly rounded above it, and the
+    # oracle multiplies in DOUBLE the same way, so determinism holds
+    # at any scale.
     rates = weighted.crossJoin(F.broadcast(totals)).select(
         group_col,
         F.least(
             F.lit(1.0),
-            (F.col("__t") * F.col("__w")).cast("double")
-            / (F.col("__sw") * F.col("__n")).cast("double"),
+            (F.col("__t").cast("double") * F.col("__w").cast("double"))
+            / (F.col("__sw").cast("double") * F.col("__n").cast("double")),
         ).alias("__rate"),
     )
     edge = F.round(F.col("__rate") * _BUCKETS).cast("long")

@@ -10,7 +10,12 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.text import distinct_tokens_expr, fingerprint_expr, tokens_expr
+from ..functions.text import (
+    adjacent_pairs_expr,
+    distinct_tokens_expr,
+    fingerprint_expr,
+    tokens_expr,
+)
 
 __all__ = [
     "STOPWORDS",
@@ -312,15 +317,7 @@ def bigram_logprob(
     of a hot context word through one task, while groupBy keeps the
     rollups map-side combinable."""
     base = df.select(F.col(id_col), tokens_expr(text_col).alias("__w"))
-    n = F.size("__w")
-    pairs = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(F.col("__w"), 1, n - 1),
-            F.slice(F.col("__w"), 2, n - 1),
-            lambda a, b: F.struct(a.alias("p"), b.alias("c")),
-        ),
-    ).otherwise(F.array().cast("array<struct<p:string,c:string>>"))
+    pairs = adjacent_pairs_expr(F.col("__w"), "p", "c")
     bg = base.select(F.col(id_col), F.explode(pairs).alias("__pc")).select(
         F.col(id_col),
         F.col("__pc.p").alias("__p"),
@@ -561,7 +558,10 @@ def train_bpe_merges(
         .agg(F.count(F.lit(1)).alias("__wc"))
     )
     syms = words.select(
-        F.regexp_extract_all(F.col("__word"), F.lit("."), 0).alias("__s"),
+        # (?s): match ANY character including line terminators —
+        # a bare "." drops \n/\r, fabricating false adjacencies in
+        # training that the apply side (list(word)) would never see
+        F.regexp_extract_all(F.col("__word"), F.lit("(?s)."), 0).alias("__s"),
         "__wc",
     )
     if vocab_partitions:
@@ -570,15 +570,7 @@ def train_bpe_merges(
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
-        n = F.size("__s")
-        pairs = F.when(
-            n >= 2,
-            F.zip_with(
-                F.slice(F.col("__s"), 1, n - 1),
-                F.slice(F.col("__s"), 2, n - 1),
-                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-            ),
-        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        pairs = adjacent_pairs_expr(F.col("__s"), "l", "r")
         best = (
             syms.select(F.explode(pairs).alias("__p"), "__wc")
             .groupBy("__p.l", "__p.r")
@@ -632,18 +624,32 @@ def apply_bpe_merges(
     stage is narrow (no shuffle; output partitioning = input
     partitioning) and per-row cost is O(word_len · matches), the
     standard tokenizer cost model."""
-    rules = [(m[1], m[2]) if len(m) >= 3 else (m[0], m[1]) for m in merges]
+    # accept exactly the trainer's 4-tuples (rank, left, right, count)
+    # or bare (left, right) pairs — a 3-tuple is ambiguous ((rank,l,r)?
+    # (l,r,count)?) and silently misparsing one would degrade
+    # tokenization to characters with no error
+    rules = []
+    for m in merges:
+        if len(m) == 4:
+            rules.append((m[1], m[2]))
+        elif len(m) == 2:
+            rules.append((m[0], m[1]))
+        else:
+            raise ValueError(
+                f"merge rule must be (rank, left, right, count) or (left, right), got {m!r}"
+            )
     ranks = {pair: i for i, pair in enumerate(rules)}
-    out_schema = f"{id_col} long, {out_col} array<string>"
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, {out_col} array<string>"
 
     def _encode_word(word: str) -> list:
         syms = list(word)
         while len(syms) > 1:
-            best_rank, best_i = None, -1
+            best_rank = None
             for i in range(len(syms) - 1):
                 r = ranks.get((syms[i], syms[i + 1]))
                 if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
+                    best_rank = r
             if best_rank is None:
                 break
             a, b = rules[best_rank]

@@ -27,12 +27,14 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import DataStreamWriter
 
+from ..operators.dedup import PreparedCorpus, prepare_ingest_corpus
+
 __all__ = ["streaming_ingest_gate"]
 
 
 def streaming_ingest_gate(
     stream: DataFrame,
-    corpus: DataFrame,
+    corpus: "DataFrame | PreparedCorpus",
     admit: Callable[[DataFrame, int], None],
     threshold: float = 0.8,
     text_col: str = "text",
@@ -45,14 +47,31 @@ def streaming_ingest_gate(
     micro-batch against ``corpus`` with
     ``operators.dedup.incremental_dedup`` and hands the ADMITTED rows
     to ``admit(df, batch_id)``. Caller picks trigger/checkpoint and
-    calls ``.start()``."""
+    calls ``.start()``.
+
+    A raw ``corpus`` DataFrame is prepared ONCE here (content keys,
+    banded signatures and token arrays derived and persisted via
+    ``prepare_ingest_corpus``) — without that, every micro-batch
+    re-scans and re-hashes the entire static corpus and a short
+    trigger interval cannot keep up. Pass an existing
+    ``PreparedCorpus`` to share artifacts across gates;
+    ``unpersist()`` it when the gate retires (artifacts built here are
+    released when the session ends)."""
     from ..operators.dedup import incremental_dedup
+
+    prepared = (
+        corpus
+        if isinstance(corpus, PreparedCorpus)
+        else prepare_ingest_corpus(
+            corpus, text_col, id_col, n_hashes, bands, block_cols
+        )
+    )
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
         admit(
             incremental_dedup(
                 batch_df,
-                corpus,
+                prepared,
                 threshold,
                 text_col,
                 id_col,

@@ -2065,7 +2065,8 @@ WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
 w AS (SELECT lang, n, CAST(round(sqrt(n) * 1000000) AS BIGINT) AS w FROM counts),
 tot AS (SELECT sum(w) AS sw, sum(n) AS t FROM w),
 rates AS (
-  SELECT lang, least(1.0, (t * w)::DOUBLE / (sw * n)::DOUBLE) AS rate
+  SELECT lang,
+         least(1.0, (t::DOUBLE * w::DOUBLE) / (sw::DOUBLE * n::DOUBLE)) AS rate
   FROM w, tot),
 kept AS (
   SELECT d.lang, d.doc_id FROM documents d JOIN rates r USING (lang)

@@ -511,3 +511,28 @@ def test_keep_representatives_by_quality(spark):
     )
     pairs2 = spark.createDataFrame([Row(id_a=1, id_b=2)], "id_a long, id_b long")
     assert {r.doc_id for r in keep_representatives(docs2, pairs2, quality_col="q").collect()} == {1}
+
+
+def test_incremental_dedup_prepared_corpus_equivalence(spark):
+    from pyspark.sql import functions as F
+    from otters_spark.operators.dedup import (
+        incremental_dedup,
+        prepare_ingest_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+
+    kw = dict(n_hashes=16, bands=2, block_cols=["lang", "source"])
+    raw = {r.doc_id for r in incremental_dedup(new, corpus, 0.8, **kw).collect()}
+    pc = prepare_ingest_corpus(corpus, **kw)
+    try:
+        prepped = {r.doc_id for r in incremental_dedup(new, pc, 0.8, **kw).collect()}
+        assert prepped == raw and len(raw) > 0
+        # parameter mismatch must raise, not silently mismatch buckets
+        with pytest.raises(ValueError):
+            incremental_dedup(new, pc, 0.8, n_hashes=16, bands=4,
+                              block_cols=["lang", "source"])
+    finally:
+        pc.unpersist()
