@@ -1169,6 +1169,11 @@ def connected_components(
     plan does not grow with iterations — the standard Spark shape for
     convergent iteration. Raises after ``max_iter`` rounds without
     convergence (pathological chain longer than max_iter)."""
+    # the two-sided union references `pairs` twice, but both branches
+    # are the same canonical subtree, so ReusedExchange serves the
+    # second from the first's shuffle files (an explode-both-
+    # orientations single-scan variant measured the same at sf0.1 and
+    # reads worse)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
