@@ -1,3 +1,29 @@
-from . import dedup, multimodal, similarity, text_analysis
+from . import (
+    asof,
+    decontam,
+    dedup,
+    linkage,
+    multimodal,
+    pii,
+    quality_model,
+    sampling,
+    similarity,
+    skew,
+    stats,
+    text_analysis,
+)
 
-__all__ = ["dedup", "similarity", "text_analysis", "multimodal"]
+__all__ = [
+    "asof",
+    "decontam",
+    "dedup",
+    "linkage",
+    "multimodal",
+    "pii",
+    "quality_model",
+    "sampling",
+    "similarity",
+    "skew",
+    "stats",
+    "text_analysis",
+]
