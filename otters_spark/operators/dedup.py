@@ -60,6 +60,7 @@ __all__ = [
     "prepare_ingest_corpus",
     "PreparedCorpus",
     "incremental_dedup_matches",
+    "remove_duplicated_spans",
     "remove_frequent_segments",
     "embedding_neardup_pairs",
     "semdedup",
@@ -1596,3 +1597,87 @@ def incremental_dedup(
     ).select(F.col("new_id").alias(id_col))
     rejected = exact_ids.union(near_ids).distinct()
     return new.join(rejected, id_col, "left_anti")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup, the Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") shape adapted to
+    relational execution: any token whose position is covered by a
+    ``span_tokens``-token window appearing verbatim in at least
+    ``min_docs`` DISTINCT documents is removed from EVERY occurrence
+    (the paper's ExactSubstr policy — symmetric and deterministic; a
+    keep-one-copy policy is a pair-generator-plus-representatives
+    composition, not this operator). Any duplicated run of >=
+    ``span_tokens`` tokens necessarily contains a duplicated window,
+    so whole duplicated passages are scrubbed end-to-end; unlike
+    :func:`remove_frequent_segments` (fixed non-overlapping windows,
+    the line-dedup analog), the windows here OVERLAP (stride 1), so
+    detection is alignment-free.
+
+    Fully relational — no per-row quadratic scan and no suffix array:
+    overlapping window hashes (one Generate, len rows per doc), hot
+    windows by distinct-doc count (hash shuffles, map-combinable),
+    covered POSITIONS as hits x span offsets (bounded fan-out,
+    distinct), one (id, pos) join against the exploded tokens, and a
+    per-doc reassembly groupBy whose payload is the document's own
+    tokens. Returns (id, n_tokens, n_removed, cleaned); docs with no
+    tokens produce no row (the ``minhash_signatures`` convention)."""
+    if span_tokens < 2:
+        raise ValueError(f"span_tokens must be >= 2, got {span_tokens}")
+    base = df.select(F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__w"))
+    from ..functions.text import word_ngrams_expr
+
+    eg = base.select(
+        "__id", F.posexplode(word_ngrams_expr(F.col("__w"), span_tokens)).alias(
+            "__s0", "__g"
+        )
+    ).select("__id", (F.col("__s0") + 1).alias("__s"), F.xxhash64("__g").alias("__h"))
+    hot = (
+        eg.select("__h", "__id")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= F.lit(min_docs))
+        .select("__h")
+    )
+    cov = (
+        eg.join(hot, "__h")
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__s"), F.col("__s") + F.lit(span_tokens - 1))
+            ).alias("__p"),
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    tokpos = base.select(
+        "__id", F.posexplode("__w").alias("__p0", "__tok")
+    ).select("__id", (F.col("__p0") + 1).alias("__p"), "__tok")
+    marked = tokpos.join(cov, ["__id", "__p"], "left").select(
+        "__id", "__p", "__tok", F.coalesce(F.col("__hit"), F.lit(False)).alias("__rm")
+    )
+    return (
+        marked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__rm").cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(F.struct("__p", "__rm", "__tok"))),
+                        lambda s: ~s["__rm"],
+                    ),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "n_removed", "cleaned")
+    )

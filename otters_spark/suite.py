@@ -2595,6 +2595,49 @@ FROM marked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022 ExactSubstr, relational
+    form): every token covered by an 8-token window that appears
+    verbatim in >= 2 distinct documents is scrubbed from every
+    occurrence — overlapping windows make detection alignment-free,
+    unlike the fixed-window segment dedup."""
+    from .operators.dedup import remove_duplicated_spans
+
+    out = remove_duplicated_spans(
+        load(spark, sf_dir, "documents"), span_tokens=8, min_docs=2
+    )
+    return out.orderBy("doc_id")
+
+
+DEDUP_SPAN_REMOVAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+eg AS (
+  SELECT doc_id, i AS s, array_to_string(w[i:i+7], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - 6)) t(i)
+  WHERE len(w) >= 8),
+hot AS (
+  SELECT g FROM (SELECT DISTINCT doc_id, g FROM eg)
+  GROUP BY g HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT h.doc_id, h.s + o AS p
+  FROM (SELECT doc_id, s FROM eg JOIN hot USING (g)) h, UNNEST(range(8)) t(o)),
+tokpos AS (
+  SELECT doc_id, p, w[p] AS tok
+  FROM toks, UNNEST(range(1, len(w) + 1)) pp(p)
+  WHERE len(w) > 0),
+marked AS (
+  SELECT t.doc_id, t.p, t.tok, c.p IS NOT NULL AS rm
+  FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN rm THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY p),
+                '') AS cleaned
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def link_fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy join: a 10% probe split of the corpus
     matched against the remaining 90%, each probe doc linked to its
@@ -3291,7 +3334,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Newest tail entries (builder-harness green at 3 SFs, first in
     # line for next round's rotation): text_bigram_logprob,
     # pipeline_temperature_mix, rel_statistical_aggregates,
-    # rel_range_frame, rel_unpivot_measures, events_asof_nearest.
+    # rel_range_frame, rel_unpivot_measures, events_asof_nearest,
+    # dedup_span_removal (ExactSubstr).
     # The original r2->r3 demotions:
     # rel_setop_customers (set-op family also covered by
     # rel_intersect_customers's sibling shape and r1/r2 green history),
@@ -3361,6 +3405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_range_frame": rel_range_frame,
     "rel_unpivot_measures": rel_unpivot_measures,
     "events_asof_nearest": events_asof_nearest,
+    "dedup_span_removal": dedup_span_removal,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
@@ -3426,6 +3471,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_range_frame": REL_RANGE_FRAME_SQL,
     "rel_unpivot_measures": REL_UNPIVOT_MEASURES_SQL,
     "events_asof_nearest": EVENTS_ASOF_NEAREST_SQL,
+    "dedup_span_removal": DEDUP_SPAN_REMOVAL_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "pipeline_split_reservoir": PIPELINE_SPLIT_RESERVOIR_SQL,
