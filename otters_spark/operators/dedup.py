@@ -1657,13 +1657,20 @@ def remove_duplicated_spans(
         .distinct()
         .withColumn("__hit", F.lit(True))
     )
-    tokpos = base.select(
+    # reassemble ONLY hit docs (the tokpos explode + struct collect is
+    # the expensive stage, and a mostly-clean corpus hits a few % of
+    # docs); untouched docs pass through as one narrow projection —
+    # concat_ws(' ', split(text, ' ')) round-trips exactly, including
+    # empty tokens from repeated spaces
+    hit_ids = cov.select("__id").distinct()
+    touched_base = base.join(hit_ids, "__id", "left_semi")
+    tokpos = touched_base.select(
         "__id", F.posexplode("__w").alias("__p0", "__tok")
     ).select("__id", (F.col("__p0") + 1).alias("__p"), "__tok")
     marked = tokpos.join(cov, ["__id", "__p"], "left").select(
         "__id", "__p", "__tok", F.coalesce(F.col("__hit"), F.lit(False)).alias("__rm")
     )
-    return (
+    touched = (
         marked.groupBy("__id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -1679,5 +1686,17 @@ def remove_duplicated_spans(
                 " ",
             ).alias("cleaned"),
         )
-        .select(F.col("__id").alias(id_col), "n_tokens", "n_removed", "cleaned")
+    )
+    untouched = (
+        base.join(hit_ids, "__id", "left_anti")
+        .filter(F.col("__w").isNotNull())
+        .select(
+            "__id",
+            F.size("__w").cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_removed"),
+            F.concat_ws(" ", F.col("__w")).alias("cleaned"),
+        )
+    )
+    return touched.unionByName(untouched).select(
+        F.col("__id").alias(id_col), "n_tokens", "n_removed", "cleaned"
     )
