@@ -39,6 +39,7 @@ from ..functions.text import (
     simhash_expr,
     token_hashes_expr,
     tokens_expr,
+    word_ngrams_expr,
 )
 from ..functions.vector import cosine_expr, inv_norm_expr
 
@@ -1431,6 +1432,8 @@ class PreparedCorpus:
         n_hashes: int,
         bands: int,
         block_cols: tuple,
+        text_col: str = "text",
+        id_col: str = "doc_id",
     ):
         self.keys = keys
         self.banded = banded
@@ -1438,6 +1441,8 @@ class PreparedCorpus:
         self.n_hashes = n_hashes
         self.bands = bands
         self.block_cols = block_cols
+        self.text_col = text_col
+        self.id_col = id_col
 
     def persist(self) -> "PreparedCorpus":
         for df in (self.keys, self.banded, self.toks):
@@ -1448,13 +1453,22 @@ class PreparedCorpus:
         for df in (self.keys, self.banded, self.toks):
             df.unpersist()
 
-    def check(self, n_hashes: int, bands: int, block_cols: Sequence[str]) -> None:
-        got = (self.n_hashes, self.bands, tuple(self.block_cols))
-        want = (n_hashes, bands, tuple(block_cols))
+    def check(
+        self,
+        n_hashes: int,
+        bands: int,
+        block_cols: Sequence[str],
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        got = (self.n_hashes, self.bands, tuple(self.block_cols),
+               self.text_col, self.id_col)
+        want = (n_hashes, bands, tuple(block_cols), text_col, id_col)
         if got != want:
             raise ValueError(
-                f"PreparedCorpus built with (n_hashes, bands, block_cols)={got}, "
-                f"gate called with {want} — rebuild the artifacts"
+                "PreparedCorpus built with (n_hashes, bands, block_cols, "
+                f"text_col, id_col)={got}, gate called with {want} — "
+                "rebuild the artifacts"
             )
 
 
@@ -1485,6 +1499,8 @@ def prepare_ingest_corpus(
         n_hashes=n_hashes,
         bands=bands,
         block_cols=tuple(block_cols),
+        text_col=text_col,
+        id_col=id_col,
     )
     return pc.persist() if persist else pc
 
@@ -1514,19 +1530,14 @@ def incremental_dedup_matches(
     signature/token tables — build once per corpus snapshot when
     gating many batches) or a raw DataFrame (derivations built
     inline, recomputed per call)."""
-    if isinstance(corpus, PreparedCorpus):
-        corpus.check(n_hashes, bands, block_cols)
-        bc, ctoks = corpus.banded, corpus.toks
-    else:
-        bc = _banded_signatures(
-            corpus, text_col, id_col, n_hashes, bands, block_cols
-        ).withColumnRenamed(id_col, "corpus_id")
-        ctoks = corpus.select(
-            F.col(id_col).alias("corpus_id"),
-            F.transform(
-                distinct_tokens_expr(text_col), lambda t: F.xxhash64(t)
-            ).alias("__w_corpus_id"),
+    if not isinstance(corpus, PreparedCorpus):
+        # unpersisted artifacts are plain lazy DataFrames — same single
+        # source of truth for the derivations, zero extra cost
+        corpus = prepare_ingest_corpus(
+            corpus, text_col, id_col, n_hashes, bands, block_cols, persist=False
         )
+    corpus.check(n_hashes, bands, block_cols, text_col, id_col)
+    bc, ctoks = corpus.banded, corpus.toks
     bn = _banded_signatures(new, text_col, id_col, n_hashes, bands, block_cols)
     keys = ["band_id", "band_hash", *block_cols]
     cand = (
@@ -1582,11 +1593,12 @@ def incremental_dedup(
     rows carry a NULL content key and no signature, so they always
     survive — gate them with a quality filter upstream, not here."""
     key = _content_key(text_col, normalize=False)
-    ckeys = (
-        corpus.keys
-        if isinstance(corpus, PreparedCorpus)
-        else corpus.select(key.alias("__k")).distinct()
-    )
+    if not isinstance(corpus, PreparedCorpus):
+        corpus = prepare_ingest_corpus(
+            corpus, text_col, id_col, n_hashes, bands, block_cols, persist=False
+        )
+    corpus.check(n_hashes, bands, block_cols, text_col, id_col)
+    ckeys = corpus.keys
     exact_ids = (
         new.select(F.col(id_col), key.alias("__k"))
         .join(ckeys, "__k", "left_semi")
@@ -1631,8 +1643,6 @@ def remove_duplicated_spans(
     if span_tokens < 2:
         raise ValueError(f"span_tokens must be >= 2, got {span_tokens}")
     base = df.select(F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__w"))
-    from ..functions.text import word_ngrams_expr
-
     eg = base.select(
         "__id", F.posexplode(word_ngrams_expr(F.col("__w"), span_tokens)).alias(
             "__s0", "__g"

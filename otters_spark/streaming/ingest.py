@@ -15,9 +15,12 @@ What this gate does NOT do: intra-stream dedup. Two near-identical
 docs arriving in different micro-batches both pass if neither matches
 the corpus. Compose ``stateful.streaming_exact_dedup`` upstream for
 cross-batch exact dups; for cross-batch NEAR dups, fold admitted
-batches back into the corpus side between restarts (the corpus
-DataFrame is bound at query start — Spark re-reads files per batch
-only for simple file sources, so treat it as a snapshot).
+batches back into the corpus and rebuild the ``PreparedCorpus``
+between restarts. The corpus side is a SNAPSHOT by construction: the
+gate persists its derived artifacts (keys/signatures/tokens) once at
+gate build, so files appended to a corpus directory mid-stream are
+deliberately NOT picked up — a gate whose reference set silently
+shifts under a running query is not reproducible.
 """
 
 from __future__ import annotations
@@ -66,6 +69,10 @@ def streaming_ingest_gate(
             corpus, text_col, id_col, n_hashes, bands, block_cols
         )
     )
+    # fail fast at gate construction: a parameter mismatch raising
+    # inside foreachBatch would kill the whole streaming query at the
+    # first micro-batch instead of here
+    prepared.check(n_hashes, bands, block_cols, text_col, id_col)
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
         admit(

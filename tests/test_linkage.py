@@ -128,57 +128,3 @@ class TestFrequentSegments:
         )
         ids = {r.doc_id for r in remove_frequent_segments(docs, width=2).collect()}
         assert ids == {0}
-
-
-class TestDuplicatedSpans:
-    def test_hand_computed(self, spark):
-        from otters_spark.operators.dedup import remove_duplicated_spans
-
-        shared = "s1 s2 s3 s4"  # 4-token span shared verbatim by docs 0/1
-        docs = _docs(
-            spark,
-            [
-                (0, f"a b {shared} c d"),
-                (1, f"x {shared} y z w"),
-                (2, "p q r s t u v"),  # untouched
-            ],
-        )
-        out = {
-            r.doc_id: r
-            for r in remove_duplicated_spans(docs, span_tokens=4, min_docs=2).collect()
-        }
-        assert (out[0].n_tokens, out[0].n_removed, out[0].cleaned) == (8, 4, "a b c d")
-        assert (out[1].n_tokens, out[1].n_removed, out[1].cleaned) == (8, 4, "x y z w")
-        assert (out[2].n_tokens, out[2].n_removed, out[2].cleaned) == (
-            7, 0, "p q r s t u v",
-        )
-
-    def test_overlapping_windows_cover_long_runs(self, spark):
-        from otters_spark.operators.dedup import remove_duplicated_spans
-
-        # a 6-token duplicated run with span=4: overlapping windows must
-        # cover ALL 6 positions (alignment-free), not just the first 4
-        run = "r1 r2 r3 r4 r5 r6"
-        docs = _docs(spark, [(0, f"a {run} b"), (1, f"{run} q q q")])
-        out = {r.doc_id: r for r in remove_duplicated_spans(docs, 4, 2).collect()}
-        assert out[0].cleaned == "a b" and out[0].n_removed == 6
-        assert out[1].cleaned == "q q q" and out[1].n_removed == 6
-
-    def test_within_doc_repetition_not_flagged(self, spark):
-        from otters_spark.operators.dedup import remove_duplicated_spans
-
-        # the same window twice in ONE doc is repetition, not cross-doc
-        # duplication: distinct-doc counting leaves it alone
-        docs = _docs(spark, [(0, "a b c d a b c d"), (1, "x y z w v u t s")])
-        out = {r.doc_id: r for r in remove_duplicated_spans(docs, 4, 2).collect()}
-        assert out[0].n_removed == 0 and out[1].n_removed == 0
-
-    def test_short_docs_and_validation(self, spark):
-        import pytest
-        from otters_spark.operators.dedup import remove_duplicated_spans
-
-        docs = _docs(spark, [(0, "a b"), (1, "a b")])  # shorter than span
-        out = {r.doc_id: r for r in remove_duplicated_spans(docs, 4, 2).collect()}
-        assert out[0].n_removed == 0 and out[0].cleaned == "a b"
-        with pytest.raises(ValueError):
-            remove_duplicated_spans(docs, span_tokens=1)
