@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: replicate the sf0.1 documents table 10x
+(ids shifted per replica, one varied token per replica so replicas are
+near-dups rather than exact copies — the workload gets DENSER, not
+just bigger) and time the headline dedup/linkage suite queries at both
+scales in one session.
+
+Usage:  python scripts/scale_probe.py [replicas]
+
+Checks the claim SCALE.md makes qualitatively: the pair generators are
+bucketed/blocked, so wall time grows far sub-linearly in corpus size
+while the pair OUTPUT (inherently quadratic in dup-cluster size) can
+grow super-linearly.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+QUERIES = [
+    "dedup_minhash_banded_verified",
+    "dedup_frequent_segments",
+    "dedup_span_removal",
+    "link_fuzzy_best_match",
+    "dedup_incremental_ingest",
+]
+
+
+def main() -> int:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from otters_spark.session import get_spark
+    from otters_spark import suite
+
+    spark = get_spark(app_name="otters-scale-probe")
+    spark.range(10).count()
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+
+    reps = [
+        docs.select(
+            (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.lit(f"rep{k}")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for k in range(replicas)
+    ]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    tmp = tempfile.mkdtemp(prefix="otters_scale_probe_")
+    big.write.parquet(f"{tmp}/documents.parquet")
+    n_small = docs.count()
+    n_big = spark.read.parquet(f"{tmp}/documents.parquet").count()
+    print(f"probe corpus: {n_small} -> {n_big} docs ({replicas}x)")
+
+    for q in QUERIES:
+        t = time.time()
+        r1 = suite.QUERIES[q](spark, base_dir).count()
+        t1 = time.time() - t
+        t = time.time()
+        rn = suite.QUERIES[q](spark, tmp).count()
+        tn = time.time() - t
+        print(
+            f"{q}: {t1:.2f}s ({r1} rows) -> {tn:.2f}s ({rn} rows) "
+            f"= {tn / t1:.1f}x time for {replicas}x data"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
