@@ -1,0 +1,227 @@
+"""Mergeable distinct-count sketches: KMV (K-minimum-values) and
+HyperLogLog.
+
+Why sketches at all: the engine already answers ``count(distinct x)``
+exactly (``rel_distinct_aggregates``), but an exact distinct is a
+full shuffle of every distinct value. At 100 TB — distinct URLs,
+users, tokens per partition/day/source — the exact answer costs a
+corpus-wide exchange, while a sketch is an **algebraic aggregate**:
+per-partition partial state (k smallest hashes / 256 max-rank
+registers) merges associatively, so Spark's map-side partial
+aggregation bounds shuffle traffic at O(groups x sketch_size)
+regardless of data volume, and daily sketches roll up into monthly
+ones without touching the raw data again. That mergeability is the
+whole point; both sketches here expose an explicit ``*_merge`` to
+prove it (tested: merged == direct in tests/test_sketches.py).
+
+Reference scope note: the reference has no approximate aggregates
+(its surface is exact vector search, SURVEY.md §2.2 "Aggregations:
+REF none user-facing") — this is extension surface for the
+100 TB curation lane, same category as dedup/sampling.
+
+Determinism/oracle story: hashes are the repo-standard 60-bit md5
+draw (functions/text.py: bit-identical in DuckDB), and every floating
+step either happens in exact integer space (register sums as
+decimal(38,0) vs HUGEINT — dyadic 2^-rank terms scaled by 2^RMAX so
+partial-aggregation ORDER cannot change the sum) or is a single
+final division/log on identical doubles. Spark's builtin
+``approx_count_distinct`` (also HLL) stays the production
+convenience; this module exists where cross-engine reproducibility
+and explicit sketch persistence/merge matter.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import md5_long_expr
+
+__all__ = [
+    "kmv_sketch",
+    "kmv_merge",
+    "kmv_estimate",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
+    "hll_alpha",
+]
+
+#: the md5 draw is 15 hex nibbles = 60 uniform bits in [0, 2^60)
+_HASH_BITS = 60
+_HASH_SPACE = float(2**_HASH_BITS)
+
+
+# --------------------------------------------------------------------------
+# KMV — K minimum values (Bar-Yossef et al. 2002, the "bottom-k" sketch)
+# --------------------------------------------------------------------------
+
+def _k_smallest(col: str, k: int) -> Column:
+    return F.slice(F.array_sort(F.collect_set(col)), 1, k)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k sketch: the ``k`` smallest distinct 60-bit
+    hashes of ``value_col``, as a sorted ``array<bigint>`` column
+    ``kmv``.
+
+    Two-phase by construction: phase 1 keeps the k smallest distinct
+    hashes per (group, input partition) — valid because each of the
+    global k minima is necessarily among the k minima of its own
+    partition — so the final per-group merge sees at most
+    (partitions x k) values, never the full distinct set. collect_set
+    state in phase 1 is bounded by the distinct hashes of ONE input
+    partition (~row count of a 128 MB split), the same bound every
+    hash aggregation in this repo lives with."""
+    if k < 2:
+        raise ValueError("kmv requires k >= 2 (the estimator uses the k-th order statistic)")
+    gcols = list(group_cols)
+    hashed = df.select(*gcols, md5_long_expr(F.col(value_col)).alias("__h"))
+    partial = hashed.groupBy(*gcols, F.spark_partition_id().alias("__p")).agg(
+        _k_smallest("__h", k).alias("__mins")
+    )
+    return (
+        partial.select(*gcols, F.explode("__mins").alias("__h"))
+        .groupBy(*gcols)
+        .agg(_k_smallest("__h", k).alias("kmv"))
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: Sequence[str] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Merge KMV sketches (column ``kmv``) down to one sketch per
+    group: union of the hash sets, keep the k smallest. Exactly the
+    rollup operation — day sketches -> month sketch with no re-scan."""
+    gcols = list(group_cols)
+    return (
+        sketches.select(*gcols, F.explode("kmv").alias("__h"))
+        .groupBy(*gcols)
+        .agg(_k_smallest("__h", k).alias("kmv"))
+    )
+
+
+def kmv_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Add ``n_sketch`` (values retained) and ``est_distinct``: exact
+    count while the sketch is unsaturated (< k distinct hashes seen),
+    else the order-statistic estimator (k-1) / U_(k) with
+    U_(k) = h_(k) / 2^60 — one double division, so the number is
+    bit-reproducible in any engine that computed the same hashes."""
+    n = F.size("kmv")
+    kth = F.element_at("kmv", k).cast("double")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / kth
+    )
+    return sketches.withColumn("n_sketch", n).withColumn("est_distinct", est)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007), deterministic cross-engine variant
+# --------------------------------------------------------------------------
+
+def hll_alpha(p: int) -> float:
+    """Bias-correction constant for m = 2^p registers (the paper's
+    alpha_m; exact small-m constants below 128)."""
+    m = 1 << p
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_rank(w: Column, wbits: int) -> Column:
+    # position of the leftmost 1-bit in a wbits-wide field, 1-based;
+    # w == 0 -> wbits + 1. length(bin(w)) = floor(log2 w) + 1 in both
+    # Spark and DuckDB, which makes this expressible without loops.
+    return (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HLL register table: ``register`` (top-p hash bits,
+    absent registers simply have no row) and ``max_rank`` (max
+    leftmost-1-bit position over the remaining 60-p bits). The
+    register table IS the sketch: groupBy(...).max() makes it
+    algebraic/mergeable, and as integers it is bit-exact in any
+    engine — estimation floats happen only in hll_estimate."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    wbits = _HASH_BITS - p
+    gcols = list(group_cols)
+    h = md5_long_expr(F.col(value_col))
+    reg = F.shiftright(h, wbits).alias("register")
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    return (
+        df.select(*gcols, reg, _hll_rank(w, wbits).alias("__rank"))
+        .groupBy(*gcols, "register")
+        .agg(F.max("__rank").alias("max_rank"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge register tables: per (group, register) max of max_rank."""
+    gcols = list(group_cols)
+    return registers.groupBy(*gcols, "register").agg(
+        F.max("max_rank").alias("max_rank")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: Sequence[str] = (),
+    p: int = 8,
+) -> DataFrame:
+    """Estimate distinct count per group from a register table:
+    ``registers_nonzero`` and ``est_distinct``.
+
+    Cross-engine float discipline: sum(2^-rank) is computed as the
+    EXACT integer sum(2^(RMAX-rank)) in decimal(38,0) (DuckDB twin:
+    HUGEINT) — dyadic terms, so partial-aggregation order can't
+    perturb it — plus 2^RMAX per absent register; the estimate is then
+    ONE precomputed-literal division. Small-range (linear counting)
+    correction applies below 2.5m when empty registers remain, per
+    the paper."""
+    m = 1 << p
+    wbits = _HASH_BITS - p
+    rmax = wbits + 1
+    alpha = hll_alpha(p)
+    # alpha * m^2 * 2^RMAX, precomputed in Python so both engines
+    # divide the identical double literal by the identical exact sum
+    numer = alpha * float(m) * float(m) * float(2**rmax)
+    gcols = list(group_cols)
+    agg = registers.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("registers_nonzero"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(rmax) - F.col("max_rank")).cast("decimal(38,0)")
+        ).alias("__s_present"),
+    )
+    zeros = F.lit(m) - F.col("registers_nonzero")
+    s_total = (
+        F.col("__s_present")
+        + zeros.cast("decimal(38,0)") * F.lit(float(2**rmax)).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.lit(numer) / s_total
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(
+        *gcols, "registers_nonzero", est.alias("est_distinct")
+    )

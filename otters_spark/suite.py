@@ -3253,6 +3253,218 @@ def pipeline_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) mergeable distinct-count sketch: per return
+    flag, estimate distinct parts from the 128 smallest md5 hashes —
+    an algebraic aggregate whose shuffle is O(groups x k) where the
+    exact count (shown alongside) shuffles every distinct value. The
+    estimator is bit-reproducible cross-engine: identical 60-bit
+    hashes, one double division (operators/sketches.py)."""
+    from .operators.sketches import kmv_estimate, kmv_sketch
+
+    li = load(spark, sf_dir, "lineitem")
+    sk = kmv_estimate(kmv_sketch(li, "l_partkey", ["l_returnflag"], k=128), k=128)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return (
+        sk.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_sketch",
+            F.round("est_distinct", 4).alias("est_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SKETCH_KMV_DISTINCT_SQL = """
+WITH h AS (
+  SELECT DISTINCT l_returnflag,
+         ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM lineitem),
+r AS (
+  SELECT l_returnflag, hv,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+  FROM h),
+sk AS (
+  SELECT l_returnflag, count(*) AS n_sketch,
+         CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+              ELSE 127.0 * 1152921504606846976.0
+                   / max(CASE WHEN rn = 128 THEN hv END)::DOUBLE END AS est
+  FROM r WHERE rn <= 128 GROUP BY 1),
+ex AS (
+  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, n_sketch::INTEGER AS n_sketch,
+       round(est, 4) AS est_distinct, exact_distinct
+FROM sk JOIN ex USING (l_returnflag)
+ORDER BY l_returnflag
+"""
+
+
+#: HLL suite-query constants (p=8): precomputed in Python and
+#: interpolated into BOTH engines so the estimate is one division of
+#: identical literals by an exact integer sum (operators/sketches.py).
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 60 - _HLL_P
+_HLL_RMAX = _HLL_WBITS + 1
+_HLL_NUMER = (0.7213 / (1.0 + 1.079 / _HLL_M)) * float(_HLL_M) * float(_HLL_M) * float(2**_HLL_RMAX)
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct customers per order priority (p=8, 256
+    registers) vs the exact count. The register table is an integer
+    max-aggregate (mergeable, bit-exact cross-engine); the estimate
+    sums dyadic 2^-rank terms in EXACT decimal/HUGEINT space so
+    partial-aggregation order cannot perturb the hash — the only
+    float steps are one literal division (and ln() on the
+    small-range branch, not taken at sf >= 0.01)."""
+    from .operators.sketches import hll_estimate, hll_registers
+
+    od = load(spark, sf_dir, "orders")
+    est = hll_estimate(
+        hll_registers(od, "o_custkey", ["o_orderpriority"], p=_HLL_P),
+        ["o_orderpriority"],
+        p=_HLL_P,
+    )
+    exact = od.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "registers_nonzero",
+            F.round("est_distinct", 4).alias("est_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SKETCH_HLL_DISTINCT_SQL = f"""
+WITH r AS (
+  SELECT o_orderpriority,
+         (('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT >> {_HLL_WBITS}) AS register,
+         CASE WHEN (('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT
+                    & ((1::BIGINT << {_HLL_WBITS}) - 1)) = 0 THEN {_HLL_RMAX}
+              ELSE {_HLL_RMAX} - length(bin(('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT
+                                            & ((1::BIGINT << {_HLL_WBITS}) - 1))) END AS rank
+  FROM orders),
+regs AS (
+  SELECT o_orderpriority, register, max(rank) AS max_rank
+  FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT o_orderpriority, count(*) AS registers_nonzero,
+         sum((2.0 ** ({_HLL_RMAX} - max_rank))::HUGEINT) AS s_present
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT o_orderpriority, registers_nonzero,
+         ({_HLL_M} - registers_nonzero) AS z,
+         {_HLL_NUMER!r} / (s_present
+            + ({_HLL_M} - registers_nonzero)::HUGEINT
+              * (1::BIGINT << {_HLL_RMAX})::HUGEINT)::DOUBLE AS raw
+  FROM agg),
+ex AS (
+  SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority, registers_nonzero,
+       round(CASE WHEN raw <= {2.5 * _HLL_M!r} AND z > 0
+                  THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / z)
+                  ELSE raw END, 4) AS est_distinct,
+       exact_distinct
+FROM est JOIN ex USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+def rel_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py): lineitem
+    has only 3 return-flag keys, so a plain groupBy funnels 1/3 of a
+    100 TB table through each of 3 reduce tasks; salted_agg partials
+    on (key, salt) first, spreading each hot key over 16 tasks, then
+    finalizes on the key. Oracle = the plain GROUP BY — identical
+    numbers by algebraic-aggregate associativity (quantity is
+    integral-valued, so even the double sum is order-exact)."""
+    from .operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": "sum(l_quantity)",
+            "n_rows": "count(*)",
+            "min_price": "min(l_extendedprice)",
+            "max_price": "max(l_extendedprice)",
+        },
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n_rows",
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    ).orderBy("l_returnflag")
+
+
+REL_SKEW_SALTED_AGG_SQL = """
+SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def _zorder_sql_expr(xcol: str, ycol: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xcol} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ycol} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+def rel_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys — the reference's roadmap item
+    (README.md:212) realized as pure bit math (functions/zorder.py):
+    interleaving partkey/suppkey bits gives BOTH columns ~sqrt-domain
+    row-group spans when the store is written sorted by the key
+    (pruning measured in tests/test_zorder.py). This query
+    oracle-checks the key itself: the 20 smallest Morton cells with
+    their row counts."""
+    from .functions.zorder import zorder_key
+
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.select(
+        F.pmod(F.col("l_partkey"), F.lit(1024)).cast("long").alias("px"),
+        F.pmod(F.col("l_suppkey"), F.lit(1024)).cast("long").alias("sx"),
+    )
+    keyed = cells.withColumn("zkey", zorder_key([F.col("px"), F.col("sx")], 10))
+    return (
+        keyed.groupBy("px", "sx", "zkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("zkey")
+        .limit(20)
+    )
+
+
+REL_ZORDER_KEY_SQL = f"""
+WITH cells AS (
+  SELECT l_partkey % 1024 AS px, l_suppkey % 1024 AS sx FROM lineitem),
+keyed AS (
+  SELECT px, sx, {_zorder_sql_expr('px', 'sx', 10)} AS zkey FROM cells)
+SELECT px, sx, zkey, count(*) AS n
+FROM keyed GROUP BY 1, 2, 3
+ORDER BY zkey
+LIMIT 20
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3407,6 +3619,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_nearest": events_asof_nearest,
     "dedup_span_removal": dedup_span_removal,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
+    # Session-6 additions (builder-harness green at 3 SFs, candidates
+    # for the next rotation): mergeable distinct sketches, the skew
+    # operator surfaced as a query, and Z-order layout keys.
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "sketch_hll_distinct": sketch_hll_distinct,
+    "rel_skew_salted_agg": rel_skew_salted_agg,
+    "rel_zorder_key": rel_zorder_key,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -3500,6 +3719,10 @@ ORACLE_SQL: dict[str, str] = {
     "sim_lsh_topk": SIM_LSH_TOPK_SQL,
     "dedup_frequent_segments": DEDUP_FREQUENT_SEGMENTS_SQL,
     "link_fuzzy_best_match": LINK_FUZZY_BEST_MATCH_SQL,
+    "sketch_kmv_distinct": SKETCH_KMV_DISTINCT_SQL,
+    "sketch_hll_distinct": SKETCH_HLL_DISTINCT_SQL,
+    "rel_skew_salted_agg": REL_SKEW_SALTED_AGG_SQL,
+    "rel_zorder_key": REL_ZORDER_KEY_SQL,
     # sim_ivf_topk: KMeans centroids are not SQL-reproducible — rows-only check
     # text_bpe_train: iterative data-dependent argmax — rows-only; pinned
     #   against a Python reference BPE in tests/test_text_analysis.py

@@ -1,0 +1,115 @@
+"""Mergeable distinct-count sketches (operators/sketches.py): the
+merge law (merged partial sketches == one direct sketch — the whole
+point of a sketch at 100 TB), the exact-below-saturation path, the
+estimator's accuracy, and argument validation. Cross-engine parity
+of the suite queries is covered by scripts/check_oracle.py and
+tests/test_oracle_dtypes.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otters_spark.operators.sketches import (
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+def _values(spark, n, start=0):
+    return spark.range(start, start + n).select(F.col("id").alias("v"))
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def test_kmv_exact_below_saturation(spark):
+    df = _values(spark, 40)
+    est = kmv_estimate(kmv_sketch(df, "v", k=64), k=64).first()
+    assert est["n_sketch"] == 40
+    assert est["est_distinct"] == 40.0
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    df = _values(spark, 40).union(_values(spark, 40)).union(_values(spark, 10))
+    est = kmv_estimate(kmv_sketch(df, "v", k=64), k=64).first()
+    assert est["n_sketch"] == 40
+    assert est["est_distinct"] == 40.0
+
+
+def test_kmv_saturated_estimate_accuracy(spark):
+    # deterministic given the md5 hash family: 5000 distinct, k=128
+    # (relative error concentrates near 1/sqrt(k-1) ~ 9%)
+    est = kmv_estimate(kmv_sketch(_values(spark, 5000), "v", k=128), k=128).first()
+    assert est["n_sketch"] == 128
+    assert abs(est["est_distinct"] - 5000) / 5000 < 0.25
+
+
+def test_kmv_merge_equals_direct(spark):
+    whole = _values(spark, 3000)
+    left = whole.filter(F.col("v") % 3 != 0)
+    right = whole.filter(F.col("v") % 2 == 0)  # overlapping halves
+    parts = kmv_sketch(left, "v", k=64).union(kmv_sketch(right, "v", k=64))
+    merged = kmv_merge(parts, k=64).first()["kmv"]
+    direct = kmv_sketch(left.union(right), "v", k=64).first()["kmv"]
+    assert merged == direct
+
+
+def test_kmv_grouped_and_validation(spark):
+    df = spark.range(0, 600).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    rows = {
+        r["g"]: r
+        for r in kmv_estimate(kmv_sketch(df, "v", ["g"], k=64), k=64).collect()
+    }
+    assert set(rows) == {"0", "1"}
+    for r in rows.values():
+        assert r["n_sketch"] == 64
+        assert abs(r["est_distinct"] - 300) / 300 < 0.35
+    with pytest.raises(ValueError, match="k >= 2"):
+        kmv_sketch(df, "v", k=1)
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_registers_bounded_and_merge_equals_direct(spark):
+    whole = _values(spark, 4000)
+    left = whole.filter(F.col("v") < 2500)
+    right = whole.filter(F.col("v") >= 1500)
+    parts = hll_registers(left, "v", p=8).union(hll_registers(right, "v", p=8))
+    merged = hll_merge(parts)
+    direct = hll_registers(whole, "v", p=8)
+    assert merged.count() <= 256
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_hll_estimate_accuracy_raw_branch(spark):
+    # 10k distinct >> 2.5 * 256: the bias-corrected raw estimator
+    est = hll_estimate(hll_registers(_values(spark, 10000), "v", p=8), p=8).first()
+    assert abs(est["est_distinct"] - 10000) / 10000 < 0.2
+
+
+def test_hll_estimate_small_range_branch(spark):
+    # 50 distinct << 2.5 * 256: linear counting, which is near-exact
+    # while collisions are rare
+    est = hll_estimate(hll_registers(_values(spark, 50), "v", p=8), p=8).first()
+    assert est["registers_nonzero"] <= 50
+    assert abs(est["est_distinct"] - 50) / 50 < 0.15
+
+
+def test_hll_grouped_and_validation(spark):
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    regs = hll_registers(df, "v", ["g"], p=8)
+    rows = {r["g"]: r for r in hll_estimate(regs, ["g"], p=8).collect()}
+    assert set(rows) == {0, 1, 2}
+    for r in rows.values():
+        assert abs(r["est_distinct"] - 2000) / 2000 < 0.25
+    with pytest.raises(ValueError, match="p must be"):
+        hll_registers(df, "v", p=3)
