@@ -3465,6 +3465,81 @@ LIMIT 20
 """
 
 
+#: bloom suite-query geometry (operators/bloom.py; 63-bit words)
+_BLOOM_M = 63 * 256
+_BLOOM_K = 4
+
+
+def _bloom_bit_sql(hexpr: str) -> str:
+    """DuckDB twin of operators/bloom._bit_positions: the k xor-shift
+    mixes of a 60-bit hash, mod m (values stay positive, so % == pmod)."""
+    from .functions.text import MINHASH_PERM_CONSTANTS
+
+    mixes = [
+        f"(xor(xor({hexpr}, {c}::BIGINT), xor({hexpr}, {c}::BIGINT) >> 29) % {_BLOOM_M})"
+        for c in MINHASH_PERM_CONSTANTS[:_BLOOM_K]
+    ]
+    return "[" + ", ".join(mixes) + "]"
+
+
+def pipeline_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/bloom.py): same
+    eval synthesis as pipeline_decontaminate (15-token excerpts of
+    doc_id % 37 == 0), but the eval grams compress into a 16 k-bit
+    Bloom word table (bit_or aggregation) that the corpus probes via
+    a broadcast map-side join — the shape that still works when the
+    benchmark side has a billion grams and stops broadcasting raw.
+    Flags are one-sided (supersets of the exact report); the whole
+    filter is deterministic bit math, so flags and counts
+    oracle-check exactly, false positives included."""
+    from .operators.bloom import bloom_contamination_report
+
+    docs = load(spark, sf_dir, "documents")
+    eval_df = (
+        docs.filter(F.col("doc_id") % 37 == 0)
+        .withColumn("__ew", F.split(F.col("text"), " "))
+        .filter(F.size("__ew") >= 25)
+        .select(
+            "doc_id",
+            F.array_join(F.slice("__ew", 11, 15), " ").alias("text"),
+        )
+    )
+    rep = bloom_contamination_report(
+        docs, eval_df, n=8, m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    return rep.orderBy("train_id")
+
+
+PIPELINE_BLOOM_DECONTAM_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ev0 AS (SELECT doc_id AS eval_id, w[11:25] AS ew FROM t
+        WHERE doc_id % 37 = 0 AND len(w) >= 25),
+evh AS (SELECT DISTINCT
+              ('0x' || substr(md5(unnest(list_distinct(
+                 list_transform(generate_series(1, len(ew) - 7),
+                                i -> array_to_string(ew[i:i+7], ' '))))), 1, 15))::BIGINT AS h
+        FROM ev0),
+evbits AS (SELECT unnest({_bloom_bit_sql('h')}) AS bit FROM evh),
+bloom AS (SELECT bit // 63 AS word_idx,
+                 bit_or(1::BIGINT << CAST(bit % 63 AS INTEGER)) AS word
+          FROM evbits GROUP BY 1),
+trh AS (SELECT doc_id AS train_id,
+              ('0x' || substr(md5(unnest(list_distinct(
+                 list_transform(generate_series(1, len(w) - 7),
+                                i -> array_to_string(w[i:i+7], ' '))))), 1, 15))::BIGINT AS h
+       FROM t WHERE len(w) >= 8),
+trbits AS (SELECT train_id, h, unnest({_bloom_bit_sql('h')}) AS bit FROM trh),
+probe AS (SELECT train_id, h,
+                 bool_and(b.word IS NOT NULL AND
+                          (b.word & (1::BIGINT << CAST(p.bit % 63 AS INTEGER)))
+                            = (1::BIGINT << CAST(p.bit % 63 AS INTEGER))) AS hit
+          FROM trbits p LEFT JOIN bloom b ON p.bit // 63 = b.word_idx
+          GROUP BY 1, 2)
+SELECT train_id, count(*) AS n_flagged_ngrams
+FROM probe WHERE hit GROUP BY 1 ORDER BY train_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3626,6 +3701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll_distinct": sketch_hll_distinct,
     "rel_skew_salted_agg": rel_skew_salted_agg,
     "rel_zorder_key": rel_zorder_key,
+    "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -3723,6 +3799,7 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_hll_distinct": SKETCH_HLL_DISTINCT_SQL,
     "rel_skew_salted_agg": REL_SKEW_SALTED_AGG_SQL,
     "rel_zorder_key": REL_ZORDER_KEY_SQL,
+    "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     # sim_ivf_topk: KMeans centroids are not SQL-reproducible — rows-only check
     # text_bpe_train: iterative data-dependent argmax — rows-only; pinned
     #   against a Python reference BPE in tests/test_text_analysis.py
