@@ -3036,6 +3036,22 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(assigned, centroids, Q11, k=10, nprobe=3)
 
 
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: product quantization (Jegou et al. 2011) with ADC search
+    and exact rerank — the memory-bound tier (M bytes/vector vs
+    4*dim raw; see operators/similarity.pq_train). KMeans codebooks —
+    no SQL oracle (rows-only check); recall pinned in
+    tests/test_similarity.py."""
+    from .operators.similarity import pq_encode, pq_search, pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, dim=64, n_subspaces=8, n_codes=16, seed=42, max_iter=5)
+    enc = pq_encode(emb, cb)
+    return pq_search(enc, cb, Q13, k=10, store=emb, rerank=100).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
 def sim_pandas_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow/NumPy matmul scoring path (exact, for wide vectors /
     big query batches) — same global top-k semantics as the codegen
@@ -3706,6 +3722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_pq_topk": sim_pq_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3801,6 +3818,8 @@ ORACLE_SQL: dict[str, str] = {
     "rel_zorder_key": REL_ZORDER_KEY_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     # sim_ivf_topk: KMeans centroids are not SQL-reproducible — rows-only check
+    # sim_pq_topk: KMeans codebooks — rows-only; recall + ADC math pinned
+    #   in tests/test_similarity.py
     # text_bpe_train: iterative data-dependent argmax — rows-only; pinned
     #   against a Python reference BPE in tests/test_text_analysis.py
 }

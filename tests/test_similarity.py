@@ -62,3 +62,76 @@ def test_lsh_bucket_is_deterministic(emb):
     a = lsh_index(emb, planes).select("vec_id", "lsh_bucket").orderBy("vec_id").collect()
     b = lsh_index(emb, planes).select("vec_id", "lsh_bucket").orderBy("vec_id").collect()
     assert a == b
+
+
+# --- product quantization ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq(emb):
+    from otters_spark.operators.similarity import pq_encode, pq_train
+
+    cb = pq_train(emb, dim=64, n_subspaces=8, n_codes=16, seed=42, max_iter=5)
+    enc = pq_encode(emb, cb)
+    enc.cache().count()
+    return cb, enc
+
+
+def test_pq_shapes_and_code_range(emb, pq):
+    cb, enc = pq
+    assert cb.shape == (8, 16, 8)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r["pq_code"]) == 8
+        assert all(0 <= c < 16 for c in r["pq_code"])
+
+
+def test_pq_adc_score_matches_numpy(emb, pq):
+    """The codegen table-lookup sum must equal the NumPy ADC distance."""
+    import numpy as np
+    from otters_spark.operators.similarity import pq_search
+
+    cb, enc = pq
+    q = np.asarray(Q7, dtype=np.float64).reshape(8, 8)
+    table = ((cb - q[:, None, :]) ** 2).sum(axis=2)
+    got = {r["vec_id"]: r["approx_score"] for r in pq_search(enc, cb, Q7, k=25).collect()}
+    codes = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    for vid, s in got.items():
+        want = sum(table[m, c] for m, c in enumerate(codes[vid]))
+        assert abs(s - want) < 1e-9
+
+
+def test_pq_rerank_recall_against_brute_force(emb, pq):
+    from otters_spark.functions.vector import score_expr
+    from otters_spark.operators.similarity import pq_search
+
+    cb, enc = pq
+    qlit = F.array(*[F.lit(float(x)) for x in Q7])
+    exact = (
+        emb.withColumn("s", score_expr("embedding", qlit, "euclidean"))
+        .orderBy(F.col("s").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    want = {r["vec_id"] for r in exact.collect()}
+    out = pq_search(enc, cb, Q7, k=10, store=emb, rerank=100).collect()
+    got = {r["vec_id"] for r in out}
+    recall = len(got & want) / 10
+    # gaussian corpus (no cluster structure) is PQ's hard case; the
+    # exact-rerank tail restores most of the recall
+    assert recall >= 0.5, f"PQ rerank recall@10 too low: {recall}"
+    # reranked scores are exact: verify the top hit's score
+    top = out[0]
+    srow = exact.first()
+    assert abs(top["score"] - srow["s"]) < 1e-9 or top["vec_id"] != srow["vec_id"]
+
+
+def test_pq_validation(emb):
+    import numpy as np
+    from otters_spark.operators.similarity import pq_search, pq_train
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, dim=64, n_subspaces=7)
+    cb = np.zeros((8, 16, 8))
+    with pytest.raises(ValueError, match="metrics"):
+        pq_search(emb.limit(0), cb, Q7, k=5, metric="cosine")

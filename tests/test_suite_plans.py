@@ -28,6 +28,7 @@ ARROW_OK = {
     "dedup_char_shingle_pairs",  # incidence-matmul kernel
     "dedup_containment_pairs",  # incidence-matmul kernel
     "dedup_edit_distance_verified",  # shingle matmul candidate generator
+    "sim_pq_topk",  # Arrow-batched PQ encode (einsum argmin kernel)
 }
 
 # queries allowed an UNPARTITIONED window: only the two-phase binned
