@@ -5,6 +5,11 @@ from .events import (
     windowed_agg,
 )
 from .ingest import streaming_ingest_gate
+from .sketch import (
+    run_windowed_distinct_stream,
+    windowed_distinct_counts,
+    windowed_distinct_registers,
+)
 
 __all__ = [
     "windowed_agg",
@@ -12,4 +17,7 @@ __all__ = [
     "stream_events",
     "run_windowed_stream",
     "streaming_ingest_gate",
+    "windowed_distinct_registers",
+    "windowed_distinct_counts",
+    "run_windowed_distinct_stream",
 ]

@@ -1,0 +1,98 @@
+"""Streaming distinct-count sketches: windowed HLL register tables
+over the event stream.
+
+Why sketches are THE streaming-friendly distinct aggregate: exact
+``count(distinct user)`` per window needs the full distinct set as
+state; the HLL register table (operators/sketches.py) needs 2^p
+integers per (window, group) — bounded, mergeable state that
+Structured Streaming's partial aggregation maintains natively,
+because ``groupBy(window, group, register).max(rank)`` is algebraic.
+One function serves batch and stream (batch-as-oracle, the module
+convention of streaming/events.py); the emitted register table is
+itself persistable and rolls up across windows/days with
+``operators.sketches.hll_merge`` — no raw-data re-scan, ever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import md5_long_expr
+from ..operators.sketches import _HASH_BITS, _hll_rank, hll_estimate
+from .events import _with_ts
+
+__all__ = [
+    "windowed_distinct_registers",
+    "windowed_distinct_counts",
+    "run_windowed_distinct_stream",
+]
+
+
+def windowed_distinct_registers(
+    df: DataFrame,
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """Per (bucket_start, event_type) HLL register table of distinct
+    ``value_col``. Identical on batch and streaming input; on streams
+    pass ``watermark`` so window state closes."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    wbits = _HASH_BITS - p
+    df = _with_ts(df)
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    h = md5_long_expr(F.col(value_col))
+    reg = F.shiftright(h, wbits)
+    rank = _hll_rank(h.bitwiseAND(F.lit((1 << wbits) - 1)), wbits)
+    return (
+        df.groupBy(
+            F.window(F.col("ts"), window).alias("win"),
+            F.col("event_type"),
+            reg.alias("register"),
+        )
+        .agg(F.max(rank).alias("max_rank"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("long").alias("bucket_start"),
+            "event_type",
+            "register",
+            "max_rank",
+        )
+    )
+
+
+def windowed_distinct_counts(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Distinct-count estimates from a (streamed or batch) register
+    table — runs as a cheap downstream batch over the sketch rows."""
+    return hll_estimate(registers, ["bucket_start", "event_type"], p=p)
+
+
+def run_windowed_distinct_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 8,
+    query_name: str = "events_distinct_sketch",
+) -> DataFrame:
+    """readStream -> watermark -> windowed HLL registers -> memory
+    sink; drains available input and returns the register table."""
+    from .events import stream_events
+
+    regs = windowed_distinct_registers(
+        stream_events(spark, sf_dir), value_col, window, watermark=watermark, p=p
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

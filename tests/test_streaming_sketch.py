@@ -1,0 +1,69 @@
+"""Streaming HLL sketches: the streamed register table must equal the
+batch register table row-for-row (batch-as-oracle), estimates must
+agree with the batch sketch path, and cross-window rollup via
+hll_merge must equal the sketch of the union."""
+
+from pyspark.sql import functions as F
+
+from otters_spark.operators.sketches import hll_estimate, hll_merge
+from otters_spark.streaming.sketch import (
+    run_windowed_distinct_stream,
+    windowed_distinct_counts,
+    windowed_distinct_registers,
+)
+from otters_spark.suite import load_events
+
+
+def _sorted(df):
+    cols = df.columns
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def test_streamed_registers_match_batch(spark, sf_dir):
+    batch = windowed_distinct_registers(load_events(spark, sf_dir), window="1 hour")
+    streamed = run_windowed_distinct_stream(
+        spark, sf_dir, window="1 hour", query_name="t_sketch"
+    )
+    assert _sorted(streamed) == _sorted(batch)
+    assert len(_sorted(batch)) > 0
+
+
+def test_estimates_track_exact_distinct(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    regs = windowed_distinct_registers(ev, window="6 hours")
+    est = {
+        (r["bucket_start"], r["event_type"]): r["est_distinct"]
+        for r in windowed_distinct_counts(regs).collect()
+    }
+    from otters_spark.streaming.events import _with_ts
+
+    exact = {
+        (r["bucket_start"], r["event_type"]): r["n"]
+        for r in _with_ts(ev)
+        .groupBy(
+            F.unix_timestamp(F.window("ts", "6 hours").start)
+            .cast("long")
+            .alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        # linear-counting regime at these cardinalities: tight
+        assert abs(est[k] - n) / max(n, 1) < 0.15, (k, est[k], n)
+
+
+def test_cross_window_rollup_equals_union_sketch(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    windowed = windowed_distinct_registers(ev, window="1 hour").drop("bucket_start")
+    rolled = hll_merge(windowed, ["event_type"])
+    from otters_spark.operators.sketches import hll_registers
+
+    direct = hll_registers(ev, "user_id", ["event_type"], p=8)
+    assert rolled.exceptAll(direct).count() == 0
+    assert direct.exceptAll(rolled).count() == 0
+    # and the rolled-up estimate is usable as-is
+    est = hll_estimate(rolled, ["event_type"], p=8).collect()
+    assert all(r["est_distinct"] > 0 for r in est)
