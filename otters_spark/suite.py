@@ -798,6 +798,39 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated-scalar subqueries through the SQL
+    front-end — the subquery family's other half (EXISTS is
+    rel_exists_subquery): segment averages compared against the
+    global average balance, plus each segment's share of customers
+    above the global mean. Catalyst rewrites the correlated scalar
+    into a broadcast-side aggregate join — no per-row re-execution."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               round(avg(c_acctbal) - (SELECT avg(c_acctbal) FROM customer), 4)
+                 AS avg_vs_global,
+               sum(CASE WHEN c_acctbal >
+                     (SELECT avg(c_acctbal) FROM customer)
+                   THEN 1 ELSE 0 END) AS n_above_global
+        FROM customer
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+REL_SCALAR_SUBQUERY_SQL = """
+SELECT c_mktsegment,
+       round(avg(c_acctbal) - (SELECT avg(c_acctbal) FROM customer), 4)
+         AS avg_vs_global,
+       sum(CASE WHEN c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+           THEN 1 ELSE 0 END)::BIGINT AS n_above_global
+FROM customer
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group, via the window-rank
     formulation (one melted shuffle sort across all value columns, sum
@@ -3729,6 +3762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_nearest": events_asof_nearest,
     "dedup_span_removal": dedup_span_removal,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
+    "rel_scalar_subquery": rel_scalar_subquery,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -3828,6 +3862,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_skew_salted_agg": REL_SKEW_SALTED_AGG_SQL,
     "rel_zorder_key": REL_ZORDER_KEY_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
+    "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     # sim_ivf_topk: KMeans centroids are not SQL-reproducible — rows-only check
     # sim_pq_topk: KMeans codebooks — rows-only; recall + ADC math pinned
     #   in tests/test_similarity.py

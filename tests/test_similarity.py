@@ -135,3 +135,34 @@ def test_pq_validation(emb):
     cb = np.zeros((8, 16, 8))
     with pytest.raises(ValueError, match="metrics"):
         pq_search(emb.limit(0), cb, Q7, k=5, metric="cosine")
+
+
+def test_ivfpq_composition(emb, pq):
+    """SCALE.md's IVFPQ claim: IVF cells prune the scan, PQ codes
+    shrink what's scanned — composition must return k exact-reranked
+    rows with sane recall."""
+    import numpy as np
+    from otters_spark.functions.vector import score_expr
+    from otters_spark.operators.similarity import ivf_build, pq_search
+
+    cb, enc = pq
+    assigned, centroids = ivf_build(emb, n_cells=8, seed=42, max_iter=5)
+    q = np.asarray(Q7, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(1)
+    cells = [int(c) for c in np.argsort(d2)[:4]]
+    cand = assigned.filter(F.col("ivf_cell").isin(cells)).select("vec_id")
+    sub = enc.join(cand, "vec_id")
+    out = pq_search(sub, cb, Q7, k=10, store=emb, rerank=100).collect()
+    assert len(out) == 10
+    qlit = F.array(*[F.lit(float(x)) for x in Q7])
+    want = {
+        r["vec_id"]
+        for r in emb.withColumn("s", score_expr("embedding", qlit, "euclidean"))
+        .orderBy(F.col("s").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    }
+    got = {r["vec_id"] for r in out}
+    # two stacked approximations (cell prune + PQ candidates) on
+    # gaussian data: recall floor is loose by design
+    assert len(got & want) / 10 >= 0.3
