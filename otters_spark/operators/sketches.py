@@ -46,6 +46,9 @@ __all__ = [
     "hll_merge",
     "hll_estimate",
     "hll_alpha",
+    "cms_table",
+    "cms_merge",
+    "cms_lookup",
 ]
 
 #: the md5 draw is 15 hex nibbles = 60 uniform bits in [0, 2^60)
@@ -224,4 +227,124 @@ def hll_estimate(
     est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
     return agg.select(
         *gcols, "registers_nonzero", est.alias("est_distinct")
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — frequency estimation
+# --------------------------------------------------------------------------
+
+def _cms_bucket(h: Column, depth_idx: int, width: int) -> Column:
+    """Bucket of hash ``h`` under depth row ``depth_idx``: the repo's
+    xor-shift permutation family (multiplication-free so DuckDB can
+    reproduce it — int64 overflow errors there) folded mod width."""
+    from ..functions.text import MINHASH_PERM_CONSTANTS, _perm_mix
+
+    return F.pmod(_perm_mix(h, MINHASH_PERM_CONSTANTS[depth_idx]), F.lit(width))
+
+
+def cms_table(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per-group Count-Min sketch as a table: one row per
+    (group, ``d`` in [0, depth), ``bucket`` in [0, width)) carrying
+    ``cnt`` — how many input rows hashed into that cell. Estimates
+    overcount (collisions only ever add), never undercount; error is
+    bounded by ~2N/width with probability 1 - 2^-depth.
+
+    Frequency semantics: every input ROW counts, so feed exploded
+    tokens for term frequencies (don't dedup first).
+
+    Algebraic/mergeable like the HLL register table: the depth-fold
+    explode multiplies rows x depth *before* the exchange, but
+    map-side partial aggregation collapses each task's contribution
+    to at most groups x depth x width cells, so shuffle traffic is
+    bounded by sketch size regardless of input volume — the same
+    shuffle contract as ``hll_registers``. Cell counts are exact
+    integers, so the sketch (and any estimate read off it) is
+    bit-identical cross-engine."""
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    from ..functions.text import MINHASH_PERM_CONSTANTS
+
+    if depth > len(MINHASH_PERM_CONSTANTS):
+        raise ValueError(f"depth max {len(MINHASH_PERM_CONSTANTS)}")
+    if width < 2:
+        raise ValueError("width must be >= 2")
+    gcols = list(group_cols)
+    # hash ONCE per row in its own select; only the cheap xor-shift mix
+    # fans out across depth rows (the md5 re-inline trap — see
+    # functions/text.token_hashes_expr and the plan audit's md5 cap)
+    hashed = df.select(*gcols, md5_long_expr(F.col(value_col)).alias("__h"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _cms_bucket(F.col("__h"), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        hashed.select(*gcols, F.explode(cells).alias("__c"))
+        .select(*gcols, "__c.d", "__c.bucket")
+        .groupBy(*gcols, "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge CMS tables: per (group, d, bucket) sum of cnt — union of
+    the underlying streams, exactly (cell counts are linear)."""
+    gcols = list(group_cols)
+    return sketches.groupBy(*gcols, "d", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``items``: adds
+    ``est_n`` = min over the depth rows of the item's cell count
+    (0 if the item's cells were never touched). ``depth``/``width``
+    must match the build.
+
+    The sketch side of the join is at most groups x depth x width
+    rows — broadcast it; the probe stays a map-side scan of ``items``
+    however large the item set is. Heavy-hitter readout at scale =
+    probe the distinct-values table and keep ``est_n >= phi * N``
+    (CMS guarantees no false negatives at the gate; the suite query
+    demonstrates the false-positive side staying bit-exact too)."""
+    gcols = list(group_cols)
+    keep = [c for c in items.columns]
+    # same hash-once-then-fan-out discipline as cms_table
+    hashed = items.select("*", md5_long_expr(F.col(value_col)).alias("__h"))
+    probes = hashed.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col("__h"), d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__c"),
+    ).select(*keep, "__c.d", "__c.bucket")
+    joined = probes.join(F.broadcast(sketch), gcols + ["d", "bucket"], "left")
+    return (
+        joined.groupBy(*keep)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
     )

@@ -3430,6 +3430,70 @@ ORDER BY o_orderpriority
 """
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64  # deliberately narrow at test scale so collisions are real
+_CMS_PHI = 0.032  # heavy-hitter gate: est_n >= ceil(phi * stream length)
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the document token stream: build a
+    depth=4 x width=64 CMS (operators/sketches.py — an algebraic
+    aggregate whose shuffle is bounded by sketch size, vs the exact
+    per-token count shuffling every distinct token), then read off
+    every token whose CMS estimate clears the phi*N gate. CMS
+    guarantees no false NEGATIVES at the gate; the narrow width makes
+    false positives real (a rare token whose 4 cells all collide with
+    hot tokens passes the gate) — and because cell counts are exact
+    integers under the repo's md5+xor-shift hash family, even those
+    false positives are bit-identical in the DuckDB twin. exact_n is
+    shown beside est_n so the overcount is visible."""
+    from .functions.text import tokens_expr
+    from .operators.sketches import cms_lookup, cms_table
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_expr(F.col("text"))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    sk = cms_table(toks, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_lookup(sk, exact, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_n") >= F.ceil(F.lit(_CMS_PHI) * F.col("__n")))
+        .select("token", "est_n", "exact_n")
+        .orderBy(F.desc("exact_n"), "token")
+    )
+
+
+def _cms_depth_values_sql() -> str:
+    from .functions.text import MINHASH_PERM_CONSTANTS
+
+    return ",".join(
+        f"({d},{MINHASH_PERM_CONSTANTS[d]}::BIGINT)" for d in range(_CMS_DEPTH)
+    )
+
+
+SKETCH_CMS_HEAVY_HITTERS_SQL = f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tt AS (SELECT token FROM t WHERE token != ''),
+h AS (SELECT token, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv FROM tt),
+x AS (SELECT token, d.d, xor(hv, d.c) AS m
+      FROM h CROSS JOIN (VALUES {_cms_depth_values_sql()}) d(d, c)),
+b AS (SELECT token, d, xor(m, m >> 29) % {_CMS_WIDTH} AS bucket FROM x),
+cells AS (SELECT d, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+probe AS (SELECT DISTINCT token, d, bucket FROM b),
+est AS (SELECT p.token, min(c.cnt) AS est_n
+        FROM probe p JOIN cells c USING (d, bucket) GROUP BY 1),
+exact AS (SELECT token, count(*) AS exact_n FROM tt GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM tt)
+SELECT token, est_n, exact_n
+FROM est JOIN exact USING (token), tot
+WHERE est_n >= ceil({_CMS_PHI} * n)
+ORDER BY exact_n DESC, token
+"""
+
+
 def rel_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (operators/skew.py): lineitem
     has only 3 return-flag keys, so a plain groupBy funnels 1/3 of a
@@ -3763,6 +3827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_removal": dedup_span_removal,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "rel_scalar_subquery": rel_scalar_subquery,
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -3863,6 +3928,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_zorder_key": REL_ZORDER_KEY_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
+    "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,
     # sim_ivf_topk: KMeans centroids are not SQL-reproducible — rows-only check
     # sim_pq_topk: KMeans codebooks — rows-only; recall + ADC math pinned
     #   in tests/test_similarity.py

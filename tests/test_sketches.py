@@ -9,6 +9,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from otters_spark.operators.sketches import (
+    cms_lookup,
+    cms_merge,
+    cms_table,
     hll_estimate,
     hll_merge,
     hll_registers,
@@ -113,3 +116,74 @@ def test_hll_grouped_and_validation(spark):
         assert abs(r["est_distinct"] - 2000) / 2000 < 0.25
     with pytest.raises(ValueError, match="p must be"):
         hll_registers(df, "v", p=3)
+
+
+# ---------------------------------------------------------------- CMS
+
+
+def _stream(spark, spec: dict[str, int]):
+    """Value stream with known frequencies: spec maps value -> count."""
+    rows = [(v,) for v, n in spec.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "v string")
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark):
+    spec = {"a": 100, "b": 40, "c": 7, "d": 1}
+    df = _stream(spark, spec)
+    sk = cms_table(df, "v", depth=4, width=2048)
+    items = spark.createDataFrame([(v,) for v in spec], "v string")
+    est = {r["v"]: r["est_n"] for r in cms_lookup(sk, items, "v", depth=4, width=2048).collect()}
+    # no false negatives ever; with width >> distinct values, no collisions
+    for v, n in spec.items():
+        assert est[v] >= n
+    assert est == spec  # 4 distinct values in 2048 buckets: exact
+
+
+def test_cms_overcount_bounded_when_narrow(spark):
+    spec = {f"v{i}": 10 for i in range(50)}
+    df = _stream(spark, spec)
+    sk = cms_table(df, "v", depth=4, width=16)  # force collisions
+    items = spark.createDataFrame([(v,) for v in spec], "v string")
+    est = {r["v"]: r["est_n"] for r in cms_lookup(sk, items, "v", depth=4, width=16).collect()}
+    n_total = sum(spec.values())
+    for v, n in spec.items():
+        assert n <= est[v] <= n + n_total  # one-sided error
+    # depth=4 mins should beat the single-row worst case somewhere
+    assert any(est[v] == n for v in spec) or sum(est.values()) < 4 * n_total
+
+
+def test_cms_absent_item_estimates_zero_or_collision(spark):
+    sk = cms_table(_stream(spark, {"x": 5}), "v", depth=4, width=1024)
+    items = spark.createDataFrame([("never-seen",)], "v string")
+    est = cms_lookup(sk, items, "v", depth=4, width=1024).first()["est_n"]
+    assert est in (0, 5)  # 0 unless all 4 cells collide with "x"
+
+
+def test_cms_merge_equals_direct(spark):
+    whole = _stream(spark, {"a": 30, "b": 20, "c": 5})
+    # deterministic value split; counts are linear so ANY split merges back
+    left = whole.filter(F.md5(F.col("v")) < "8")
+    right = whole.filter(~(F.md5(F.col("v")) < "8"))
+    parts = cms_table(left, "v", width=64).union(cms_table(right, "v", width=64))
+    merged = cms_merge(parts)
+    direct = cms_table(whole, "v", width=64)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_cms_grouped_and_validation(spark):
+    df = spark.createDataFrame(
+        [("g1", "a")] * 8 + [("g1", "b")] * 2 + [("g2", "a")] * 3,
+        "g string, v string",
+    )
+    sk = cms_table(df, "v", ["g"], depth=3, width=512)
+    items = df.select("g", "v").distinct()
+    est = {
+        (r["g"], r["v"]): r["est_n"]
+        for r in cms_lookup(sk, items, "v", ["g"], depth=3, width=512).collect()
+    }
+    assert est == {("g1", "a"): 8, ("g1", "b"): 2, ("g2", "a"): 3}
+    with pytest.raises(ValueError, match="depth"):
+        cms_table(df, "v", depth=0)
+    with pytest.raises(ValueError, match="width"):
+        cms_table(df, "v", width=1)
