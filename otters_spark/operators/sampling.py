@@ -36,6 +36,8 @@ __all__ = [
     "temperature_mix",
     "select_to_token_budget",
     "pack_sequences",
+    "dsir_weights",
+    "dsir_select",
 ]
 
 #: bucket space for split/sample fractions (1e4 → 0.01% granularity)
@@ -318,4 +320,135 @@ def temperature_mix(
         df.join(F.broadcast(r), F.col(group_col).eqNullSafe(F.col("__g")))
         .filter(_bucket(F.col(key_col)) < edge)
         .drop("__g", "__rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+#: micro-units for log-weights: integer arithmetic makes per-doc sums
+#: order-independent (the temperature_mix determinism discipline)
+_MICRO = 1_000_000
+#: u = (h+1)/2^60+1 lands strictly inside (0,1) for the Gumbel draw
+_GUMBEL_DEN = float(2**60 + 1)
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights: how much more likely
+    each corpus document is under the TARGET domain's hashed-unigram
+    language model than under the raw corpus's.
+
+    The paper's estimator, Spark-shaped: token features hash into
+    ``n_buckets`` buckets (so both "models" are fixed-size count
+    vectors no matter the corpus size); bucket b gets log-ratio
+    ``ln(p_target(b)) - ln(p_raw(b))`` with add-``smoothing`` Laplace
+    estimates; a document's weight is the sum of its tokens' bucket
+    ratios. Returns one row per corpus doc with tokens:
+    ``(id_col, logw_micro)``; docs with NULL/empty text have no token
+    stream and thus no row.
+
+    Scale shape: two token-stream aggregations (bounded at
+    ``n_buckets`` cells each — algebraic, map-side combined), a
+    broadcast of the ≤ n_buckets log-ratio table, and one per-doc sum
+    with map-side combine; nothing corpus-wide ever sits in one task.
+
+    Determinism: the log-ratio is computed ONCE per bucket from
+    identical integer counts and snapped to integer micro-units, so
+    the per-doc sum is exact int64 arithmetic — partial-aggregation
+    order cannot wobble a weight (see :func:`temperature_mix`)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (unsmoothed ratios divide by zero)")
+
+    def _stream(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        toks = df.select(
+            *cols, F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+        ).filter(F.col("__tok") != "")
+        return toks.select(
+            *cols, F.pmod(md5_long_expr(F.col("__tok")), F.lit(n_buckets)).alias("__b")
+        )
+
+    raw = _stream(corpus, with_id=True)
+    tgt = _stream(target, with_id=False)
+    rc = raw.groupBy("__b").agg(F.count(F.lit(1)).alias("__nr"))
+    tc = tgt.groupBy("__b").agg(F.count(F.lit(1)).alias("__nt"))
+    nr_tot = raw.agg(F.count(F.lit(1)).alias("__totr"))
+    nt_tot = tgt.agg(F.count(F.lit(1)).alias("__tott"))
+    a = float(smoothing)
+    denom_pad = F.lit(a * n_buckets)
+    counts = rc.join(tc, "__b", "full").select(
+        "__b",
+        F.coalesce("__nr", F.lit(0)).alias("__nr"),
+        F.coalesce("__nt", F.lit(0)).alias("__nt"),
+    )
+    lr = (
+        counts.crossJoin(F.broadcast(nr_tot))
+        .crossJoin(F.broadcast(nt_tot))
+        .select(
+            "__b",
+            F.round(
+                (
+                    F.log((F.col("__nt") + F.lit(a)) / (F.col("__tott") + denom_pad))
+                    - F.log((F.col("__nr") + F.lit(a)) / (F.col("__totr") + denom_pad))
+                )
+                * _MICRO
+            )
+            .cast("long")
+            .alias("__lrm"),
+        )
+    )
+    return (
+        raw.join(F.broadcast(lr), "__b")
+        .groupBy(id_col)
+        .agg(F.sum("__lrm").alias("logw_micro"))
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_take: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLING over :func:`dsir_weights` —
+    the paper's sampling step, not a plain argmax: adding independent
+    Gumbel noise to each log-weight and keeping the top ``n_take``
+    draws a sample WITHOUT replacement from the softmax of the
+    weights, so near-target docs are favored but not deterministically
+    cloned from one narrow mode.
+
+    The Gumbel draw is pipeline-stable (re-runs keep the same docs):
+    ``u = (md5(id)+1) / (2^60+1)`` is a content-keyed uniform in (0,1)
+    and ``g = -ln(-ln(u))`` its Gumbel transform, snapped to
+    micro-units; selection key = ``logw_micro + gumbel_micro``, an
+    exact int64, tie-broken by id. The top-k is a
+    TakeOrderedAndProject, never a global sort. Returns the selected
+    corpus rows plus ``logw_micro`` and ``select_key``."""
+    if n_take <= 0:
+        raise ValueError("n_take must be positive")
+    w = dsir_weights(corpus, target, text_col, id_col, n_buckets, smoothing)
+    u = (md5_long_expr(F.col(id_col)) + 1).cast("double") / F.lit(_GUMBEL_DEN)
+    gumbel = F.round(-F.log(-F.log(u)) * _MICRO).cast("long")
+    keyed = w.select(
+        id_col,
+        "logw_micro",
+        (F.col("logw_micro") + gumbel).alias("select_key"),
+    )
+    return (
+        corpus.join(keyed, id_col)
+        .orderBy(F.desc("select_key"), F.col(id_col))
+        .limit(n_take)
     )

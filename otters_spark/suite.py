@@ -3494,6 +3494,54 @@ ORDER BY exact_n DESC, token
 """
 
 
+_DSIR_BUCKETS = 4096
+_DSIR_TAKE = 40
+
+
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, operators/sampling.py):
+    pick the 40 corpus documents most like the zh-language target
+    domain by hashed-unigram importance weights, sampled via
+    content-keyed Gumbel-top-k (resampling, not argmax). Every
+    arithmetic step that crosses an aggregation is exact int64
+    (micro-unit log-ratios, the temperature_mix discipline), so the
+    selected set and both key columns hash-match the DuckDB twin
+    exactly."""
+    from .operators.sampling import dsir_select
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "zh")
+    out = dsir_select(docs, target, n_take=_DSIR_TAKE, n_buckets=_DSIR_BUCKETS)
+    return out.select(
+        "doc_id", "lang", "source", "logw_micro", "select_key"
+    ).orderBy(F.desc("select_key"), "doc_id")
+
+
+PIPELINE_DSIR_SELECT_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+b AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % {_DSIR_BUCKETS} AS bucket
+      FROM tok WHERE tok != ''),
+tgtb AS (SELECT bucket FROM b JOIN documents USING (doc_id) WHERE lang = 'zh'),
+rc AS (SELECT bucket, count(*) AS nr FROM b GROUP BY 1),
+tc AS (SELECT bucket, count(*) AS nt FROM tgtb GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM b) AS totr, (SELECT count(*) FROM tgtb) AS tott),
+lr AS (SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+              CAST(round((ln((coalesce(nt, 0) + 0.5) / (tott + {0.5 * _DSIR_BUCKETS!r}))
+                        - ln((coalesce(nr, 0) + 0.5) / (totr + {0.5 * _DSIR_BUCKETS!r})))
+                   * 1000000) AS BIGINT) AS lrm
+       FROM rc FULL JOIN tc ON rc.bucket = tc.bucket, tot),
+w AS (SELECT doc_id, sum(lrm)::BIGINT AS logw_micro FROM b JOIN lr USING (bucket) GROUP BY 1),
+k AS (SELECT doc_id, logw_micro,
+             logw_micro + CAST(round(-ln(-ln(
+                 (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                 / 1152921504606846977.0)) * 1000000) AS BIGINT) AS select_key
+      FROM w)
+SELECT d.doc_id, d.lang, d.source, k.logw_micro, k.select_key
+FROM k JOIN documents d USING (doc_id)
+ORDER BY select_key DESC, doc_id LIMIT {_DSIR_TAKE}
+"""
+
+
 def rel_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (operators/skew.py): lineitem
     has only 3 return-flag keys, so a plain groupBy funnels 1/3 of a
@@ -3828,6 +3876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "rel_scalar_subquery": rel_scalar_subquery,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "pipeline_dsir_select": pipeline_dsir_select,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -3929,6 +3978,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,
+    "pipeline_dsir_select": PIPELINE_DSIR_SELECT_SQL,
     # sim_ivf_topk: KMeans centroids are not SQL-reproducible — rows-only check
     # sim_pq_topk: KMeans codebooks — rows-only; recall + ADC math pinned
     #   in tests/test_similarity.py

@@ -202,3 +202,70 @@ def test_temperature_mix_null_group_kept(spark):
     # equal-size groups at alpha=0.5 -> both rates exactly 1; the NULL
     # group must survive the rates join (null-safe equality)
     assert got == {("a", 50), (None, 50)}
+
+
+# ------------------------------------------------------------------ DSIR
+
+
+def _dsir_corpus(spark):
+    from pyspark.sql import functions as F
+
+    rows = []
+    # 20 "code-like" docs and 20 "prose-like" docs with disjoint vocab
+    for i in range(20):
+        rows.append((i, "def class import return yield lambda " * 5))
+    for i in range(20, 40):
+        rows.append((i, "the quick brown fox jumps over dogs " * 5))
+    rows.append((40, None))  # NULL text: must yield no weight row
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_weights_zero_when_target_is_corpus(spark):
+    from otters_spark.operators.sampling import dsir_weights
+
+    corpus = _dsir_corpus(spark).filter("text is not null")
+    w = dsir_weights(corpus, corpus).collect()
+    assert len(w) == 40
+    assert all(r["logw_micro"] == 0 for r in w)  # identical models -> lr 0
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    from otters_spark.operators.sampling import dsir_weights
+
+    corpus = _dsir_corpus(spark)
+    target = corpus.filter("doc_id < 5")  # code-like target domain
+    w = {r["doc_id"]: r["logw_micro"] for r in dsir_weights(corpus, target).collect()}
+    assert 40 not in w  # NULL text doc has no token stream
+    code = [w[i] for i in range(20)]
+    prose = [w[i] for i in range(20, 40)]
+    assert min(code) > max(prose)  # clean separation on disjoint vocab
+
+
+def test_dsir_select_is_stable_and_biased(spark):
+    from otters_spark.operators.sampling import dsir_select
+
+    corpus = _dsir_corpus(spark)
+    target = corpus.filter("doc_id < 5")
+    a = {r["doc_id"] for r in dsir_select(corpus, target, n_take=15).collect()}
+    b = {
+        r["doc_id"]
+        for r in dsir_select(corpus.repartition(7), target, n_take=15).collect()
+    }
+    assert a == b and len(a) == 15  # content-keyed Gumbel: re-run stable
+    # weights dominate the noise here (disjoint vocab, long docs):
+    # the sample is drawn from the code-like half
+    assert all(i < 20 for i in a)
+
+
+def test_dsir_validation(spark):
+    import pytest as _pytest
+
+    from otters_spark.operators.sampling import dsir_select, dsir_weights
+
+    corpus = _dsir_corpus(spark)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        dsir_weights(corpus, corpus, n_buckets=1)
+    with _pytest.raises(ValueError, match="smoothing"):
+        dsir_weights(corpus, corpus, smoothing=0.0)
+    with _pytest.raises(ValueError, match="n_take"):
+        dsir_select(corpus, corpus, n_take=0)
