@@ -3582,6 +3582,42 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 """
 
 
+def rel_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join (operators/skew.py salted_join): when one
+    fact-side key dominates AND the dimension is too big to broadcast,
+    a plain shuffle join lands the hot key on one task. salted_join
+    salts the big side and replicates the small side across the salt
+    space, spreading the hot key over 16 tasks — semantics identical
+    to the plain join for inner/left/semi/anti (the replication-safe
+    subset; outer joins are rejected). Oracle = the plain JOIN; sums
+    stay on integral-valued quantity so even the double aggregate is
+    order-exact. AQE's skew-join split remains the first answer for
+    SORT-MERGE skew; salting is the form that also covers aggregation
+    upstream and engines/configs where AQE can't re-plan."""
+    from .operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = salted_join(li, part, "p_partkey", salt=16)
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+REL_SKEW_SALTED_JOIN_SQL = """
+SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _zorder_sql_expr(xcol: str, ycol: str, bits: int) -> str:
     terms = []
     for b in range(bits):
@@ -3877,6 +3913,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_scalar_subquery": rel_scalar_subquery,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "pipeline_dsir_select": pipeline_dsir_select,
+    "rel_skew_salted_join": rel_skew_salted_join,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -3979,6 +4016,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,
     "pipeline_dsir_select": PIPELINE_DSIR_SELECT_SQL,
+    "rel_skew_salted_join": REL_SKEW_SALTED_JOIN_SQL,
     # sim_ivf_topk: KMeans centroids are not SQL-reproducible — rows-only check
     # sim_pq_topk: KMeans codebooks — rows-only; recall + ADC math pinned
     #   in tests/test_similarity.py
