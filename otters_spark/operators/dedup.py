@@ -63,6 +63,7 @@ __all__ = [
     "incremental_dedup_matches",
     "remove_duplicated_spans",
     "remove_frequent_segments",
+    "remove_repeated_windows",
     "embedding_neardup_pairs",
     "semdedup",
     "connected_components",
@@ -1709,4 +1710,50 @@ def remove_duplicated_spans(
     )
     return touched.unionByName(untouched).select(
         F.col("__id").alias(id_col), "n_tokens", "n_removed", "cleaned"
+    )
+
+
+def remove_repeated_windows(
+    df: DataFrame,
+    width: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INTRA-document repetition removal (the RefinedWeb/MassiveText
+    "remove duplicated lines within a page" stage, generalized to
+    fixed token windows because this corpus has no newlines — same
+    segmentation as :func:`remove_frequent_segments`, which handles
+    the CROSS-document boilerplate case): keep the first occurrence
+    of each distinct ``width``-token segment within a document, drop
+    later repeats, reassemble the survivors in order.
+
+    Returns (id_col, n_windows, n_kept, cleaned); docs with NULL or
+    empty text have no segments and thus no row (the
+    ``minhash_signatures`` convention).
+
+    Scale shape: both exchanges are keyed by document (the
+    first-occurrence rank on (doc, segment), the reassembly on doc),
+    so per-task state is bounded by a document's own length — no
+    corpus-wide structure anywhere. Cross-doc state is zero: this
+    composes with any other dedup stage without ordering concerns."""
+    segs = _exploded_segments(df, width, text_col, id_col, with_pos=True)
+    w = Window.partitionBy("__id", "__seg").orderBy("__pos")
+    marked = segs.withColumn("__rn", F.row_number().over(w))
+    return (
+        marked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("__rn") == 1).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(F.struct("__pos", "__rn", "__seg"))),
+                        lambda s: s["__rn"] == 1,
+                    ),
+                    lambda s: s["__seg"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+        .select(F.col("__id").alias(id_col), "n_windows", "n_kept", "cleaned")
     )

@@ -3494,6 +3494,38 @@ ORDER BY exact_n DESC, token
 """
 
 
+def dedup_within_doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal (operators/dedup.py
+    remove_repeated_windows — the RefinedWeb "remove duplicated lines
+    within a page" stage over fixed 2-token windows): first occurrence
+    of each distinct window survives, later repeats drop, text is
+    reassembled in order. Complements the CROSS-document segment
+    family (dedup_frequent_segments); all exchanges are keyed by
+    doc_id so per-task state is one document."""
+    from .operators.dedup import remove_repeated_windows
+
+    docs = load(spark, sf_dir, "documents")
+    return remove_repeated_windows(docs, width=2).orderBy("doc_id")
+
+
+DEDUP_WITHIN_DOC_WINDOWS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE text IS NOT NULL),
+seg AS (SELECT doc_id,
+        unnest(generate_series(1, CAST(ceil(len(w) / 2.0) AS BIGINT))) AS i,
+        unnest(list_transform(generate_series(1, CAST(ceil(len(w) / 2.0) AS BIGINT)),
+                              j -> array_to_string(w[(j-1)*2+1:(j-1)*2+2], ' '))) AS seg
+        FROM t),
+r AS (SELECT doc_id, i, seg,
+             row_number() OVER (PARTITION BY doc_id, seg ORDER BY i) AS rn
+      FROM seg)
+SELECT doc_id, count(*) AS n_windows,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       array_to_string(list(seg ORDER BY i) FILTER (WHERE rn = 1), ' ') AS cleaned
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _DSIR_BUCKETS = 4096
 _DSIR_TAKE = 40
 
@@ -3914,6 +3946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "pipeline_dsir_select": pipeline_dsir_select,
     "rel_skew_salted_join": rel_skew_salted_join,
+    "dedup_within_doc_windows": dedup_within_doc_windows,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -4017,6 +4050,7 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,
     "pipeline_dsir_select": PIPELINE_DSIR_SELECT_SQL,
     "rel_skew_salted_join": REL_SKEW_SALTED_JOIN_SQL,
+    "dedup_within_doc_windows": DEDUP_WITHIN_DOC_WINDOWS_SQL,
     # sim_ivf_topk: KMeans centroids are not SQL-reproducible — rows-only check
     # sim_pq_topk: KMeans codebooks — rows-only; recall + ADC math pinned
     #   in tests/test_similarity.py

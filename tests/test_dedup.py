@@ -598,3 +598,49 @@ class TestDuplicatedSpans:
         assert out[0].n_removed == 0 and out[0].cleaned == "a b"
         with pytest.raises(ValueError):
             remove_duplicated_spans(docs, span_tokens=1)
+
+
+# ----------------------------------------------------- intra-doc windows
+
+
+def test_remove_repeated_windows_basic(spark):
+    from otters_spark.operators.dedup import remove_repeated_windows
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c d"),   # "a b" repeats -> dropped once
+            (2, "x y z"),          # trailing short window, no repeats
+            (3, None),             # no token stream -> no output row
+            (4, "a a a a"),        # one distinct window
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in remove_repeated_windows(df, width=2).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["n_windows"] == 3 and rows[1]["n_kept"] == 2
+    assert rows[1]["cleaned"] == "a b c d"
+    assert rows[2]["n_windows"] == 2 and rows[2]["n_kept"] == 2
+    assert rows[2]["cleaned"] == "x y z"
+    assert rows[4]["n_windows"] == 2 and rows[4]["n_kept"] == 1
+    assert rows[4]["cleaned"] == "a a"
+
+
+def test_remove_repeated_windows_keeps_first_occurrence_order(spark):
+    from otters_spark.operators.dedup import remove_repeated_windows
+
+    # repeats interleaved: survivors must preserve original positions
+    df = spark.createDataFrame(
+        [(1, "p q r s p q t u r s")], "doc_id long, text string"
+    )
+    r = remove_repeated_windows(df, width=2).first()
+    assert r["cleaned"] == "p q r s t u"
+    assert r["n_windows"] == 5 and r["n_kept"] == 3
+
+
+def test_remove_repeated_windows_partition_invariant(spark, sf_dir):
+    from otters_spark.operators.dedup import remove_repeated_windows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = remove_repeated_windows(docs, width=2)
+    b = remove_repeated_windows(docs.repartition(7), width=2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
