@@ -25,6 +25,8 @@ __all__ = [
     "windowed_distinct_registers",
     "windowed_distinct_counts",
     "run_windowed_distinct_stream",
+    "windowed_frequency_cells",
+    "run_windowed_frequency_stream",
 ]
 
 
@@ -87,6 +89,103 @@ def run_windowed_distinct_stream(
     )
     q = (
         regs.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def windowed_frequency_cells(
+    df: DataFrame,
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per (bucket_start, event_type) Count-Min cell table of
+    ``value_col`` occurrences — the frequency twin of the HLL
+    registers above, and the streaming form of
+    ``operators.sketches.cms_table``. Exact per-window top-talker
+    counts would keep every distinct value as state; the CMS cell
+    table keeps ≤ depth × width integers per (window, group), and a
+    plain windowed COUNT aggregate is algebraic, so Structured
+    Streaming maintains it natively under a watermark. Same
+    hash-once-then-fan-out discipline as the batch builder (the md5
+    re-inline trap); cell tables roll up across windows with
+    ``cms_merge`` (counts are linear) and are probed with
+    ``cms_lookup``."""
+    from ..operators.sketches import _cms_bucket
+
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    if width < 2:
+        raise ValueError("width must be >= 2")
+    df = _with_ts(df)
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    hashed = df.select(
+        "ts", "event_type", md5_long_expr(F.col(value_col)).alias("__h")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _cms_bucket(F.col("__h"), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    exploded = hashed.select(
+        "ts", "event_type", F.explode(cells).alias("__c")
+    ).select("ts", "event_type", "__c.d", "__c.bucket")
+    return (
+        exploded.groupBy(
+            F.window(F.col("ts"), window).alias("win"),
+            F.col("event_type"),
+            F.col("d"),
+            F.col("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("long").alias("bucket_start"),
+            "event_type",
+            "d",
+            "bucket",
+            "cnt",
+        )
+    )
+
+
+def run_windowed_frequency_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    depth: int = 4,
+    width: int = 1024,
+    query_name: str = "events_frequency_sketch",
+) -> DataFrame:
+    """readStream -> watermark -> windowed CMS cells -> memory sink;
+    drains available input and returns the cell table."""
+    from .events import stream_events
+
+    cells = windowed_frequency_cells(
+        stream_events(spark, sf_dir),
+        value_col,
+        window,
+        watermark=watermark,
+        depth=depth,
+        width=width,
+    )
+    q = (
+        cells.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("complete")
         .start()

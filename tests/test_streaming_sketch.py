@@ -67,3 +67,66 @@ def test_cross_window_rollup_equals_union_sketch(spark, sf_dir):
     # and the rolled-up estimate is usable as-is
     est = hll_estimate(rolled, ["event_type"], p=8).collect()
     assert all(r["est_distinct"] > 0 for r in est)
+
+
+# ------------------------------------------------------- CMS streaming
+
+
+def test_streamed_cms_cells_match_batch(spark, sf_dir):
+    from otters_spark.streaming.sketch import (
+        run_windowed_frequency_stream,
+        windowed_frequency_cells,
+    )
+
+    batch = windowed_frequency_cells(
+        load_events(spark, sf_dir), window="1 hour", depth=3, width=256
+    )
+    streamed = run_windowed_frequency_stream(
+        spark, sf_dir, window="1 hour", depth=3, width=256, query_name="t_cms"
+    )
+    assert _sorted(streamed) == _sorted(batch)
+    assert len(_sorted(batch)) > 0
+
+
+def test_cms_cross_window_rollup_equals_union_sketch(spark, sf_dir):
+    from otters_spark.operators.sketches import cms_merge, cms_table
+    from otters_spark.streaming.sketch import windowed_frequency_cells
+
+    ev = load_events(spark, sf_dir)
+    windowed = windowed_frequency_cells(ev, window="1 hour", depth=3, width=256)
+    rolled = cms_merge(windowed.drop("bucket_start"), ["event_type"])
+    direct = cms_table(ev, "user_id", ["event_type"], depth=3, width=256)
+    assert rolled.exceptAll(direct).count() == 0
+    assert direct.exceptAll(rolled).count() == 0
+
+
+def test_cms_probe_never_undercounts_per_window(spark, sf_dir):
+    from otters_spark.operators.sketches import cms_lookup
+    from otters_spark.streaming.events import _with_ts
+    from otters_spark.streaming.sketch import windowed_frequency_cells
+
+    ev = load_events(spark, sf_dir)
+    cells = windowed_frequency_cells(ev, window="6 hours", depth=3, width=256)
+    win = (
+        _with_ts(ev)
+        .select(
+            F.unix_timestamp(F.window("ts", "6 hours").start)
+            .cast("long")
+            .alias("bucket_start"),
+            "event_type",
+            "user_id",
+        )
+    )
+    exact = win.groupBy("bucket_start", "event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    est = cms_lookup(
+        cells,
+        exact,
+        "user_id",
+        ["bucket_start", "event_type"],
+        depth=3,
+        width=256,
+    )
+    bad = est.filter(F.col("est_n") < F.col("exact_n")).count()
+    assert bad == 0  # one-sided error, per window and group
