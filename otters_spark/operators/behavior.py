@@ -1,0 +1,146 @@
+"""Behavioral event analytics: ordered funnels and cohort retention.
+
+The reference has no event-analytics surface (its scope is exact
+vector search, SURVEY.md §2.2 "Streaming: REF none"); this module is
+extension surface over the ``events`` table, the batch twin of the
+product-analytics queries a timeseries store serves.
+
+Both operators are built from per-user aggregations (map-side
+combinable) and user-keyed joins — no windows over the whole event
+stream, no driver actions — so they hold at any event volume: state
+per task is bounded by one user's events, and every exchange is keyed
+by user or by the (tiny) cohort/stage output key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["funnel_stages", "funnel_counts", "cohort_retention"]
+
+
+def funnel_stages(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user ORDERED funnel timestamps: one row per user who
+    completed step 1, with ``t1..tN`` = the earliest time each step
+    was reached STRICTLY AFTER the previous step's time (NULL once a
+    step is never reached — later columns are then NULL too).
+
+    First-occurrence chaining is the standard funnel semantics: t1 =
+    min ts of step1; t_k = min ts of step_k with ts > t_{k-1}. Greedy
+    first-occurrence is optimal here: taking the EARLIEST valid time
+    for step k can only enlarge the set of valid times for step k+1,
+    so if any event assignment completes the funnel, this one does.
+
+    Shape: one filtered min-aggregate per step (partial-aggregated on
+    the user key) plus a user-keyed join per step — a fixed number of
+    bounded exchanges, nothing proportional to funnel depth × corpus
+    in any single task."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    out = (
+        df.filter(ty == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(t).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}"
+        nxt = (
+            df.filter(ty == step)
+            .select(u.alias("__u"), t.alias("__ts"))
+        )
+        out = (
+            out.join(nxt, out[user_col] == F.col("__u"), "left")
+            .withColumn(
+                "__hit",
+                F.when(F.col("__ts") > F.col(prev), F.col("__ts")),
+            )
+            .groupBy(*[F.col(c) for c in out.columns])
+            .agg(F.min("__hit").alias(f"t{i}"))
+        )
+    return out
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One-row funnel summary: ``n_stage_k`` = users who reached step
+    k (in order), plus ``conv_micros_total`` = summed end-to-end
+    conversion time of full completers in MICROseconds — exact int64
+    (second-granularity truncation would diverge between engines on
+    sub-second timestamps), so the row is bit-reproducible
+    cross-engine."""
+    stages = funnel_stages(df, steps, user_col, ts_col, type_col)
+    n = len(steps)
+    aggs = [
+        F.count(F.col(f"t{i}")).alias(f"n_stage_{i}") for i in range(1, n + 1)
+    ]
+    aggs.append(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col(f"t{n}").isNotNull(),
+                    # cast: parquet NTZ timestamps aren't unix_micros
+                    # input; the DIFFERENCE is timezone-shift-invariant
+                    F.unix_micros(F.col(f"t{n}").cast("timestamp"))
+                    - F.unix_micros(F.col("t1").cast("timestamp")),
+                )
+            ),
+            F.lit(0),
+        ).alias("conv_micros_total")
+    )
+    return stages.agg(*aggs)
+
+
+def cohort_retention(
+    df: DataFrame,
+    horizons: Sequence[int] = (1, 3, 7),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic cohort/retention table: users are grouped by the DAY
+    of their first event (their cohort); for each horizon ``k`` the
+    count of cohort members active exactly ``k`` days after their
+    first day. Returns one row per cohort day:
+    ``(cohort_day, n_users, n_day_<k>...)``.
+
+    Shape: per-user first-event day (one min-aggregate), a user-keyed
+    join back to the stream, then ONE distinct-user count per
+    (cohort, day-offset) — the output is days × horizons rows, so the
+    final exchange is tiny however large the stream."""
+    if not horizons or any(h <= 0 for h in horizons):
+        raise ValueError("horizons must be positive day offsets")
+    u, t = F.col(user_col), F.col(ts_col)
+    first = df.groupBy(user_col).agg(
+        F.to_date(F.min(t)).alias("__cohort")
+    )
+    joined = df.select(u.alias("__u"), F.to_date(t).alias("__day")).join(
+        first, F.col("__u") == F.col(user_col)
+    )
+    offs = joined.select(
+        "__cohort",
+        "__u",
+        F.datediff(F.col("__day"), F.col("__cohort")).alias("__off"),
+    )
+    aggs = [F.countDistinct("__u").alias("n_users")]
+    for h in horizons:
+        aggs.append(
+            F.countDistinct(
+                F.when(F.col("__off") == h, F.col("__u"))
+            ).alias(f"n_day_{h}")
+        )
+    return offs.groupBy(F.col("__cohort").alias("cohort_day")).agg(*aggs)

@@ -3494,6 +3494,70 @@ ORDER BY exact_n DESC, token
 """
 
 
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (operators/behavior.py): users who
+    viewed, then clicked strictly after that view, then purchased
+    strictly after that click — first-occurrence chaining (greedy is
+    optimal: the earliest valid time for step k only enlarges step
+    k+1's options). Conversion time is summed in exact integer
+    microseconds so the one-row summary hash-matches the oracle."""
+    from .operators.behavior import funnel_counts
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+EVENTS_FUNNEL_CONVERSION_SQL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+       FROM s1 JOIN events e ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1, 2),
+s3 AS (SELECT s2.user_id, s2.t1, min(e.ts) AS t3
+       FROM s2 JOIN events e ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1, 2)
+SELECT (SELECT count(*) FROM s1) AS n_stage_1,
+       (SELECT count(*) FROM s2) AS n_stage_2,
+       (SELECT count(*) FROM s3) AS n_stage_3,
+       (SELECT coalesce(sum(date_diff('microseconds', t1, t3)), 0)
+        FROM s3)::BIGINT AS conv_micros_total
+"""
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (operators/behavior.py): users grouped by
+    first-event day; per cohort, distinct users active exactly 1/3/7
+    days later. Per-user first-day aggregate + user-keyed join + one
+    tiny (cohort × offset) distinct count — the output is days ×
+    horizons however large the stream."""
+    from .operators.behavior import cohort_retention
+
+    ev = load(spark, sf_dir, "events")
+    out = cohort_retention(ev, horizons=(1, 3, 7))
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "n_users",
+        "n_day_1",
+        "n_day_3",
+        "n_day_7",
+    ).orderBy("cohort_day")
+
+
+EVENTS_COHORT_RETENTION_SQL = """
+WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+           FROM events GROUP BY 1),
+j AS (SELECT f.cohort, e.user_id AS u,
+             date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS off
+      FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+       count(DISTINCT u) AS n_users,
+       count(DISTINCT CASE WHEN off = 1 THEN u END) AS n_day_1,
+       count(DISTINCT CASE WHEN off = 3 THEN u END) AS n_day_3,
+       count(DISTINCT CASE WHEN off = 7 THEN u END) AS n_day_7
+FROM j GROUP BY cohort ORDER BY cohort
+"""
+
+
 def dedup_within_doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal (operators/dedup.py
     remove_repeated_windows — the RefinedWeb "remove duplicated lines
@@ -3947,6 +4011,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_dsir_select": pipeline_dsir_select,
     "rel_skew_salted_join": rel_skew_salted_join,
     "dedup_within_doc_windows": dedup_within_doc_windows,
+    "events_funnel_conversion": events_funnel_conversion,
+    "events_cohort_retention": events_cohort_retention,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -4051,6 +4117,8 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_dsir_select": PIPELINE_DSIR_SELECT_SQL,
     "rel_skew_salted_join": REL_SKEW_SALTED_JOIN_SQL,
     "dedup_within_doc_windows": DEDUP_WITHIN_DOC_WINDOWS_SQL,
+    "events_funnel_conversion": EVENTS_FUNNEL_CONVERSION_SQL,
+    "events_cohort_retention": EVENTS_COHORT_RETENTION_SQL,
     # sim_ivf_topk: KMeans centroids are not SQL-reproducible — rows-only check
     # sim_pq_topk: KMeans codebooks — rows-only; recall + ADC math pinned
     #   in tests/test_similarity.py

@@ -1,0 +1,89 @@
+"""Behavioral analytics (operators/behavior.py): ordered-funnel
+chaining semantics and cohort retention counts on crafted streams;
+cross-engine parity of the suite rows is covered by
+scripts/check_oracle.py."""
+
+from datetime import datetime
+
+import pytest
+
+from otters_spark.operators.behavior import (
+    cohort_retention,
+    funnel_counts,
+    funnel_stages,
+)
+
+
+def _ts(day, h=0, m=0):
+    return datetime(2024, 1, day, h, m)
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    rows = [
+        # user 1 completes in order
+        (1, _ts(1, 1), "view"),
+        (1, _ts(1, 2), "click"),
+        (1, _ts(1, 3), "purchase"),
+        # user 2: view only
+        (2, _ts(1, 1), "view"),
+        # user 3: click BEFORE the first view never counts; no purchase
+        (3, _ts(1, 1), "click"),
+        (3, _ts(1, 2), "view"),
+        # user 4: early click ignored, later click chains, completes
+        (4, _ts(2, 5), "view"),
+        (4, _ts(2, 4), "click"),
+        (4, _ts(2, 6), "click"),
+        (4, _ts(2, 7), "purchase"),
+        # user 5: purchase before click -> stage 3 not reached
+        (5, _ts(3, 1), "view"),
+        (5, _ts(3, 3), "click"),
+        (5, _ts(3, 2), "purchase"),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_stages_chaining(stream):
+    rows = {r["user_id"]: r for r in funnel_stages(stream, ["view", "click", "purchase"]).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}  # everyone with a view
+    assert rows[1]["t3"] == _ts(1, 3)
+    assert rows[2]["t2"] is None and rows[2]["t3"] is None
+    assert rows[3]["t2"] is None  # click predates the view
+    assert rows[4]["t2"] == _ts(2, 6) and rows[4]["t3"] == _ts(2, 7)
+    assert rows[5]["t2"] == _ts(3, 3) and rows[5]["t3"] is None
+
+
+def test_funnel_counts_summary(stream):
+    r = funnel_counts(stream, ["view", "click", "purchase"]).first()
+    assert r["n_stage_1"] == 5
+    assert r["n_stage_2"] == 3  # users 1, 4, 5
+    assert r["n_stage_3"] == 2  # users 1, 4
+    # user 1: 2h; user 4: 2h -> 4h in micros
+    assert r["conv_micros_total"] == 4 * 3600 * 1_000_000
+
+
+def test_funnel_validation(stream):
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_stages(stream, ["view"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_stages(stream, ["view", "view"])
+
+
+def test_cohort_retention_counts(spark):
+    rows = [
+        # cohort 2024-01-01: users 1, 2; user 1 returns d1 and d3
+        (1, _ts(1)), (1, _ts(2)), (1, _ts(4)),
+        (2, _ts(1)),
+        # cohort 2024-01-02: user 3 returns d7
+        (3, _ts(2)), (3, _ts(9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["cohort_day"].isoformat(): r for r in cohort_retention(df).collect()}
+    assert out["2024-01-01"]["n_users"] == 2
+    assert out["2024-01-01"]["n_day_1"] == 1
+    assert out["2024-01-01"]["n_day_3"] == 1
+    assert out["2024-01-01"]["n_day_7"] == 0
+    assert out["2024-01-02"]["n_users"] == 1
+    assert out["2024-01-02"]["n_day_7"] == 1
+    with pytest.raises(ValueError, match="positive"):
+        cohort_retention(df, horizons=(0,))
