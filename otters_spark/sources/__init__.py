@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 __all__ = [
+    "merge_upsert",
+    "scd2_merge",
     "read_table",
     "read_csv",
     "read_json",
@@ -35,6 +37,8 @@ __all__ = [
     "compact_table",
     "TABLES",
 ]
+
+from .merge import merge_upsert, scd2_merge  # noqa: E402
 
 #: tables shipped in the driver's testdata directories
 TABLES = (

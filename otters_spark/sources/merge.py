@@ -1,0 +1,119 @@
+"""Snapshot maintenance for saved stores: upsert and SCD2 merges.
+
+The reference is immutable after build, with mutability on its
+roadmap (reference README.md:207); at 100 TB the practical form of
+mutability is a periodic MERGE of a change batch into the stored
+snapshot — last-writer-wins for stateless stores, SCD2 (validity
+intervals) where history must survive. Both are expressed as ONE
+equi-join keyed on the merge key:
+
+* ``merge_upsert`` — anti-join + union: updates win, everything else
+  carries over. One shuffle on the key.
+* ``scd2_merge`` — the classic slowly-changing-dimension type 2:
+  a changed key CLOSES the current version (valid_to = batch ts) and
+  OPENS a new one; unchanged and absent keys pass through. The three
+  outcomes are emitted from a single full-outer join via one
+  generator (array_compact + explode), NOT three filtered re-reads
+  of the join — Catalyst does not dedup repeated subtrees, so the
+  branch-per-select form would run the join three times.
+
+Both return plain DataFrames: write them back with the normal store
+writers (overwrite-by-partition at scale).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["merge_upsert", "scd2_merge"]
+
+
+def merge_upsert(
+    current: DataFrame, updates: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Last-writer-wins merge: rows of ``updates`` replace same-key
+    rows of ``current``; unmatched current rows survive. Columns must
+    match. The anti-join and the union both hash on the key — one
+    exchange each side, no windows, no driver state."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    if set(current.columns) != set(updates.columns):
+        raise ValueError(
+            f"schemas differ: {sorted(current.columns)} vs {sorted(updates.columns)}"
+        )
+    survivors = current.join(updates.select(*keys), keys, "left_anti")
+    return survivors.unionByName(updates)
+
+
+def _all_equal(cols: Sequence[str], left: str, right: str) -> Column:
+    out = F.lit(True)
+    for c in cols:
+        out = out & F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+    return out
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+    batch_date,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD2 merge of an update batch into a versioned dimension.
+
+    ``dim`` carries ``valid_from``/``valid_to`` (NULL valid_to =
+    current version); ``updates`` carries key + compare columns. Per
+    key: attrs changed → current version closes at ``batch_date`` and
+    a new version opens; unchanged → untouched; new key → first
+    version opens. History rows pass through untouched. NULL-safe
+    attribute comparison, so NULL→value and value→NULL are changes.
+
+    Scale shape: history splits off with a scan-fused filter; the
+    current slice full-outer-joins the batch on the key (ONE
+    shuffle); each joined row emits its 1-2 output rows through a
+    single generator, so nothing is recomputed per outcome branch."""
+    keys = list(key_cols)
+    attrs = list(compare_cols)
+    if not keys or not attrs:
+        raise ValueError("key_cols and compare_cols must be non-empty")
+    overlap = set(keys) & set(attrs)
+    if overlap:
+        raise ValueError(f"key and compare columns overlap: {sorted(overlap)}")
+    bd = F.lit(batch_date).cast("date")
+
+    cur = dim.filter(F.col(valid_to).isNull()).alias("c")
+    hist = dim.filter(F.col(valid_to).isNotNull())
+    upd = updates.select(*keys, *attrs).alias("u")
+
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"c.{k}") == F.col(f"u.{k}"))
+    j = cur.join(upd, cond, "full_outer")
+
+    cur_exists = F.col(f"c.{keys[0]}").isNotNull()
+    upd_exists = F.col(f"u.{keys[0]}").isNotNull()
+    changed = upd_exists & cur_exists & ~_all_equal(attrs, "c", "u")
+
+    def _row(src: str, vfrom: Column, vto: Column) -> Column:
+        fields = [F.col(f"{src}.{k}").alias(k) for k in keys]
+        fields += [F.col(f"{src}.{a}").alias(a) for a in attrs]
+        fields += [vfrom.alias(valid_from), vto.alias(valid_to)]
+        return F.struct(*fields)
+
+    kept = F.when(
+        cur_exists & ~changed,
+        _row("c", F.col(f"c.{valid_from}"), F.lit(None).cast("date")),
+    )
+    closed = F.when(changed, _row("c", F.col(f"c.{valid_from}"), bd))
+    opened = F.when(
+        upd_exists & (changed | ~cur_exists), _row("u", bd, F.lit(None).cast("date"))
+    )
+    exploded = j.select(
+        F.explode(F.array_compact(F.array(kept, closed, opened))).alias("__r")
+    ).select("__r.*")
+    return hist.select(*keys, *attrs, valid_from, valid_to).unionByName(exploded)

@@ -3494,6 +3494,80 @@ ORDER BY exact_n DESC, token
 """
 
 
+def rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintenance (sources/merge.py): merge a synthetic
+    change batch (every 10th customer re-segmented, every %10==5
+    customer unchanged, every 97th re-keyed as a brand-new customer)
+    into a versioned customer dimension — changed keys close their
+    current version and open a new one, all from ONE full-outer join
+    with a single generator emitting the outcome rows (reference
+    README.md:207 lists mutability as roadmap; periodic MERGE is its
+    100 TB realization). Output: row counts and key sums per
+    (segment, is_current) — exact integers."""
+    from .sources.merge import scd2_merge
+
+    cust = load(spark, sf_dir, "customer")
+    k, seg = F.col("c_custkey"), F.col("c_mktsegment")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    upd = (
+        cust.filter(k % 10 == 0)
+        .select("c_custkey", F.concat(seg, F.lit("_V2")).alias("c_mktsegment"))
+        .unionByName(cust.filter(k % 10 == 5).select("c_custkey", "c_mktsegment"))
+        .unionByName(
+            cust.filter(k % 97 == 1).select(
+                (k + 10_000_000).alias("c_custkey"), "c_mktsegment"
+            )
+        )
+    )
+    merged = scd2_merge(dim, upd, ["c_custkey"], ["c_mktsegment"], "2024-06-01")
+    return (
+        merged.groupBy(
+            "c_mktsegment",
+            F.col("valid_to").isNull().cast("int").alias("is_current"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+        .orderBy("c_mktsegment", "is_current")
+    )
+
+
+REL_SCD2_MERGE_SQL = """
+WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+                    DATE '2024-01-01' AS vf, CAST(NULL AS DATE) AS vt
+             FROM customer),
+upd AS (
+  SELECT c_custkey AS k, c_mktsegment || '_V2' AS seg
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 10 = 5
+  UNION ALL
+  SELECT c_custkey + 10000000, c_mktsegment
+  FROM customer WHERE c_custkey % 97 = 1),
+j AS (SELECT d.k AS ck, d.seg AS cseg, d.vf AS cvf, u.k AS uk, u.seg AS useg
+      FROM dim d FULL JOIN upd u ON d.k = u.k),
+out AS (
+  SELECT ck AS k, cseg AS seg, cvf AS vf, CAST(NULL AS DATE) AS vt FROM j
+  WHERE ck IS NOT NULL AND (uk IS NULL OR useg IS NOT DISTINCT FROM cseg)
+  UNION ALL
+  SELECT ck, cseg, cvf, DATE '2024-06-01' FROM j
+  WHERE ck IS NOT NULL AND uk IS NOT NULL AND useg IS DISTINCT FROM cseg
+  UNION ALL
+  SELECT uk, useg, DATE '2024-06-01', NULL FROM j
+  WHERE uk IS NOT NULL AND (ck IS NULL OR useg IS DISTINCT FROM cseg))
+SELECT seg AS c_mktsegment,
+       CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS is_current,
+       count(*) AS n_rows, sum(k)::BIGINT AS key_sum
+FROM out GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (operators/behavior.py): users who
     viewed, then clicked strictly after that view, then purchased
@@ -4013,6 +4087,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_within_doc_windows": dedup_within_doc_windows,
     "events_funnel_conversion": events_funnel_conversion,
     "events_cohort_retention": events_cohort_retention,
+    "rel_scd2_merge": rel_scd2_merge,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -4119,6 +4194,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_within_doc_windows": DEDUP_WITHIN_DOC_WINDOWS_SQL,
     "events_funnel_conversion": EVENTS_FUNNEL_CONVERSION_SQL,
     "events_cohort_retention": EVENTS_COHORT_RETENTION_SQL,
+    "rel_scd2_merge": REL_SCD2_MERGE_SQL,
     # sim_ivf_topk: KMeans centroids are not SQL-reproducible — rows-only check
     # sim_pq_topk: KMeans codebooks — rows-only; recall + ADC math pinned
     #   in tests/test_similarity.py
