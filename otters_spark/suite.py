@@ -3494,6 +3494,102 @@ ORDER BY exact_n DESC, token
 """
 
 
+def rel_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth over a HIGH-CARDINALITY partition key
+    (per-customer order rankings — ntile quartiles, percent_rank,
+    cume_dist, lag/lead with defaults, first_value): the ranking
+    family beyond row_number/rank already covered elsewhere. The
+    partition key is o_custkey deliberately — partitioning analytic
+    windows by a low-cardinality column (priority, flag) funnels 1/k
+    of the table through one task at scale; per-entity windows are
+    the shape that holds at 100 TB."""
+    od = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        od.select(
+            "o_orderkey",
+            "o_custkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.lag("o_totalprice", 1, 0.0).over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice", 1, 0.0).over(w), 2).alias("next_price"),
+            F.round(F.first("o_totalprice").over(w), 2).alias("top_price"),
+        )
+        .filter(F.col("o_orderkey") % 31 == 0)
+        .orderBy("o_orderkey")
+    )
+
+
+REL_WINDOW_FUNCTIONS_SQL = """
+SELECT * FROM (
+  SELECT o_orderkey, o_custkey,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume,
+         round(lag(o_totalprice, 1, 0.0) OVER w, 2) AS prev_price,
+         round(lead(o_totalprice, 1, 0.0) OVER w, 2) AS next_price,
+         round(first_value(o_totalprice) OVER w, 2) AS top_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+WHERE o_orderkey % 31 = 0 ORDER BY o_orderkey
+"""
+
+
+def rel_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order function surface over the embedding
+    column: size, left-fold sums (F.aggregate ≡ DuckDB list_reduce —
+    both STRICT left folds, so float results match bit-for-bit
+    before the display rounding), lambda filter, array max, and a
+    zip_with self-product. The double-cast is materialized as a real
+    column first — HOF lambdas get no CSE, so an inlined transform
+    would re-cast per consumer (the repo's measured Catalyst trap)."""
+    emb = load(spark, sf_dir, "embeddings")
+    sel = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("__e"),
+    )
+    fold = lambda col: F.aggregate(col, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return (
+        sel.select(
+            "vec_id",
+            "label",
+            F.size("__e").cast("long").alias("dim"),
+            F.round(fold(F.col("__e")), 6).alias("sum_v"),
+            F.round(
+                fold(F.transform(F.col("__e"), lambda x: x * x)), 6
+            ).alias("sumsq_v"),
+            F.size(F.filter(F.col("__e"), lambda x: x > 0)).cast("long").alias("n_pos"),
+            F.round(F.array_max("__e"), 6).alias("max_v"),
+            F.round(
+                fold(F.zip_with(F.col("__e"), F.reverse(F.col("__e")), lambda a, b: a * b)),
+                6,
+            ).alias("dot_rev"),
+        )
+        .filter(F.col("vec_id") % 7 == 0)
+        .orderBy("vec_id")
+    )
+
+
+REL_ARRAY_FUNCTIONS_SQL = """
+WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id, label, len(e) AS dim,
+       round(list_reduce(list_prepend(0.0, e), (a, b) -> a + b), 6) AS sum_v,
+       round(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+                         (a, b) -> a + b), 6) AS sumsq_v,
+       len(list_filter(e, x -> x > 0)) AS n_pos,
+       round(list_max(e), 6) AS max_v,
+       round(list_reduce(list_prepend(0.0,
+                 list_transform(generate_series(1, len(e)),
+                                i -> e[i] * e[len(e) - i + 1])),
+             (a, b) -> a + b), 6) AS dot_rev
+FROM t WHERE vec_id % 7 = 0 ORDER BY vec_id
+"""
+
+
 def rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension maintenance (sources/merge.py): merge a synthetic
     change batch (every 10th customer re-segmented, every %10==5
@@ -4088,6 +4184,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_cohort_retention": events_cohort_retention,
     "rel_scd2_merge": rel_scd2_merge,
+    "rel_window_functions": rel_window_functions,
+    "rel_array_functions": rel_array_functions,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
@@ -4195,6 +4293,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_funnel_conversion": EVENTS_FUNNEL_CONVERSION_SQL,
     "events_cohort_retention": EVENTS_COHORT_RETENTION_SQL,
     "rel_scd2_merge": REL_SCD2_MERGE_SQL,
+    "rel_window_functions": REL_WINDOW_FUNCTIONS_SQL,
+    "rel_array_functions": REL_ARRAY_FUNCTIONS_SQL,
     # sim_ivf_topk: KMeans centroids are not SQL-reproducible — rows-only check
     # sim_pq_topk: KMeans codebooks — rows-only; recall + ADC math pinned
     #   in tests/test_similarity.py
