@@ -4015,10 +4015,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vs_batch_global_topk": vs_batch_global_topk,
     "vs_score_filter_all": vs_score_filter_all,
     "vs_per_query_topk": vs_per_query_topk,
-    "rel_pricing_summary": rel_pricing_summary,
-    "rel_shipping_priority": rel_shipping_priority,
-    "rel_top_customers_per_nation": rel_top_customers_per_nation,
-    "rel_scalar_functions": rel_scalar_functions,
+    # Session-7 rotation (fourth this round): six new oracle-paired
+    # families — Count-Min heavy hitters, DSIR importance resampling,
+    # intra-doc window dedup, the ordered-funnel behavior family,
+    # SCD2 store maintenance, and the ranking-window breadth row —
+    # promoted for first driver verdicts by demoting six
+    # family-redundant greens with r1+r2 green history:
+    # rel_pricing_summary (groupBy-agg family green via
+    # rel_rollup_revenue + rel_percentiles), rel_shipping_priority
+    # (join+agg family green via rel_semi_anti_join +
+    # rel_top_customers... see below), rel_top_customers_per_nation
+    # (window-rank family SUPERSEDED by the promoted
+    # rel_window_functions, which exercises six ranking functions to
+    # its one), rel_scalar_functions (scalar family; the promoted
+    # rel_array_functions stays in the tail as next-in-line),
+    # text_repetition_filters (text-gate family green via
+    # text_quality + the gates embedded in pipeline_curate_full),
+    # dedup_tfidf_cosine_pairs (sparse set-similarity kernel family
+    # green via dedup_char_shingle_pairs + dedup_incremental_ingest).
+    # Every entry promoted in earlier r3 sessions keeps its slot —
+    # none has received a driver verdict yet.
+    "rel_window_functions": rel_window_functions,
+    "rel_scd2_merge": rel_scd2_merge,
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "pipeline_dsir_select": pipeline_dsir_select,
+    "dedup_within_doc_windows": dedup_within_doc_windows,
+    "events_funnel_conversion": events_funnel_conversion,
     "rel_null_semantics": rel_null_semantics,
     "rel_rollup_revenue": rel_rollup_revenue,
     "sim_lsh_topk": sim_lsh_topk,
@@ -4032,7 +4054,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_extract": events_json_extract,
     "events_hypertable_rollup": events_hypertable_rollup,
     "text_quality": text_quality,
-    "text_repetition_filters": text_repetition_filters,
     "text_pii_redaction": text_pii_redaction,
     "pipeline_curate_full": pipeline_curate_full,
     "pipeline_source_mix": pipeline_source_mix,
@@ -4043,7 +4064,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_scalar_quant": sim_scalar_quant,
     "dedup_incremental_ingest": dedup_incremental_ingest,
     "dedup_char_shingle_pairs": dedup_char_shingle_pairs,
-    "dedup_tfidf_cosine_pairs": dedup_tfidf_cosine_pairs,
     "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -4177,15 +4197,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_removal": dedup_span_removal,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "rel_scalar_subquery": rel_scalar_subquery,
-    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
-    "pipeline_dsir_select": pipeline_dsir_select,
     "rel_skew_salted_join": rel_skew_salted_join,
-    "dedup_within_doc_windows": dedup_within_doc_windows,
-    "events_funnel_conversion": events_funnel_conversion,
     "events_cohort_retention": events_cohort_retention,
-    "rel_scd2_merge": rel_scd2_merge,
-    "rel_window_functions": rel_window_functions,
     "rel_array_functions": rel_array_functions,
+    # Session-7 demotions (r1+r2 green history; rationale at the head
+    # of this dict):
+    "rel_pricing_summary": rel_pricing_summary,
+    "rel_shipping_priority": rel_shipping_priority,
+    "rel_top_customers_per_nation": rel_top_customers_per_nation,
+    "rel_scalar_functions": rel_scalar_functions,
+    "text_repetition_filters": text_repetition_filters,
+    "dedup_tfidf_cosine_pairs": dedup_tfidf_cosine_pairs,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,
