@@ -49,6 +49,9 @@ __all__ = [
     "cms_table",
     "cms_merge",
     "cms_lookup",
+    "hist_sketch",
+    "hist_merge",
+    "hist_quantiles",
 ]
 
 #: the md5 draw is 15 hex nibbles = 60 uniform bits in [0, 2^60)
@@ -348,3 +351,114 @@ def cms_lookup(
         joined.groupBy(*keep)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-range histogram sketch — mergeable quantiles
+# --------------------------------------------------------------------------
+
+def hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 512,
+) -> DataFrame:
+    """Per-group fixed-range histogram: one row per (group, ``bin``)
+    with ``cnt`` — the quantile member of the mergeable-sketch trio
+    (KMV/HLL = distinct, CMS = frequency, this = distribution). The
+    caller supplies the value range [lo, hi); values outside clamp to
+    the edge bins, NULL values are skipped, and the bin id is pure
+    codegen arithmetic.
+
+    vs the EXACT binned percentiles in ``operators.stats`` (same
+    binning trick, but a second pass ranks within bins): this keeps
+    ONLY the bin counts, so day sketches roll up into month sketches
+    with ``hist_merge`` and stream state stays at ``bins`` integers
+    per group — the algebraic-aggregate contract of every sketch in
+    this module. Resolution is the price: quantiles interpolate
+    within a bin (error ≤ bin width)."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    gcols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * F.lit(bins / (hi - lo))).cast("long")
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    return (
+        df.filter(v.isNotNull())
+        .select(*gcols, b.alias("bin"))
+        .groupBy(*gcols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(sketches: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge histogram sketches: per (group, bin) sum — the union of
+    the underlying streams, exactly (counts are linear)."""
+    gcols = list(group_cols)
+    return sketches.groupBy(*gcols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 512,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: per group, columns
+    ``n`` and ``q_<q>`` for each requested quantile.
+
+    Estimator: find the first bin whose cumulative count reaches
+    q·n, then interpolate linearly inside it —
+    ``lo + (bin + (q·n - cum_before) / cnt) · width``. Every input to
+    the float math is an exact integer (bin ids, counts) or a Python
+    literal, computed once per group — no float ever crosses an
+    aggregation, so estimates reproduce bit-for-bit cross-engine.
+    The cumulative scan is a window over ≤ ``bins`` rows per group
+    (constant-sized by construction, like the binned-cumsum lanes in
+    ``operators.sampling``)."""
+    for q in qs:
+        if not 0.0 < q < 1.0:
+            raise ValueError(f"quantiles must be in (0, 1), got {q}")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    gcols = list(group_cols)
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    width = (hi - lo) / bins
+    cum = sketch.select(
+        *gcols,
+        "bin",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("__before"),
+    )
+    totals = cum.groupBy(*gcols).agg(F.sum("cnt").alias("n"))
+    t = totals.withColumnsRenamed({c: f"__g_{c}" for c in gcols}) if gcols else totals
+    if gcols:
+        cond = F.lit(True)
+        for c in gcols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        joined = cum.join(F.broadcast(t), cond).drop(*[f"__g_{c}" for c in gcols])
+    else:
+        joined = cum.crossJoin(F.broadcast(t))
+    aggs = [F.first("n").alias("n")]
+    for q in qs:
+        target = F.lit(float(q)) * F.col("n").cast("double")
+        inside = (
+            F.col("__before").cast("double") < target
+        ) & (target <= (F.col("__before") + F.col("cnt")).cast("double"))
+        frac = (target - F.col("__before").cast("double")) / F.col("cnt").cast("double")
+        est = F.lit(float(lo)) + (F.col("bin").cast("double") + frac) * F.lit(width)
+        name = f"q_{str(q).replace('.', '_')}"
+        aggs.append(F.min(F.when(inside, est)).alias(name))
+    return joined.groupBy(*gcols).agg(*aggs)

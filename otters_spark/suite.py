@@ -3808,6 +3808,74 @@ ORDER BY select_key DESC, doc_id LIMIT {_DSIR_TAKE}
 """
 
 
+_HIST_LO, _HIST_HI, _HIST_BINS = 900.0, 105000.0, 512
+_HIST_SCALE = _HIST_BINS / (_HIST_HI - _HIST_LO)
+_HIST_WIDTH = (_HIST_HI - _HIST_LO) / _HIST_BINS
+
+
+def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles (operators/sketches.py hist_*): the
+    quantile member of the mergeable-sketch trio — per return flag,
+    median/p90/p99 of extended price read off a 512-bin fixed-range
+    histogram. Unlike the EXACT binned percentiles (rel_percentiles),
+    only bin counts persist: day sketches roll into month sketches
+    with hist_merge, stream state is 512 ints/group. Bin ids and
+    counts are exact integers; the interpolation multiplies
+    precomputed Python literals shared verbatim with the DuckDB twin,
+    so estimates reproduce bit-for-bit (rounded 4dp for display)."""
+    from .operators.sketches import hist_quantiles, hist_sketch
+
+    li = load(spark, sf_dir, "lineitem")
+    sk = hist_sketch(
+        li, "l_extendedprice", ["l_returnflag"],
+        lo=_HIST_LO, hi=_HIST_HI, bins=_HIST_BINS,
+    )
+    q = hist_quantiles(
+        sk, [0.5, 0.9, 0.99], ["l_returnflag"],
+        lo=_HIST_LO, hi=_HIST_HI, bins=_HIST_BINS,
+    )
+    return q.select(
+        "l_returnflag",
+        "n",
+        F.round("q_0_5", 4).alias("q_0_5"),
+        F.round("q_0_9", 4).alias("q_0_9"),
+        F.round("q_0_99", 4).alias("q_0_99"),
+    ).orderBy("l_returnflag")
+
+
+SKETCH_HIST_QUANTILES_SQL = f"""
+WITH b AS (
+  SELECT l_returnflag AS g,
+         least({_HIST_BINS - 1}, greatest(0,
+           CAST(floor((l_extendedprice - {_HIST_LO!r}) * {_HIST_SCALE!r}) AS BIGINT))) AS bin
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+c AS (SELECT g, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+w AS (SELECT g, bin, cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      FROM c),
+t AS (SELECT g, sum(cnt)::BIGINT AS n FROM c GROUP BY 1)
+SELECT g AS l_returnflag, any_value(n) AS n,
+  round(min(CASE WHEN bef::DOUBLE < 0.5 * n::DOUBLE
+                  AND 0.5 * n::DOUBLE <= (bef + cnt)::DOUBLE
+            THEN {_HIST_LO!r} + (bin::DOUBLE
+                 + (0.5 * n::DOUBLE - bef::DOUBLE) / cnt::DOUBLE) * {_HIST_WIDTH!r}
+            END), 4) AS q_0_5,
+  round(min(CASE WHEN bef::DOUBLE < 0.9 * n::DOUBLE
+                  AND 0.9 * n::DOUBLE <= (bef + cnt)::DOUBLE
+            THEN {_HIST_LO!r} + (bin::DOUBLE
+                 + (0.9 * n::DOUBLE - bef::DOUBLE) / cnt::DOUBLE) * {_HIST_WIDTH!r}
+            END), 4) AS q_0_9,
+  round(min(CASE WHEN bef::DOUBLE < 0.99 * n::DOUBLE
+                  AND 0.99 * n::DOUBLE <= (bef + cnt)::DOUBLE
+            THEN {_HIST_LO!r} + (bin::DOUBLE
+                 + (0.99 * n::DOUBLE - bef::DOUBLE) / cnt::DOUBLE) * {_HIST_WIDTH!r}
+            END), 4) AS q_0_99
+FROM w JOIN t USING (g)
+GROUP BY g ORDER BY g
+"""
+
+
 def rel_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (operators/skew.py): lineitem
     has only 3 return-flag keys, so a plain groupBy funnels 1/3 of a
@@ -4200,6 +4268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_skew_salted_join": rel_skew_salted_join,
     "events_cohort_retention": events_cohort_retention,
     "rel_array_functions": rel_array_functions,
+    "sketch_hist_quantiles": sketch_hist_quantiles,
     # Session-7 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "rel_pricing_summary": rel_pricing_summary,
@@ -4306,6 +4375,7 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_hll_distinct": SKETCH_HLL_DISTINCT_SQL,
     "rel_skew_salted_agg": REL_SKEW_SALTED_AGG_SQL,
     "rel_zorder_key": REL_ZORDER_KEY_SQL,
+    "sketch_hist_quantiles": SKETCH_HIST_QUANTILES_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,

@@ -187,3 +187,62 @@ def test_cms_grouped_and_validation(spark):
         cms_table(df, "v", depth=0)
     with pytest.raises(ValueError, match="width"):
         cms_table(df, "v", width=1)
+
+
+# ---------------------------------------------------------- histogram
+
+
+def test_hist_quantiles_track_exact(spark):
+    from otters_spark.operators.sketches import hist_quantiles, hist_sketch
+
+    df = spark.range(0, 10000).select(F.col("id").cast("double").alias("v"))
+    sk = hist_sketch(df, "v", lo=0.0, hi=10000.0, bins=100)
+    r = hist_quantiles(sk, [0.25, 0.5, 0.99], lo=0.0, hi=10000.0, bins=100).first()
+    assert r["n"] == 10000
+    # bin width is 100: estimates land within one bin of the truth
+    assert abs(r["q_0_25"] - 2500) <= 100
+    assert abs(r["q_0_5"] - 5000) <= 100
+    assert abs(r["q_0_99"] - 9900) <= 100
+
+
+def test_hist_merge_equals_direct_and_clamps(spark):
+    from otters_spark.operators.sketches import hist_merge, hist_sketch
+
+    df = spark.range(-50, 150).select(F.col("id").cast("double").alias("v"))
+    left = df.filter("v < 40")
+    right = df.filter("v >= 40")
+    direct = hist_sketch(df, "v", lo=0.0, hi=100.0, bins=10)
+    merged = hist_merge(
+        hist_sketch(left, "v", lo=0.0, hi=100.0, bins=10).union(
+            hist_sketch(right, "v", lo=0.0, hi=100.0, bins=10)
+        )
+    )
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    cells = {r["bin"]: r["cnt"] for r in direct.collect()}
+    assert cells[0] == 60   # 50 below-range clamp into bin 0 + 10 real
+    assert cells[9] == 60   # 50 above-range clamp into bin 9 + 10 real
+
+
+def test_hist_grouped_and_validation(spark):
+    import pytest as _pytest
+
+    from otters_spark.operators.sketches import hist_quantiles, hist_sketch
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    sk = hist_sketch(df, "v", ["g"], lo=0.0, hi=2000.0, bins=50)
+    rows = {
+        r["g"]: r
+        for r in hist_quantiles(sk, [0.5], ["g"], lo=0.0, hi=2000.0, bins=50).collect()
+    }
+    assert rows[0]["n"] == 1000 and rows[1]["n"] == 1000
+    for r in rows.values():
+        assert abs(r["q_0_5"] - 1000) <= 80  # median of both parities ~1000
+    with _pytest.raises(ValueError, match="bins"):
+        hist_sketch(df, "v", bins=1)
+    with _pytest.raises(ValueError, match="hi must"):
+        hist_sketch(df, "v", lo=1.0, hi=1.0)
+    with _pytest.raises(ValueError, match="quantiles"):
+        hist_quantiles(sk, [1.5])
