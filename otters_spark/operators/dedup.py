@@ -55,6 +55,7 @@ __all__ = [
     "simhash_table",
     "simhash_pairs",
     "simhash_banded_pairs",
+    "fingerprint_banded_pairs",
     "edit_distance_pairs",
     "frequent_segments",
     "incremental_dedup",
@@ -839,11 +840,36 @@ def simhash_banded_pairs(
     oracle checks (reference near-dup semantics:
     /root/reference/src/meta.rs discusses only exact match; SimHash is
     extension surface)."""
+    t = simhash_table(df, text_col, id_col, bits, keep_cols=block_cols)
+    return fingerprint_banded_pairs(
+        t, max_hamming, id_col=id_col, fp_col="simhash", bits=bits,
+        block_cols=block_cols,
+    )
+
+
+def fingerprint_banded_pairs(
+    t: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    bits: int = 32,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Pigeonhole-banded Hamming pairs over ANY integer fingerprint
+    table (id, fingerprint): the generator behind
+    :func:`simhash_banded_pairs`, reused by the multimodal
+    perceptual-hash lane (operators/multimodal.py) — the banding math
+    only sees bit patterns, not where they came from. Returns
+    (id_a, id_b, hamming) with id_a < id_b; recall is perfect (see
+    simhash_banded_pairs). NULL fingerprints produce no pairs."""
     n_chunks = max_hamming + 1
     if not 0 < n_chunks <= bits:
         raise ValueError(f"need 0 <= max_hamming < bits, got {max_hamming}/{bits}")
     bounds = [(c * bits) // n_chunks for c in range(n_chunks + 1)]
-    t = simhash_table(df, text_col, id_col, bits, keep_cols=block_cols)
+    t = t.filter(F.col(fp_col).isNotNull())
+    if fp_col != "simhash":
+        t = t.withColumnRenamed(fp_col, "simhash")
+
     def _mask(width: int):
         # a full-width chunk (max_hamming=0, bits=64) needs all-ones,
         # which only exists as -1 in signed-long space

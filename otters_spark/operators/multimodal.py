@@ -39,6 +39,8 @@ __all__ = [
     "extract_features",
     "frame_sample_plan",
     "decode_frames",
+    "perceptual_hash_table",
+    "perceptual_neardup_pairs",
 ]
 
 #: canonical multimodal row: opaque payload + typed metadata
@@ -305,3 +307,72 @@ def decode_frames(
             )
 
     return with_payload.mapInPandas(kernel, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing — near-duplicate detection for media payloads
+# --------------------------------------------------------------------------
+
+def perceptual_hash_table(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """32-bit aHash-style perceptual fingerprint per payload: split
+    the payload into 32 4-bit cells, bit_i = cell_i > mean(cells) —
+    the average-hash algorithm (threshold each cell against the
+    global mean), with the payload's hex nibbles standing in for the
+    decoded 8x8 luma grid (this module's codec policy: the sandbox
+    has no image codecs, so cell EXTRACTION is the deterministic
+    stand-in while the hash math, schema and pair generation are
+    real; a production deployment swaps in luma cells from
+    ``decode_image``).
+
+    The mean threshold is computed in EXACT integer space
+    (``cell * n > sum`` instead of ``cell > sum/n``), and the bit
+    pack is a left fold over materialized cell/sum columns — no
+    float, no re-inlined expressions — so fingerprints are
+    bit-identical cross-engine. NULL payloads yield no row."""
+    n = 32
+    hexs = F.hex(F.col(payload_col))
+    chars = F.regexp_extract_all(hexs, F.lit("(?s)."), 0)
+    cells = F.transform(chars, lambda c: F.conv(c, 16, 10).cast("long"))
+    base = df.filter(F.col(payload_col).isNotNull()).select(
+        F.col(id_col), cells.alias("__cells")
+    )
+    summed = base.select(
+        id_col,
+        "__cells",
+        F.aggregate("__cells", F.lit(0).cast("long"), lambda a, x: a + x).alias("__s"),
+    )
+    # 32 static terms with literal shifts (shift counts must be
+    # Python ints); each reads the materialized cell/sum columns once
+    bits = None
+    for i in range(n):
+        term = F.when(
+            F.element_at(F.col("__cells"), i + 1) * n > F.col("__s"),
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        bits = term if bits is None else bits + term
+    return summed.select(F.col(id_col), bits.alias("phash"))
+
+
+def perceptual_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate media pairs: perceptual fingerprints joined
+    through the SAME pigeonhole banding generator as SimHash text
+    dedup (operators/dedup.py fingerprint_banded_pairs — perfect
+    recall, candidates ∝ bucket occupancy, never n²). Returns
+    (id_a, id_b, hamming). Keep bits/(max_hamming+1) >= 8 for
+    selective bands (the SCALE.md SimHash rule; 32-bit fingerprints
+    -> max_hamming <= 3)."""
+    from .dedup import fingerprint_banded_pairs
+
+    t = perceptual_hash_table(df, payload_col, id_col)
+    return fingerprint_banded_pairs(
+        t, max_hamming, id_col=id_col, fp_col="phash", bits=32
+    )

@@ -2906,6 +2906,65 @@ FROM documents ORDER BY media_id
 """
 
 
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection for media payloads
+    (operators/multimodal.py): 32-bit aHash fingerprints (cells
+    thresholded against their mean in EXACT integer space) paired
+    through the same pigeonhole banding generator as SimHash text
+    dedup. Media table: every 4th part keyed by partkey, payload
+    derived from (brand, container) so duplicate fingerprints are
+    real (parts sharing the combo collide at Hamming 0; cross-combo
+    fingerprints are near-random). Output aggregates pairs per
+    Hamming distance — exact integers."""
+    from .operators.multimodal import perceptual_neardup_pairs
+
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 == 0)
+    media = part.select(
+        F.col("p_partkey").alias("media_id"),
+        F.unhex(
+            F.md5(F.concat_ws("|", F.col("p_brand"), F.col("p_size")))
+        ).alias("payload"),
+    )
+    pairs = perceptual_neardup_pairs(media, max_hamming=3, id_col="media_id")
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("id_a").alias("ida_sum"),
+            F.sum("id_b").alias("idb_sum"),
+        )
+        .orderBy("hamming")
+    )
+
+
+MULTIMODAL_PHASH_NEARDUP_SQL = """
+WITH m AS (SELECT p_partkey AS id, md5(p_brand || '|' || p_size) AS h
+           FROM part WHERE p_partkey % 4 = 0),
+cells AS (SELECT id, list_transform(string_split(h, ''),
+                                    c -> ('0x' || c)::BIGINT) AS cs
+          FROM m),
+ph AS (SELECT id,
+              list_sum(list_transform(generate_series(1, 32),
+                i -> CASE WHEN cs[i] * 32 > list_sum(cs)
+                     THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS phash
+       FROM cells),
+chunks AS (SELECT id, phash, unnest([0, 1, 2, 3]) AS cid,
+                  unnest([(phash >> 0) & 255, (phash >> 8) & 255,
+                          (phash >> 16) & 255, (phash >> 24) & 255]) AS cval
+           FROM ph),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                a.phash AS pa, b.phash AS pb
+         FROM chunks a JOIN chunks b
+           ON a.cid = b.cid AND a.cval = b.cval AND a.id < b.id),
+pairs AS (SELECT id_a, id_b,
+                 CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+          FROM cand WHERE bit_count(xor(pa, pb)) <= 3)
+SELECT hamming, count(*) AS n_pairs,
+       sum(id_a)::BIGINT AS ida_sum, sum(id_b)::BIGINT AS idb_sum
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame pipeline end-to-end: typed video metadata (struct
     with text-length-derived duration) -> frame_sample_plan (pure
@@ -4269,6 +4328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cohort_retention": events_cohort_retention,
     "rel_array_functions": rel_array_functions,
     "sketch_hist_quantiles": sketch_hist_quantiles,
+    "multimodal_phash_neardup": multimodal_phash_neardup,
     # Session-7 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "rel_pricing_summary": rel_pricing_summary,
@@ -4376,6 +4436,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_skew_salted_agg": REL_SKEW_SALTED_AGG_SQL,
     "rel_zorder_key": REL_ZORDER_KEY_SQL,
     "sketch_hist_quantiles": SKETCH_HIST_QUANTILES_SQL,
+    "multimodal_phash_neardup": MULTIMODAL_PHASH_NEARDUP_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,

@@ -210,3 +210,74 @@ def test_decode_frames_real_pyav_decoder(spark):
     rows = decode_frames(media, every_ms=1000, decoder=pyav_decoder).collect()
     assert len(rows) == 3
     assert all(r["frame_sig"] is not None for r in rows)
+
+
+# ----------------------------------------------------- perceptual hash
+
+
+def test_perceptual_hash_mean_threshold(spark):
+    from otters_spark.operators.multimodal import perceptual_hash_table
+
+    # payload bytes 0x00..0x0F: nibbles 0,0,0,1,...,0,15 — exactly the
+    # nibbles above the mean set their bit
+    payload = bytes(range(16))
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    r = perceptual_hash_table(df).first()
+    nibbles = [n for b in payload for n in (b >> 4, b & 15)]
+    mean_n, s = len(nibbles), sum(nibbles)
+    expect = sum(1 << i for i, c in enumerate(nibbles) if c * mean_n > s)
+    assert r["phash"] == expect
+
+
+def test_perceptual_neardup_hamming_exactness(spark):
+    from otters_spark.operators.multimodal import (
+        perceptual_hash_table,
+        perceptual_neardup_pairs,
+    )
+
+    base = bytes(range(16))
+    flip1 = bytes([base[0] ^ 0xF0]) + base[1:]   # perturb first nibble
+    far = bytes([b ^ 0xFF for b in base])         # complement everything
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, flip1), (4, far), (5, None)],
+        "doc_id long, payload binary",
+    )
+    t = {r["doc_id"]: r["phash"] for r in perceptual_hash_table(df).collect()}
+    assert 5 not in t  # NULL payload: no row
+    assert t[1] == t[2]
+    d13 = bin(t[1] ^ t[3]).count("1")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in perceptual_neardup_pairs(df, max_hamming=max(3, d13)).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == d13 and pairs[(2, 3)] == d13
+
+
+def test_perceptual_banded_equals_allpairs(spark, sf_dir):
+    from otters_spark.operators.dedup import fingerprint_banded_pairs
+    from otters_spark.operators.multimodal import (
+        attach_fake_payload,
+        perceptual_hash_table,
+    )
+    from pyspark.sql import functions as F
+
+    media = attach_fake_payload(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    t = perceptual_hash_table(media, id_col="media_id")
+    banded = fingerprint_banded_pairs(t, 6, id_col="media_id", fp_col="phash", bits=32)
+    a, b = t.alias("a"), t.alias("b")
+    allpairs = (
+        a.join(b, F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+    assert banded.exceptAll(allpairs).count() == 0
+    assert allpairs.exceptAll(banded).count() == 0
