@@ -2906,6 +2906,60 @@ FROM documents ORDER BY media_id
 """
 
 
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training (the
+    DPR/SimCSE data-prep step): for each query document, the top-3
+    most-similar corpus vectors with a DIFFERENT label — near misses
+    that make the strongest training negatives. Shape: the query
+    subset broadcasts (it is the small side by construction), scoring
+    is the store's precomputed-inverse-norm cosine at scan speed, the
+    label exclusion is a plain predicate fused into the scoring
+    stage, and per-query top-3 is a WindowGroupLimit — exactly the
+    batch-search machinery (vs_per_query_topk) composed with an
+    exclusion rule. At 100 TB the brute-force scoring swaps for the
+    IVF/LSH tiers in operators/similarity.py; the mining logic is
+    unchanged."""
+    store = emb_store(spark, sf_dir)
+    q = store.df.filter(F.col("vec_id") % 131 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col(INV_NORM_COL).alias("q_inv"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        store.df.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .withColumn(
+            "score",
+            score_expr("embedding", "qvec", "cosine", INV_NORM_COL, F.col("q_inv")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+SIM_HARD_NEGATIVES_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS q_label
+           FROM embeddings WHERE vec_id % 131 = 0),
+scored AS (SELECT q.query_id, q.q_label, e.vec_id AS neg_id, e.label AS neg_label,
+                  list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS s
+           FROM embeddings e, q WHERE e.label <> q.q_label)
+SELECT query_id, q_label, neg_id, neg_label, round(s, 6) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neg_id) <= 3
+"""
+
+
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup detection for media payloads
     (operators/multimodal.py): 32-bit aHash fingerprints (cells
@@ -4329,6 +4383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_array_functions": rel_array_functions,
     "sketch_hist_quantiles": sketch_hist_quantiles,
     "multimodal_phash_neardup": multimodal_phash_neardup,
+    "sim_hard_negatives": sim_hard_negatives,
     # Session-7 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "rel_pricing_summary": rel_pricing_summary,
@@ -4437,6 +4492,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_zorder_key": REL_ZORDER_KEY_SQL,
     "sketch_hist_quantiles": SKETCH_HIST_QUANTILES_SQL,
     "multimodal_phash_neardup": MULTIMODAL_PHASH_NEARDUP_SQL,
+    "sim_hard_negatives": SIM_HARD_NEGATIVES_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,
