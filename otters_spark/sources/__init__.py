@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 __all__ = [
     "merge_upsert",
     "scd2_merge",
+    "scd2_as_of",
     "read_table",
     "read_csv",
     "read_json",
@@ -38,7 +39,7 @@ __all__ = [
     "TABLES",
 ]
 
-from .merge import merge_upsert, scd2_merge  # noqa: E402
+from .merge import merge_upsert, scd2_as_of, scd2_merge  # noqa: E402
 
 #: tables shipped in the driver's testdata directories
 TABLES = (

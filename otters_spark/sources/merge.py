@@ -27,7 +27,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["merge_upsert", "scd2_merge"]
+__all__ = ["merge_upsert", "scd2_merge", "scd2_as_of"]
 
 
 def merge_upsert(
@@ -117,3 +117,26 @@ def scd2_merge(
         F.explode(F.array_compact(F.array(kept, closed, opened))).alias("__r")
     ).select("__r.*")
     return hist.select(*keys, *attrs, valid_from, valid_to).unionByName(exploded)
+
+
+def scd2_as_of(
+    dim: DataFrame,
+    as_of,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Time travel over an SCD2 dimension: the snapshot that was
+    current on ``as_of`` — rows whose validity interval covers the
+    date (``valid_from <= as_of < valid_to``, open current versions
+    have NULL valid_to). A scan-fused filter, so snapshot reads cost
+    one pass and prune on the validity columns' min/max stats; the
+    validity columns are dropped (the result IS a plain snapshot).
+
+    Half-open semantics match :func:`scd2_merge`: a version closed AT
+    ``as_of`` is no longer visible, its successor (opened at
+    ``as_of``) is."""
+    d = F.lit(as_of).cast("date")
+    return dim.filter(
+        (F.col(valid_from) <= d)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > d))
+    ).drop(valid_from, valid_to)

@@ -3703,16 +3703,10 @@ FROM t WHERE vec_id % 7 = 0 ORDER BY vec_id
 """
 
 
-def rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 dimension maintenance (sources/merge.py): merge a synthetic
-    change batch (every 10th customer re-segmented, every %10==5
-    customer unchanged, every 97th re-keyed as a brand-new customer)
-    into a versioned customer dimension — changed keys close their
-    current version and open a new one, all from ONE full-outer join
-    with a single generator emitting the outcome rows (reference
-    README.md:207 lists mutability as roadmap; periodic MERGE is its
-    100 TB realization). Output: row counts and key sums per
-    (segment, is_current) — exact integers."""
+def _scd2_merged_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the SCD2 rows: customer dimension + the
+    synthetic change batch, merged at 2024-06-01 (see
+    rel_scd2_merge's docstring for the batch construction)."""
     from .sources.merge import scd2_merge
 
     cust = load(spark, sf_dir, "customer")
@@ -3733,7 +3727,52 @@ def rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    merged = scd2_merge(dim, upd, ["c_custkey"], ["c_mktsegment"], "2024-06-01")
+    return scd2_merge(dim, upd, ["c_custkey"], ["c_mktsegment"], "2024-06-01")
+
+
+def rel_scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 dimension (sources/merge.py
+    scd2_as_of): the snapshot before the merge batch (2024-03-01) vs
+    the snapshot at the batch date (2024-06-01, half-open: a version
+    closed AT the date yields to its successor). Each snapshot is a
+    scan-fused validity filter; in production both read the SAVED
+    dimension, so two point reads cost two pruned scans — here the
+    unmaterialized merge recomputes per snapshot, which is the
+    at-suite-scale price of exercising the point-read API itself."""
+    from .sources.merge import scd2_as_of
+
+    merged = _scd2_merged_dim(spark, sf_dir)
+
+    def snap(tag: str, d: str) -> DataFrame:
+        return (
+            scd2_as_of(merged, d)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("c_custkey").alias("key_sum"),
+            )
+            .withColumn("snap", F.lit(tag))
+        )
+
+    return (
+        snap("pre", "2024-03-01")
+        .unionByName(snap("post", "2024-06-01"))
+        .select("snap", "c_mktsegment", "n_rows", "key_sum")
+        .orderBy("snap", "c_mktsegment")
+    )
+
+
+def rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintenance (sources/merge.py): merge a synthetic
+    change batch (every 10th customer re-segmented, every %10==5
+    customer unchanged, every 97th re-keyed as a brand-new customer)
+    into a versioned customer dimension — changed keys close their
+    current version and open a new one, all from ONE full-outer join
+    with a single generator emitting the outcome rows (reference
+    README.md:207 lists mutability as roadmap; periodic MERGE is its
+    100 TB realization). Output: row counts and key sums per
+    (segment, is_current) — exact integers."""
+    merged = _scd2_merged_dim(spark, sf_dir)
     return (
         merged.groupBy(
             "c_mktsegment",
@@ -3747,7 +3786,7 @@ def rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REL_SCD2_MERGE_SQL = """
+_SCD2_BASE_SQL = """
 WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg,
                     DATE '2024-01-01' AS vf, CAST(NULL AS DATE) AS vt
              FROM customer),
@@ -3770,10 +3809,24 @@ out AS (
   UNION ALL
   SELECT uk, useg, DATE '2024-06-01', NULL FROM j
   WHERE uk IS NOT NULL AND (ck IS NULL OR useg IS DISTINCT FROM cseg))
+"""
+
+REL_SCD2_MERGE_SQL = _SCD2_BASE_SQL + """
 SELECT seg AS c_mktsegment,
        CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS is_current,
        count(*) AS n_rows, sum(k)::BIGINT AS key_sum
 FROM out GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+REL_SCD2_TIME_TRAVEL_SQL = _SCD2_BASE_SQL + """
+, snap AS (
+  SELECT 'pre' AS snap, seg, k FROM out
+  WHERE vf <= DATE '2024-03-01' AND (vt IS NULL OR vt > DATE '2024-03-01')
+  UNION ALL
+  SELECT 'post', seg, k FROM out
+  WHERE vf <= DATE '2024-06-01' AND (vt IS NULL OR vt > DATE '2024-06-01'))
+SELECT snap, seg AS c_mktsegment, count(*) AS n_rows, sum(k)::BIGINT AS key_sum
+FROM snap GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -4382,6 +4435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cohort_retention": events_cohort_retention,
     "rel_array_functions": rel_array_functions,
     "sketch_hist_quantiles": sketch_hist_quantiles,
+    "rel_scd2_time_travel": rel_scd2_time_travel,
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "sim_hard_negatives": sim_hard_negatives,
     # Session-7 demotions (r1+r2 green history; rationale at the head
@@ -4491,6 +4545,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_skew_salted_agg": REL_SKEW_SALTED_AGG_SQL,
     "rel_zorder_key": REL_ZORDER_KEY_SQL,
     "sketch_hist_quantiles": SKETCH_HIST_QUANTILES_SQL,
+    "rel_scd2_time_travel": REL_SCD2_TIME_TRAVEL_SQL,
     "multimodal_phash_neardup": MULTIMODAL_PHASH_NEARDUP_SQL,
     "sim_hard_negatives": SIM_HARD_NEGATIVES_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,

@@ -79,3 +79,19 @@ def test_scd2_merge_validation(spark, dim):
         scd2_merge(dim, upd, [], ["seg"], date(2024, 6, 1))
     with pytest.raises(ValueError, match="overlap"):
         scd2_merge(dim, upd, ["k"], ["k"], date(2024, 6, 1))
+
+
+def test_scd2_as_of_time_travel(spark, dim):
+    from otters_spark.sources.merge import scd2_as_of
+
+    upd = spark.createDataFrame([(1, "platinum")], "k long, seg string")
+    merged = scd2_merge(dim, upd, ["k"], ["seg"], date(2024, 6, 1))
+    before = {r["k"]: r["seg"] for r in scd2_as_of(merged, date(2024, 3, 1)).collect()}
+    after = {r["k"]: r["seg"] for r in scd2_as_of(merged, date(2024, 6, 1)).collect()}
+    ancient = {r["k"]: r["seg"] for r in scd2_as_of(merged, date(2023, 6, 1)).collect()}
+    assert before[1] == "gold" and after[1] == "platinum"
+    assert ancient == {1: "old"}  # only the 2023 version existed then
+    assert before[2] == "silver" and after[2] == "silver"
+    # exactly one version visible per key at any date
+    assert len(scd2_as_of(merged, date(2024, 6, 1)).groupBy("k").count()
+               .filter("count > 1").collect()) == 0
