@@ -38,6 +38,8 @@ __all__ = [
     "pack_sequences",
     "dsir_weights",
     "dsir_select",
+    "shuffle_shards",
+    "write_training_shards",
 ]
 
 #: bucket space for split/sample fractions (1e4 → 0.01% granularity)
@@ -451,4 +453,94 @@ def dsir_select(
         corpus.join(keyed, id_col)
         .orderBy(F.desc("select_key"), F.col(id_col))
         .limit(n_take)
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    bins: int = 1024,
+    shard_col: str = "shard_id",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic global shuffle + exactly-balanced shard
+    assignment — the terminal stage of a training-data pipeline, where
+    the curated corpus is permuted (so each training batch is an i.i.d.
+    mix of sources) and cut into a fixed number of shard files.
+
+    The permutation is the md5-hash order of ``key_col`` (content
+    stable: the same corpus always shuffles identically, regardless of
+    cluster size or input partitioning). The global position in that
+    order is computed with the exact two-phase binned form — NEVER a
+    global ``ROW_NUMBER`` window, which funnels 100 TB through one
+    task:
+
+    1. bin rows by the TOP bits of the 60-bit hash
+       (``shiftright(hkey, 60 - log2(bins))`` — exact integer math,
+       monotone in the hash, so bin order == hash order); per-bin
+       counts are a tiny aggregate and the running prior across bins
+       is a window over ≤ ``bins`` rows.
+    2. broadcast the priors back; the within-bin rank is a window
+       PARTITIONED BY BIN (parallel, spillable, bounded by the largest
+       bin ≈ N/bins rows, never the corpus).
+
+    Shards are assigned round-robin over the permuted order
+    (``shard = idx mod n_shards``), which is exactly balanced (sizes
+    differ by ≤ 1) WITHOUT knowing the corpus size N — a contiguous
+    block split (``floor(idx * n_shards / N)``) would need an extra
+    count pass for no balance gain. ``pos_col`` is the row's offset
+    within its shard, so ``sortWithinPartitions(pos_col)`` after a
+    ``repartition(n_shards, shard_col)`` reproduces the exact global
+    permutation order shard by shard.
+
+    Hash ties (astronomically unlikely at 60 bits) break on the key
+    itself, keeping the permutation a total order."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if bins & (bins - 1) or bins <= 0:
+        raise ValueError(f"bins must be a power of two, got {bins}")
+    shift = 60 - (bins.bit_length() - 1)
+    binned = df.withColumn("__hkey", md5_long_expr(F.col(key_col))).withColumn(
+        "__sbin", F.shiftright(F.col("__hkey"), shift)
+    )
+    per_bin = binned.groupBy("__sbin").agg(F.count(F.lit(1)).alias("__n"))
+    bin_w = Window.orderBy("__sbin").rowsBetween(Window.unboundedPreceding, -1)
+    priors = per_bin.withColumn(
+        "__prior", F.coalesce(F.sum("__n").over(bin_w), F.lit(0))
+    ).select("__sbin", "__prior")
+    in_w = Window.partitionBy("__sbin").orderBy("__hkey", key_col)
+    idx = (F.col("__prior") + F.row_number().over(in_w) - 1).alias("__idx")
+    return (
+        binned.join(F.broadcast(priors), "__sbin")
+        .select("*", idx)
+        .withColumn(shard_col, F.pmod(F.col("__idx"), F.lit(n_shards)))
+        .withColumn(pos_col, F.floor(F.col("__idx") / n_shards).cast("long"))
+        .drop("__hkey", "__sbin", "__prior", "__idx")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    fmt: str = "parquet",
+    bins: int = 1024,
+) -> None:
+    """Materialize :func:`shuffle_shards` as one directory per shard
+    (``shard_id=K/``), each file internally sorted by the permutation
+    position — the layout a data loader consumes sequentially.
+    ``repartition(n_shards, shard_col)`` co-locates each shard in one
+    task so every shard writes exactly one file in permutation order;
+    at 100 TB raise ``n_shards`` (shards are the parallelism unit) —
+    a trainer wants many more shards than executors anyway."""
+    sharded = shuffle_shards(df, n_shards, key_col=key_col, bins=bins)
+    (
+        sharded.repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_pos")
+        .write.format(fmt)
+        .partitionBy("shard_id")
+        .mode("overwrite")
+        .save(path)
     )

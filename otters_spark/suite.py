@@ -3305,6 +3305,46 @@ FROM cum ORDER BY doc_id
 """
 
 
+def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + balanced shard assignment — the
+    terminal training-data write: permute the corpus by content hash
+    and round-robin it into 8 shards (exact two-phase binned global
+    index, no single-task ROW_NUMBER window; see
+    operators/sampling.py:shuffle_shards). The per-shard aggregate
+    pins the exact permutation: ``pos_id_sum`` changes if any document
+    lands in a different shard OR at a different position."""
+    from .operators.sampling import shuffle_shards
+
+    docs = load(spark, sf_dir, "documents")
+    sharded = shuffle_shards(docs, n_shards=8, key_col="doc_id", bins=1024)
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.col("shard_pos") * F.col("doc_id")).alias("pos_id_sum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+PIPELINE_SHUFFLE_SHARDS_SQL = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hkey
+  FROM documents),
+r AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY hkey, doc_id) - 1 AS idx
+  FROM h)
+SELECT (idx % 8)::BIGINT AS shard_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum((idx // 8) * doc_id)::BIGINT AS pos_id_sum
+FROM r GROUP BY 1 ORDER BY shard_id
+"""
+
+
 def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling (TimescaleDB ``time_bucket_gapfill``
     shape): hourly buckets of high-value events are sparse, so each
@@ -4438,6 +4478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_scd2_time_travel": rel_scd2_time_travel,
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "sim_hard_negatives": sim_hard_negatives,
+    "pipeline_shuffle_shards": pipeline_shuffle_shards,
     # Session-7 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "rel_pricing_summary": rel_pricing_summary,
@@ -4548,6 +4589,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_scd2_time_travel": REL_SCD2_TIME_TRAVEL_SQL,
     "multimodal_phash_neardup": MULTIMODAL_PHASH_NEARDUP_SQL,
     "sim_hard_negatives": SIM_HARD_NEGATIVES_SQL,
+    "pipeline_shuffle_shards": PIPELINE_SHUFFLE_SHARDS_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,

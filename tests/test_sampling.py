@@ -269,3 +269,76 @@ def test_dsir_validation(spark):
         dsir_weights(corpus, corpus, smoothing=0.0)
     with _pytest.raises(ValueError, match="n_take"):
         dsir_select(corpus, corpus, n_take=0)
+
+
+def test_shuffle_shards_is_exact_global_permutation(docs, spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from otters_spark.functions.text import md5_long_expr
+    from otters_spark.operators.sampling import shuffle_shards
+
+    out = shuffle_shards(docs, n_shards=8, bins=64)
+    rows = out.select("doc_id", "shard_id", "shard_pos").collect()
+    # reference: single-window global row number over the hash order
+    ref = (
+        docs.withColumn("__h", md5_long_expr(F.col("doc_id")))
+        .withColumn(
+            "__idx",
+            F.row_number().over(Window.orderBy("__h", "doc_id")) - 1,
+        )
+        .select("doc_id", (F.pmod("__idx", F.lit(8))).alias("shard_id"),
+                F.floor(F.col("__idx") / 8).cast("long").alias("shard_pos"))
+        .collect()
+    )
+    assert {(r.doc_id, r.shard_id, r.shard_pos) for r in rows} == {
+        (r.doc_id, r.shard_id, r.shard_pos) for r in ref
+    }
+    # balance: round-robin shard sizes differ by <= 1
+    sizes = [r["n"] for r in out.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()]
+    assert len(sizes) == 8 and max(sizes) - min(sizes) <= 1
+
+
+def test_shuffle_shards_partition_invariant(docs):
+    from otters_spark.operators.sampling import shuffle_shards
+
+    a = {(r.doc_id, r.shard_id, r.shard_pos)
+         for r in shuffle_shards(docs, 4).select(
+             "doc_id", "shard_id", "shard_pos").collect()}
+    b = {(r.doc_id, r.shard_id, r.shard_pos)
+         for r in shuffle_shards(docs.repartition(13), 4).select(
+             "doc_id", "shard_id", "shard_pos").collect()}
+    assert a == b
+
+
+def test_shuffle_shards_validation(docs):
+    import pytest as _pytest
+
+    from otters_spark.operators.sampling import shuffle_shards
+
+    with _pytest.raises(ValueError):
+        shuffle_shards(docs, 0)
+    with _pytest.raises(ValueError):
+        shuffle_shards(docs, 4, bins=100)  # not a power of two
+
+
+def test_write_training_shards_layout(docs, spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from otters_spark.operators.sampling import shuffle_shards, write_training_shards
+
+    path = str(tmp_path / "shards")
+    write_training_shards(docs.limit(200), path, n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert {r["shard_id"] for r in back.select("shard_id").distinct().collect()} == {0, 1, 2, 3}
+    # within a shard file the rows are stored in permutation order
+    one = spark.read.parquet(f"{path}/shard_id=0")
+    pos = [r["shard_pos"] for r in one.collect()]
+    assert pos == sorted(pos)
+    # round-trip agrees with the operator's assignment
+    direct = shuffle_shards(docs.limit(200), 4)
+    assert {(r.doc_id, r.shard_pos) for r in back.select("doc_id", "shard_pos").collect()} == {
+        (r.doc_id, r.shard_pos) for r in direct.select("doc_id", "shard_pos").collect()
+    }

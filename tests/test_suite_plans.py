@@ -40,6 +40,7 @@ ARROW_OK = {
 GLOBAL_WINDOW_OK = {
     "pipeline_token_budget",
     "pipeline_pack_sequences",
+    "pipeline_shuffle_shards",  # bin-priors window over ≤1024 bin rows
 }
 
 
