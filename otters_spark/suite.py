@@ -3328,6 +3328,81 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract gate over the fact table: six
+    constraints (not-null, range, accepted values, regex, key
+    uniqueness, referential integrity into orders) produce one
+    violations report. All row-level checks share a single aggregate
+    over ONE scan; uniqueness is one count-only groupBy; the FK check
+    is one anti-join against the distinct order keys (see
+    operators/quality_checks.py). The synthetic lineitem has genuine
+    duplicate (orderkey, linenumber) pairs, so the uniqueness row is a
+    real nonzero violation, not a vacuous pass."""
+    from .operators.quality_checks import (
+        AcceptedValues,
+        ForeignKey,
+        InRange,
+        Matches,
+        NotNull,
+        Unique,
+        validate,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return validate(
+        li,
+        [
+            NotNull("l_orderkey"),
+            InRange("l_discount", 0.0, 0.08),
+            AcceptedValues("l_returnflag", ("A", "N")),
+            Matches("l_linestatus", "^[OF]$"),
+            Unique(("l_orderkey", "l_linenumber")),
+            ForeignKey("l_orderkey", orders, "o_orderkey"),
+        ],
+    )
+
+
+PIPELINE_QUALITY_REPORT_SQL = """
+SELECT "constraint", violations, total, (violations = 0) AS passed FROM (
+  SELECT 'not_null(l_orderkey)' AS "constraint",
+         (count(*) FILTER (WHERE l_orderkey IS NULL))::BIGINT AS violations,
+         count(*)::BIGINT AS total
+  FROM lineitem
+  UNION ALL
+  SELECT 'in_range(l_discount)',
+         (count(*) FILTER (
+            WHERE NOT COALESCE(l_discount BETWEEN 0.0 AND 0.08, TRUE)))::BIGINT,
+         count(*)::BIGINT
+  FROM lineitem
+  UNION ALL
+  SELECT 'accepted(l_returnflag)',
+         (count(*) FILTER (
+            WHERE NOT COALESCE(l_returnflag IN ('A', 'N'), TRUE)))::BIGINT,
+         count(*)::BIGINT
+  FROM lineitem
+  UNION ALL
+  SELECT 'matches(l_linestatus)',
+         (count(*) FILTER (
+            WHERE NOT COALESCE(regexp_matches(l_linestatus, '^[OF]$'), TRUE)))::BIGINT,
+         count(*)::BIGINT
+  FROM lineitem
+  UNION ALL
+  SELECT 'unique(l_orderkey,l_linenumber)',
+         (count(*) - (SELECT count(*) FROM
+            (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)))::BIGINT,
+         count(*)::BIGINT
+  FROM lineitem
+  UNION ALL
+  SELECT 'fk(l_orderkey)',
+         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT,
+         count(*)::BIGINT
+  FROM lineitem
+) ORDER BY "constraint"
+"""
+
+
 PIPELINE_SHUFFLE_SHARDS_SQL = """
 WITH h AS (
   SELECT doc_id, n_chars,
@@ -4479,6 +4554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "sim_hard_negatives": sim_hard_negatives,
     "pipeline_shuffle_shards": pipeline_shuffle_shards,
+    "pipeline_quality_report": pipeline_quality_report,
     # Session-7 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "rel_pricing_summary": rel_pricing_summary,
@@ -4590,6 +4666,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_phash_neardup": MULTIMODAL_PHASH_NEARDUP_SQL,
     "sim_hard_negatives": SIM_HARD_NEGATIVES_SQL,
     "pipeline_shuffle_shards": PIPELINE_SHUFFLE_SHARDS_SQL,
+    "pipeline_quality_report": PIPELINE_QUALITY_REPORT_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,

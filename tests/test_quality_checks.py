@@ -1,0 +1,101 @@
+"""Constraint validation: per-type semantics, NULL policy, one-pass plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otters_spark.operators.quality_checks import (
+    AcceptedValues,
+    ForeignKey,
+    InRange,
+    Matches,
+    NotNull,
+    Unique,
+    validate,
+)
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    rows = [
+        (1, "a", 0.05, "AB"),
+        (2, "a", 0.05, "CD"),
+        (2, "b", 0.50, "ef"),   # dup id, out-of-range, lowercase
+        (3, None, 0.08, "GH"),  # null cat
+        (4, "z", None, None),   # unaccepted cat, null value & code
+    ]
+    return spark.createDataFrame(rows, "id long, cat string, disc double, code string")
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    return spark.createDataFrame([(1,), (2,), (3,)], "ref_id long")
+
+
+def test_report_values(facts, dims):
+    rep = validate(
+        facts,
+        [
+            NotNull("cat"),
+            InRange("disc", 0.0, 0.1),
+            AcceptedValues("cat", ("a", "b")),
+            Matches("code", "^[A-Z]+$"),
+            Unique(("id",)),
+            ForeignKey("id", dims, "ref_id"),
+        ],
+    )
+    got = {r["constraint"]: (r["violations"], r["total"], r["passed"])
+           for r in rep.collect()}
+    assert got["not_null(cat)"] == (1, 5, False)
+    # NULL disc is not an in_range violation; 0.50 is
+    assert got["in_range(disc)"] == (1, 5, False)
+    # NULL cat not a violation here; "z" is
+    assert got["accepted(cat)"] == (1, 5, False)
+    # "ef" violates; NULL code does not
+    assert got["matches(code)"] == (1, 5, False)
+    # id=2 twice -> one extra row
+    assert got["unique(id)"] == (1, 5, False)
+    # id=4 has no dim match
+    assert got["fk(id)"] == (1, 5, False)
+
+
+def test_all_green_and_schema(facts, dims):
+    rep = validate(facts, [NotNull("id"), Unique(("id", "cat"))])
+    rows = rep.collect()
+    assert all(r["passed"] for r in rows)
+    assert [f.name for f in rep.schema.fields] == [
+        "constraint", "violations", "total", "passed"]
+    assert {str(f.dataType) for f in rep.schema.fields[1:3]} == {"LongType()"}
+
+
+def test_row_level_checks_share_one_scan(facts):
+    rep = validate(
+        facts,
+        [NotNull("cat"), InRange("disc", 0, 1), Matches("code", ".*")],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # a single aggregate over a single scan: no join, no extra exchange
+    # fan-in beyond the one-row aggregate
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 1
+    assert "Join" not in plan
+
+
+def test_validation_errors(facts):
+    with pytest.raises(ValueError):
+        validate(facts, [])
+    with pytest.raises(ValueError):
+        validate(facts, [NotNull("cat"), NotNull("cat")])
+    with pytest.raises(TypeError):
+        validate(facts, ["not_a_constraint"])
+
+
+def test_empty_input(spark, dims):
+    empty = spark.createDataFrame([], "id long, cat string")
+    rep = validate(empty, [NotNull("cat"), Unique(("id",)),
+                           ForeignKey("id", dims, "ref_id")])
+    got = {r["constraint"]: (r["violations"], r["total"], r["passed"])
+           for r in rep.collect()}
+    assert got == {
+        "not_null(cat)": (0, 0, True),
+        "unique(id)": (0, 0, True),
+        "fk(id)": (0, 0, True),
+    }
