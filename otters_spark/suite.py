@@ -3328,6 +3328,61 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus snapshots: single-digit
+    sources (src0–src9) as the reference, double-digit (src10–src19)
+    as the current crawl; per-bin PSI contributions over fixed
+    n_chars bins (width 50, declared edges) and the lang categorical.
+    One scan per side, count-only shuffles, all PSI arithmetic over
+    the tiny counts table (see operators/drift.py)."""
+    from .operators.drift import psi_table
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.length("source") == 4)
+    cur = docs.filter(F.length("source") == 5)
+    return psi_table(
+        ref, cur, numeric={"n_chars": (0, 600, 12)}, categorical=["lang"]
+    )
+
+
+PIPELINE_DRIFT_PSI_SQL = """
+WITH ref AS (SELECT * FROM documents WHERE len(source) = 4),
+cur AS (SELECT * FROM documents WHERE len(source) = 5),
+mr AS (
+  SELECT 'n_chars' AS col,
+         CASE WHEN n_chars IS NULL THEN 'null'
+              ELSE least(11, greatest(0, floor((n_chars - 0) / 50.0)))::BIGINT::VARCHAR
+         END AS bin
+  FROM ref
+  UNION ALL
+  SELECT 'lang', coalesce(lang, 'null') FROM ref),
+mc AS (
+  SELECT 'n_chars' AS col,
+         CASE WHEN n_chars IS NULL THEN 'null'
+              ELSE least(11, greatest(0, floor((n_chars - 0) / 50.0)))::BIGINT::VARCHAR
+         END AS bin
+  FROM cur
+  UNION ALL
+  SELECT 'lang', coalesce(lang, 'null') FROM cur),
+rc AS (SELECT col, bin, count(*) AS n_ref FROM mr GROUP BY 1, 2),
+cc AS (SELECT col, bin, count(*) AS n_cur FROM mc GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(rc.col, cc.col) AS col, coalesce(rc.bin, cc.bin) AS bin,
+         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+  FROM rc FULL OUTER JOIN cc ON rc.col = cc.col AND rc.bin = cc.bin),
+t AS (
+  SELECT *, sum(n_ref) OVER (PARTITION BY col) AS tr,
+         sum(n_cur) OVER (PARTITION BY col) AS tc,
+         count(*) OVER (PARTITION BY col) AS nb
+  FROM j)
+SELECT col AS "column", bin, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur,
+       round(((n_ref + 1) / (tr + nb)::DOUBLE - (n_cur + 1) / (tc + nb)::DOUBLE)
+             * ln(((n_ref + 1) / (tr + nb)::DOUBLE)
+                  / ((n_cur + 1) / (tc + nb)::DOUBLE)), 6) AS contrib
+FROM t ORDER BY "column", bin
+"""
+
+
 def pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-contract gate over the fact table: six
     constraints (not-null, range, accepted values, regex, key
@@ -4555,6 +4610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_hard_negatives": sim_hard_negatives,
     "pipeline_shuffle_shards": pipeline_shuffle_shards,
     "pipeline_quality_report": pipeline_quality_report,
+    "pipeline_drift_psi": pipeline_drift_psi,
     # Session-7 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "rel_pricing_summary": rel_pricing_summary,
@@ -4667,6 +4723,7 @@ ORACLE_SQL: dict[str, str] = {
     "sim_hard_negatives": SIM_HARD_NEGATIVES_SQL,
     "pipeline_shuffle_shards": PIPELINE_SHUFFLE_SHARDS_SQL,
     "pipeline_quality_report": PIPELINE_QUALITY_REPORT_SQL,
+    "pipeline_drift_psi": PIPELINE_DRIFT_PSI_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,
