@@ -32,6 +32,7 @@ __all__ = [
     "train_bpe_merges",
     "apply_bpe_merges",
     "bm25_topk",
+    "compression_ratio",
 ]
 
 #: small deterministic stopword lists per language for the n-gram
@@ -675,5 +676,58 @@ def apply_bpe_merges(
                 for t in pdf[text_col]
             ]
             yield pd.DataFrame({id_col: pdf[id_col], out_col: toks})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap quality
+    signal (used by Gopher/Dolma-style curation): boilerplate and
+    machine-generated repetition compress far below natural prose, and
+    near-random strings barely compress at all, so gating on
+    ``ratio < lo`` and ``ratio > hi`` removes both tails with one
+    number per document.
+
+    No SQL engine exposes DEFLATE, so this is the sanctioned Arrow
+    slow path: a narrow ``mapInPandas`` stage (no shuffle; output
+    partitioning = input partitioning), the zlib call C-speed per
+    batch. Determinism: zlib's output length at a fixed ``level`` is
+    fully determined by the input bytes (UTF-8 encoded) — re-runs and
+    both sides of a differential test produce identical lengths.
+    Returns ``(id, raw_len, comp_len, ratio)`` with byte lengths and
+    ``ratio = comp_len / raw_len`` (NULL text → NULL row values;
+    empty text → ratio NULL, lengths 0)."""
+    if not 0 <= level <= 9:
+        raise ValueError(f"zlib level must be in [0, 9], got {level}")
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, raw_len long, comp_len long, ratio double"
+    )
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw, comp, ratio = [], [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    raw.append(None), comp.append(None), ratio.append(None)
+                    continue
+                b = t.encode("utf-8")
+                c = len(zlib.compress(b, level))
+                raw.append(len(b))
+                comp.append(c)
+                ratio.append(c / len(b) if b else None)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "raw_len": raw, "comp_len": comp,
+                 "ratio": ratio}
+            )
 
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)

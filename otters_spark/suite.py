@@ -3328,6 +3328,25 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (Gopher/Dolma-style
+    repetitiveness proxy) + the two-sided gate verdict. Rows-only by
+    design: no SQL engine exposes DEFLATE, so there is no DuckDB twin
+    — exactness is pinned against the zlib library directly in
+    tests/test_text_analysis.py."""
+    from .operators.text_analysis import compression_ratio
+
+    docs = load(spark, sf_dir, "documents")
+    out = compression_ratio(docs)
+    return out.select(
+        "doc_id",
+        "raw_len",
+        "comp_len",
+        F.round("ratio", 6).alias("ratio"),
+        ((F.col("ratio") > 0.25) & (F.col("ratio") < 1.0)).alias("keep"),
+    ).orderBy("doc_id")
+
+
 def pipeline_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two corpus snapshots: single-digit
     sources (src0–src9) as the reference, double-digit (src10–src19)
@@ -4619,6 +4638,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_scalar_functions": rel_scalar_functions,
     "text_repetition_filters": text_repetition_filters,
     "dedup_tfidf_cosine_pairs": dedup_tfidf_cosine_pairs,
+    "text_compression_ratio": text_compression_ratio,
     "text_bpe_train": text_bpe_train,
     "pipeline_semdedup": pipeline_semdedup,
     "pipeline_quality_model": pipeline_quality_model,

@@ -29,6 +29,7 @@ ARROW_OK = {
     "dedup_containment_pairs",  # incidence-matmul kernel
     "dedup_edit_distance_verified",  # shingle matmul candidate generator
     "sim_pq_topk",  # Arrow-batched PQ encode (einsum argmin kernel)
+    "text_compression_ratio",  # zlib kernel (no SQL DEFLATE)
 }
 
 # queries allowed an UNPARTITIONED window: only the two-phase binned

@@ -286,3 +286,37 @@ def test_apply_bpe_merges_roundtrip(spark):
     # NULL text passes through as NULL tokens
     nul = spark.createDataFrame([Row(doc_id=9, text=None)], "doc_id long, text string")
     assert apply_bpe_merges(nul, merges).collect()[0].bpe_tokens is None
+
+
+def test_compression_ratio_exact_vs_zlib(spark, sf_dir):
+    import zlib
+
+    from otters_spark.operators.text_analysis import compression_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    got = {r["doc_id"]: (r["raw_len"], r["comp_len"], r["ratio"])
+           for r in compression_ratio(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        b = r["text"].encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        exp = (len(b), c, c / len(b) if b else None)
+        assert got[r["doc_id"]] == exp
+    # natural prose lands in a sane band — the gate thresholds make sense
+    ratios = [v[2] for v in got.values() if v[2] is not None]
+    assert all(0.2 < x < 1.2 for x in ratios)
+
+
+def test_compression_ratio_edges(spark):
+    import pytest as _pytest
+
+    from otters_spark.operators.text_analysis import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "ab" * 500), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert rows[1]["ratio"] < 0.1          # pure repetition compresses away
+    assert rows[2]["raw_len"] == 0 and rows[2]["ratio"] is None
+    assert rows[3]["raw_len"] is None and rows[3]["ratio"] is None
+    with _pytest.raises(ValueError):
+        compression_ratio(df, level=11)
