@@ -42,10 +42,16 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["psi_table", "psi_summary"]
+__all__ = ["psi_table", "psi_summary", "profile_bins", "bin_entries"]
 
 
-def _melt(df: DataFrame, numeric, categorical) -> DataFrame:
+def bin_entries(numeric, categorical) -> F.Column:
+    """The melt expression: one array of ``(column, bin)`` structs per
+    row covering every profiled column — exploded by callers so k
+    columns cost k array entries in ONE projection, not k passes.
+    Shared by the batch PSI here and the windowed streaming counts
+    (``streaming/drift.py``), which keeps the two sides' binning
+    bit-identical by construction."""
     entries = []
     for col, (lo, hi, nb) in numeric.items():
         width = (hi - lo) / nb
@@ -56,12 +62,25 @@ def _melt(df: DataFrame, numeric, categorical) -> DataFrame:
     for col in categorical:
         b = F.coalesce(F.col(col).cast("string"), F.lit("null"))
         entries.append(F.struct(F.lit(col).alias("column"), b.alias("bin")))
+    return F.array(*entries)
+
+
+def profile_bins(df: DataFrame, numeric=None, categorical=()) -> DataFrame:
+    """Bin-count profile ``(column, bin, n)`` of one snapshot — the
+    persistable reference side for ongoing drift monitoring (compute
+    once per release, store, compare many): one scan, one count-only
+    shuffle."""
+    arr = bin_entries(dict(numeric or {}), categorical)
     return (
-        df.select(F.explode(F.array(*entries)).alias("e"))
+        df.select(F.explode(arr).alias("e"))
         .select("e.column", "e.bin")
         .groupBy("column", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _melt(df: DataFrame, numeric, categorical) -> DataFrame:
+    return profile_bins(df, numeric, categorical)
 
 
 def psi_table(

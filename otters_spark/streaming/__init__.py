@@ -4,6 +4,11 @@ from .events import (
     stream_events,
     windowed_agg,
 )
+from .drift import (
+    run_windowed_drift_stream,
+    windowed_bin_counts,
+    windowed_psi,
+)
 from .ingest import streaming_ingest_gate
 from .sketch import (
     run_windowed_distinct_stream,
@@ -20,4 +25,7 @@ __all__ = [
     "windowed_distinct_registers",
     "windowed_distinct_counts",
     "run_windowed_distinct_stream",
+    "windowed_bin_counts",
+    "windowed_psi",
+    "run_windowed_drift_stream",
 ]

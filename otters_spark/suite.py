@@ -3328,6 +3328,78 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_drift_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed drift monitoring, batch twin of streaming/drift.py:
+    freeze day one of the event stream as the release profile
+    (profile_bins), then per-12-hour-window PSI of value bins +
+    event_type mix against it. The stream side maintains only the
+    (window, column, bin) counts — algebraic, bin-bounded state; all
+    PSI arithmetic runs over sketch-sized count rows. Streamed counts
+    == these batch counts row-for-row (tests/test_streaming_drift.py)."""
+    from .operators.drift import profile_bins
+    from .streaming.drift import windowed_bin_counts, windowed_psi
+
+    spec_num = {"value": (0, 500, 10)}
+    spec_cat = ["event_type"]
+    ev = load_events(spark, sf_dir)
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("__d0"))
+    ref = (
+        ev.crossJoin(F.broadcast(d0))
+        .filter(F.to_date("ts") == F.col("__d0"))
+        .drop("__d0")
+    )
+    prof = profile_bins(ref, spec_num, spec_cat)
+    counts = windowed_bin_counts(ev, spec_num, spec_cat, window="12 hours")
+    return windowed_psi(counts, prof)
+
+
+EVENTS_DRIFT_WINDOW_SQL = """
+WITH d0 AS (SELECT min(ts::DATE) AS d FROM events),
+ref AS (SELECT e.* FROM events e, d0 WHERE e.ts::DATE = d0.d),
+mr AS (
+  SELECT 'value' AS col,
+         CASE WHEN value IS NULL THEN 'null'
+              ELSE least(9, greatest(0, floor((value - 0) / 50.0)))::BIGINT::VARCHAR
+         END AS bin
+  FROM ref
+  UNION ALL
+  SELECT 'event_type', coalesce(event_type, 'null') FROM ref),
+rp AS (SELECT col, bin, count(*) AS n_ref FROM mr GROUP BY 1, 2),
+mc AS (
+  SELECT (epoch_ms(ts) // 43200000) * 43200 AS b, 'value' AS col,
+         CASE WHEN value IS NULL THEN 'null'
+              ELSE least(9, greatest(0, floor((value - 0) / 50.0)))::BIGINT::VARCHAR
+         END AS bin
+  FROM events
+  UNION ALL
+  SELECT (epoch_ms(ts) // 43200000) * 43200, 'event_type',
+         coalesce(event_type, 'null')
+  FROM events),
+cc AS (SELECT b, col, bin, count(*) AS n_cur FROM mc GROUP BY 1, 2, 3),
+refx AS (SELECT b, col, bin, n_ref FROM (SELECT DISTINCT b FROM cc), rp),
+j AS (
+  SELECT coalesce(refx.b, cc.b) AS b, coalesce(refx.col, cc.col) AS col,
+         coalesce(refx.bin, cc.bin) AS bin,
+         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+  FROM refx FULL OUTER JOIN cc
+    ON refx.b = cc.b AND refx.col = cc.col AND refx.bin = cc.bin),
+t AS (
+  SELECT *, sum(n_ref) OVER (PARTITION BY b, col) AS tr,
+         sum(n_cur) OVER (PARTITION BY b, col) AS tc,
+         count(*) OVER (PARTITION BY b, col) AS nb
+  FROM j),
+c AS (
+  SELECT b, col,
+         ((n_ref + 1) / (tr + nb)::DOUBLE - (n_cur + 1) / (tc + nb)::DOUBLE)
+         * ln(((n_ref + 1) / (tr + nb)::DOUBLE)
+              / ((n_cur + 1) / (tc + nb)::DOUBLE)) AS contrib
+  FROM t)
+SELECT b::BIGINT AS bucket_start, col AS "column",
+       round(sum(contrib), 6) AS psi
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document zlib compression ratio (Gopher/Dolma-style
     repetitiveness proxy) + the two-sided gate verdict. Rows-only by
@@ -4630,6 +4702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_shuffle_shards": pipeline_shuffle_shards,
     "pipeline_quality_report": pipeline_quality_report,
     "pipeline_drift_psi": pipeline_drift_psi,
+    "events_drift_window": events_drift_window,
     # Session-7 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "rel_pricing_summary": rel_pricing_summary,
@@ -4744,6 +4817,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_shuffle_shards": PIPELINE_SHUFFLE_SHARDS_SQL,
     "pipeline_quality_report": PIPELINE_QUALITY_REPORT_SQL,
     "pipeline_drift_psi": PIPELINE_DRIFT_PSI_SQL,
+    "events_drift_window": EVENTS_DRIFT_WINDOW_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,
