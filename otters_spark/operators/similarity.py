@@ -296,6 +296,8 @@ def pq_train(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    n_train: int | None = 65_536,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Train PQ codebooks (Jegou et al. 2011): split ``dim`` into
     ``n_subspaces`` contiguous subvectors and KMeans each with
@@ -303,6 +305,15 @@ def pq_train(
 
     Batch index-build lane like ``ivf_build``: M driver-coordinated
     distributed KMeans fits, run once per store, never per query.
+    Codebooks are trained on a deterministic hash-sample of ~``n_train``
+    vectors (the standard PQ recipe — Jegou trains on ~100k samples
+    regardless of store size; pass ``n_train=None`` to use every row):
+    k·M centroids cannot absorb more information than that, and at
+    100 TB a full-corpus KMeans would re-scan the store M times for
+    zero recall gain. The sample is cached and coalesced so each of
+    the M fits runs small task waves over a few partitions instead of
+    cluster-wide waves per iteration.
+
     Memory math at 100 TB: codes are M bytes/vector (n_codes <= 256)
     vs 4*dim for raw f32 — a 1B x 768d store shrinks 3 TB -> 96 GB
     (M=96), which is what makes in-memory ANN over big stores
@@ -313,18 +324,42 @@ def pq_train(
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     dsub = dim // n_subspaces
-    books = []
-    for m in range(n_subspaces):
-        sub = df.select(
-            array_to_vector(
-                F.slice(F.col(vec_col), m * dsub + 1, dsub).cast("array<double>")
-            ).alias("__features")
-        )
-        model = KMeans(
-            k=n_codes, seed=seed + m, maxIter=max_iter,
-            featuresCol="__features", predictionCol="__c",
-        ).fit(sub)
-        books.append(np.vstack([np.asarray(c) for c in model.clusterCenters()]))
+    train = df.select(id_col, vec_col)
+    if n_train is not None:
+        if n_train < n_codes:
+            raise ValueError(f"n_train {n_train} < n_codes {n_codes}")
+        total = train.count()  # one job, index-build lane
+        if total > n_train:
+            from .sampling import hash_sample
+
+            train = hash_sample(train, n_train / total, key_col=id_col)
+    train = train.select(F.col(vec_col).alias("__v")).coalesce(8).persist()
+    try:
+        train.count()  # materialize once; all M fits read the cache
+
+        def _fit(m: int) -> np.ndarray:
+            sub = train.select(
+                array_to_vector(
+                    F.slice(F.col("__v"), m * dsub + 1, dsub).cast("array<double>")
+                ).alias("__features")
+            )
+            model = KMeans(
+                k=n_codes, seed=seed + m, maxIter=max_iter,
+                featuresCol="__features", predictionCol="__c",
+            ).fit(sub)
+            return np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+        # the M fits are independent: submit them as concurrent Spark
+        # jobs (thread-per-fit is the sanctioned Spark pattern) so the
+        # cluster interleaves their task waves instead of paying M
+        # sequential chains of per-iteration job latency. Seeds are
+        # per-subspace, so the result is order- and thread-independent.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(n_subspaces, 8)) as pool:
+            books = list(pool.map(_fit, range(n_subspaces)))
+    finally:
+        train.unpersist()
     return np.stack(books)
 
 
