@@ -18,7 +18,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["group_percentiles"]
+__all__ = ["group_percentiles", "robust_outliers"]
 
 
 def _sort_percentiles(
@@ -257,3 +257,57 @@ def group_percentiles(
                 expr = F.round(expr, round_to)
             aggs.append(expr.alias(name))
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: float = 3.0,
+    method: str = "bin",
+) -> DataFrame:
+    """Median/MAD outlier detection per group — the robust alternative
+    to z-scores (mean/stddev move with the outliers they are supposed
+    to flag; the median absolute deviation does not break until half
+    the data is bad). Adds ``group_median``, ``group_mad``,
+    ``abs_resid`` and ``is_outlier`` (``|v - median| > k·1.4826·MAD``,
+    1.4826 the Gaussian consistency constant) to every input row;
+    NULL values are never outliers.
+
+    Two :func:`group_percentiles` passes (medians, then medians of
+    absolute residuals) — both ``method='bin'`` by default, so
+    per-group parallelism never collapses to one task. Group stats
+    join back with null-safe equality (NULL group keys are groups,
+    not dropped rows — the eqNullSafe discipline)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    gp = list(group_cols)
+
+    def _nsjoin(left: DataFrame, right: DataFrame) -> DataFrame:
+        cond = None
+        for c in gp:
+            e = left[c].eqNullSafe(right[c])
+            cond = e if cond is None else cond & e
+        out = left.join(right, cond)
+        for c in gp:
+            out = out.drop(right[c])
+        return out
+
+    med = group_percentiles(
+        df, gp, {value_col: [0.5]}, round_to=None, method=method
+    ).withColumnRenamed(f"p50_{value_col}", "group_median")
+    j = _nsjoin(df, med).withColumn(
+        "abs_resid", F.abs(F.col(value_col) - F.col("group_median"))
+    )
+    mad = group_percentiles(
+        j, gp, {"abs_resid": [0.5]}, round_to=None, method=method
+    ).withColumnRenamed("p50_abs_resid", "group_mad")
+    out = _nsjoin(j, mad)
+    return out.withColumn(
+        "is_outlier",
+        F.when(
+            F.col(value_col).isNull(), F.lit(False)
+        ).otherwise(
+            F.col("abs_resid") > F.lit(k) * F.lit(1.4826) * F.col("group_mad")
+        ),
+    )

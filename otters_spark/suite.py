@@ -3328,6 +3328,47 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly gate per event_type: median/MAD outliers
+    (z-scores move with the spikes they should flag; MAD does not).
+    Exact interpolated medians via the two-phase binned percentile
+    path — per-group parallelism never collapses to one task. The
+    outlier verdict compares a 6-dp-rounded margin so the float
+    boundary is engine-stable (operators/stats.py:robust_outliers)."""
+    from .operators.stats import robust_outliers
+
+    ev = load_events(spark, sf_dir)
+    out = robust_outliers(ev, "value", ["event_type"], k=3.0)
+    margin = F.round(
+        F.col("abs_resid") - F.lit(3.0) * F.lit(1.4826) * F.col("group_mad"), 6
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(margin > 0, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.min("group_median"), 4).alias("med"),
+            F.round(F.min("group_mad"), 4).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_ANOMALY_MAD_SQL = """
+WITH med AS (SELECT event_type, median(value) AS md FROM events GROUP BY 1),
+r AS (
+  SELECT e.event_type, e.value, abs(e.value - m.md) AS ar, m.md
+  FROM events e JOIN med m USING (event_type)),
+mads AS (SELECT event_type, median(ar) AS mv FROM r GROUP BY 1)
+SELECT r.event_type, count(*)::BIGINT AS n_events,
+       (count(*) FILTER (WHERE round(ar - 3.0 * 1.4826 * mv, 6) > 0))::BIGINT
+         AS n_outliers,
+       round(min(md), 4) AS med, round(min(mv), 4) AS mad
+FROM r JOIN mads USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_drift_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed drift monitoring, batch twin of streaming/drift.py:
     freeze day one of the event stream as the release profile
@@ -4703,6 +4744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_quality_report": pipeline_quality_report,
     "pipeline_drift_psi": pipeline_drift_psi,
     "events_drift_window": events_drift_window,
+    "events_anomaly_mad": events_anomaly_mad,
     # Session-7 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "rel_pricing_summary": rel_pricing_summary,
@@ -4818,6 +4860,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_quality_report": PIPELINE_QUALITY_REPORT_SQL,
     "pipeline_drift_psi": PIPELINE_DRIFT_PSI_SQL,
     "events_drift_window": EVENTS_DRIFT_WINDOW_SQL,
+    "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,

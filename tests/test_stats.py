@@ -139,3 +139,40 @@ def test_approx_filters_nan_too(spark):
         df, ["g"], {"v": [1.0]}, exact=False, round_to=None
     ).collect()[0]
     assert got["p100_v"] == 3.0
+
+
+def test_robust_outliers_basic(spark):
+    from otters_spark.operators.stats import robust_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 100]] + [
+        ("b", 5.0), ("b", 6.0), ("b", 7.0), (None, 1.0), (None, 50.0), (None, 1.5),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, "v", ["g"], k=3.0)
+    got = {(r["g"], r["v"]): r["is_outlier"] for r in out.collect()}
+    assert len(got) == len(rows)              # NULL group rows survive
+    assert got[("a", 100.0)] is True          # the planted spike
+    assert all(not got[("a", float(v))] for v in [10, 11, 12, 13, 14])
+    assert got[(None, 50.0)] is True          # NULL group is a real group
+    # median/MAD agree with a direct computation
+    import statistics
+
+    a_vals = [10, 11, 12, 13, 14, 100]
+    row = out.filter("g = 'a'").limit(1).collect()[0]
+    med = statistics.median(a_vals)
+    mad = statistics.median([abs(x - med) for x in a_vals])
+    assert row["group_median"] == med and row["group_mad"] == mad
+
+
+def test_robust_outliers_null_values_and_validation(spark):
+    import pytest as _pytest
+
+    from otters_spark.operators.stats import robust_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 2.0), ("a", 3.0)], "g string, v double"
+    )
+    out = {r["v"]: r["is_outlier"] for r in robust_outliers(df, "v", ["g"]).collect()}
+    assert out[None] is False
+    with _pytest.raises(ValueError):
+        robust_outliers(df, "v", ["g"], k=0)
