@@ -3328,6 +3328,32 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional lateral explode (LATERAL VIEW posexplode / unnest
+    WITH ORDINALITY): the generator family's ordinal half — token
+    position tables are the substrate for positional n-gram features.
+    The position filter sits directly above the Generate node, before
+    any shuffle."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word")
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+        .filter(F.col("pos") <= 10)
+        .orderBy("doc_id", "pos")
+    )
+
+
+REL_LATERAL_POSEXPLODE_SQL = """
+SELECT doc_id, i::BIGINT AS pos, w AS word FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents WHERE doc_id < 100)
+WHERE i <= 10 ORDER BY doc_id, pos
+"""
+
+
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly gate per event_type: median/MAD outliers
     (z-scores move with the spikes they should flag; MAD does not).
@@ -4745,6 +4771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_drift_psi": pipeline_drift_psi,
     "events_drift_window": events_drift_window,
     "events_anomaly_mad": events_anomaly_mad,
+    "rel_lateral_posexplode": rel_lateral_posexplode,
     # Session-7 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "rel_pricing_summary": rel_pricing_summary,
@@ -4861,6 +4888,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_drift_psi": PIPELINE_DRIFT_PSI_SQL,
     "events_drift_window": EVENTS_DRIFT_WINDOW_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
+    "rel_lateral_posexplode": REL_LATERAL_POSEXPLODE_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,
