@@ -4575,7 +4575,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vs_euclidean_topk": vs_euclidean_topk,
     "vs_meta_vec_filter_topk": vs_meta_vec_filter_topk,
     "vs_batch_global_topk": vs_batch_global_topk,
-    "vs_score_filter_all": vs_score_filter_all,
     "vs_per_query_topk": vs_per_query_topk,
     # Session-7 rotation (fourth this round): six new oracle-paired
     # families — Count-Min heavy hitters, DSIR importance resampling,
@@ -4597,6 +4596,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green via dedup_char_shingle_pairs + dedup_incremental_ingest).
     # Every entry promoted in earlier r3 sessions keeps its slot —
     # none has received a driver verdict yet.
+    # Session-8 rotation (fifth this round): five new oracle-paired
+    # families — the deterministic global-shuffle shard writer, the
+    # Deequ-style constraint-validation gate, batch + windowed PSI
+    # drift detection, and robust median/MAD anomaly detection —
+    # promoted for first driver verdicts by demoting five
+    # family-redundant greens with r1+r2 green history:
+    # vs_score_filter_all (the score-threshold op is composed inside
+    # the retained vs_meta_vec_filter_topk), events_sessionization
+    # (event-ordering family green via the promoted-and-retained
+    # events_funnel_conversion; gap/rollup shapes below),
+    # events_hypertable_rollup (tumbling machinery embedded in
+    # events_drift_window's 12-hour windows and events_gap_fill),
+    # text_quality (quality_features exercised inside the retained
+    # pipeline_curate_full AND pipeline_token_budget),
+    # multimodal_features (Arrow metadata kernel family green via the
+    # retained multimodal_frame_sample).
+    "pipeline_shuffle_shards": pipeline_shuffle_shards,
+    "pipeline_quality_report": pipeline_quality_report,
+    "pipeline_drift_psi": pipeline_drift_psi,
+    "events_drift_window": events_drift_window,
+    "events_anomaly_mad": events_anomaly_mad,
     "rel_window_functions": rel_window_functions,
     "rel_scd2_merge": rel_scd2_merge,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
@@ -4609,13 +4629,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_percentiles": rel_percentiles,
     "rel_semi_anti_join": rel_semi_anti_join,
     "rel_predicate_pushdown": rel_predicate_pushdown,
-    "events_sessionization": events_sessionization,
     "events_asof_attribution": events_asof_attribution,
     "events_asof_tolerance": events_asof_tolerance,
     "events_gap_fill": events_gap_fill,
     "events_json_extract": events_json_extract,
-    "events_hypertable_rollup": events_hypertable_rollup,
-    "text_quality": text_quality,
     "text_pii_redaction": text_pii_redaction,
     "pipeline_curate_full": pipeline_curate_full,
     "pipeline_source_mix": pipeline_source_mix,
@@ -4627,7 +4644,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_ingest": dedup_incremental_ingest,
     "dedup_char_shingle_pairs": dedup_char_shingle_pairs,
     "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
-    "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "sim_pandas_matmul_topk": sim_pandas_matmul_topk,
     "dedup_simhash64_banded": dedup_simhash64_banded,
@@ -4766,12 +4782,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_scd2_time_travel": rel_scd2_time_travel,
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "sim_hard_negatives": sim_hard_negatives,
-    "pipeline_shuffle_shards": pipeline_shuffle_shards,
-    "pipeline_quality_report": pipeline_quality_report,
-    "pipeline_drift_psi": pipeline_drift_psi,
-    "events_drift_window": events_drift_window,
-    "events_anomaly_mad": events_anomaly_mad,
     "rel_lateral_posexplode": rel_lateral_posexplode,
+    # Session-8 demotions (r1+r2 green history; rationale at the head
+    # of this dict):
+    "vs_score_filter_all": vs_score_filter_all,
+    "events_sessionization": events_sessionization,
+    "events_hypertable_rollup": events_hypertable_rollup,
+    "text_quality": text_quality,
+    "multimodal_features": multimodal_features,
     # Session-7 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "rel_pricing_summary": rel_pricing_summary,
