@@ -495,7 +495,10 @@ def shuffle_shards(
     permutation order shard by shard.
 
     Hash ties (astronomically unlikely at 60 bits) break on the key
-    itself, keeping the permutation a total order."""
+    itself, keeping the permutation a total order. NULL keys hash to
+    NULL and drop out of the permutation — the module-wide convention
+    (hash_split/hash_sample behave the same way): a NULL id is not a
+    content-stable identity; assign real keys upstream."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     if bins & (bins - 1) or bins <= 0:
