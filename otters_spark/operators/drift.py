@@ -105,6 +105,10 @@ def psi_table(
     overlap = set(numeric) & set(categorical)
     if overlap:
         raise ValueError(f"columns in both specs: {sorted(overlap)}")
+    for side, d in (("ref", ref), ("cur", cur)):
+        missing = (set(numeric) | set(categorical)) - set(d.columns)
+        if missing:
+            raise ValueError(f"{side}: unknown column(s) {sorted(missing)}")
 
     rc = _melt(ref, numeric, categorical).withColumnRenamed("n", "n_ref")
     cc = _melt(cur, numeric, categorical).withColumnRenamed("n", "n_cur")

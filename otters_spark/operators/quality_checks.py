@@ -135,9 +135,19 @@ def validate(df: DataFrame, constraints: Sequence) -> DataFrame:
     if not constraints:
         raise ValueError("constraints must be non-empty")
     known = (NotNull, InRange, AcceptedValues, Matches, Unique, ForeignKey)
+    cols = set(df.columns)
     for c in constraints:
         if not isinstance(c, known):
             raise TypeError(f"unknown constraint type: {type(c).__name__}")
+        # strict unknown-column errors at declaration time, mirroring
+        # the reference DSL's compile behavior
+        # (/root/reference/src/expr.rs:396-398)
+        wanted = list(c.cols) if isinstance(c, Unique) else [c.col]
+        missing = [w for w in wanted if w not in cols]
+        if missing:
+            raise ValueError(f"{c.name}: unknown column(s) {missing}")
+        if isinstance(c, ForeignKey) and c.ref_col not in c.ref.columns:
+            raise ValueError(f"{c.name}: unknown reference column {c.ref_col!r}")
     names = [c.name for c in constraints]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate constraint names: {sorted(names)}")

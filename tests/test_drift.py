@@ -79,3 +79,28 @@ def test_one_scan_per_side(docs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # three profiled columns must NOT triple the scans
     assert plan.count("FileScan parquet") <= 3  # ref + cur (+1 limit reuse)
+
+
+def test_unknown_columns_rejected(docs):
+    with pytest.raises(ValueError, match="unknown column"):
+        psi_table(docs, docs, numeric={"nope": (0, 1, 2)})
+    with pytest.raises(ValueError, match="cur"):
+        psi_table(docs, docs.drop("lang"), categorical=["lang"])
+
+
+def test_psi_properties(spark):
+    # PSI is an f-divergence: every smoothed bin term is >= 0, the
+    # total is 0 iff distributions match, and it is symmetric in
+    # (ref, cur). Deterministic grid of skews instead of random draws.
+    import itertools
+
+    for shift, scale in itertools.product([0, 5, 20], [1, 3]):
+        ref = spark.createDataFrame(
+            [(float(v % 50),) for v in range(200)], "x double")
+        cur = spark.createDataFrame(
+            [(float((v * scale + shift) % 50),) for v in range(150)], "x double")
+        tbl = psi_table(ref, cur, numeric={"x": (0, 50, 10)}).collect()
+        assert all(r["contrib"] >= 0 for r in tbl)
+        fwd = psi_summary(ref, cur, numeric={"x": (0, 50, 10)}).collect()[0]["psi"]
+        rev = psi_summary(cur, ref, numeric={"x": (0, 50, 10)}).collect()[0]["psi"]
+        assert fwd == rev >= 0

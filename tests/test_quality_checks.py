@@ -99,3 +99,12 @@ def test_empty_input(spark, dims):
         "unique(id)": (0, 0, True),
         "fk(id)": (0, 0, True),
     }
+
+
+def test_unknown_columns_rejected(facts, dims):
+    with pytest.raises(ValueError, match="unknown column"):
+        validate(facts, [NotNull("nope")])
+    with pytest.raises(ValueError, match="unknown column"):
+        validate(facts, [Unique(("id", "nope"))])
+    with pytest.raises(ValueError, match="reference column"):
+        validate(facts, [ForeignKey("id", dims, "nope")])
