@@ -55,9 +55,13 @@ def bin_entries(numeric, categorical) -> F.Column:
     entries = []
     for col, (lo, hi, nb) in numeric.items():
         width = (hi - lo) / nb
-        idx = F.floor((F.col(col) - F.lit(lo)) / F.lit(width))
+        # NaN behaves as NULL (module convention, same as
+        # group_percentiles' nanvl): floor(NaN) would otherwise cast
+        # to 0 and silently inflate the lowest bin
+        x = F.nanvl(F.col(col).cast("double"), F.lit(None).cast("double"))
+        idx = F.floor((x - F.lit(lo)) / F.lit(width))
         clamped = F.least(F.lit(nb - 1), F.greatest(F.lit(0), idx)).cast("string")
-        b = F.when(F.col(col).isNull(), F.lit("null")).otherwise(clamped)
+        b = F.when(x.isNull(), F.lit("null")).otherwise(clamped)
         entries.append(F.struct(F.lit(col).alias("column"), b.alias("bin")))
     for col in categorical:
         b = F.coalesce(F.col(col).cast("string"), F.lit("null"))
@@ -77,10 +81,6 @@ def profile_bins(df: DataFrame, numeric=None, categorical=()) -> DataFrame:
         .groupBy("column", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-
-
-def _melt(df: DataFrame, numeric, categorical) -> DataFrame:
-    return profile_bins(df, numeric, categorical)
 
 
 def psi_table(
@@ -110,8 +110,8 @@ def psi_table(
         if missing:
             raise ValueError(f"{side}: unknown column(s) {sorted(missing)}")
 
-    rc = _melt(ref, numeric, categorical).withColumnRenamed("n", "n_ref")
-    cc = _melt(cur, numeric, categorical).withColumnRenamed("n", "n_cur")
+    rc = profile_bins(ref, numeric, categorical).withColumnRenamed("n", "n_ref")
+    cc = profile_bins(cur, numeric, categorical).withColumnRenamed("n", "n_cur")
     counts = (
         rc.join(cc, ["column", "bin"], "full_outer")
         .fillna(0, ["n_ref", "n_cur"])

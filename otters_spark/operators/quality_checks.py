@@ -55,10 +55,13 @@ __all__ = [
 @dataclass(frozen=True)
 class NotNull:
     col: str
+    #: override the report label (needed when two constraints of the
+    #: same type target the same column, e.g. a warn and a hard band)
+    label: str | None = None
 
     @property
     def name(self) -> str:
-        return f"not_null({self.col})"
+        return self.label or f"not_null({self.col})"
 
 
 @dataclass(frozen=True)
@@ -68,42 +71,49 @@ class InRange:
     col: str
     lo: float | int
     hi: float | int
+    label: str | None = None
 
     @property
     def name(self) -> str:
-        return f"in_range({self.col})"
+        return self.label or f"in_range({self.col})"
 
 
 @dataclass(frozen=True)
 class AcceptedValues:
     col: str
     values: tuple
+    label: str | None = None
 
     @property
     def name(self) -> str:
-        return f"accepted({self.col})"
+        return self.label or f"accepted({self.col})"
 
 
 @dataclass(frozen=True)
 class Matches:
-    """Full-match regex (anchor it yourself if substring match is
-    meant); NULL is not a violation."""
+    """FULL-match regex — the pattern is wrapped as ``^(?:pat)$``
+    before evaluation, because bare ``rlike``/``regexp_matches`` are
+    SUBSTRING searches and a contract gate that silently passes
+    ``"xx1AB"`` against ``[A-Z]+`` is worse than none. Write substring
+    intent explicitly (``.*pat.*``). NULL is not a violation."""
 
     col: str
     pattern: str
+    label: str | None = None
 
     @property
     def name(self) -> str:
-        return f"matches({self.col})"
+        return self.label or f"matches({self.col})"
 
 
 @dataclass(frozen=True)
 class Unique:
     cols: tuple
+    label: str | None = None
 
     @property
     def name(self) -> str:
-        return f"unique({','.join(self.cols)})"
+        return self.label or f"unique({','.join(self.cols)})"
 
 
 @dataclass(frozen=True)
@@ -115,10 +125,11 @@ class ForeignKey:
     col: str
     ref: DataFrame
     ref_col: str
+    label: str | None = None
 
     @property
     def name(self) -> str:
-        return f"fk({self.col})"
+        return self.label or f"fk({self.col})"
 
 
 def _not_violated(pred: F.Column) -> F.Column:
@@ -164,7 +175,7 @@ def validate(df: DataFrame, constraints: Sequence) -> DataFrame:
             pred = F.col(c.col).isin(list(c.values))
             row_level.append((c.name, ~_not_violated(pred)))
         elif isinstance(c, Matches):
-            pred = F.col(c.col).rlike(c.pattern)
+            pred = F.col(c.col).rlike(f"^(?:{c.pattern})$")
             row_level.append((c.name, ~_not_violated(pred)))
         elif isinstance(c, Unique):
             # rows beyond the first per duplicated key; one shuffle on
@@ -177,17 +188,23 @@ def validate(df: DataFrame, constraints: Sequence) -> DataFrame:
             reports.append(agg.select(F.lit(c.name).alias("constraint"),
                                       "violations", "total"))
         elif isinstance(c, ForeignKey):
-            # distinct reference keys, then anti-join: the orphan count.
-            # total rides along from a parallel count of the fact side.
-            refk = c.ref.select(F.col(c.ref_col).alias(c.col)).distinct()
-            orphans = df.select(c.col).join(refk, c.col, "left_anti").agg(
-                F.count(F.lit(1)).alias("violations")
+            # distinct reference keys, then ONE left join pass that
+            # yields both the orphan count (no match, incl. NULL keys
+            # — NULL never matches, gate with not_null if legal) and
+            # the total; a separate count scan would re-read the fact
+            # table once per FK.
+            refk = c.ref.select(F.col(c.ref_col).alias("__fk")).distinct()
+            joined = df.select(F.col(c.col)).join(
+                refk, F.col(c.col) == F.col("__fk"), "left"
             )
-            tot = df.agg(F.count(F.lit(1)).alias("total"))
+            agg = joined.agg(
+                F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0)).alias(
+                    "violations"
+                ),
+                F.count(F.lit(1)).alias("total"),
+            )
             reports.append(
-                orphans.crossJoin(tot).select(
-                    F.lit(c.name).alias("constraint"), "violations", "total"
-                )
+                agg.select(F.lit(c.name).alias("constraint"), "violations", "total")
             )
         else:
             raise TypeError(f"unknown constraint type: {type(c).__name__}")

@@ -504,8 +504,13 @@ def shuffle_shards(
     if bins & (bins - 1) or bins <= 0:
         raise ValueError(f"bins must be a power of two, got {bins}")
     shift = 60 - (bins.bit_length() - 1)
-    binned = df.withColumn("__hkey", md5_long_expr(F.col(key_col))).withColumn(
-        "__sbin", F.shiftright(F.col("__hkey"), shift)
+    # NULL keys drop BEFORE binning: md5(NULL) is NULL, and a NULL
+    # __sbin would count into the priors while failing the equi-join —
+    # offsetting every real row's global index by the NULL count
+    binned = (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__hkey", md5_long_expr(F.col(key_col)))
+        .withColumn("__sbin", F.shiftright(F.col("__hkey"), shift))
     )
     per_bin = binned.groupBy("__sbin").agg(F.count(F.lit(1)).alias("__n"))
     bin_w = Window.orderBy("__sbin").rowsBetween(Window.unboundedPreceding, -1)

@@ -312,7 +312,10 @@ def pq_train(
     100 TB a full-corpus KMeans would re-scan the store M times for
     zero recall gain. The sample is cached and coalesced so each of
     the M fits runs small task waves over a few partitions instead of
-    cluster-wide waves per iteration.
+    cluster-wide waves per iteration; ``id_col`` is only referenced on
+    this sampled path (a vectors-only frame works with
+    ``n_train=None``, which scans — and never caches — the full
+    store per fit).
 
     Memory math at 100 TB: codes are M bytes/vector (n_codes <= 256)
     vs 4*dim for raw f32 — a 1B x 768d store shrinks 3 TB -> 96 GB
@@ -324,18 +327,27 @@ def pq_train(
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     dsub = dim // n_subspaces
-    train = df.select(id_col, vec_col)
     if n_train is not None:
+        # sampled path: the training set is bounded (≤ ~n_train rows),
+        # so caching it coalesced is cheap and every fit reads memory.
+        # id_col is only needed here, for the content-stable sample.
         if n_train < n_codes:
             raise ValueError(f"n_train {n_train} < n_codes {n_codes}")
+        train = df.select(id_col, vec_col)
         total = train.count()  # one job, index-build lane
         if total > n_train:
             from .sampling import hash_sample
 
             train = hash_sample(train, n_train / total, key_col=id_col)
-    train = train.select(F.col(vec_col).alias("__v")).coalesce(8).persist()
-    try:
+        train = train.select(F.col(vec_col).alias("__v")).coalesce(8).persist()
         train.count()  # materialize once; all M fits read the cache
+        cached = True
+    else:
+        # full-corpus path (n_train=None): NEVER cache or coalesce the
+        # whole store — each fit scans at the store's own parallelism
+        train = df.select(F.col(vec_col).alias("__v"))
+        cached = False
+    try:
 
         def _fit(m: int) -> np.ndarray:
             sub = train.select(
@@ -359,7 +371,8 @@ def pq_train(
         with ThreadPoolExecutor(max_workers=min(n_subspaces, 8)) as pool:
             books = list(pool.map(_fit, range(n_subspaces)))
     finally:
-        train.unpersist()
+        if cached:
+            train.unpersist()
     return np.stack(books)
 
 

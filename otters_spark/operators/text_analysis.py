@@ -701,7 +701,8 @@ def compression_ratio(
     both sides of a differential test produce identical lengths.
     Returns ``(id, raw_len, comp_len, ratio)`` with byte lengths and
     ``ratio = comp_len / raw_len`` (NULL text → NULL row values;
-    empty text → ratio NULL, lengths 0)."""
+    empty text → raw_len 0, comp_len 8 — the empty DEFLATE stream
+    still costs header bytes — and ratio NULL)."""
     if not 0 <= level <= 9:
         raise ValueError(f"zlib level must be in [0, 9], got {level}")
     id_type = dict(df.dtypes)[id_col]

@@ -113,10 +113,18 @@ def run_windowed_drift_stream(
     window: str = "1 hour",
     watermark: str = "2 hours",
     query_name: str = "events_drift_counts",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """readStream -> watermark -> windowed bin counts -> memory sink;
     drains available input and returns the count table (feed it to
-    :func:`windowed_psi` with a stored reference profile)."""
+    :func:`windowed_psi` with a stored reference profile).
+
+    ``output_mode='complete'`` (the drain-and-inspect default here)
+    retains every window's aggregate for the sink — fine for a
+    bounded replay, but the watermark never evicts state under it. A
+    LONG-RUNNING monitor must use ``'update'`` (or ``'append'``) so
+    closed windows leave the state store; the bin-bounded-state claim
+    in the module doc holds in those modes."""
     from .events import stream_events
 
     counts = windowed_bin_counts(
@@ -129,7 +137,7 @@ def run_windowed_drift_stream(
     q = (
         counts.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .start()
     )
     try:

@@ -3381,16 +3381,16 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_ANOMALY_MAD_SQL = """
-WITH med AS (SELECT event_type, median(value) AS md FROM events GROUP BY 1),
+WITH med AS (SELECT event_type AS et, median(value) AS md FROM events GROUP BY 1),
 r AS (
   SELECT e.event_type, e.value, abs(e.value - m.md) AS ar, m.md
-  FROM events e JOIN med m USING (event_type)),
-mads AS (SELECT event_type, median(ar) AS mv FROM r GROUP BY 1)
+  FROM events e JOIN med m ON e.event_type IS NOT DISTINCT FROM m.et),
+mads AS (SELECT event_type AS et, median(ar) AS mv FROM r GROUP BY 1)
 SELECT r.event_type, count(*)::BIGINT AS n_events,
        (count(*) FILTER (WHERE round(ar - 3.0 * 1.4826 * mv, 6) > 0))::BIGINT
          AS n_outliers,
        round(min(md), 4) AS med, round(min(mv), 4) AS mad
-FROM r JOIN mads USING (event_type)
+FROM r JOIN mads m2 ON r.event_type IS NOT DISTINCT FROM m2.et
 GROUP BY 1 ORDER BY 1
 """
 

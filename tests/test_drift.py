@@ -104,3 +104,13 @@ def test_psi_properties(spark):
         fwd = psi_summary(ref, cur, numeric={"x": (0, 50, 10)}).collect()[0]["psi"]
         rev = psi_summary(cur, ref, numeric={"x": (0, 50, 10)}).collect()[0]["psi"]
         assert fwd == rev >= 0
+
+
+def test_nan_goes_to_null_bin(spark):
+    ref = spark.createDataFrame(
+        [(float("nan"),), (50.0,), (None,)], "x double")
+    rows = {r["bin"]: r["n_ref"] for r in psi_table(
+        ref, ref, numeric={"x": (0, 100, 4)}).collect()}
+    # NaN + NULL share the null bin; nothing lands in bin "0"
+    assert rows["null"] == 2
+    assert "0" not in rows

@@ -108,3 +108,35 @@ def test_unknown_columns_rejected(facts, dims):
         validate(facts, [Unique(("id", "nope"))])
     with pytest.raises(ValueError, match="reference column"):
         validate(facts, [ForeignKey("id", dims, "nope")])
+
+
+def test_matches_is_full_match(spark):
+    df = spark.createDataFrame([(1, "AB"), (2, "xx1AB"), (3, "ABz")],
+                               "id long, code string")
+    rep = validate(df, [Matches("code", "[A-Z]+")]).collect()[0]
+    # substring rlike would pass all three; full-match flags 2 and 3
+    assert rep["violations"] == 2
+
+
+def test_labels_disambiguate_same_type_same_column(facts):
+    rep = validate(
+        facts,
+        [
+            InRange("disc", 0.0, 0.1, label="disc_hard"),
+            InRange("disc", 0.0, 0.04, label="disc_warn"),
+        ],
+    )
+    got = {r["constraint"]: r["violations"] for r in rep.collect()}
+    assert got["disc_hard"] == 1 and got["disc_warn"] == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        validate(facts, [InRange("disc", 0, 1), InRange("disc", 0, 2)])
+
+
+def test_fk_single_scan(facts, dims):
+    rep = validate(facts, [ForeignKey("id", dims, "ref_id")])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # one pass over the fact side: the total must NOT add a second
+    # fact-side scan beyond the join's
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 2

@@ -342,3 +342,19 @@ def test_write_training_shards_layout(docs, spark, tmp_path):
     assert {(r.doc_id, r.shard_pos) for r in back.select("doc_id", "shard_pos").collect()} == {
         (r.doc_id, r.shard_pos) for r in direct.select("doc_id", "shard_pos").collect()
     }
+
+
+def test_shuffle_shards_null_keys_do_not_offset_indices(spark):
+    from otters_spark.operators.sampling import shuffle_shards
+
+    with_nulls = spark.createDataFrame(
+        [(None,), (None,), (None,)] + [(i,) for i in range(8)], "doc_id long"
+    )
+    clean = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    a = {(r.doc_id, r.shard_id, r.shard_pos)
+         for r in shuffle_shards(with_nulls, 4).collect()}
+    b = {(r.doc_id, r.shard_id, r.shard_pos)
+         for r in shuffle_shards(clean, 4).collect()}
+    # NULL keys drop out entirely; real rows keep 0-based positions
+    assert a == b
+    assert min(p for _, _, p in a) == 0
