@@ -3328,6 +3328,32 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — 2-hour windows every hour, so each
+    event contributes to exactly two buckets. Same windowed_agg code
+    path as the streaming module (slide param); the oracle expands the
+    hop into a union of the two aligned grids."""
+    from .streaming.events import windowed_agg
+
+    ev = load_events(spark, sf_dir)
+    return windowed_agg(ev, window="2 hours", slide="1 hour").orderBy(
+        "bucket_start", "event_type"
+    )
+
+
+EVENTS_SLIDING_WINDOW_SQL = """
+SELECT bucket_start, event_type, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM (
+  SELECT (epoch_ms(ts) // 3600000) * 3600 AS bucket_start, event_type, value
+  FROM events
+  UNION ALL
+  SELECT (epoch_ms(ts) // 3600000) * 3600 - 3600, event_type, value
+  FROM events)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def rel_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional lateral explode (LATERAL VIEW posexplode / unnest
     WITH ORDINALITY): the generator family's ordinal half — token
@@ -4783,6 +4809,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "sim_hard_negatives": sim_hard_negatives,
     "rel_lateral_posexplode": rel_lateral_posexplode,
+    "events_sliding_window": events_sliding_window,
     # Session-8 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "vs_score_filter_all": vs_score_filter_all,
@@ -4907,6 +4934,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_drift_window": EVENTS_DRIFT_WINDOW_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
     "rel_lateral_posexplode": REL_LATERAL_POSEXPLODE_SQL,
+    "events_sliding_window": EVENTS_SLIDING_WINDOW_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,
