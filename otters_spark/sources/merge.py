@@ -27,7 +27,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["merge_upsert", "scd2_merge", "scd2_as_of"]
+__all__ = ["merge_upsert", "scd2_merge", "scd2_as_of", "snapshot_diff"]
 
 
 def merge_upsert(
@@ -140,3 +140,54 @@ def scd2_as_of(
         (F.col(valid_from) <= d)
         & (F.col(valid_to).isNull() | (F.col(valid_to) > d))
     ).drop(valid_from, valid_to)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two dataset versions — the release-notes
+    primitive ("this rebuild added X docs, dropped Y, modified Z").
+    Returns the key columns + ``change_type`` in
+    {'added','removed','changed','unchanged'}.
+
+    One full-outer join hashed on the key (the only exchange);
+    ``compare_cols`` (default: all shared non-key columns) decide
+    changed-vs-unchanged via null-safe equality, so NULL→value and
+    value→NULL transitions count as changes instead of vanishing
+    under 3VL. Keys must be unique per side (it is a diff of
+    versions, not a multiset compare) — enforce upstream with
+    quality_checks.Unique when in doubt."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    missing = [c for c in list(compare_cols) + keys
+               if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"columns absent from a side: {missing}")
+
+    # presence via a constant marker per side, NOT key nullness — a
+    # legitimately NULL key would otherwise read as "absent"
+    o = old.select(*keys, *compare_cols, F.lit(1).alias("__po")).alias("o")
+    n = new.select(*keys, *compare_cols, F.lit(1).alias("__pn")).alias("n")
+    cond = None
+    for k in keys:
+        e = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = e if cond is None else cond & e
+    j = o.join(n, cond, "full_outer")
+    same = _all_equal(compare_cols, "o", "n") if compare_cols else F.lit(True)
+    change = (
+        F.when(F.col("o.__po").isNull(), F.lit("added"))
+        .when(F.col("n.__pn").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    key_out = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+    ]
+    return j.select(*key_out, change.alias("change_type"))

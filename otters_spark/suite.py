@@ -3328,6 +3328,57 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (release-notes primitive): two synthetic
+    snapshots of orders — old drops keys ≡3 (mod 11), new drops keys
+    ≡7 (mod 11) and bumps totalprice by an exactly-representable
+    +100.0 on keys ≡0 (mod 5) — then one full-outer-join diff
+    classifies every key as added/removed/changed/unchanged with
+    null-safe value compare (sources/merge.py:snapshot_diff)."""
+    from .sources.merge import snapshot_diff
+
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 11 != 3)
+    new = orders.filter(F.col("o_orderkey") % 11 != 7).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 100.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = snapshot_diff(
+        old, new, ["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("change_type")
+    )
+
+
+REL_SNAPSHOT_DIFF_SQL = """
+WITH old AS (SELECT * FROM orders WHERE o_orderkey % 11 != 3),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 11 != 7),
+d AS (
+  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                   AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                THEN 'unchanged'
+              ELSE 'changed' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+SELECT change_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS key_sum
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) windows — 2-hour windows every hour, so each
     event contributes to exactly two buckets. Same windowed_agg code
@@ -4810,6 +4861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_hard_negatives": sim_hard_negatives,
     "rel_lateral_posexplode": rel_lateral_posexplode,
     "events_sliding_window": events_sliding_window,
+    "rel_snapshot_diff": rel_snapshot_diff,
     # Session-8 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "vs_score_filter_all": vs_score_filter_all,
@@ -4935,6 +4987,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
     "rel_lateral_posexplode": REL_LATERAL_POSEXPLODE_SQL,
     "events_sliding_window": EVENTS_SLIDING_WINDOW_SQL,
+    "rel_snapshot_diff": REL_SNAPSHOT_DIFF_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,

@@ -95,3 +95,43 @@ def test_scd2_as_of_time_travel(spark, dim):
     # exactly one version visible per key at any date
     assert len(scd2_as_of(merged, date(2024, 6, 1)).groupBy("k").count()
                .filter("count > 1").collect()) == 0
+
+
+def test_snapshot_diff_change_types(spark):
+    from otters_spark.sources.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (None, "nk", 1.0)],
+        "id long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "b", 25.0),        # changed value
+         (4, "d", 40.0),        # added
+         (3, "c", 30.0),        # NULL -> value IS a change
+         (None, "nk", 1.0)],    # NULL key present both sides, unchanged
+        "id long, name string, v double",
+    )
+    got = {r["id"]: r["change_type"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "added", None: "unchanged"}
+    # removed side
+    got2 = {r["id"]: r["change_type"]
+            for r in snapshot_diff(new, old, ["id"]).collect()}
+    assert got2[4] == "removed"
+
+
+def test_snapshot_diff_validation_and_subset_compare(spark):
+    import pytest as _pytest
+
+    from otters_spark.sources.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double")
+    new = spark.createDataFrame([(1, "a", 9.0)], "id long, name string, v double")
+    # compare only `name` -> the v change is invisible
+    r = snapshot_diff(old, new, ["id"], compare_cols=["name"]).collect()[0]
+    assert r["change_type"] == "unchanged"
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new, [])
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new, ["id"], compare_cols=["nope"])
