@@ -27,6 +27,8 @@ __all__ = [
     "run_windowed_distinct_stream",
     "windowed_frequency_cells",
     "run_windowed_frequency_stream",
+    "windowed_value_histogram",
+    "run_windowed_histogram_stream",
 ]
 
 
@@ -183,6 +185,86 @@ def run_windowed_frequency_stream(
         watermark=watermark,
         depth=depth,
         width=width,
+    )
+    q = (
+        cells.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def windowed_value_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str | None = None,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 512,
+) -> DataFrame:
+    """Per (bucket_start, event_type, bin) histogram cells of
+    ``value_col`` — the distribution member of the streaming sketch
+    trio (HLL = distinct, CMS = frequency, this = quantiles). Exact
+    per-window medians would buffer each window's multiset; the cell
+    table keeps ≤ ``bins`` integers per (window, group) of algebraic
+    COUNT state under a watermark. Bin arithmetic mirrors
+    ``operators.sketches.hist_sketch`` (clamp to edge bins, NULL
+    skipped), so streamed cells equal the batch sketch row-for-row
+    and ``hist_quantiles`` reads quantiles straight off the drained
+    table with ``group_cols=['bucket_start', 'event_type']``."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    df = _with_ts(df)
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * F.lit(bins / (hi - lo))).cast("long")
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(
+            F.window(F.col("ts"), window).alias("win"),
+            F.col("event_type"),
+            b.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("long").alias("bucket_start"),
+            "event_type",
+            "bin",
+            "cnt",
+        )
+    )
+
+
+def run_windowed_histogram_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 512,
+    query_name: str = "events_value_hist",
+) -> DataFrame:
+    """readStream -> watermark -> windowed histogram cells -> memory
+    sink; drains available input and returns the cell table (complete
+    mode: bounded replay — long-running monitors use update/append so
+    the watermark closes window state)."""
+    from .events import stream_events
+
+    cells = windowed_value_histogram(
+        stream_events(spark, sf_dir), value_col, window,
+        watermark=watermark, lo=lo, hi=hi, bins=bins,
     )
     q = (
         cells.writeStream.format("memory")

@@ -3328,6 +3328,71 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VHIST_LO, _VHIST_HI, _VHIST_BINS = 0.0, 500.0, 64
+_VHIST_SCALE = _VHIST_BINS / (_VHIST_HI - _VHIST_LO)
+_VHIST_WIDTH = (_VHIST_HI - _VHIST_LO) / _VHIST_BINS
+
+
+def events_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped distribution monitoring: per-12-hour-window
+    value quantiles read off the windowed histogram cell table
+    (streaming/sketch.py windowed_value_histogram — ≤64 integers of
+    state per (window, event_type), algebraic under a watermark;
+    streamed cells == these batch cells row-for-row). Median/p95
+    interpolate from exact integer counts and shared Python literals,
+    so the estimates reproduce bit-for-bit cross-engine."""
+    from .operators.sketches import hist_quantiles
+    from .streaming.sketch import windowed_value_histogram
+
+    ev = load_events(spark, sf_dir)
+    cells = windowed_value_histogram(
+        ev, "value", window="12 hours",
+        lo=_VHIST_LO, hi=_VHIST_HI, bins=_VHIST_BINS,
+    )
+    q = hist_quantiles(
+        cells, [0.5, 0.95], ["bucket_start", "event_type"],
+        lo=_VHIST_LO, hi=_VHIST_HI, bins=_VHIST_BINS,
+    )
+    return q.select(
+        "bucket_start",
+        "event_type",
+        "n",
+        F.round("q_0_5", 4).alias("q_0_5"),
+        F.round("q_0_95", 4).alias("q_0_95"),
+    ).orderBy("bucket_start", "event_type")
+
+
+EVENTS_WINDOWED_QUANTILES_SQL = f"""
+WITH b AS (
+  SELECT (epoch_ms(ts) // 43200000) * 43200 AS bucket_start, event_type,
+         least({_VHIST_BINS - 1}, greatest(0,
+           CAST(floor((value - {_VHIST_LO!r}) * {_VHIST_SCALE!r}) AS BIGINT))) AS bin
+  FROM events WHERE value IS NOT NULL),
+c AS (SELECT bucket_start, event_type, bin, count(*) AS cnt
+      FROM b GROUP BY 1, 2, 3),
+w AS (SELECT bucket_start, event_type, bin, cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY bucket_start, event_type
+               ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      FROM c),
+t AS (SELECT bucket_start, event_type, sum(cnt)::BIGINT AS n
+      FROM c GROUP BY 1, 2)
+SELECT w.bucket_start, w.event_type, any_value(n) AS n,
+  round(min(CASE WHEN bef::DOUBLE < 0.5 * n::DOUBLE
+                  AND 0.5 * n::DOUBLE <= (bef + cnt)::DOUBLE
+            THEN {_VHIST_LO!r} + (bin::DOUBLE
+                 + (0.5 * n::DOUBLE - bef::DOUBLE) / cnt::DOUBLE) * {_VHIST_WIDTH!r}
+            END), 4) AS q_0_5,
+  round(min(CASE WHEN bef::DOUBLE < 0.95 * n::DOUBLE
+                  AND 0.95 * n::DOUBLE <= (bef + cnt)::DOUBLE
+            THEN {_VHIST_LO!r} + (bin::DOUBLE
+                 + (0.95 * n::DOUBLE - bef::DOUBLE) / cnt::DOUBLE) * {_VHIST_WIDTH!r}
+            END), 4) AS q_0_95
+FROM w JOIN t ON w.bucket_start = t.bucket_start AND w.event_type = t.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-version diff (release-notes primitive): two synthetic
     snapshots of orders — old drops keys ≡3 (mod 11), new drops keys
@@ -4862,6 +4927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_lateral_posexplode": rel_lateral_posexplode,
     "events_sliding_window": events_sliding_window,
     "rel_snapshot_diff": rel_snapshot_diff,
+    "events_windowed_quantiles": events_windowed_quantiles,
     # Session-8 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "vs_score_filter_all": vs_score_filter_all,
@@ -4988,6 +5054,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_lateral_posexplode": REL_LATERAL_POSEXPLODE_SQL,
     "events_sliding_window": EVENTS_SLIDING_WINDOW_SQL,
     "rel_snapshot_diff": REL_SNAPSHOT_DIFF_SQL,
+    "events_windowed_quantiles": EVENTS_WINDOWED_QUANTILES_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,

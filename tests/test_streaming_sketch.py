@@ -130,3 +130,59 @@ def test_cms_probe_never_undercounts_per_window(spark, sf_dir):
     )
     bad = est.filter(F.col("est_n") < F.col("exact_n")).count()
     assert bad == 0  # one-sided error, per window and group
+
+
+def test_streamed_histogram_cells_match_batch(spark, sf_dir):
+    from otters_spark.streaming.sketch import (
+        run_windowed_histogram_stream,
+        windowed_value_histogram,
+    )
+
+    batch = windowed_value_histogram(
+        load_events(spark, sf_dir), "value", window="6 hours",
+        lo=0.0, hi=500.0, bins=64,
+    )
+    streamed = run_windowed_histogram_stream(
+        spark, sf_dir, "value", window="6 hours",
+        lo=0.0, hi=500.0, bins=64, query_name="t_vhist",
+    )
+    assert _sorted(streamed) == _sorted(batch)
+    assert len(_sorted(batch)) > 0
+
+
+def test_windowed_quantiles_track_exact_median(spark, sf_dir):
+    from otters_spark.operators.sketches import hist_quantiles
+    from otters_spark.streaming.events import _with_ts
+    from otters_spark.streaming.sketch import windowed_value_histogram
+
+    cells = windowed_value_histogram(
+        load_events(spark, sf_dir), "value", window="7 days",
+        lo=0.0, hi=500.0, bins=64,
+    )
+    q = hist_quantiles(cells, [0.5], ["bucket_start", "event_type"],
+                       lo=0.0, hi=500.0, bins=64)
+    got = {(r["bucket_start"], r["event_type"]): r["q_0_5"] for r in q.collect()}
+    ev = _with_ts(load_events(spark, sf_dir))
+    exact = {
+        (r["b"], r["event_type"]): r["m"]
+        for r in ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / (7 * 86400)) * 7 * 86400)
+            .cast("long").alias("b"),
+            "event_type",
+        ).agg(F.expr("percentile(value, 0.5)").alias("m")).collect()
+    }
+    # sketch median within one bin width (500/64 ≈ 7.8) of exact
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= 500.0 / 64 + 1e-9, k
+
+
+def test_histogram_state_is_bin_bounded(spark, sf_dir):
+    from otters_spark.streaming.sketch import windowed_value_histogram
+
+    cells = windowed_value_histogram(
+        load_events(spark, sf_dir), "value", window="1 hour",
+        lo=0.0, hi=500.0, bins=64,
+    )
+    worst = cells.groupBy("bucket_start", "event_type").count().agg(
+        F.max("count")).collect()[0][0]
+    assert worst <= 64
