@@ -3328,6 +3328,46 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_setop_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL):
+    multiplicity-aware — a customer appearing 3× on the left and 1×
+    on the right survives EXCEPT ALL twice, where the DISTINCT forms
+    (rel_setop_customers) would drop it. Both lower to a single
+    hash aggregation on the value with per-side counts."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_custkey")
+    b = orders.filter(F.col("o_orderkey") % 5 == 0).select("o_custkey")
+    ex = (
+        a.exceptAll(b).groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    ia = (
+        a.intersectAll(b).groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    return ex.unionByName(ia).select("op", "o_custkey", "n").orderBy(
+        "op", "o_custkey"
+    )
+
+
+REL_SETOP_BAG_SQL = """
+SELECT 'except_all' AS op, o_custkey, count(*)::BIGINT AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderkey % 5 = 0)
+GROUP BY o_custkey
+UNION ALL
+SELECT 'intersect_all', o_custkey, count(*)::BIGINT FROM (
+  SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderkey % 5 = 0)
+GROUP BY o_custkey
+ORDER BY op, o_custkey
+"""
+
+
 _VHIST_LO, _VHIST_HI, _VHIST_BINS = 0.0, 500.0, 64
 _VHIST_SCALE = _VHIST_BINS / (_VHIST_HI - _VHIST_LO)
 _VHIST_WIDTH = (_VHIST_HI - _VHIST_LO) / _VHIST_BINS
@@ -4928,6 +4968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_window": events_sliding_window,
     "rel_snapshot_diff": rel_snapshot_diff,
     "events_windowed_quantiles": events_windowed_quantiles,
+    "rel_setop_bag": rel_setop_bag,
     # Session-8 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "vs_score_filter_all": vs_score_filter_all,
@@ -5055,6 +5096,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_sliding_window": EVENTS_SLIDING_WINDOW_SQL,
     "rel_snapshot_diff": REL_SNAPSHOT_DIFF_SQL,
     "events_windowed_quantiles": EVENTS_WINDOWED_QUANTILES_SQL,
+    "rel_setop_bag": REL_SETOP_BAG_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,
