@@ -4876,10 +4876,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_incremental_ingest: pipeline_dedup_end_to_end composes the
     # identical banding+verify stage and stays green in the top-50.
     # Newest tail entries (builder-harness green at 3 SFs, first in
-    # line for next round's rotation): text_bigram_logprob,
-    # pipeline_temperature_mix, rel_statistical_aggregates,
-    # rel_range_frame, rel_unpivot_measures, events_asof_nearest,
-    # dedup_span_removal (ExactSubstr).
+    # line for next round's rotation): rel_snapshot_diff,
+    # events_windowed_quantiles, events_sliding_window,
+    # rel_setop_bag, rel_lateral_posexplode, then the session-5/6
+    # backlog — text_bigram_logprob, pipeline_temperature_mix,
+    # rel_statistical_aggregates, rel_range_frame,
+    # rel_unpivot_measures, events_asof_nearest, dedup_span_removal
+    # (ExactSubstr).
     # The original r2->r3 demotions:
     # rel_setop_customers (set-op family also covered by
     # rel_intersect_customers's sibling shape and r1/r2 green history),
