@@ -293,15 +293,26 @@ def robust_outliers(
             out = out.drop(right[c])
         return out
 
-    med = group_percentiles(
-        df, gp, {value_col: [0.5]}, round_to=None, method=method
-    ).withColumnRenamed(f"p50_{value_col}", "group_median")
+    # the group-stat tables are group-count-sized but their PLANS are
+    # the whole multi-stage percentile pipeline; every downstream
+    # reference would re-execute that pipeline (Catalyst does not
+    # dedup subtrees — the bigram/CC lesson), and the MAD pass
+    # references the median-joined corpus several times internally.
+    # Pinning the tiny tables with lazy localCheckpoints collapses the
+    # re-execution to scan+broadcast-join per reference.
+    med = (
+        group_percentiles(df, gp, {value_col: [0.5]}, round_to=None, method=method)
+        .withColumnRenamed(f"p50_{value_col}", "group_median")
+        .localCheckpoint(eager=False)
+    )
     j = _nsjoin(df, med).withColumn(
         "abs_resid", F.abs(F.col(value_col) - F.col("group_median"))
     )
-    mad = group_percentiles(
-        j, gp, {"abs_resid": [0.5]}, round_to=None, method=method
-    ).withColumnRenamed("p50_abs_resid", "group_mad")
+    mad = (
+        group_percentiles(j, gp, {"abs_resid": [0.5]}, round_to=None, method=method)
+        .withColumnRenamed("p50_abs_resid", "group_mad")
+        .localCheckpoint(eager=False)
+    )
     out = _nsjoin(j, mad)
     return out.withColumn(
         "is_outlier",
