@@ -30,6 +30,10 @@ QUERIES = [
     "dedup_span_removal",
     "link_fuzzy_best_match",
     "dedup_incremental_ingest",
+    # session-8 governance lane (documents-table queries only — the
+    # probe replicates documents, not the TPC-H tables)
+    "pipeline_shuffle_shards",
+    "pipeline_drift_psi",
 ]
 
 

@@ -79,6 +79,16 @@ def test_plan_is_scale_safe(spark, sf_dir, name):
         f"{name}: md5 evaluated {optimized.count('md5')}x in the optimized plan "
         "— an expression fan-out re-inlined an expensive hash (see module doc)"
     )
+    # subtree re-execution guard: Catalyst does not dedup subtrees, so
+    # feeding a derived table into an operator that references its
+    # input k times re-executes the whole upstream k-fold (observed:
+    # 81 scans on the MAD query before its stat tables were pinned
+    # with localCheckpoint). Suite-wide max is 8 legitimate scans.
+    assert plan.count("FileScan") <= 12, (
+        f"{name}: {plan.count('FileScan')} FileScans — an upstream subtree "
+        "is being re-executed per reference; pin the small intermediate "
+        "with .localCheckpoint(eager=False)"
+    )
     if name not in GLOBAL_WINDOW_OK:
         glob = _unpartitioned_windows(df)
         assert not glob, (
