@@ -39,6 +39,7 @@ __all__ = [
     "dsir_weights",
     "dsir_select",
     "shuffle_shards",
+    "epoch_mix",
     "write_training_shards",
 ]
 
@@ -552,3 +553,53 @@ def write_training_shards(
         .mode("overwrite")
         .save(path)
     )
+
+
+def epoch_mix(
+    df: DataFrame,
+    rates: dict,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    default: float = 1.0,
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Fractional epoch replication — the UPSAMPLING half of data
+    mixing (stratified_sample/temperature_mix can only keep ≤ 1 copy):
+    a source at rate 2.3 contributes every document twice plus a
+    content-stable 30% of documents a third time, i.e. the corpus is
+    mixed at fractional epochs per source (the Pile/DoReMi recipe).
+
+    ``n_copies = floor(rate) + [hash_bucket(key) < frac·B]`` — the
+    fractional tail reuses the module's hash-bucket convention, so
+    re-runs replicate exactly the same documents, and a rate below 1
+    degrades to deterministic downsampling (0 or 1 copies). Rows
+    replicate via ``explode(sequence(...))`` — pure codegen fan-out in
+    the scan stage, no shuffle, no Python. ``copy_col`` (1-based)
+    distinguishes replicas; include it in downstream shuffle keys
+    (e.g. shuffle_shards over ``(key, copy_id)``) so copies spread
+    across shards instead of colliding on the same hash."""
+    if default < 0 or any(r < 0 for r in rates.values()):
+        raise ValueError("rates must be non-negative")
+
+    def _n_copies(rate_col_whole, rate_col_fracb):
+        extra = F.when(
+            _bucket(F.col(key_col)) < rate_col_fracb, F.lit(1)
+        ).otherwise(F.lit(0))
+        return rate_col_whole + extra
+
+    whole = None
+    fracb = None
+    for g, r in rates.items():
+        w, fb = int(r), int(round((r - int(r)) * _BUCKETS))
+        cond = F.col(group_col) == g
+        whole = F.when(cond, w) if whole is None else whole.when(cond, w)
+        fracb = F.when(cond, fb) if fracb is None else fracb.when(cond, fb)
+    dw, dfb = int(default), int(round((default - int(default)) * _BUCKETS))
+    whole = F.lit(dw) if whole is None else whole.otherwise(F.lit(dw))
+    fracb = F.lit(dfb) if fracb is None else fracb.otherwise(F.lit(dfb))
+
+    n = _n_copies(whole, fracb)
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(copies))

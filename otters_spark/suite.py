@@ -3328,6 +3328,47 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling (the Pile/DoReMi recipe): src0 at
+    2.5 epochs (every doc twice, a content-stable half a third time),
+    src1 at 0.4, everything else 1.0 — pure codegen sequence-explode
+    in the scan stage (operators/sampling.py:epoch_mix). The checksum
+    sums doc_id × copy_id, pinning exactly WHICH docs got the
+    fractional extra copy."""
+    from .operators.sampling import epoch_mix
+
+    docs = load(spark, sf_dir, "documents")
+    out = epoch_mix(docs, {"src0": 2.5, "src1": 0.4}, default=1.0)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.col("doc_id") * F.col("copy_id")).alias("checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_EPOCH_MIX_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         CASE WHEN source = 'src0' THEN 2
+              WHEN source = 'src1' THEN 0 ELSE 1 END
+         + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+                     < CASE WHEN source = 'src0' THEN 5000
+                            WHEN source = 'src1' THEN 4000 ELSE 0 END
+                THEN 1 ELSE 0 END AS n
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_rows,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       sum(doc_id * c)::BIGINT AS checksum
+FROM r, LATERAL unnest(generate_series(1, n)) AS t(c)
+WHERE n >= 1
+GROUP BY source ORDER BY source
+"""
+
+
 def rel_setop_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL):
     multiplicity-aware — a customer appearing 3× on the left and 1×
@@ -4972,6 +5013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_snapshot_diff": rel_snapshot_diff,
     "events_windowed_quantiles": events_windowed_quantiles,
     "rel_setop_bag": rel_setop_bag,
+    "pipeline_epoch_mix": pipeline_epoch_mix,
     # Session-8 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "vs_score_filter_all": vs_score_filter_all,
@@ -5100,6 +5142,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_snapshot_diff": REL_SNAPSHOT_DIFF_SQL,
     "events_windowed_quantiles": EVENTS_WINDOWED_QUANTILES_SQL,
     "rel_setop_bag": REL_SETOP_BAG_SQL,
+    "pipeline_epoch_mix": PIPELINE_EPOCH_MIX_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,

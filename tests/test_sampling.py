@@ -358,3 +358,38 @@ def test_shuffle_shards_null_keys_do_not_offset_indices(spark):
     # NULL keys drop out entirely; real rows keep 0-based positions
     assert a == b
     assert min(p for _, _, p in a) == 0
+
+
+def test_epoch_mix_fractional_replication(docs, spark):
+    from pyspark.sql import functions as F
+
+    from otters_spark.operators.sampling import epoch_mix
+
+    out = epoch_mix(docs, {"src0": 2.5, "src1": 0.4}, default=1.0)
+    per_doc = {r["doc_id"]: r["n"] for r in out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    src = {r["doc_id"]: r["source"] for r in docs.collect()}
+    n0 = [per_doc.get(d, 0) for d, s in src.items() if s == "src0"]
+    n1 = [per_doc.get(d, 0) for d, s in src.items() if s == "src1"]
+    rest = [per_doc.get(d, 0) for d, s in src.items() if s not in ("src0", "src1")]
+    assert set(n0) <= {2, 3} and set(n1) <= {0, 1} and set(rest) == {1}
+    # fractional tails track the requested rates
+    assert abs(sum(n0) / len(n0) - 2.5) < 0.25
+    assert abs(sum(n1) / len(n1) - 0.4) < 0.25
+    # copy ids are 1..n per doc
+    copies = out.filter(F.col("doc_id") == [d for d, s in src.items() if s == "src0"][0])
+    ids = sorted(r["copy_id"] for r in copies.collect())
+    assert ids == list(range(1, len(ids) + 1))
+
+
+def test_epoch_mix_stable_and_validated(docs):
+    from otters_spark.operators.sampling import epoch_mix
+
+    a = {(r.doc_id, r.copy_id) for r in epoch_mix(docs, {"src0": 1.7}).collect()}
+    b = {(r.doc_id, r.copy_id)
+         for r in epoch_mix(docs.repartition(9), {"src0": 1.7}).collect()}
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        epoch_mix(docs, {"src0": -1.0})
