@@ -30,6 +30,7 @@ from ..functions.text import md5_long_expr
 
 __all__ = [
     "hash_split",
+    "leakage_safe_split",
     "hash_sample",
     "reservoir_per_group",
     "stratified_sample",
@@ -80,6 +81,46 @@ def hash_split(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, out)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    out_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Train/val/test split at near-duplicate-CLUSTER granularity.
+
+    :func:`hash_split` alone leaks: two near-duplicate documents hash
+    to different buckets, one lands in train and its twin in test, and
+    the eval set silently overlaps the training data (the benchmark
+    contamination Lee et al. 2022 measure). Fix: cluster the near-dup
+    ``pairs`` into connected components and bucket on the COMPONENT
+    label instead of the document id — every member of a cluster lands
+    in the SAME split by construction. Documents outside any pair are
+    their own singleton component (``coalesce(component, id)``), so
+    they split exactly as plain :func:`hash_split` would.
+
+    Cost on top of hash_split: the connected-components shuffle over
+    the PAIR table (pairs ≪ corpus for any sane threshold) plus one
+    left join of corpus against the component labels — the bucket
+    predicate itself stays a narrow projection. At 100 TB the join
+    side is |docs-in-some-pair| rows, typically a few percent of the
+    corpus, and broadcasts when small."""
+    from .dedup import connected_components
+
+    comps = connected_components(pairs, id_a, id_b).select(
+        F.col("id").alias(key_col), F.col("component").alias("__component")
+    )
+    keyed = df.join(comps, key_col, "left").withColumn(
+        "__skey", F.coalesce(F.col("__component"), F.col(key_col))
+    )
+    return hash_split(keyed, "__skey", weights, out_col).drop(
+        "__skey", "__component"
+    )
 
 
 def hash_sample(

@@ -2417,6 +2417,60 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup pairs (MinHash-LSH
+    banding + exact Jaccard verify) cluster into components, and the
+    split bucket hashes the COMPONENT label, so no near-duplicate pair
+    ever straddles train/test — the eval-contamination gate of Lee et
+    al. 2022. Docs outside any pair split exactly as plain hash_split
+    (singleton components). Output: per-split doc count + id checksum;
+    the DuckDB oracle reproduces the clustering with a recursive-CTE
+    transitive closure and the same md5 bucket arithmetic, so the
+    assignment — not just the counts — is pinned cross-engine."""
+    from .operators.sampling import leakage_safe_split
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_minhash_banded_verified(spark, sf_dir).select("id_a", "id_b")
+    split = leakage_safe_split(
+        docs, pairs, weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("split")
+    )
+
+
+PIPELINE_LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH pairs AS (
+  SELECT id_a, id_b FROM ({{inner}}) t),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+  SELECT * FROM r),
+comp AS (
+  SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src),
+keyed AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS skey
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(skey::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
+  FROM keyed)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+FROM b GROUP BY 1 ORDER BY 1
+""".format(inner=DEDUP_MINHASH_BANDED_VERIFIED_SQL.replace("ORDER BY 1, 2", ""))
+
+
 def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production ingest gate for a continuously growing corpus: a
     ~14% 'new batch' (doc_id % 7 == 3; the synthetic dup clusters
@@ -5014,6 +5068,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed_quantiles": events_windowed_quantiles,
     "rel_setop_bag": rel_setop_bag,
     "pipeline_epoch_mix": pipeline_epoch_mix,
+    "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
     # Session-8 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "vs_score_filter_all": vs_score_filter_all,
@@ -5143,6 +5198,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_windowed_quantiles": EVENTS_WINDOWED_QUANTILES_SQL,
     "rel_setop_bag": REL_SETOP_BAG_SQL,
     "pipeline_epoch_mix": PIPELINE_EPOCH_MIX_SQL,
+    "pipeline_leakage_safe_split": PIPELINE_LEAKAGE_SAFE_SPLIT_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,

@@ -2,7 +2,12 @@
 
 import pytest
 
-from otters_spark.operators.sampling import hash_sample, hash_split, reservoir_per_group
+from otters_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    leakage_safe_split,
+    reservoir_per_group,
+)
 
 
 @pytest.fixture(scope="module")
@@ -38,6 +43,46 @@ def test_split_validation(docs):
         hash_split(docs, weights={"a": 0.9, "b": 0.2})
     with pytest.raises(ValueError):
         hash_split(docs, weights={"a": -0.1, "b": 0.5})
+
+
+def test_leakage_safe_split_respects_clusters(spark):
+    # chain 1-2-3 plus pair (10,11); singletons 20, 21
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 21]], ["doc_id"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+    out = {r["doc_id"]: r["split"]
+           for r in leakage_safe_split(docs, pairs, weights=w).collect()}
+    assert len(out) == 7  # left join: no rows dropped or duplicated
+    assert out[1] == out[2] == out[3]  # transitive cluster stays together
+    assert out[10] == out[11]
+    # singletons split exactly as plain hash_split would
+    plain = {r["doc_id"]: r["split"]
+             for r in hash_split(docs, "doc_id", w).collect()}
+    assert out[20] == plain[20] and out[21] == plain[21]
+    # cluster members all get the split of their min-id representative
+    assert out[1] == plain[1] and out[10] == plain[10]
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
+    # real near-dup pairs on the corpus: no pair may cross splits
+    from otters_spark.suite import dedup_minhash_banded_verified
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup_minhash_banded_verified(spark, sf_dir).select("id_a", "id_b")
+    split = leakage_safe_split(d, pairs)
+    a = split.select("doc_id", "split")
+    crossing = (
+        pairs.join(a.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("split", "sa"), "id_a")
+        .join(a.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("split", "sb"), "id_b")
+        .filter("sa <> sb")
+        .count()
+    )
+    assert crossing == 0
+    assert pairs.count() > 0  # the property is vacuous on an empty pair set
 
 
 def test_hash_sample_subset_semantics(docs):
