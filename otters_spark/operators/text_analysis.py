@@ -29,6 +29,7 @@ __all__ = [
     "chunk_passages",
     "unigram_logprob",
     "bigram_logprob",
+    "pmi_pairs",
     "train_bpe_merges",
     "apply_bpe_merges",
     "bm25_topk",
@@ -351,6 +352,92 @@ def bigram_logprob(
                 / F.sum("__n"),
                 6,
             ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed token co-occurrence PMI — collocation/phrase mining
+    (the shifted-PMI matrix of Levy & Goldberg 2014 that word2vec
+    implicitly factorizes; also the association score behind Mikolov
+    2013 phrase detection).
+
+    ``pmi(a,b) = ln((n_ab/N_pair) / ((n_a/N_tok)·(n_b/N_tok)))`` where
+    ``n_ab`` counts unordered co-occurrences within ``window`` token
+    positions, ``n_x`` counts token occurrences, and the N's are the
+    corpus totals. Pairs rarer than ``min_count`` are dropped (PMI's
+    low-count bias makes them noise).
+
+    Scale shape: pair generation is per-doc array math — for each
+    offset j in 1..window, zip the token array against itself shifted
+    by j (a positions SELF-JOIN would be the naive alternative: it
+    shuffles every token and its cost concentrates on the longest
+    docs). One explode → (a,b) counts with map-side combine (stopword
+    pairs are heavy hitters; partial aggregation absorbs them);
+    unigram counts aggregate the same token scan; corpus totals are
+    one-row aggregates OF THE COUNT TABLES broadcast back (never an
+    unpartitioned window, never a second corpus scan). The unigram
+    table has three consumers (two join sides + its rollup) and the
+    pair table two — each pinned to one computation with a lazy
+    localCheckpoint (Catalyst re-expands shared subtrees per
+    consumer; same device as :func:`bigram_logprob`)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    base = df.select(tokens_expr(text_col).alias("__t"))
+    n = F.size(F.col("__t"))
+    per_offset = []
+    for j in range(1, window + 1):
+        zipped = F.zip_with(
+            F.slice(F.col("__t"), 1, n - j),
+            F.slice(F.col("__t"), j + 1, n - j),
+            lambda a, b: F.struct(
+                F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+            ),
+        )
+        per_offset.append(
+            F.when(n > j, zipped).otherwise(
+                F.array().cast("array<struct<a:string,b:string>>")
+            )
+        )
+    pairs = base.select(F.explode(F.flatten(F.array(*per_offset))).alias("__p"))
+    pc = (
+        pairs.groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=False)
+    )
+    tc = (
+        base.select(F.explode("__t").alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    totals = (
+        tc.agg(F.sum("__n").alias("__n_tok"))
+        .crossJoin(F.broadcast(pc.agg(F.sum("n_ab").alias("__n_pair"))))
+    )
+    ta = tc.select(F.col("__tok").alias("a"), F.col("__n").alias("__na"))
+    tb = tc.select(F.col("__tok").alias("b"), F.col("__n").alias("__nb"))
+    return (
+        pc.filter(F.col("n_ab") >= min_count)
+        .join(ta, "a")
+        .join(tb, "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.log(
+                (F.col("n_ab").cast("double") / F.col("__n_pair"))
+                / (
+                    (F.col("__na").cast("double") / F.col("__n_tok"))
+                    * (F.col("__nb").cast("double") / F.col("__n_tok"))
+                )
+            ).alias("pmi"),
         )
     )
 

@@ -1719,6 +1719,46 @@ ORDER BY avg_neg_logprob DESC, doc_id LIMIT 25
 """
 
 
+def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by windowed PMI (window 2, min count 5) — the
+    association matrix word2vec implicitly factorizes (Levy & Goldberg
+    2014) and the score behind phrase detection. Ordering uses the
+    6-dp-ROUNDED pmi with (a, b) tie-break so the k-boundary is
+    engine-stable (raw-float ordering across engines is the
+    text_bm25_topk lesson)."""
+    from .operators.text_analysis import pmi_pairs
+
+    out = pmi_pairs(load(spark, sf_dir, "documents"), window=2, min_count=5)
+    return (
+        out.withColumn("pmi", F.round("pmi", 6))
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(15)
+    )
+
+
+TEXT_PMI_TOPK_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+pr AS (
+  SELECT least(p1.tok, p2.tok) AS a, greatest(p1.tok, p2.tok) AS b
+  FROM pos p1 JOIN pos p2
+    ON p1.doc_id = p2.doc_id AND p2.i - p1.i BETWEEN 1 AND 2),
+pc AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY a, b),
+tc AS (SELECT tok, count(*) AS n FROM pos GROUP BY tok),
+tot AS (SELECT (SELECT sum(n)::DOUBLE FROM tc) AS n_tok,
+               (SELECT sum(n_ab)::DOUBLE FROM pc) AS n_pair)
+SELECT a, b, n_ab,
+       round(ln((n_ab / n_pair) / ((ta.n / n_tok) * (tb.n / n_tok))), 6) AS pmi
+FROM pc CROSS JOIN tot
+JOIN tc ta ON ta.tok = pc.a
+JOIN tc tb ON tb.tok = pc.b
+WHERE n_ab >= 5
+ORDER BY round(ln((n_ab / n_pair) / ((ta.n / n_tok) * (tb.n / n_tok))), 6) DESC,
+         a, b
+LIMIT 15
+"""
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline composition: quality-score the
     corpus, keep docs above threshold (0.4 ~ the top quartile of this
@@ -5069,6 +5109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_setop_bag": rel_setop_bag,
     "pipeline_epoch_mix": pipeline_epoch_mix,
     "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
+    "text_pmi_topk": text_pmi_topk,
     # Session-8 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "vs_score_filter_all": vs_score_filter_all,
@@ -5199,6 +5240,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_setop_bag": REL_SETOP_BAG_SQL,
     "pipeline_epoch_mix": PIPELINE_EPOCH_MIX_SQL,
     "pipeline_leakage_safe_split": PIPELINE_LEAKAGE_SAFE_SPLIT_SQL,
+    "text_pmi_topk": TEXT_PMI_TOPK_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,

@@ -320,3 +320,68 @@ def test_compression_ratio_edges(spark):
     assert rows[3]["raw_len"] is None and rows[3]["ratio"] is None
     with _pytest.raises(ValueError):
         compression_ratio(df, level=11)
+
+
+def test_pmi_pairs_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from otters_spark.operators.text_analysis import pmi_pairs
+
+    texts = [
+        "new york is a big city",
+        "new york has a big port",
+        "the big city of new york",
+        "a city by the sea",
+        "the sea and the city",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    window = 2
+    pair_counts, tok_counts = Counter(), Counter()
+    for t in texts:
+        toks = t.split(" ")
+        tok_counts.update(toks)
+        for i, a in enumerate(toks):
+            for j in range(i + 1, min(i + window + 1, len(toks))):
+                pair_counts[tuple(sorted((a, toks[j])))] += 1
+    n_tok, n_pair = sum(tok_counts.values()), sum(pair_counts.values())
+    expected = {
+        p: (
+            c,
+            math.log(
+                (c / n_pair)
+                / ((tok_counts[p[0]] / n_tok) * (tok_counts[p[1]] / n_tok))
+            ),
+        )
+        for p, c in pair_counts.items()
+        if c >= 2
+    }
+    got = {
+        (r["a"], r["b"]): (r["n_ab"], r["pmi"])
+        for r in pmi_pairs(df, window=window, min_count=2).collect()
+    }
+    assert set(got) == set(expected)
+    for p, (c, v) in expected.items():
+        assert got[p][0] == c
+        assert abs(got[p][1] - v) < 1e-9
+    # the real collocation outscores a chance co-occurrence pair
+    assert got[("new", "york")][0] == 3
+    assert got[("new", "york")][1] > got[("big", "city")][1] > 0
+
+
+def test_pmi_pairs_edges(spark):
+    import pytest as _pytest
+
+    from otters_spark.operators.text_analysis import pmi_pairs
+
+    # single-token and empty docs produce no pairs but still count tokens
+    df = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "a b a b a b")], "doc_id long, text string"
+    )
+    rows = pmi_pairs(df, window=3, min_count=1).collect()
+    assert all(r["a"] <= r["b"] for r in rows)  # canonical unordered pairs
+    assert {(r["a"], r["b"]) for r in rows} == {("a", "b"), ("a", "a"), ("b", "b")}
+    with _pytest.raises(ValueError):
+        pmi_pairs(df, window=0)
