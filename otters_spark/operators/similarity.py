@@ -25,11 +25,12 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from ..functions.vector import dot_expr, inv_norm_of
+from ..functions.vector import dot_expr, inv_norm_expr, inv_norm_of, queries_df
 from ..store import INV_NORM_COL, VecStore
 
 __all__ = [
     "knn",
+    "maxsim_topk",
     "pandas_matmul_topk",
     "hyperplanes",
     "lsh_bucket_expr",
@@ -49,6 +50,53 @@ def knn(store: VecStore, query: Sequence[float], k: int, metric: str = "cosine")
 
 
 # --- Arrow/NumPy matmul path --------------------------------------------
+
+
+def maxsim_topk(
+    vectors: DataFrame,
+    queries: Sequence[Sequence[float]],
+    k: int = 10,
+    group_col: str = "group_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ColBERT-style late-interaction (MaxSim) retrieval: ``vectors``
+    is a TOKEN-level table (one row per token embedding, ``group_col``
+    identifies the multi-vector document) and ``queries`` the token
+    vectors of one multi-vector query. score(doc) = Σ_q max_t
+    cos(q, t) — each query token recruits its best-matching document
+    token (Khattab & Zaharia 2020).
+
+    Scale shape: the query side broadcasts (a query is a handful of
+    vectors); token inverse norms are computed ONCE in a projection
+    below the crossJoin (inside it they would re-evaluate per query
+    token); the two-level max-then-sum lowers to two partial-aggregated
+    groupBys whose shuffle rows are (group, qid, double) — the raw
+    vectors never shuffle — and the final top-k is a
+    TakeOrderedAndProject. One corpus scan, |corpus|·|q| codegen'd
+    dot products, no Python. Zero-norm tokens score 0.0 (inverse norm
+    stored as 0.0), matching the engine's cosine convention."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qdf = queries_df(vectors.sparkSession, queries)
+    toks = vectors.select(
+        F.col(group_col),
+        F.col(vec_col).alias("__v"),
+        inv_norm_expr(vec_col).alias("__inv"),
+    )
+    scored = toks.crossJoin(F.broadcast(qdf)).select(
+        group_col,
+        "query_id",
+        (dot_expr("__v", "qvec") * F.col("__inv") * F.col("q_inv_norm")).alias(
+            "__cos"
+        ),
+    )
+    per_q = scored.groupBy(group_col, "query_id").agg(F.max("__cos").alias("__m"))
+    return (
+        per_q.groupBy(group_col)
+        .agg(F.sum("__m").alias("score"))
+        .orderBy(F.col("score").desc(), group_col)
+        .limit(k)
+    )
 
 
 def pandas_matmul_topk(

@@ -3054,6 +3054,37 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neg_id) <= 3
 """
 
 
+def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): pseudo
+    multi-vector documents group 8 consecutive embeddings each
+    (vec_id div 8), the query is the {Q7, Q11, Q13} token triple, and
+    score(doc) = Σ_q max_t cos(q, t) — each query token recruits its
+    best document token. Top-10 docs; raw-score ordering with group
+    tie-break, rounded for display (the vs_* convention)."""
+    from .operators.similarity import maxsim_topk
+
+    toks = load(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") / 8).cast("long").alias("group_id"), "embedding"
+    )
+    out = maxsim_topk(toks, [Q7, Q11, Q13], k=10)
+    return out.withColumn("score", F.round("score", 6))
+
+
+SIM_MAXSIM_TOPK_SQL = f"""
+WITH t AS (SELECT vec_id // 8 AS group_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT group_id, 0 AS qid, list_cosine_similarity(v, {_sql_vec(Q7)}) AS c FROM t
+  UNION ALL
+  SELECT group_id, 1, list_cosine_similarity(v, {_sql_vec(Q11)}) FROM t
+  UNION ALL
+  SELECT group_id, 2, list_cosine_similarity(v, {_sql_vec(Q13)}) FROM t),
+m AS (SELECT group_id, qid, max(c) AS m FROM s GROUP BY group_id, qid),
+tot AS (SELECT group_id, sum(m) AS raw FROM m GROUP BY group_id)
+SELECT group_id, round(raw, 6) AS score
+FROM tot ORDER BY raw DESC, group_id LIMIT 10
+"""
+
+
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup detection for media payloads
     (operators/multimodal.py): 32-bit aHash fingerprints (cells
@@ -5110,6 +5141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_epoch_mix": pipeline_epoch_mix,
     "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
     "text_pmi_topk": text_pmi_topk,
+    "sim_maxsim_topk": sim_maxsim_topk,
     # Session-8 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "vs_score_filter_all": vs_score_filter_all,
@@ -5241,6 +5273,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_epoch_mix": PIPELINE_EPOCH_MIX_SQL,
     "pipeline_leakage_safe_split": PIPELINE_LEAKAGE_SAFE_SPLIT_SQL,
     "text_pmi_topk": TEXT_PMI_TOPK_SQL,
+    "sim_maxsim_topk": SIM_MAXSIM_TOPK_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,

@@ -166,3 +166,37 @@ def test_ivfpq_composition(emb, pq):
     # two stacked approximations (cell prune + PQ candidates) on
     # gaussian data: recall floor is loose by design
     assert len(got & want) / 10 >= 0.3
+
+
+def test_maxsim_matches_numpy(spark):
+    import numpy as np
+
+    from otters_spark.operators.similarity import maxsim_topk
+
+    rng = np.random.default_rng(17)
+    n_groups, toks_per, d = 12, 4, 8
+    vecs = rng.normal(size=(n_groups * toks_per, d))
+    rows = [
+        (int(i // toks_per), [float(x) for x in vecs[i]])
+        for i in range(len(vecs))
+    ]
+    df = spark.createDataFrame(rows, "group_id long, embedding array<double>")
+    qs = rng.normal(size=(3, d))
+    got = {
+        r["group_id"]: r["score"]
+        for r in maxsim_topk(df, [list(q) for q in qs], k=5).collect()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    exp = {}
+    for g in range(n_groups):
+        block = vecs[g * toks_per : (g + 1) * toks_per]
+        exp[g] = sum(max(cos(q, t) for t in block) for q in qs)
+    top5 = sorted(exp, key=lambda g: (-exp[g], g))[:5]
+    assert sorted(got) == sorted(top5)
+    for g in got:
+        assert abs(got[g] - exp[g]) < 1e-9
+    with pytest.raises(ValueError):
+        maxsim_topk(df, [list(qs[0])], k=0)
