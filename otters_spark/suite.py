@@ -3085,6 +3085,101 @@ FROM tot ORDER BY raw DESC, group_id LIMIT 10
 """
 
 
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph (operators/graph.py):
+    edges cust_nation → supp_nation weighted by lineitem count
+    (integer weights keep the transition matrix exact cross-engine),
+    damping 0.85, 5 fixed power iterations with dangling-mass
+    redistribution. The DuckDB oracle unrolls the 5 iterations as
+    chained CTEs — same teleport constant via repr(1-d), same
+    rank·(w/W) association — so the distributed iteration is pinned
+    value-for-value, not just shape-checked."""
+    from .operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            n.select(
+                F.col("n_nationkey").alias("__ck"),
+                F.col("n_name").alias("cust_nation"),
+            ),
+            F.col("c_nationkey") == F.col("__ck"),
+        )
+        .join(
+            n.select(
+                F.col("n_nationkey").alias("__sk"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            F.col("s_nationkey") == F.col("__sk"),
+        )
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    pr = pagerank(
+        edges,
+        damping=0.85,
+        n_iter=5,
+        src="cust_nation",
+        dst="supp_nation",
+        weight_col="n_items",
+    )
+    return pr.select(
+        F.col("id").alias("nation"), F.round("rank", 6).alias("score")
+    ).orderBy(F.col("score").desc(), "nation")
+
+
+def _pagerank_unrolled_sql(n_iter: int, damping: float) -> str:
+    """Chained-CTE power iterations mirroring operators/graph.pagerank
+    exactly: teleport constant embedded as repr(1-d) (DuckDB decimal
+    arithmetic on a literal 1-0.85 would NOT equal the Python float),
+    contributions as rank·p with p=w/W precomputed (same association
+    as the Spark side)."""
+    t, d = repr(1.0 - damping), repr(damping)
+    its = []
+    for k in range(1, n_iter + 1):
+        its.append(f"""
+it{k} AS (
+  SELECT n.id,
+         {t}::DOUBLE / nn.n
+         + {d}::DOUBLE * (coalesce(c.s, 0.0) + dm.m / nn.n) AS r
+  FROM nodes n
+  CROSS JOIN nn
+  CROSS JOIN (SELECT coalesce(sum(p.r), 0.0) AS m
+              FROM it{k - 1} p LEFT JOIN outw ow ON ow.src = p.id
+              WHERE ow.src IS NULL) dm
+  LEFT JOIN (SELECT ne.dst AS id, sum(p.r * ne.p) AS s
+             FROM it{k - 1} p JOIN ne ON ne.src = p.id
+             GROUP BY ne.dst) c ON c.id = n.id)""")
+    return ",".join(its)
+
+
+GRAPH_PAGERANK_TRADE_SQL = f"""
+WITH edges AS (
+  SELECT cn.n_name AS src, sn.n_name AS dst, count(*)::DOUBLE AS w
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS W FROM edges GROUP BY src),
+ne AS (SELECT e.src, e.dst, e.w / o.W AS p FROM edges e JOIN outw o ON o.src = e.src),
+it0 AS (SELECT id, 1.0::DOUBLE / nn.n AS r FROM nodes CROSS JOIN nn),{_pagerank_unrolled_sql(5, 0.85)}
+SELECT id AS nation, round(r, 6) AS score
+FROM it5 ORDER BY round(r, 6) DESC, id
+"""
+
+
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup detection for media payloads
     (operators/multimodal.py): 32-bit aHash fingerprints (cells
@@ -5142,6 +5237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
     "text_pmi_topk": text_pmi_topk,
     "sim_maxsim_topk": sim_maxsim_topk,
+    "graph_pagerank_trade": graph_pagerank_trade,
     # Session-8 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "vs_score_filter_all": vs_score_filter_all,
@@ -5274,6 +5370,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_leakage_safe_split": PIPELINE_LEAKAGE_SAFE_SPLIT_SQL,
     "text_pmi_topk": TEXT_PMI_TOPK_SQL,
     "sim_maxsim_topk": SIM_MAXSIM_TOPK_SQL,
+    "graph_pagerank_trade": GRAPH_PAGERANK_TRADE_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,

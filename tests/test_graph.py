@@ -1,0 +1,72 @@
+"""PageRank: pinned against a pure-Python power iteration, dangling
+mass, weights, and validation."""
+
+import pytest
+
+from otters_spark.operators.graph import pagerank
+
+
+def _reference_pagerank(edges, n_iter=5, d=0.85, weights=None):
+    """Plain-Python power iteration with the exact same formula."""
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    n = len(nodes)
+    w = {e: (weights or {}).get(e, 1.0) for e in edges}
+    outw = {}
+    for (u, v), x in w.items():
+        outw[u] = outw.get(u, 0.0) + x
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in nodes}
+        for (u, v), x in w.items():
+            contrib[v] += r[u] * (x / outw[u])
+        dm = sum(r[v] for v in nodes if v not in outw)
+        r = {
+            v: (1.0 - d) / n + d * (contrib[v] + dm / n)
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    # node 4 is dangling (no out-edges); 1 is a hub
+    edges = [(1, 2), (1, 3), (2, 1), (3, 1), (2, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
+    exp = _reference_pagerank(edges, n_iter=5)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # stochastic completion
+    # the hub outranks the leaf pages
+    assert got[1] == max(got.values())
+
+
+def test_pagerank_weighted_and_parallel_edges(spark):
+    # a parallel edge (1->2 twice at w=1) must equal one edge at w=2
+    df_par = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 2, 1.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        "src long, dst long, w double",
+    )
+    df_w = spark.createDataFrame(
+        [(1, 2, 2.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        "src long, dst long, w double",
+    )
+    a = {r["id"]: r["rank"] for r in pagerank(df_par, weight_col="w").collect()}
+    b = {r["id"]: r["rank"] for r in pagerank(df_w, weight_col="w").collect()}
+    assert a == b
+    exp = _reference_pagerank(
+        [(1, 2), (1, 3), (2, 1), (3, 1)],
+        weights={(1, 2): 2.0, (1, 3): 1.0, (2, 1): 1.0, (3, 1): 1.0},
+    )
+    for v in exp:
+        assert abs(b[v] - exp[v]) < 1e-12
+    # weighting matters: node 2 (weight-2 inlink) beats node 3
+    assert b[2] > b[3]
+
+
+def test_pagerank_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(df, n_iter=0)
