@@ -33,6 +33,7 @@ __all__ = [
     "dot_expr",
     "cosine_expr",
     "euclidean_sq_expr",
+    "manhattan_expr",
     "inv_norm_expr",
     "inv_norm_of",
     "score_expr",
@@ -40,8 +41,10 @@ __all__ = [
 ]
 
 #: metric -> default take direction (src/vec.rs:92-98: Euclidean->Min,
-#: Cosine/DotProduct->Max)
-METRICS = {"dot": "max", "cosine": "max", "euclidean": "min"}
+#: Cosine/DotProduct->Max). Manhattan is the reference's own roadmap
+#: item (README.md:209 "More Metrics (Manhattan, ...)"); distance
+#: semantics -> Min, like Euclidean.
+METRICS = {"dot": "max", "cosine": "max", "euclidean": "min", "manhattan": "min"}
 
 
 def _c(x) -> Column:
@@ -103,6 +106,21 @@ def euclidean_sq_expr(a, b) -> Column:
     )
 
 
+def manhattan_expr(a, b) -> Column:
+    """L1 (Manhattan) distance — the reference's roadmap metric
+    (README.md:209). Like the other kernels: zip_with + aggregate in
+    float64, inside whole-stage codegen."""
+    return F.aggregate(
+        F.zip_with(
+            _c(a),
+            _c(b),
+            lambda x, y: F.abs(x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
 def score_expr(vec_col, q_col, metric: str, inv_norm_col=None, q_inv_norm=None) -> Column:
     """Score expression for one (store-vector, query-vector) pair.
 
@@ -119,6 +137,8 @@ def score_expr(vec_col, q_col, metric: str, inv_norm_col=None, q_inv_norm=None) 
         return cosine_expr(vec_col, q_col, ia, ib)
     if metric == "euclidean":
         return euclidean_sq_expr(vec_col, q_col)
+    if metric == "manhattan":
+        return manhattan_expr(vec_col, q_col)
     raise ValueError(f"unknown metric {metric!r}; expected one of {sorted(METRICS)}")
 
 

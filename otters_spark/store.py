@@ -217,6 +217,64 @@ class VecStore:
             df = df.withColumn(INV_NORM_COL, inv_norm_expr(vec_col))
         return cls(df, vec_col, id_col, dim)
 
+    def add_rows(self, rows: DataFrame) -> "VecStore":
+        """Append rows to a built store — the reference's roadmap item
+        'Mutability (add/remove rows after build)' (README.md:207).
+        Functional, not in-place: Spark DataFrames are immutable, so
+        mutation is a cheap incremental rebuild that unions the new
+        rows onto the existing lineage (the Parquet scan of a saved
+        store is untouched; at persistence time the new rows land as
+        additional files — or use ``sources.merge.merge_upsert`` for
+        key-based upserts).
+
+        ``rows`` must carry every store column except the derived
+        inverse norm (computed here if absent). The dimension check
+        runs over the NEW rows only — one tiny aggregate, never a
+        corpus rescan. Id collisions are NOT checked (the reference's
+        ``add_vector`` appends positionally and never dedups); run a
+        key check via ``sources.merge`` when ids must stay unique."""
+        missing = set(self.df.columns) - {INV_NORM_COL} - set(rows.columns)
+        if missing:
+            raise StoreBuildError(
+                f"add_rows: new rows missing store columns {sorted(missing)}"
+            )
+        if self.dim is not None:
+            row = rows.agg(
+                F.min(F.size(self.vec_col)).alias("lo"),
+                F.max(F.size(self.vec_col)).alias("hi"),
+            ).first()
+            if row["lo"] is not None and (
+                row["lo"] != self.dim or row["hi"] != self.dim
+            ):
+                raise StoreBuildError(
+                    f"add_rows: vector sizes {row['lo']}..{row['hi']} != store "
+                    f"dim {self.dim} (reference rejects dim mismatch, "
+                    "src/vec.rs:357-362)"
+                )
+        add = rows
+        if INV_NORM_COL not in add.columns:
+            add = add.withColumn(INV_NORM_COL, inv_norm_expr(self.vec_col))
+        new = self.df.unionByName(add.select(*self.df.columns))
+        return type(self)(new, self.vec_col, self.id_col, self.dim)
+
+    def remove_rows(self, ids) -> "VecStore":
+        """Drop rows by id — the remove half of the mutability roadmap
+        item. ``ids`` is a small iterable (broadcast anti-join: the
+        scan stays map-side) or a DataFrame of ids (plain anti-join —
+        the planner picks broadcast vs shuffle by size)."""
+        if isinstance(ids, DataFrame):
+            key = ids.select(F.col(ids.columns[0]).alias(self.id_col))
+        else:
+            id_type = self.df.schema[self.id_col].dataType
+            key = F.broadcast(
+                self.df.sparkSession.createDataFrame(
+                    [(i,) for i in ids],
+                    T.StructType([T.StructField(self.id_col, id_type)]),
+                )
+            )
+        new = self.df.join(key, self.id_col, "left_anti")
+        return type(self)(new, self.vec_col, self.id_col, self.dim)
+
     def query(self, queries: Any, metric: str = "cosine"):
         """Start a fluent query plan (src/vec.rs:387-411). ``queries``
         is one vector or a list of vectors; batches merge into ONE

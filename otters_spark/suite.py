@@ -146,6 +146,68 @@ FROM scored ORDER BY s ASC, vec_id LIMIT 10
 """
 
 
+def vs_manhattan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manhattan (L1) top-10 — the reference's own roadmap metric
+    (README.md:209 'More Metrics (Manhattan, ...)'), wired through the
+    full fluent surface: metric-inferred Min direction, codegen
+    zip_with/aggregate kernel. DuckDB has no list L1 built-in, so the
+    oracle unnests both sides positionally and sums abs differences."""
+    return _rounded(emb_store(spark, sf_dir).query(Q13, "manhattan").take(10).df())
+
+
+VS_MANHATTAN_TOPK_SQL = f"""
+WITH qe AS (SELECT unnest({_sql_vec(Q13)}) AS qv,
+                   generate_subscripts({_sql_vec(Q13)}, 1) AS i),
+ve AS (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings),
+scored AS (
+  SELECT vec_id, any_value(label) AS label, sum(abs(x - qv)) AS s
+  FROM ve JOIN qe USING (i) GROUP BY vec_id)
+SELECT vec_id, round(s, 6) AS score, label
+FROM scored ORDER BY s ASC, vec_id LIMIT 10
+"""
+
+
+def vs_mutation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store mutability end-to-end (reference roadmap README.md:207):
+    remove every 97th vector, append two synthetic vectors (Q7 itself
+    — which must then rank first at cosine 1.0 — and Q7 halved, which
+    scores identically to Q7 by scale-invariance), then run the
+    standard cosine top-10. The float32 cast of the appended vectors
+    is replicated in the oracle (::FLOAT[] round-trip) so scores match
+    bit-for-bit at 6 dp."""
+    store = emb_store(spark, sf_dir)
+    doomed = store.df.filter(F.col("vec_id") % 97 == 0).select("vec_id")
+    extra = spark.createDataFrame(
+        [(1000001, Q7, 91), (1000002, [x * 0.5 for x in Q7], 92)],
+        "vec_id long, embedding array<double>, label int",
+    ).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        F.col("label").cast("int").alias("label"),
+    )
+    mutated = store.remove_rows(doomed).add_rows(extra)
+    return _rounded(mutated.query(Q7, "cosine").take(10).df())
+
+
+VS_MUTATION_TOPK_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id % 97 <> 0
+  UNION ALL
+  SELECT 1000001, 91, ({_sql_vec(Q7)}::FLOAT[])::DOUBLE[]
+  UNION ALL
+  SELECT 1000002, 92,
+         (list_transform({_sql_vec(Q7)}, x -> x * 0.5)::FLOAT[])::DOUBLE[]),
+scored AS (
+  SELECT vec_id, label, list_cosine_similarity(v, {_sql_vec(Q7)}) AS s
+  FROM base)
+SELECT vec_id, round(s, 6) AS score, label
+FROM scored ORDER BY s DESC, vec_id LIMIT 10
+"""
+
+
 def vs_meta_vec_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry point B: meta_filter + vec_filter + top-k in one pipeline
     (reference demo query shape, examples/demo.rs:105-113)."""
@@ -5238,6 +5300,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pmi_topk": text_pmi_topk,
     "sim_maxsim_topk": sim_maxsim_topk,
     "graph_pagerank_trade": graph_pagerank_trade,
+    "vs_manhattan_topk": vs_manhattan_topk,
+    "vs_mutation_topk": vs_mutation_topk,
     # Session-8 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "vs_score_filter_all": vs_score_filter_all,
@@ -5371,6 +5435,8 @@ ORACLE_SQL: dict[str, str] = {
     "text_pmi_topk": TEXT_PMI_TOPK_SQL,
     "sim_maxsim_topk": SIM_MAXSIM_TOPK_SQL,
     "graph_pagerank_trade": GRAPH_PAGERANK_TRADE_SQL,
+    "vs_manhattan_topk": VS_MANHATTAN_TOPK_SQL,
+    "vs_mutation_topk": VS_MUTATION_TOPK_SQL,
     "pipeline_bloom_decontam": PIPELINE_BLOOM_DECONTAM_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HEAVY_HITTERS_SQL,

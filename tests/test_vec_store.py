@@ -175,3 +175,55 @@ def test_bad_metric_deferred(spark):
     plan2 = store.query([1.0, 0.0], metric="manhattan").filter(0.1).take(2)
     with pytest.raises(MissingMetricError):
         plan2.collect()
+
+
+# --- manhattan metric (reference roadmap README.md:209) ---
+
+
+def test_manhattan_exact_and_direction(spark):
+    store = make_store(spark, [[1.0, 2.0], [4.0, 6.0], [1.5, 2.0]])
+    rows = store.query([1.0, 2.0], "manhattan").take(2).collect()
+    # take() infers MIN direction for a distance metric
+    assert [r["vec_id"] for r in rows] == [0, 2]
+    s = scores_by_id(rows)
+    assert abs(s[0] - 0.0) < EPS
+    assert abs(s[2] - 0.5) < EPS
+    all_rows = scores_by_id(store.query([1.0, 2.0], "manhattan").collect())
+    assert abs(all_rows[1] - 7.0) < EPS  # |4-1| + |6-2|
+
+
+# --- mutability (reference roadmap README.md:207) ---
+
+
+def test_add_rows_and_query(spark):
+    store = make_store(spark, [[1.0, 0.0], [0.0, 1.0]])
+    extra = spark.createDataFrame([(10, [1.0, 0.0])], VEC_SCHEMA)
+    grown = store.add_rows(extra)
+    assert grown.count() == 3
+    assert store.count() == 2  # functional: original untouched
+    top = grown.query([1.0, 0.0], "cosine").take(2).collect()
+    assert {r["vec_id"] for r in top} == {0, 10}  # both exact matches
+
+
+def test_add_rows_validates(spark):
+    from otters_spark import StoreBuildError
+
+    store = make_store(spark, [[1.0, 0.0]])
+    bad_dim = spark.createDataFrame([(9, [1.0, 2.0, 3.0])], VEC_SCHEMA)
+    with pytest.raises(StoreBuildError):
+        store.add_rows(bad_dim)
+    missing_col = spark.createDataFrame([([1.0, 0.0],)], "embedding array<float>")
+    with pytest.raises(StoreBuildError):
+        store.add_rows(missing_col)
+
+
+def test_remove_rows_list_and_df(spark):
+    store = make_store(spark, [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    by_list = store.remove_rows([0, 2])
+    assert {r["vec_id"] for r in by_list.df.select("vec_id").collect()} == {1}
+    ids_df = store.df.filter("vec_id >= 1").select("vec_id")
+    by_df = store.remove_rows(ids_df)
+    assert {r["vec_id"] for r in by_df.df.select("vec_id").collect()} == {0}
+    # removing then re-adding round-trips the store contents
+    readd = by_list.add_rows(store.df.filter("vec_id in (0, 2)").drop("__inv_norm"))
+    assert readd.count() == 3
