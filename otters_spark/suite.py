@@ -5076,11 +5076,34 @@ FROM probe WHERE hit GROUP BY 1 ORDER BY train_id
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vs_cosine_topk": vs_cosine_topk,
-    "vs_dot_topk": vs_dot_topk,
-    "vs_euclidean_topk": vs_euclidean_topk,
+    # Session-9 rotation (sixth this round): six new families promoted
+    # for first driver verdicts — Manhattan metric + store mutability
+    # (the reference's own roadmap items README.md:207,209), MaxSim
+    # late-interaction retrieval, leakage-safe splitting, windowed PMI
+    # collocations, and PageRank (graph lane). Demoted, each with
+    # r1+r2 driver-green history and family cover that STAYS in the
+    # top-50: vs_dot_topk (the dot kernel is cosine's core — cosine =
+    # dot·norms — and sim_pandas_matmul_topk checks the same math),
+    # vs_euclidean_topk (the inferred-Min distance lane now checked
+    # via vs_manhattan_topk; euclidean's exact math pinned in
+    # tests/test_vec_store.py), vs_per_query_topk (window-limit
+    # machinery via rel_window_functions), rel_rollup_revenue
+    # (multi-level agg family; rollup lowers to grouping sets, agg
+    # breadth stays via rel_null_semantics + the pipeline rows),
+    # rel_semi_anti_join (semi/anti machinery embedded green in
+    # pipeline_dedup_end_to_end's anti-join + dedup_incremental_ingest
+    # + pipeline_bloom_decontam probes), rel_predicate_pushdown
+    # (pushdown is mechanically plan-asserted suite-wide in
+    # tests/test_plans.py — a value check adds nothing a filter row
+    # doesn't already get elsewhere).
+    "vs_manhattan_topk": vs_manhattan_topk,
+    "vs_mutation_topk": vs_mutation_topk,
+    "sim_maxsim_topk": sim_maxsim_topk,
+    "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
+    "text_pmi_topk": text_pmi_topk,
+    "graph_pagerank_trade": graph_pagerank_trade,
     "vs_meta_vec_filter_topk": vs_meta_vec_filter_topk,
     "vs_batch_global_topk": vs_batch_global_topk,
-    "vs_per_query_topk": vs_per_query_topk,
     # Session-7 rotation (fourth this round): six new oracle-paired
     # families — Count-Min heavy hitters, DSIR importance resampling,
     # intra-doc window dedup, the ordered-funnel behavior family,
@@ -5129,11 +5152,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_within_doc_windows": dedup_within_doc_windows,
     "events_funnel_conversion": events_funnel_conversion,
     "rel_null_semantics": rel_null_semantics,
-    "rel_rollup_revenue": rel_rollup_revenue,
     "sim_lsh_topk": sim_lsh_topk,
     "rel_percentiles": rel_percentiles,
-    "rel_semi_anti_join": rel_semi_anti_join,
-    "rel_predicate_pushdown": rel_predicate_pushdown,
     "events_asof_attribution": events_asof_attribution,
     "events_asof_tolerance": events_asof_tolerance,
     "events_gap_fill": events_gap_fill,
@@ -5199,13 +5219,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_incremental_ingest: pipeline_dedup_end_to_end composes the
     # identical banding+verify stage and stays green in the top-50.
     # Newest tail entries (builder-harness green at 3 SFs, first in
-    # line for next round's rotation): rel_snapshot_diff,
+    # line for the NEXT rotation): rel_snapshot_diff,
     # events_windowed_quantiles, events_sliding_window,
-    # rel_setop_bag, rel_lateral_posexplode, then the session-5/6
-    # backlog — text_bigram_logprob, pipeline_temperature_mix,
-    # rel_statistical_aggregates, rel_range_frame,
-    # rel_unpivot_measures, events_asof_nearest, dedup_span_removal
-    # (ExactSubstr).
+    # rel_setop_bag, rel_lateral_posexplode, pipeline_epoch_mix, then
+    # the session-5/6 backlog — text_bigram_logprob,
+    # pipeline_temperature_mix, rel_statistical_aggregates,
+    # rel_range_frame, rel_unpivot_measures, events_asof_nearest,
+    # dedup_span_removal (ExactSubstr).
     # The original r2->r3 demotions:
     # rel_setop_customers (set-op family also covered by
     # rel_intersect_customers's sibling shape and r1/r2 green history),
@@ -5296,12 +5316,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed_quantiles": events_windowed_quantiles,
     "rel_setop_bag": rel_setop_bag,
     "pipeline_epoch_mix": pipeline_epoch_mix,
-    "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
-    "text_pmi_topk": text_pmi_topk,
-    "sim_maxsim_topk": sim_maxsim_topk,
-    "graph_pagerank_trade": graph_pagerank_trade,
-    "vs_manhattan_topk": vs_manhattan_topk,
-    "vs_mutation_topk": vs_mutation_topk,
+    # Session-9 demotions (r1+r2 green history; rationale at the
+    # session-9 rotation comment near the head of this dict):
+    "vs_dot_topk": vs_dot_topk,
+    "vs_euclidean_topk": vs_euclidean_topk,
+    "vs_per_query_topk": vs_per_query_topk,
+    "rel_rollup_revenue": rel_rollup_revenue,
+    "rel_semi_anti_join": rel_semi_anti_join,
+    "rel_predicate_pushdown": rel_predicate_pushdown,
     # Session-8 demotions (r1+r2 green history; rationale at the head
     # of this dict):
     "vs_score_filter_all": vs_score_filter_all,
