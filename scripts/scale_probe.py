@@ -34,6 +34,12 @@ QUERIES = [
     # probe replicates documents, not the TPC-H tables)
     "pipeline_shuffle_shards",
     "pipeline_drift_psi",
+    # session-9: cluster-granular splitting + collocation mining
+    # (documents) and late-interaction / L1 retrieval (embeddings)
+    "pipeline_leakage_safe_split",
+    "text_pmi_topk",
+    "sim_maxsim_topk",
+    "vs_manhattan_topk",
 ]
 
 
@@ -65,6 +71,19 @@ def main() -> int:
     n_small = docs.count()
     n_big = spark.read.parquet(f"{tmp}/documents.parquet").count()
     print(f"probe corpus: {n_small} -> {n_big} docs ({replicas}x)")
+
+    # embeddings replicate with shifted ids (vectors unchanged — the
+    # retrieval probes measure scan/agg scaling, not dup density)
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    bige = None
+    for k in range(replicas):
+        rep = emb.select(
+            (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        bige = rep if bige is None else bige.unionByName(rep)
+    bige.write.parquet(f"{tmp}/embeddings.parquet")
 
     for q in QUERIES:
         t = time.time()
