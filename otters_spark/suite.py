@@ -3383,6 +3383,98 @@ FROM cand ORDER BY s DESC, vec_id LIMIT 10
 SIM_LSH_TOPK_SQL = _lsh_oracle_sql()
 
 
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the ANN tier: run the LSH lane
+    AND exact brute force for a 3-query batch, then score the
+    approximate lane's recall@10 / MRR / nDCG per query
+    (operators/evaluation.py). The feedback loop that decides whether
+    the approximate 100 TB path may replace the reference's exact
+    search — and, because the seeded LSH lane is deterministic, the
+    whole evaluation (including the metric arithmetic) is itself
+    DuckDB-checkable."""
+    from .operators.evaluation import retrieval_metrics, with_rank
+    from .operators.similarity import hyperplanes, lsh_index, lsh_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    planes = hyperplanes(64, n_planes=4, seed=42)
+    indexed = lsh_index(emb, planes)
+
+    ann_lanes, exact_lanes = [], []
+    for qid, q in enumerate([Q7, Q11, Q13]):
+        ann_lanes.append(
+            lsh_search(indexed, q, planes, k=10, multiprobe=3)
+            .select(F.lit(qid).alias("query_id"), "vec_id", "score")
+        )
+        qlit = F.array(*[F.lit(float(x)) for x in q])
+        exact_lanes.append(
+            emb.select(
+                F.lit(qid).alias("query_id"),
+                "vec_id",
+                score_expr("embedding", qlit, "cosine").alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("vec_id"))
+            .limit(10)
+        )
+    ann = ann_lanes[0].unionByName(ann_lanes[1]).unionByName(ann_lanes[2])
+    exact = exact_lanes[0].unionByName(exact_lanes[1]).unionByName(exact_lanes[2])
+    metrics = retrieval_metrics(with_rank(ann), with_rank(exact))
+    return metrics.orderBy("query_id")
+
+
+def _eval_ann_recall_sql() -> str:
+    import numpy as np
+
+    from .operators.similarity import _query_buckets, hyperplanes
+
+    planes = hyperplanes(64, n_planes=4, seed=42)
+    bits = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {_sql_vec(list(map(float, plane)))}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    lanes = []
+    for qid, q in enumerate([Q7, Q11, Q13]):
+        buckets = _query_buckets(
+            np.asarray(q, dtype=np.float64), planes, multiprobe=3
+        )
+        lanes.append(
+            f"""a{qid} AS (
+  SELECT {qid} AS query_id, vec_id,
+         row_number() OVER (ORDER BY list_cosine_similarity(v, {_sql_vec(q)}) DESC, vec_id) AS rnk
+  FROM indexed WHERE b IN ({", ".join(map(str, buckets))})
+  QUALIFY rnk <= 10),
+t{qid} AS (
+  SELECT {qid} AS query_id, vec_id,
+         row_number() OVER (ORDER BY list_cosine_similarity(v, {_sql_vec(q)}) DESC, vec_id) AS rnk
+  FROM indexed QUALIFY rnk <= 10)"""
+        )
+    lanes_sql = ",\n".join(lanes)
+    return f"""
+WITH indexed AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bits} AS b FROM embeddings),
+{lanes_sql},
+a AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1 UNION ALL SELECT * FROM a2),
+t AS (SELECT * FROM t0 UNION ALL SELECT * FROM t1 UNION ALL SELECT * FROM t2),
+hits AS (SELECT a.query_id, a.rnk FROM a
+         JOIN t ON a.query_id = t.query_id AND a.vec_id = t.vec_id),
+ph AS (SELECT query_id, count(*) AS n_hits, min(rnk) AS fr,
+              sum(1.0 / log2(rnk + 1.0)) AS dcg
+       FROM hits GROUP BY query_id),
+pt AS (SELECT query_id, count(*) AS n_truth,
+              sum(1.0 / log2(rnk + 1.0)) AS idcg
+       FROM t GROUP BY query_id)
+SELECT pt.query_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+       n_truth::BIGINT AS n_truth,
+       round(coalesce(n_hits, 0) / n_truth, 6) AS recall,
+       round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
+       round(coalesce(dcg / idcg, 0.0), 6) AS ndcg
+FROM pt LEFT JOIN ph ON pt.query_id = ph.query_id
+ORDER BY pt.query_id
+"""
+
+
+EVAL_ANN_RECALL_SQL = _eval_ann_recall_sql()
+
+
 def sim_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar int8 quantization of the embedding store (symmetric
     per-vector scale = max|x|/127, code = floor(x/scale + 0.5)) and its
@@ -5316,6 +5408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed_quantiles": events_windowed_quantiles,
     "rel_setop_bag": rel_setop_bag,
     "pipeline_epoch_mix": pipeline_epoch_mix,
+    "eval_ann_recall": eval_ann_recall,
     # Session-9 demotions (r1+r2 green history; rationale at the
     # session-9 rotation comment near the head of this dict):
     "vs_dot_topk": vs_dot_topk,
@@ -5432,6 +5525,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
     "sim_pandas_matmul_topk": SIM_PANDAS_MATMUL_TOPK_SQL,
     "sim_lsh_topk": SIM_LSH_TOPK_SQL,
+    "eval_ann_recall": EVAL_ANN_RECALL_SQL,
     "dedup_frequent_segments": DEDUP_FREQUENT_SEGMENTS_SQL,
     "link_fuzzy_best_match": LINK_FUZZY_BEST_MATCH_SQL,
     "sketch_kmv_distinct": SKETCH_KMV_DISTINCT_SQL,

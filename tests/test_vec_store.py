@@ -168,11 +168,11 @@ def test_empty_batch_deferred(spark):
 
 def test_bad_metric_deferred(spark):
     store = make_store(spark, [[1, 0]])
-    plan = store.query([1.0, 0.0], metric="manhattan")
+    plan = store.query([1.0, 0.0], metric="chebyshev")
     with pytest.raises(MissingMetricError):
         plan.collect()
     # builder methods after the error are no-ops, not raises
-    plan2 = store.query([1.0, 0.0], metric="manhattan").filter(0.1).take(2)
+    plan2 = store.query([1.0, 0.0], metric="chebyshev").filter(0.1).take(2)
     with pytest.raises(MissingMetricError):
         plan2.collect()
 
