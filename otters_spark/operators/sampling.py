@@ -33,6 +33,7 @@ __all__ = [
     "leakage_safe_split",
     "hash_sample",
     "reservoir_per_group",
+    "cap_per_group",
     "stratified_sample",
     "temperature_mix",
     "select_to_token_budget",
@@ -237,6 +238,63 @@ def reservoir_per_group(
         df.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)
         .drop("__rank")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n_max: int,
+    key_col: str = "doc_id",
+    safety: float = 2.0,
+) -> DataFrame:
+    """At most ``n_max`` rows per group — the per-domain document cap
+    of web-corpus curation (C4 / RefinedWeb style: a handful of giant
+    domains would otherwise dominate the training mix).
+
+    Same selection rule as :func:`reservoir_per_group` (the rows with
+    the smallest content hashes win), but scale-hardened: reservoir's
+    window partition is the WHOLE group, and at web scale one domain
+    can be a double-digit percentage of the corpus — a single task.
+    This form bounds every window partition first:
+
+    1. per-group counts (count-only shuffle, |groups| rows,
+       broadcast back — AQE picks the join strategy);
+    2. keep rows whose normalized hash ``u = hkey / 2^60`` is below
+       ``p = min(1, safety * n_max / count)`` — a scan-fused
+       predicate; survivors per group concentrate to ~``safety *
+       n_max`` expected rows;
+    3. exact hash-rank window over the survivors only.
+
+    With ``safety=2`` the chance a group yields fewer than ``n_max``
+    survivors while having ≥ ``n_max`` rows is a Chernoff tail,
+    ``P[Binom(c, 2m/c) < m] ≤ exp(-m/4)`` — negligible for any cap a
+    curation pipeline uses (m=50 → 4e-6), and the failure mode is a
+    slightly-under-full cap, never an over-cap. Groups at or under
+    ``safety * n_max`` rows skip the prefilter entirely (p = 1).
+    Deterministic given the corpus; NULL group keys are one group
+    (null-safe join, window treats NULL as a value).
+    """
+    if n_max <= 0:
+        raise ValueError(f"n_max must be positive, got {n_max}")
+    if safety < 1.0:
+        raise ValueError(f"safety must be >= 1.0, got {safety}")
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__gc"))
+    d, c = df.alias("__capd"), counts.alias("__capc")
+    cond = None
+    for g in group_cols:
+        eq = F.col(f"__capd.{g}").eqNullSafe(F.col(f"__capc.{g}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = d.join(c, cond).select("__capd.*", F.col("__capc.__gc"))
+    p = F.least(F.lit(1.0), F.lit(float(safety) * n_max) / F.col("__gc"))
+    surv = joined.withColumn("__hkey", md5_long_expr(F.col(key_col))).filter(
+        F.col("__hkey") / F.lit(float(1 << 60)) < p
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__hkey", key_col)
+    return (
+        surv.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n_max)
+        .drop("__rank", "__hkey", "__gc")
     )
 
 

@@ -1910,6 +1910,45 @@ SELECT split, doc_id, lang FROM ranked WHERE rn <= 5 ORDER BY split, doc_id
 """
 
 
+def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (C4/RefinedWeb-style): at most 10 docs
+    per source, selected by content-hash rank through the two-phase
+    bounded form (count -> hash-threshold prefilter -> rank over
+    survivors; operators/sampling.py:cap_per_group). Every stage is
+    integer/double hash arithmetic, so DuckDB reproduces the exact
+    kept set — checked via per-source counts plus an id checksum."""
+    from .operators.sampling import cap_per_group
+
+    capped = cap_per_group(
+        load(spark, sf_dir, "documents"), ["source"], n_max=10
+    )
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_DOMAIN_CAP_SQL = """
+WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+sel AS (
+  SELECT d.doc_id, d.source,
+         ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT AS hkey,
+         least(1.0, 2.0 * 10 / c) AS p
+  FROM documents d JOIN cnt ON d.source IS NOT DISTINCT FROM cnt.source),
+surv AS (SELECT * FROM sel WHERE hkey / 1152921504606846976.0 < p),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS r
+  FROM surv)
+SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
+FROM ranked WHERE r <= 10 GROUP BY source ORDER BY source
+"""
+
+
 def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE modern curation pipeline in ONE oracle-checked
     declarative plan: inject synthetic PII (both engines) -> scrub it
@@ -5409,6 +5448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_setop_bag": rel_setop_bag,
     "pipeline_epoch_mix": pipeline_epoch_mix,
     "eval_ann_recall": eval_ann_recall,
+    "pipeline_domain_cap": pipeline_domain_cap,
     # Session-9 demotions (r1+r2 green history; rationale at the
     # session-9 rotation comment near the head of this dict):
     "vs_dot_topk": vs_dot_topk,
@@ -5526,6 +5566,7 @@ ORACLE_SQL: dict[str, str] = {
     "sim_pandas_matmul_topk": SIM_PANDAS_MATMUL_TOPK_SQL,
     "sim_lsh_topk": SIM_LSH_TOPK_SQL,
     "eval_ann_recall": EVAL_ANN_RECALL_SQL,
+    "pipeline_domain_cap": PIPELINE_DOMAIN_CAP_SQL,
     "dedup_frequent_segments": DEDUP_FREQUENT_SEGMENTS_SQL,
     "link_fuzzy_best_match": LINK_FUZZY_BEST_MATCH_SQL,
     "sketch_kmv_distinct": SKETCH_KMV_DISTINCT_SQL,

@@ -1,6 +1,7 @@
 """Deterministic sampling/splitting: stability, exactness, leakage."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from otters_spark.operators.sampling import (
     hash_sample,
@@ -107,6 +108,49 @@ def test_reservoir_exact_k(docs):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in reservoir_per_group(docs, ["lang", "source"], k=3).collect())
     assert a == b
+
+
+def test_cap_per_group_matches_reservoir(docs):
+    """cap_per_group is reservoir_per_group with bounded window
+    partitions; on any corpus where the prefilter doesn't undershoot
+    (a Chernoff-tail event) the kept sets are IDENTICAL."""
+    from otters_spark.operators.sampling import cap_per_group
+
+    a = sorted(r["doc_id"] for r in cap_per_group(docs, ["source"], 5).collect())
+    b = sorted(
+        r["doc_id"] for r in reservoir_per_group(docs, ["source"], k=5).collect()
+    )
+    assert a == b
+    sizes = [r["n"] for r in cap_per_group(docs, ["source"], 5)
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert all(s == 5 for s in sizes)  # every source has >= 5 docs
+
+
+def test_cap_per_group_null_group_key(spark):
+    """NULL group keys form one capped group (null-safe count join —
+    the gap_fill/percentile NULL-key lesson applied up front)."""
+    from otters_spark.operators.sampling import cap_per_group
+
+    rows = [(i, None if i % 2 == 0 else "g") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = cap_per_group(df, ["grp"], 3, key_col="doc_id")
+    got = {r["grp"]: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r["grp"]] += 1
+    assert got == {None: 3, "g": 3}
+
+
+def test_cap_per_group_small_groups_pass_through(spark):
+    from otters_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "tiny") for i in range(4)], "doc_id long, grp string"
+    )
+    assert cap_per_group(df, ["grp"], 10, key_col="doc_id").count() == 4
+    with pytest.raises(ValueError):
+        cap_per_group(df, ["grp"], 0)
+    with pytest.raises(ValueError):
+        cap_per_group(df, ["grp"], 5, safety=0.5)
 
 
 def test_stratified_sample_rates(spark):
