@@ -58,7 +58,7 @@ from .errors import (
 __all__ = ["col", "lit", "Expr", "CompiledFilter", "compile_expr", "SchemaLike"]
 
 _CMP_OPS = ("eq", "neq", "lt", "lte", "gt", "gte")
-_STR_OPS = ("contains", "starts_with", "ends_with")
+_STR_OPS = ("contains", "starts_with", "ends_with", "fuzzy")
 
 # otters dtype names (src/type_utils.rs:11-19) keyed by Spark type class.
 _SPARK_TO_DTYPE = {
@@ -177,6 +177,26 @@ class Expr:
 
     def ends_with(self, other: Any) -> "Expr":
         return self._cmp("ends_with", other)
+
+    def fuzzy_eq(self, other: Any, max_edits: int = 2) -> "Expr":
+        """Edit-distance match — the roadmap's "or fuzzy matching"
+        (reference README.md:210): true when the column is within
+        ``max_edits`` Levenshtein edits of the literal. Compiles to
+        ``levenshtein(col, lit) <= k`` (JVM codegen). Unlike the exact
+        string ops this cannot push to the Parquet scan — it prunes
+        nothing, by design."""
+        if isinstance(max_edits, bool) or not isinstance(max_edits, int):
+            raise TypeMismatchError(
+                f"max_edits must be an int, got {type(max_edits).__name__}"
+            )
+        if max_edits < 0:
+            raise TypeMismatchError(f"max_edits must be >= 0, got {max_edits}")
+        other = other.value if isinstance(other, Expr) and other.kind == "lit" else other
+        # the (literal, max_edits) pair bypasses lit()'s scalar check;
+        # _compile_leaf strict-types the inner literal
+        return Expr(
+            "cmp", op="fuzzy", left=self, right=Expr("lit", value=(other, max_edits))
+        )
 
     # python operator sugar (same surface as pyspark Columns)
     __eq__ = eq  # type: ignore[assignment]
@@ -326,8 +346,15 @@ def _compile_leaf(node: Expr, dtypes: dict[str, str], fmts: dict[str, str]) -> C
         if op not in ("eq", "neq", *_STR_OPS):
             raise UnsupportedStringOpError(
                 f"string column {name!r} supports only ==/!=/contains/"
-                "starts_with/ends_with (src/expr.rs:400-419 + README.md:210)"
+                "starts_with/ends_with/fuzzy_eq (src/expr.rs:400-419 + README.md:210)"
             )
+        if op == "fuzzy":
+            s, k = v
+            if not isinstance(s, str):
+                raise TypeMismatchError(
+                    f"string column {name!r} vs {type(s).__name__} literal"
+                )
+            return ColumnFilter(name, op, (s, k), dtype)
         if not isinstance(v, str):
             raise TypeMismatchError(f"string column {name!r} vs {type(v).__name__} literal")
         return ColumnFilter(name, op, v, dtype)
@@ -379,6 +406,8 @@ def _leaf_to_spark(leaf: ColumnFilter) -> Column:
         "contains": lambda: c.contains(leaf.value),
         "starts_with": lambda: c.startswith(leaf.value),
         "ends_with": lambda: c.endswith(leaf.value),
+        # not scan-pushable (see Expr.fuzzy_eq) but pure JVM codegen
+        "fuzzy": lambda: F.levenshtein(c, F.lit(leaf.value[0])) <= F.lit(leaf.value[1]),
     }[leaf.op]()
 
 

@@ -34,6 +34,8 @@ __all__ = [
     "cosine_expr",
     "euclidean_sq_expr",
     "manhattan_expr",
+    "hamming_expr",
+    "jaccard_expr",
     "inv_norm_expr",
     "inv_norm_of",
     "score_expr",
@@ -44,7 +46,17 @@ __all__ = [
 #: Cosine/DotProduct->Max). Manhattan is the reference's own roadmap
 #: item (README.md:209 "More Metrics (Manhattan, ...)"); distance
 #: semantics -> Min, like Euclidean.
-METRICS = {"dot": "max", "cosine": "max", "euclidean": "min", "manhattan": "min"}
+#: Hamming (distance -> Min) and Jaccard (similarity -> Max) complete
+#: the same roadmap line; both are meant for binary/discretized
+#: vectors (see their kernel docstrings).
+METRICS = {
+    "dot": "max",
+    "cosine": "max",
+    "euclidean": "min",
+    "manhattan": "min",
+    "hamming": "min",
+    "jaccard": "max",
+}
 
 
 def _c(x) -> Column:
@@ -121,6 +133,56 @@ def manhattan_expr(a, b) -> Column:
     )
 
 
+def hamming_expr(a, b) -> Column:
+    """Hamming distance — the count of positions where the two vectors
+    differ (reference roadmap metric, README.md:209). Meaningful for
+    binary / discretized vectors; defined on any numeric arrays as an
+    exact inequality count, accumulated as int64 then cast to double
+    so every metric scores as one column type."""
+    return F.aggregate(
+        F.zip_with(
+            _c(a),
+            _c(b),
+            lambda x, y: F.when(x != y, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+
+
+def jaccard_expr(a, b) -> Column:
+    """Jaccard similarity over the NONZERO lanes of two equal-length
+    vectors (reference roadmap metric, README.md:209): treating each
+    vector as the set of coordinates it activates,
+    ``|both nonzero| / |either nonzero|``; two all-zero vectors score
+    0.0, never NaN (the zero-vector convention cosine already uses)."""
+    inter = F.aggregate(
+        F.zip_with(
+            _c(a),
+            _c(b),
+            lambda x, y: F.when((x != 0) & (y != 0), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    union = F.aggregate(
+        F.zip_with(
+            _c(a),
+            _c(b),
+            lambda x, y: F.when((x != 0) | (y != 0), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
 def score_expr(vec_col, q_col, metric: str, inv_norm_col=None, q_inv_norm=None) -> Column:
     """Score expression for one (store-vector, query-vector) pair.
 
@@ -139,6 +201,10 @@ def score_expr(vec_col, q_col, metric: str, inv_norm_col=None, q_inv_norm=None) 
         return euclidean_sq_expr(vec_col, q_col)
     if metric == "manhattan":
         return manhattan_expr(vec_col, q_col)
+    if metric == "hamming":
+        return hamming_expr(vec_col, q_col)
+    if metric == "jaccard":
+        return jaccard_expr(vec_col, q_col)
     raise ValueError(f"unknown metric {metric!r}; expected one of {sorted(METRICS)}")
 
 

@@ -169,6 +169,80 @@ FROM scored ORDER BY s ASC, vec_id LIMIT 10
 """
 
 
+def _binarized_store(spark: SparkSession, sf_dir: str) -> MetaStore:
+    """Sign-binarized view of the embedding store (x > 0 -> 1.0), the
+    discretized-vector regime the Hamming/Jaccard metrics are for."""
+    emb = load(spark, sf_dir, "embeddings")
+    bin_df = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(0.0)).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    return MetaStore.from_df(
+        bin_df, vec_col="embedding", id_col="vec_id", dim=64, validate=False
+    )
+
+
+def vs_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-10 over sign-binarized vectors — with Jaccard below,
+    this completes the reference's 'More Metrics (Manhattan, Hamming,
+    Jaccard)' roadmap line (README.md:209) through the full fluent
+    surface: distance semantics infer the Min direction, integer
+    inequality-count kernel in codegen, heavy score ties broken by id
+    identically in both engines."""
+    q = [1.0 if x > 0 else 0.0 for x in Q7]
+    return _rounded(_binarized_store(spark, sf_dir).query(q, "hamming").take(10).df())
+
+
+VS_HAMMING_TOPK_SQL = f"""
+WITH qb AS (SELECT unnest({_sql_vec([1.0 if x > 0 else 0.0 for x in Q7])}) AS qv,
+                   generate_subscripts({_sql_vec([1.0 if x > 0 else 0.0 for x in Q7])}, 1) AS i),
+ve AS (SELECT vec_id, label,
+              CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END AS bx, i
+       FROM (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings)),
+scored AS (
+  SELECT vec_id, any_value(label) AS label,
+         sum(CASE WHEN bx <> qv THEN 1 ELSE 0 END)::DOUBLE AS s
+  FROM ve JOIN qb USING (i) GROUP BY vec_id)
+SELECT vec_id, round(s, 6) AS score, label
+FROM scored ORDER BY s ASC, vec_id LIMIT 10
+"""
+
+
+def vs_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-similarity top-10 over sign-binarized vectors (roadmap
+    metric, README.md:209): |both active| / |either active| on the
+    nonzero lanes, Max direction inferred, 0/0 guarded to 0.0."""
+    q = [1.0 if x > 0 else 0.0 for x in Q11]
+    return _rounded(_binarized_store(spark, sf_dir).query(q, "jaccard").take(10).df())
+
+
+VS_JACCARD_TOPK_SQL = f"""
+WITH qb AS (SELECT unnest({_sql_vec([1.0 if x > 0 else 0.0 for x in Q11])}) AS qv,
+                   generate_subscripts({_sql_vec([1.0 if x > 0 else 0.0 for x in Q11])}, 1) AS i),
+ve AS (SELECT vec_id, label,
+              CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END AS bx, i
+       FROM (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings)),
+scored AS (
+  SELECT vec_id, any_value(label) AS label,
+         sum(CASE WHEN bx <> 0 AND qv <> 0 THEN 1 ELSE 0 END) AS inter,
+         sum(CASE WHEN bx <> 0 OR qv <> 0 THEN 1 ELSE 0 END) AS un
+  FROM ve JOIN qb USING (i) GROUP BY vec_id)
+SELECT vec_id,
+       round(CASE WHEN un = 0 THEN 0.0 ELSE inter::DOUBLE / un END, 6) AS score,
+       label
+FROM scored ORDER BY (CASE WHEN un = 0 THEN 0.0 ELSE inter::DOUBLE / un END) DESC, vec_id
+LIMIT 10
+"""
+
+
 def vs_mutation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Store mutability end-to-end (reference roadmap README.md:207):
     remove every 97th vector, append two synthetic vectors (Q7 itself
@@ -614,6 +688,31 @@ SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 INTERSECT
 SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 ORDER BY custkey
+"""
+
+
+def rel_fuzzy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expression DSL's fuzzy-match predicate (reference roadmap
+    README.md:210 "... or fuzzy matching") compiled against a plain
+    relational table: customers within 2 Levenshtein edits of a probe
+    name, AND-composed with a strict-typed numeric comparison through
+    the same compile path."""
+    from .expr import col, compile_expr
+
+    cust = load(spark, sf_dir, "customer")
+    e = col("c_name").fuzzy_eq("Customer#000000100", 2) & col("c_custkey").gt(0)
+    cf = compile_expr(e, cust.schema)
+    return (
+        cust.filter(cf.condition)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+REL_FUZZY_FILTER_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE levenshtein(c_name, 'Customer#000000100') <= 2 AND c_custkey > 0
+ORDER BY c_custkey
 """
 
 
@@ -5449,6 +5548,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_epoch_mix": pipeline_epoch_mix,
     "eval_ann_recall": eval_ann_recall,
     "pipeline_domain_cap": pipeline_domain_cap,
+    "vs_hamming_topk": vs_hamming_topk,
+    "vs_jaccard_topk": vs_jaccard_topk,
+    "rel_fuzzy_filter": rel_fuzzy_filter,
     # Session-9 demotions (r1+r2 green history; rationale at the
     # session-9 rotation comment near the head of this dict):
     "vs_dot_topk": vs_dot_topk,
@@ -5567,6 +5669,9 @@ ORACLE_SQL: dict[str, str] = {
     "sim_lsh_topk": SIM_LSH_TOPK_SQL,
     "eval_ann_recall": EVAL_ANN_RECALL_SQL,
     "pipeline_domain_cap": PIPELINE_DOMAIN_CAP_SQL,
+    "vs_hamming_topk": VS_HAMMING_TOPK_SQL,
+    "vs_jaccard_topk": VS_JACCARD_TOPK_SQL,
+    "rel_fuzzy_filter": REL_FUZZY_FILTER_SQL,
     "dedup_frequent_segments": DEDUP_FREQUENT_SEGMENTS_SQL,
     "link_fuzzy_best_match": LINK_FUZZY_BEST_MATCH_SQL,
     "sketch_kmv_distinct": SKETCH_KMV_DISTINCT_SQL,

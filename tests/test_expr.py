@@ -178,6 +178,42 @@ class TestStringPredicates:
         with _pytest.raises(TypeMismatchError):
             compile_expr(col("name").contains(5), schema)  # not a string literal
 
+    def test_fuzzy_eq_filtering(self, spark):
+        """Roadmap's 'or fuzzy matching': Levenshtein threshold."""
+        from otters_spark import MetaStore, col
+
+        rows = [(0, [1.0], "alpha"), (1, [1.0], "alphq"), (2, [1.0], "omega")]
+        store = MetaStore.from_df(
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>, name string"),
+            vec_col="embedding",
+        )
+
+        def ids(expr):
+            return sorted(
+                r["vec_id"]
+                for r in store.query([1.0], "dot").meta_filter(expr).take(None).collect()
+            )
+
+        assert ids(col("name").fuzzy_eq("alpha", 0)) == [0]
+        assert ids(col("name").fuzzy_eq("alpha", 1)) == [0, 1]
+        assert ids(col("name").fuzzy_eq("alpha", 5)) == [0, 1, 2]
+
+    def test_fuzzy_eq_strict_typing(self):
+        import pytest as _pytest
+
+        from otters_spark.errors import TypeMismatchError
+        from otters_spark.expr import col, compile_expr
+
+        schema = {"name": "string", "n": "int64"}
+        with _pytest.raises(TypeMismatchError):
+            compile_expr(col("n").fuzzy_eq("5", 1), schema)  # not a string column
+        with _pytest.raises(TypeMismatchError):
+            compile_expr(col("name").fuzzy_eq(5, 1), schema)  # not a string literal
+        with _pytest.raises(TypeMismatchError):
+            col("name").fuzzy_eq("x", max_edits=-1)
+        with _pytest.raises(TypeMismatchError):
+            col("name").fuzzy_eq("x", max_edits=1.5)
+
     def test_pushes_to_scan(self, spark, sf_dir, tmp_path):
         from otters_spark import MetaStore, col
 

@@ -192,6 +192,33 @@ def test_manhattan_exact_and_direction(spark):
     assert abs(all_rows[1] - 7.0) < EPS  # |4-1| + |6-2|
 
 
+# --- hamming + jaccard metrics (reference roadmap README.md:209) ---
+
+
+def test_hamming_exact_and_direction(spark):
+    store = make_store(spark, [[1.0, 0.0, 1.0], [1.0, 1.0, 1.0], [0.0, 1.0, 0.0]])
+    rows = store.query([1.0, 0.0, 1.0], "hamming").take(2).collect()
+    # distance metric -> MIN direction inferred
+    assert [r["vec_id"] for r in rows] == [0, 1]
+    s = scores_by_id(store.query([1.0, 0.0, 1.0], "hamming").collect())
+    assert s[0] == 0.0 and s[1] == 1.0 and s[2] == 3.0
+
+
+def test_jaccard_exact_zero_guard_and_direction(spark):
+    store = make_store(spark, [[1.0, 1.0, 0.0], [0.0, 1.0, 1.0], [0.0, 0.0, 0.0]])
+    s = scores_by_id(store.query([1.0, 1.0, 0.0], "jaccard").collect())
+    assert abs(s[0] - 1.0) < EPS
+    assert abs(s[1] - 1.0 / 3.0) < EPS  # inter {1}, union {0,1,2}
+    assert s[2] == 0.0  # zero vector: 0/2 = 0
+    # similarity metric -> MAX direction inferred
+    rows = store.query([1.0, 1.0, 0.0], "jaccard").take(1).collect()
+    assert rows[0]["vec_id"] == 0
+    # all-zero query vs all-zero store row would be 0/0 -> 0.0, not NaN
+    z = make_store(spark, [[0.0, 0.0]])
+    zs = z.query([0.0, 0.0], "jaccard").collect()
+    assert zs[0]["score"] == 0.0
+
+
 # --- mutability (reference roadmap README.md:207) ---
 
 
