@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import (
     adjacent_pairs_expr,
@@ -29,6 +30,7 @@ __all__ = [
     "chunk_passages",
     "unigram_logprob",
     "bigram_logprob",
+    "tfidf_keywords",
     "pmi_pairs",
     "train_bpe_merges",
     "apply_bpe_merges",
@@ -285,6 +287,44 @@ def unigram_logprob(
         ).alias("avg_neg_logprob"),
     )
     return scored
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top_n`` TF-IDF keywords per document — the lightweight
+    document-labeling / topic-feature step of a curation pipeline
+    (cluster naming, faceted corpus browsing, weak topic labels).
+
+    Scale shape: the same postings skeleton as :func:`unigram_logprob`
+    — explode -> (doc, term, tf) with map-side combine, document
+    frequency as a term-keyed aggregate OF those postings, and the
+    corpus doc count as a one-row broadcast aggregate (never an
+    unpartitioned window). The final rank window partitions by doc
+    over that doc's distinct terms — bounded by document length, never
+    corpus-wide. Smoothed idf = ln((N+1)/(df+1)) keeps terms appearing
+    in every doc finite."""
+    tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("__t"))
+    tf = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = tf.join(dfreq, "__t").crossJoin(F.broadcast(n)).select(
+        F.col(id_col),
+        F.col("__t").alias("term"),
+        (
+            F.col("__tf").cast("double")
+            * F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0))
+        ).alias("__score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "rank", "term", F.round("__score", 6).alias("score"))
+    )
 
 
 def bigram_logprob(

@@ -1847,6 +1847,36 @@ ORDER BY avg_neg_logprob DESC, doc_id LIMIT 25
 """
 
 
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (weak topic labels / cluster
+    naming) for a 1-in-25 doc sample — idf comes from the FULL corpus,
+    only the output is sampled. Postings skeleton + one-row broadcast
+    doc count (operators/text_analysis.py:tfidf_keywords)."""
+    from .operators.text_analysis import tfidf_keywords
+
+    out = tfidf_keywords(load(spark, sf_dir, "documents"), top_n=3)
+    return out.filter(F.col("doc_id") % 25 == 0).orderBy("doc_id", "rank")
+
+
+TEXT_KEYWORDS_TOPK_SQL = """
+WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM ex GROUP BY 1, 2),
+dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, t AS term,
+         tf::DOUBLE * ln((n + 1.0) / (df + 1.0)) AS s
+  FROM tf JOIN dfq USING (t), n),
+ranked AS (
+  SELECT doc_id, term, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term)::INTEGER AS rank
+  FROM scored)
+SELECT doc_id, rank, term, round(s, 6) AS score
+FROM ranked WHERE doc_id % 25 = 0 AND rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc cross-entropy under a corpus-trained add-0.5-smoothed
     bigram LM (the CCNet KenLM-perplexity quality filter's
@@ -4766,6 +4796,54 @@ FROM t WHERE vec_id % 7 = 0 ORDER BY vec_id
 """
 
 
+def rel_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface (a metadata type the reference lacks — SURVEY
+    §2.2 'More Metadata Types'): per-order line maps built with
+    map_from_entries over sorted entry structs, then size /
+    element_at / map_keys consumers. The ORDER of map entries is
+    engine-internal, so only scalar lookups leave the query — the
+    oracle reproduces each lookup relationally (maps are an access
+    path here, not a value)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    # the synthetic lineitem has duplicate (orderkey, linenumber) rows
+    # (pipeline_quality_report's failing uniqueness constraint), and
+    # map keys must be unique — pre-aggregate per line first
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    m = per_line.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "q")))
+        ).alias("m")
+    )
+    return (
+        m.select(
+            "l_orderkey",
+            F.size("m").cast("long").alias("n_lines"),
+            F.round(F.element_at("m", 1), 6).alias("q1"),
+            F.array_max(F.map_keys("m")).alias("max_ln"),
+            F.round(
+                F.aggregate(F.map_values("m"), F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("qty_total"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+REL_MAP_FUNCTIONS_SQL = """
+WITH pl AS (
+  SELECT l_orderkey, l_linenumber, sum(l_quantity) AS q
+  FROM lineitem WHERE l_orderkey % 100 = 0
+  GROUP BY l_orderkey, l_linenumber)
+SELECT l_orderkey,
+       count(*) AS n_lines,
+       round(max(CASE WHEN l_linenumber = 1 THEN q END), 6) AS q1,
+       max(l_linenumber) AS max_ln,
+       round(sum(q), 6) AS qty_total
+FROM pl GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
 def _scd2_merged_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared fixture for the SCD2 rows: customer dimension + the
     synthetic change batch, merged at 2024-06-01 (see
@@ -5551,6 +5629,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vs_hamming_topk": vs_hamming_topk,
     "vs_jaccard_topk": vs_jaccard_topk,
     "rel_fuzzy_filter": rel_fuzzy_filter,
+    "rel_map_functions": rel_map_functions,
+    "text_keywords_topk": text_keywords_topk,
     # Session-9 demotions (r1+r2 green history; rationale at the
     # session-9 rotation comment near the head of this dict):
     "vs_dot_topk": vs_dot_topk,
@@ -5672,6 +5752,8 @@ ORACLE_SQL: dict[str, str] = {
     "vs_hamming_topk": VS_HAMMING_TOPK_SQL,
     "vs_jaccard_topk": VS_JACCARD_TOPK_SQL,
     "rel_fuzzy_filter": REL_FUZZY_FILTER_SQL,
+    "rel_map_functions": REL_MAP_FUNCTIONS_SQL,
+    "text_keywords_topk": TEXT_KEYWORDS_TOPK_SQL,
     "dedup_frequent_segments": DEDUP_FREQUENT_SEGMENTS_SQL,
     "link_fuzzy_best_match": LINK_FUZZY_BEST_MATCH_SQL,
     "sketch_kmv_distinct": SKETCH_KMV_DISTINCT_SQL,

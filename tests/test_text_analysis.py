@@ -121,6 +121,28 @@ def test_chunk_passages_validates(spark):
         chunk_passages(df, chunk_tokens=5, overlap=5)
 
 
+def test_tfidf_keywords_hand_computed(spark):
+    import math
+
+    from otters_spark.operators.text_analysis import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c"), (2, "a b")], ["doc_id", "text"]
+    )
+    out = {
+        (r.doc_id, r.rank): (r.term, r.score)
+        for r in tfidf_keywords(df, top_n=2).collect()
+    }
+    # N=3; df: a=3 (idf ln(4/4)=0), b=2 (ln(4/3)), c=1 (ln(4/2))
+    assert out[(0, 1)][0] == "b"
+    assert out[(0, 1)][1] == pytest.approx(math.log(4 / 3), abs=1e-6)
+    assert out[(0, 2)] == ("a", 0.0)  # idf 0 still ranks by (score, term)
+    assert out[(1, 1)][0] == "c"
+    assert out[(1, 1)][1] == pytest.approx(math.log(2.0), abs=1e-6)
+    # every doc emits at most top_n rows
+    assert max(r for (_, r) in out) <= 2
+
+
 def test_unigram_logprob(spark):
     import math
 
