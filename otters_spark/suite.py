@@ -5527,7 +5527,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_incremental_ingest: pipeline_dedup_end_to_end composes the
     # identical banding+verify stage and stays green in the top-50.
     # Newest tail entries (builder-harness green at 3 SFs, first in
-    # line for the NEXT rotation): rel_snapshot_diff,
+    # line for the NEXT rotation): the session-10 families —
+    # eval_ann_recall (retrieval-quality evaluation of the ANN tier),
+    # pipeline_domain_cap (bounded per-domain capping),
+    # vs_hamming_topk + vs_jaccard_topk (the roadmap metric line's
+    # completion), rel_fuzzy_filter (DSL fuzzy matching),
+    # rel_map_functions, text_keywords_topk — then rel_snapshot_diff,
     # events_windowed_quantiles, events_sliding_window,
     # rel_setop_bag, rel_lateral_posexplode, pipeline_epoch_mix, then
     # the session-5/6 backlog — text_bigram_logprob,
