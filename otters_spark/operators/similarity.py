@@ -37,6 +37,7 @@ __all__ = [
     "lsh_index",
     "lsh_search",
     "ivf_build",
+    "ivf_assign",
     "ivf_search",
     "pq_train",
     "pq_encode",
@@ -304,6 +305,48 @@ def ivf_build(
     assigned = model.transform(feat).drop("__features")
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     return assigned, centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance: assign NEW vectors to the
+    existing trained centroids without retraining — the ingest path
+    that pairs with ``VecStore.add_rows`` (reference roadmap
+    README.md:207). At 100 TB the index is rebuilt rarely and
+    appended to constantly; assignment is one scan against a
+    broadcast literal centroid table (argmin of squared distance as a
+    codegen fold over the k cells), so appends never touch MLlib or
+    the existing corpus. Union the result onto the built index; the
+    nprobe search path is unchanged. Retrain when cell-size drift
+    degrades recall (monitor with the drift lane)."""
+    def d2(c: np.ndarray):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                clit,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    # distances materialized as ONE array column before the argmin —
+    # array_position(min) references the array twice, and HOF
+    # expressions get no CSE (the repo's measured Catalyst trap), so
+    # an inlined form would score every centroid twice per row.
+    # Ties resolve to the LOWEST cell id (array_position finds the
+    # first match) — deterministic.
+    with_d = df.withColumn("__ivf_d", F.array(*[d2(c) for c in centroids]))
+    return with_d.withColumn(
+        "ivf_cell",
+        (
+            F.array_position(F.col("__ivf_d"), F.array_min(F.col("__ivf_d"))) - 1
+        ).cast("int"),
+    ).drop("__ivf_d")
 
 
 def ivf_search(

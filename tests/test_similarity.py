@@ -57,6 +57,42 @@ def test_ivf_recall_against_brute_force(emb, brute_top10):
     assert recall >= 0.3, f"IVF recall@10 too low: {recall}"
 
 
+def test_ivf_assign_matches_build_and_extends_search(emb, spark):
+    """Incremental maintenance: ivf_assign on the SAME vectors must
+    reproduce MLlib's own cell assignment (both are argmin over the
+    identical centroids), and an appended exact-duplicate vector must
+    land in its twin's cell and surface in search."""
+    from otters_spark.operators.similarity import ivf_assign
+
+    assigned, centroids = ivf_build(emb, n_cells=8, seed=42)
+    ours = ivf_assign(emb, centroids)
+    mismatch = (
+        assigned.select("vec_id", "ivf_cell")
+        .join(
+            ours.select("vec_id", F.col("ivf_cell").alias("c2")), "vec_id"
+        )
+        .filter(F.col("ivf_cell") != F.col("c2"))
+        .count()
+    )
+    assert mismatch == 0
+    # append a clone of vec 0 with a fresh id; it must join its twin
+    row = emb.filter(F.col("vec_id") == 0).collect()[0]
+    new = spark.createDataFrame(
+        [(999999, row["embedding"], row["label"])], emb.schema
+    )
+    new_assigned = ivf_assign(new, centroids)
+    twin_cell = assigned.filter(F.col("vec_id") == 0).collect()[0]["ivf_cell"]
+    assert new_assigned.collect()[0]["ivf_cell"] == twin_cell
+    grown = assigned.unionByName(new_assigned)
+    got = [
+        r["vec_id"]
+        for r in ivf_search(
+            grown, centroids, [float(x) for x in row["embedding"]], k=2, nprobe=1
+        ).collect()
+    ]
+    assert set(got) == {0, 999999}  # both exact matches found
+
+
 def test_lsh_bucket_is_deterministic(emb):
     planes = hyperplanes(64, n_planes=8, seed=42)
     a = lsh_index(emb, planes).select("vec_id", "lsh_bucket").orderBy("vec_id").collect()
