@@ -101,12 +101,23 @@ def sessionize(
     )
 
 
-def view_purchase_join(views: DataFrame, purchases: DataFrame, within: str = "10 minutes") -> DataFrame:
+def view_purchase_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    within: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
     """Stream-stream (or batch-batch) interval join: purchases matched
     to same-user views that happened up to ``within`` before them. On
     streams, the time-range condition + watermarks bound the join state
     (Spark evicts view state older than the range). Works identically
-    on batch inputs — the usual batch-as-oracle pattern."""
+    on batch inputs — the usual batch-as-oracle pattern.
+
+    ``how='left_outer'`` keeps unconverted purchases (view columns
+    NULL) — on streams the NULL rows only emit once the watermark
+    passes the purchase's join window (Spark must be sure no matching
+    view can still arrive), so a left-outer stream lags the inner rows
+    by the watermark delay; the batch twin has no such lag."""
     v = views.select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("view_ts"),
@@ -122,7 +133,11 @@ def view_purchase_join(views: DataFrame, purchases: DataFrame, within: str = "10
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}"))
     )
-    return v.join(p, cond).select(
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    # purchases are the preserved (left) side so left_outer reads
+    # naturally as "every purchase, with its views when they exist"
+    return p.join(v, cond, how).select(
         F.col("p_user").alias("user_id"),
         "purchase_event_id",
         "view_event_id",
