@@ -199,3 +199,45 @@ def test_pack_sequences_vs_python(spark, seed):
         end = (cb + n - 1) // ctx if n > 0 else start
         assert got[i] == (start, end, cb - start * ctx), (i, ctx)
         cb += n
+
+
+@pytest.mark.parametrize("seed", [91, 92])
+def test_cap_per_group_vs_python(spark, seed):
+    """Sound bounds on random corpora: never over the cap, exactly the
+    cap when the group is big enough and the prefilter can't undershoot
+    (group size <= safety*n_max => p=1, exact reservoir semantics —
+    checked against a Python md5-rank reference); selection invariant
+    under repartitioning."""
+    import hashlib
+
+    from otters_spark.operators.sampling import cap_per_group
+
+    rng = random.Random(seed)
+    n_max = rng.choice([2, 4])
+    rows = []
+    gid = 0
+    for size in [1, n_max, 2 * n_max, 2 * n_max + 7, 40]:
+        for _ in range(size):
+            rows.append((rng.randrange(10**9), f"g{gid}"))
+        gid += 1
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    kept = cap_per_group(df, ["grp"], n_max, key_col="doc_id").collect()
+    by_grp = Counter(r["grp"] for r in kept)
+    sizes = Counter(g for _, g in rows)
+    for g, size in sizes.items():
+        assert by_grp[g] <= min(n_max, size)
+        if size <= 2 * n_max:  # p=1: exact reservoir semantics
+            assert by_grp[g] == min(n_max, size)
+            want = sorted(
+                (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i)
+                for i, gg in rows
+                if gg == g
+            )[:n_max]
+            got_ids = sorted(r["doc_id"] for r in kept if r["grp"] == g)
+            assert got_ids == sorted(i for _, i in want)
+    # repartition-invariance
+    again = sorted(
+        r["doc_id"]
+        for r in cap_per_group(df.repartition(13), ["grp"], n_max).collect()
+    )
+    assert again == sorted(r["doc_id"] for r in kept)
