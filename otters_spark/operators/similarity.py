@@ -39,6 +39,7 @@ __all__ = [
     "ivf_build",
     "ivf_assign",
     "ivf_search",
+    "ivf_search_batch",
     "pq_train",
     "pq_encode",
     "pq_search",
@@ -374,6 +375,61 @@ def ivf_search(
     asc = metric == "euclidean"
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
     return scored.orderBy(*order).limit(k).select(id_col, "score", "ivf_cell")
+
+
+def ivf_search_batch(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: Iterable[Sequence[float]],
+    k: int,
+    nprobe: int = 3,
+    metric: str = "cosine",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """N queries through the IVF index in ONE job — the serving-shape
+    batch path (the sequential :func:`ivf_search` loop pays one Spark
+    job per query; batching amortizes that into a single scan, the
+    same lesson as ``vector_batch_qps`` in SCALE.md). Probe cells are
+    chosen driver-side against the tiny centroid table; the
+    (query_id, cell) probe table and the query batch broadcast; the
+    per-query top-k window partitions over one query's candidates
+    (bounded by its nprobe cells), never the corpus."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import score_expr
+
+    qlist = [list(map(float, q)) for q in queries]
+    spark = assigned.sparkSession
+    qd = queries_df(spark, qlist)
+    probe = []
+    for qid, q in enumerate(qlist):
+        d2 = ((centroids - np.asarray(q)[None, :]) ** 2).sum(1)
+        probe += [(qid, int(c)) for c in np.argsort(d2)[:nprobe]]
+    probe_df = spark.createDataFrame(probe, "query_id int, ivf_cell int")
+    all_cells = sorted({c for _, c in probe})
+    inv = F.col(INV_NORM_COL) if INV_NORM_COL in assigned.columns else None
+    cand = (
+        assigned.filter(F.col("ivf_cell").isin(all_cells))
+        .join(F.broadcast(probe_df), "ivf_cell")
+        .join(F.broadcast(qd), "query_id")
+    )
+    scored = cand.withColumn(
+        "score",
+        score_expr(
+            vec_col, F.col("qvec"), metric,
+            inv_norm_col=inv, q_inv_norm=F.col("q_inv_norm"),
+        ),
+    )
+    asc = metric == "euclidean"
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", id_col, "score", "ivf_cell")
+    )
 
 
 # --- Product quantization (ADC) ----------------------------------------

@@ -93,6 +93,25 @@ def test_ivf_assign_matches_build_and_extends_search(emb, spark):
     assert set(got) == {0, 999999}  # both exact matches found
 
 
+def test_ivf_search_batch_matches_sequential(emb):
+    """One-job batch search returns exactly the per-query results of
+    the sequential loop (same probe cells, same scores, same order)."""
+    from otters_spark.operators.similarity import ivf_search_batch
+
+    assigned, centroids = ivf_build(emb, n_cells=8, seed=42)
+    batch = ivf_search_batch(assigned, centroids, [Q7, Q11], k=5, nprobe=3)
+    rows = batch.collect()
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], -r["score"], r["vec_id"])):
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], round(r["score"], 9)))
+    for qid, q in enumerate([Q7, Q11]):
+        seq = [
+            (r["vec_id"], round(r["score"], 9))
+            for r in ivf_search(assigned, centroids, q, k=5, nprobe=3).collect()
+        ]
+        assert by_q[qid] == seq, f"query {qid} diverged"
+
+
 def test_lsh_bucket_is_deterministic(emb):
     planes = hyperplanes(64, n_planes=8, seed=42)
     a = lsh_index(emb, planes).select("vec_id", "lsh_bucket").orderBy("vec_id").collect()
