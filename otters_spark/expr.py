@@ -390,7 +390,10 @@ def _compile_leaf(node: Expr, dtypes: dict[str, str], fmts: dict[str, str]) -> C
 
 def _leaf_to_spark(leaf: ColumnFilter) -> Column:
     c = F.col(leaf.column)
-    v = F.lit(leaf.value)
+    # fuzzy carries a (literal, max_edits) tuple — F.lit on it would
+    # build a bogus mixed-type array literal; its branch below builds
+    # its own literals
+    v = F.lit(leaf.value) if leaf.op != "fuzzy" else None
     # lazy dispatch: branches must not be built eagerly — Column method
     # calls like startswith(<double>) raise immediately for non-string
     # values, so a dict of pre-built Columns would crash numeric leaves

@@ -273,7 +273,11 @@ def cap_per_group(
     slightly-under-full cap, never an over-cap. Groups at or under
     ``safety * n_max`` rows skip the prefilter entirely (p = 1).
     Deterministic given the corpus; NULL group keys are one group
-    (null-safe join, window treats NULL as a value).
+    (null-safe join, window treats NULL as a value). A NULL ``key_col``
+    hashes to 0 — it survives the prefilter and ranks first, mirroring
+    reservoir_per_group's NULLS-FIRST ordering instead of silently
+    dropping the row; like there, multiple NULL keys tie
+    nondeterministically, so use a unique non-null id in practice.
     """
     if n_max <= 0:
         raise ValueError(f"n_max must be positive, got {n_max}")
@@ -287,9 +291,9 @@ def cap_per_group(
         cond = eq if cond is None else (cond & eq)
     joined = d.join(c, cond).select("__capd.*", F.col("__capc.__gc"))
     p = F.least(F.lit(1.0), F.lit(float(safety) * n_max) / F.col("__gc"))
-    surv = joined.withColumn("__hkey", md5_long_expr(F.col(key_col))).filter(
-        F.col("__hkey") / F.lit(float(1 << 60)) < p
-    )
+    surv = joined.withColumn(
+        "__hkey", F.coalesce(md5_long_expr(F.col(key_col)), F.lit(0))
+    ).filter(F.col("__hkey") / F.lit(float(1 << 60)) < p)
     w = Window.partitionBy(*group_cols).orderBy("__hkey", key_col)
     return (
         surv.withColumn("__rank", F.row_number().over(w))

@@ -25,7 +25,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from ..functions.vector import dot_expr, inv_norm_expr, inv_norm_of, queries_df
+from ..functions.vector import METRICS, dot_expr, inv_norm_expr, inv_norm_of, queries_df
 from ..store import INV_NORM_COL, VecStore
 
 __all__ = [
@@ -166,7 +166,7 @@ def pandas_matmul_topk(
             yield pd.concat(frames, ignore_index=True)
 
     scored = df.mapInPandas(score, out_schema)
-    asc = metric == "euclidean"
+    asc = METRICS.get(metric) == "min"
     order = [
         F.col("score").asc() if asc else F.col("score").desc(),
         F.col(id_col).asc(),
@@ -261,7 +261,7 @@ def lsh_search(
         "score",
         score_expr(vec_col, qlit, metric, inv_norm_col=inv_norm, q_inv_norm=inv_norm_of(q)),
     )
-    asc = metric == "euclidean"
+    asc = METRICS.get(metric) == "min"
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
     return scored.orderBy(*order).limit(k).select(id_col, "score", "lsh_bucket")
 
@@ -322,7 +322,14 @@ def ivf_assign(
     codegen fold over the k cells), so appends never touch MLlib or
     the existing corpus. Union the result onto the built index; the
     nprobe search path is unchanged. Retrain when cell-size drift
-    degrades recall (monitor with the drift lane)."""
+    degrades recall (monitor with the drift lane).
+
+    Assignment is the exact argmin of squared distance; MLlib's own
+    predict path computes distances with a norm-based shortcut, so a
+    vector floating-point-NEAR-equidistant to two centroids could in
+    principle land differently — irrelevant for recall (either cell is
+    equally good) and unobserved on real data, but don't build logic
+    on bit-identical parity with MLlib at ties."""
     def d2(c: np.ndarray):
         clit = F.array(*[F.lit(float(x)) for x in c])
         return F.aggregate(
@@ -372,7 +379,7 @@ def ivf_search(
     scored = cand.withColumn(
         "score", score_expr(vec_col, qlit, metric, q_inv_norm=inv_norm_of(q))
     )
-    asc = metric == "euclidean"
+    asc = METRICS.get(metric) == "min"
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
     return scored.orderBy(*order).limit(k).select(id_col, "score", "ivf_cell")
 
@@ -421,7 +428,7 @@ def ivf_search_batch(
             inv_norm_col=inv, q_inv_norm=F.col("q_inv_norm"),
         ),
     )
-    asc = metric == "euclidean"
+    asc = METRICS.get(metric) == "min"
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()
     )

@@ -3525,6 +3525,16 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded(lsh_search(indexed, Q7, planes, k=10, multiprobe=3))
 
 
+def _lsh_bits_sql(planes, vec_expr: str) -> str:
+    """The DuckDB twin of ``lsh_bucket_expr`` (bit p = sign of the
+    plane-p projection) — ONE generator shared by every LSH oracle so
+    a plane/seed/sign change cannot drift between them."""
+    return " + ".join(
+        f"(CASE WHEN list_inner_product({vec_expr}, {_sql_vec(list(map(float, plane)))}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+
+
 def _lsh_oracle_sql() -> str:
     import numpy as np
 
@@ -3532,10 +3542,7 @@ def _lsh_oracle_sql() -> str:
 
     planes = hyperplanes(64, n_planes=4, seed=42)
     buckets = _query_buckets(np.asarray(Q7, dtype=np.float64), planes, multiprobe=3)
-    bits = " + ".join(
-        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {_sql_vec(list(map(float, plane)))}) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p, plane in enumerate(planes)
-    )
+    bits = _lsh_bits_sql(planes, "embedding::DOUBLE[]")
     return f"""
 WITH indexed AS (
   SELECT vec_id, embedding, {bits} AS lsh_bucket FROM embeddings),
@@ -3595,10 +3602,7 @@ def _eval_ann_recall_sql() -> str:
     from .operators.similarity import _query_buckets, hyperplanes
 
     planes = hyperplanes(64, n_planes=4, seed=42)
-    bits = " + ".join(
-        f"(CASE WHEN list_inner_product(v, {_sql_vec(list(map(float, plane)))}) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p, plane in enumerate(planes)
-    )
+    bits = _lsh_bits_sql(planes, "v")
     lanes = []
     for qid, q in enumerate([Q7, Q11, Q13]):
         buckets = _query_buckets(

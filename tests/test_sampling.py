@@ -140,6 +140,19 @@ def test_cap_per_group_null_group_key(spark):
     assert got == {None: 3, "g": 3}
 
 
+def test_cap_per_group_null_selection_key_not_dropped(spark):
+    """A NULL key_col hashes to 0 and ranks first (reservoir's
+    NULLS-FIRST analog) instead of being silently dropped by the
+    prefilter."""
+    from otters_spark.operators.sampling import cap_per_group
+
+    rows = [(None, "g")] + [(str(i), "g") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string")
+    kept = cap_per_group(df, ["grp"], 3, key_col="doc_id").collect()
+    assert len(kept) == 3
+    assert any(r["doc_id"] is None for r in kept)
+
+
 def test_cap_per_group_small_groups_pass_through(spark):
     from otters_spark.operators.sampling import cap_per_group
 
