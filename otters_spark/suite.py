@@ -2078,6 +2078,37 @@ FROM ranked WHERE r <= 10 GROUP BY source ORDER BY source
 """
 
 
+def pipeline_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus profile — the `describe()` of a document
+    corpus: doc/token counts, language/source cardinalities, exact-dup
+    count (docs minus distinct content hashes) and the exact median
+    length. ONE aggregate over one scan (the distincts expand
+    map-side); the first number a curation run prints and the baseline
+    every later gate is judged against."""
+    from .functions.text import tokens_expr
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_expr("text"))).alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dup_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("median_chars"),
+    )
+
+
+PIPELINE_CORPUS_PROFILE_SQL = """
+SELECT count(*) AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup_docs,
+       round(median(n_chars), 6) AS median_chars
+FROM documents
+"""
+
+
 def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE modern curation pipeline in ONE oracle-checked
     declarative plan: inject synthetic PII (both engines) -> scrub it
@@ -4848,9 +4879,11 @@ FROM pl GROUP BY l_orderkey ORDER BY l_orderkey
 """
 
 
-def _scd2_merged_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scd2_merged_dim(
+    spark: SparkSession, sf_dir: str, change_date: str = "2024-06-01"
+) -> DataFrame:
     """Shared fixture for the SCD2 rows: customer dimension + the
-    synthetic change batch, merged at 2024-06-01 (see
+    synthetic change batch, merged at ``change_date`` (see
     rel_scd2_merge's docstring for the batch construction)."""
     from .sources.merge import scd2_merge
 
@@ -4872,7 +4905,7 @@ def _scd2_merged_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return scd2_merge(dim, upd, ["c_custkey"], ["c_mktsegment"], "2024-06-01")
+    return scd2_merge(dim, upd, ["c_custkey"], ["c_mktsegment"], change_date)
 
 
 def rel_scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4931,7 +4964,11 @@ def rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCD2_BASE_SQL = """
+def _scd2_base_sql(change_date: str = "2024-06-01") -> str:
+    return _SCD2_BASE_SQL_TEMPLATE.replace("{CHANGE}", change_date)
+
+
+_SCD2_BASE_SQL_TEMPLATE = """
 WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg,
                     DATE '2024-01-01' AS vf, CAST(NULL AS DATE) AS vt
              FROM customer),
@@ -4949,21 +4986,21 @@ out AS (
   SELECT ck AS k, cseg AS seg, cvf AS vf, CAST(NULL AS DATE) AS vt FROM j
   WHERE ck IS NOT NULL AND (uk IS NULL OR useg IS NOT DISTINCT FROM cseg)
   UNION ALL
-  SELECT ck, cseg, cvf, DATE '2024-06-01' FROM j
+  SELECT ck, cseg, cvf, DATE '{CHANGE}' FROM j
   WHERE ck IS NOT NULL AND uk IS NOT NULL AND useg IS DISTINCT FROM cseg
   UNION ALL
-  SELECT uk, useg, DATE '2024-06-01', NULL FROM j
+  SELECT uk, useg, DATE '{CHANGE}', NULL FROM j
   WHERE uk IS NOT NULL AND (ck IS NULL OR useg IS DISTINCT FROM cseg))
 """
 
-REL_SCD2_MERGE_SQL = _SCD2_BASE_SQL + """
+REL_SCD2_MERGE_SQL = _scd2_base_sql() + """
 SELECT seg AS c_mktsegment,
        CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS is_current,
        count(*) AS n_rows, sum(k)::BIGINT AS key_sum
 FROM out GROUP BY 1, 2 ORDER BY 1, 2
 """
 
-REL_SCD2_TIME_TRAVEL_SQL = _SCD2_BASE_SQL + """
+REL_SCD2_TIME_TRAVEL_SQL = _scd2_base_sql() + """
 , snap AS (
   SELECT 'pre' AS snap, seg, k FROM out
   WHERE vf <= DATE '2024-03-01' AND (vt IS NULL OR vt > DATE '2024-03-01')
@@ -4972,6 +5009,52 @@ REL_SCD2_TIME_TRAVEL_SQL = _SCD2_BASE_SQL + """
   WHERE vf <= DATE '2024-06-01' AND (vt IS NULL OR vt > DATE '2024-06-01'))
 SELECT snap, seg AS c_mktsegment, count(*) AS n_rows, sum(k)::BIGINT AS key_sum
 FROM snap GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-correct dimension lookup: every event joined to the
+    SCD2 customer version that was valid AT THE EVENT'S TIMESTAMP
+    (half-open [valid_from, valid_to)) — the lakehouse pattern that
+    keeps historical facts attributed to historical attributes. The
+    change batch lands mid-event-window (2024-01-15), so changed users
+    genuinely split across versions. The dimension broadcasts (the
+    100 TB shape: facts never shuffle for a dimension lookup); the
+    validity predicate rides the join."""
+    merged = _scd2_merged_dim(spark, sf_dir, change_date="2024-01-15")
+    d = merged.select(
+        F.col("c_custkey").alias("k"),
+        "c_mktsegment",
+        F.col("valid_from").cast("timestamp").alias("vf_ts"),
+        F.col("valid_to").cast("timestamp").alias("vt_ts"),
+    )
+    ev = load_events(spark, sf_dir)
+    j = ev.join(
+        F.broadcast(d),
+        (ev["user_id"] == d["k"])
+        & (ev["ts"] >= d["vf_ts"])
+        & (d["vt_ts"].isNull() | (ev["ts"] < d["vt_ts"])),
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+EVENTS_SCD2_LOOKUP_SQL = _scd2_base_sql("2024-01-15") + """
+, lk AS (
+  SELECT o.seg, e.value
+  FROM events e JOIN out o
+    ON e.user_id = o.k
+   AND e.ts >= o.vf::TIMESTAMP
+   AND (o.vt IS NULL OR e.ts < o.vt::TIMESTAMP))
+SELECT seg AS c_mktsegment, count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM lk GROUP BY 1 ORDER BY 1
 """
 
 
@@ -5640,6 +5723,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_fuzzy_filter": rel_fuzzy_filter,
     "rel_map_functions": rel_map_functions,
     "text_keywords_topk": text_keywords_topk,
+    "events_scd2_lookup": events_scd2_lookup,
+    "pipeline_corpus_profile": pipeline_corpus_profile,
     # Session-9 demotions (r1+r2 green history; rationale at the
     # session-9 rotation comment near the head of this dict):
     "vs_dot_topk": vs_dot_topk,
@@ -5763,6 +5848,8 @@ ORACLE_SQL: dict[str, str] = {
     "rel_fuzzy_filter": REL_FUZZY_FILTER_SQL,
     "rel_map_functions": REL_MAP_FUNCTIONS_SQL,
     "text_keywords_topk": TEXT_KEYWORDS_TOPK_SQL,
+    "events_scd2_lookup": EVENTS_SCD2_LOOKUP_SQL,
+    "pipeline_corpus_profile": PIPELINE_CORPUS_PROFILE_SQL,
     "dedup_frequent_segments": DEDUP_FREQUENT_SEGMENTS_SQL,
     "link_fuzzy_best_match": LINK_FUZZY_BEST_MATCH_SQL,
     "sketch_kmv_distinct": SKETCH_KMV_DISTINCT_SQL,
