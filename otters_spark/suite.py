@@ -5619,7 +5619,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pipeline_domain_cap (bounded per-domain capping),
     # vs_hamming_topk + vs_jaccard_topk (the roadmap metric line's
     # completion), rel_fuzzy_filter (DSL fuzzy matching),
-    # rel_map_functions, text_keywords_topk — then rel_snapshot_diff,
+    # rel_map_functions, text_keywords_topk, events_scd2_lookup
+    # (event-time dimension versions), pipeline_corpus_profile —
+    # then rel_snapshot_diff,
     # events_windowed_quantiles, events_sliding_window,
     # rel_setop_bag, rel_lateral_posexplode, pipeline_epoch_mix, then
     # the session-5/6 backlog — text_bigram_logprob,
