@@ -97,6 +97,45 @@ def test_scd2_as_of_time_travel(spark, dim):
                .filter("count > 1").collect()) == 0
 
 
+def test_event_time_lookup_half_open_boundary(spark, dim):
+    """The suite's events_scd2_lookup join predicate pinned on crafted
+    rows: an event exactly AT the change-date midnight attributes to
+    the NEW version (half-open [valid_from, valid_to)), a microsecond
+    earlier to the old one."""
+    from datetime import datetime
+
+    upd = spark.createDataFrame([(1, "platinum")], "k long, seg string")
+    merged = scd2_merge(dim, upd, ["k"], ["seg"], date(2024, 6, 1))
+    d = merged.select(
+        "k",
+        "seg",
+        F.col("valid_from").cast("timestamp").alias("vf_ts"),
+        F.col("valid_to").cast("timestamp").alias("vt_ts"),
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 6, 1, 0, 0, 0)),          # at the boundary
+            (1, datetime(2024, 5, 31, 23, 59, 59, 999999)),  # just before
+            (2, datetime(2024, 5, 31, 23, 59, 59, 999999)),  # unchanged key
+        ],
+        "user_id long, ts timestamp",
+    ).withColumnRenamed("user_id", "u")
+    got = {
+        (r["u"], r["ts"].microsecond): r["seg"]
+        for r in ev.join(
+            d,
+            (F.col("u") == F.col("k"))
+            & (F.col("ts") >= F.col("vf_ts"))
+            & (F.col("vt_ts").isNull() | (F.col("ts") < F.col("vt_ts"))),
+        ).collect()
+    }
+    assert got[(1, 0)] == "platinum"  # boundary event sees the new version
+    assert got[(1, 999999)] == "gold"  # a microsecond earlier: the old one
+    assert got[(2, 999999)] == "silver"
+    # every event resolved to exactly one version
+    assert len(got) == 3
+
+
 def test_snapshot_diff_change_types(spark):
     from otters_spark.sources.merge import snapshot_diff
 
