@@ -42,6 +42,19 @@ QUERIES = [
     "vs_manhattan_topk",
 ]
 
+# events-lane probe: the third table family. Replication shifts each
+# copy by a whole number of days (event ids and users re-keyed), so
+# windows/sessions/joins get MORE independent work, not denser
+# overlap — the shape real traffic growth takes.
+EVENTS_QUERIES = [
+    "events_sessionization",
+    "events_asof_attribution",
+    "events_funnel_conversion",
+    "events_anomaly_mad",
+    "events_drift_window",
+    "events_scd2_lookup",
+]
+
 
 def main() -> int:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
@@ -85,7 +98,32 @@ def main() -> int:
         bige = rep if bige is None else bige.unionByName(rep)
     bige.write.parquet(f"{tmp}/embeddings.parquet")
 
-    for q in QUERIES:
+    # events replicate day-shifted (same users, same dimension): the
+    # per-user history grows replicas-fold across disjoint days — the
+    # shape of real traffic growth. customer links in unchanged for
+    # the SCD2 lookup.
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    ts_is_long = dict(ev.dtypes).get("ts") == "bigint"
+    bige_v = None
+    for k in range(replicas):
+        shift = (
+            (F.col("ts") + F.lit(k * 86_400_000_000_000))
+            if ts_is_long
+            else F.col("ts") + F.expr(f"INTERVAL {k} DAYS")
+        )
+        rep = ev.select(
+            (F.col("event_id") + k * 10_000_000).alias("event_id"),
+            shift.alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        bige_v = rep if bige_v is None else bige_v.unionByName(rep)
+    bige_v.write.parquet(f"{tmp}/events.parquet")
+    os.symlink(f"{base_dir}/customer.parquet", f"{tmp}/customer.parquet")
+
+    for q in QUERIES + EVENTS_QUERIES:
         t = time.time()
         r1 = suite.QUERIES[q](spark, base_dir).count()
         t1 = time.time() - t
