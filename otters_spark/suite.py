@@ -3678,6 +3678,62 @@ ORDER BY pt.query_id
 EVAL_ANN_RECALL_SQL = _eval_ann_recall_sql()
 
 
+def eval_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level recall of the production dedup path: MinHash-banded
+    + exact-verified pairs vs the exact all-pairs Jaccard ground truth
+    at the same threshold and blocking. Verification makes precision
+    1.0 by construction, so recall is THE number that decides whether
+    the banding parameters (2 bands x 8 rows here) are safe to ship —
+    and the answer at sf0.1 is instructive: ~0.59, because 2x8's
+    estimated threshold (~0.92) sits far above the 0.8 verify gate,
+    so boundary pairs are missed while near-identical ones are all
+    caught (the LSH S-curve behaving exactly as theory says). An
+    offline tuning metric, the heaviest eval row by design: it runs
+    both pair pipelines once each.
+    The three pair-set aggregates crossJoin into one row; the two pair
+    pipelines are localCheckpoint-pinned so the count and the overlap
+    join don't re-execute them (Catalyst does not dedup subtrees)."""
+    truth = (
+        dedup_jaccard_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        dedup_minhash_banded_verified(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    hit = cand.join(truth, ["id_a", "id_b"])
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_caught")))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_caught",
+            F.round(F.col("n_caught") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )
+
+
+def _eval_banding_recall_sql() -> str:
+    return f"""
+WITH truth AS (SELECT id_a, id_b FROM ({DEDUP_JACCARD_PAIRS_SQL}) t),
+cand AS (SELECT id_a, id_b FROM ({DEDUP_MINHASH_BANDED_VERIFIED_SQL}) c),
+hit AS (SELECT c.id_a FROM cand c JOIN truth t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+       (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM hit)::BIGINT AS n_caught,
+       round((SELECT count(*) FROM hit)::DOUBLE
+             / (SELECT count(*) FROM truth), 6) AS recall
+"""
+
+
+EVAL_BANDING_RECALL_SQL = _eval_banding_recall_sql()
+
+
 def sim_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar int8 quantization of the embedding store (symmetric
     per-vector scale = max|x|/127, code = floor(x/scale + 0.5)) and its
@@ -5727,6 +5783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_keywords_topk": text_keywords_topk,
     "events_scd2_lookup": events_scd2_lookup,
     "pipeline_corpus_profile": pipeline_corpus_profile,
+    "eval_banding_recall": eval_banding_recall,
     # Session-9 demotions (r1+r2 green history; rationale at the
     # session-9 rotation comment near the head of this dict):
     "vs_dot_topk": vs_dot_topk,
@@ -5852,6 +5909,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_keywords_topk": TEXT_KEYWORDS_TOPK_SQL,
     "events_scd2_lookup": EVENTS_SCD2_LOOKUP_SQL,
     "pipeline_corpus_profile": PIPELINE_CORPUS_PROFILE_SQL,
+    "eval_banding_recall": EVAL_BANDING_RECALL_SQL,
     "dedup_frequent_segments": DEDUP_FREQUENT_SEGMENTS_SQL,
     "link_fuzzy_best_match": LINK_FUZZY_BEST_MATCH_SQL,
     "sketch_kmv_distinct": SKETCH_KMV_DISTINCT_SQL,
