@@ -52,6 +52,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_pairs",
     "minhash_lsh_candidates",
+    "banding_threshold",
     "simhash_table",
     "simhash_pairs",
     "simhash_banded_pairs",
@@ -681,6 +682,22 @@ def _banded_signatures(
             )
         ).alias("band_id", "band_hash"),
     )
+
+
+def banding_threshold(bands: int, rows_per_band: int) -> float:
+    """The Jaccard similarity at which a pair's probability of sharing
+    at least one band bucket crosses ~50%: ``(1/b)^(1/r)`` (Leskovec
+    et al., Mining of Massive Datasets ch. 3). The S-curve is steep
+    around this value — pairs well above it are almost surely caught,
+    pairs below almost surely missed — so pick (b, r) with threshold
+    AT OR BELOW the verify gate, and measure the result with the
+    suite's ``eval_banding_recall``. E.g. 2 bands x 8 rows -> 0.917
+    (misses 0.8-threshold boundary pairs, recall ~0.59 at sf0.1);
+    8 bands x 2 rows -> 0.354 (high recall, more candidates to
+    verify)."""
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError("bands and rows_per_band must be >= 1")
+    return (1.0 / bands) ** (1.0 / rows_per_band)
 
 
 def minhash_lsh_candidates(

@@ -644,3 +644,19 @@ def test_remove_repeated_windows_partition_invariant(spark, sf_dir):
     a = remove_repeated_windows(docs, width=2)
     b = remove_repeated_windows(docs.repartition(7), width=2)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_banding_threshold_formula():
+    import math
+
+    import pytest as _pytest
+
+    from otters_spark.operators.dedup import banding_threshold
+
+    assert banding_threshold(1, 1) == 1.0
+    assert banding_threshold(2, 8) == _pytest.approx(0.5 ** 0.125)
+    assert banding_threshold(8, 2) == _pytest.approx(math.sqrt(1 / 8))
+    # more bands / shorter bands -> lower threshold (higher recall)
+    assert banding_threshold(8, 2) < banding_threshold(4, 4) < banding_threshold(2, 8)
+    with _pytest.raises(ValueError):
+        banding_threshold(0, 4)
