@@ -2082,20 +2082,27 @@ def pipeline_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass corpus profile — the `describe()` of a document
     corpus: doc/token counts, language/source cardinalities, exact-dup
     count (docs minus distinct content hashes) and the exact median
-    length. ONE aggregate over one scan (the distincts expand
-    map-side); the first number a curation run prints and the baseline
-    every later gate is judged against."""
+    length. The counts are ONE aggregate over one scan (the distincts
+    expand map-side); the median comes from the two-phase binned
+    percentile path — `F.percentile` in a global aggregate would
+    buffer the whole corpus's lengths in ONE task, the exact
+    anti-pattern the binned formulation exists to avoid — and
+    crossJoins back as a one-row broadcast."""
     from .functions.text import tokens_expr
+    from .operators.stats import group_percentiles
 
     docs = load(spark, sf_dir, "documents")
-    return docs.agg(
+    counts = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens_expr("text"))).alias("n_tokens"),
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("source").alias("n_sources"),
         (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dup_docs"),
-        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("median_chars"),
     )
+    med = group_percentiles(docs, [], {"n_chars": [0.5]}, round_to=None).select(
+        F.round("p50_n_chars", 6).alias("median_chars")
+    )
+    return counts.crossJoin(F.broadcast(med))
 
 
 PIPELINE_CORPUS_PROFILE_SQL = """
