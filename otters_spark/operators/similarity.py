@@ -36,6 +36,7 @@ __all__ = [
     "lsh_bucket_expr",
     "lsh_index",
     "lsh_search",
+    "lsh_search_batch",
     "ivf_build",
     "ivf_assign",
     "ivf_search",
@@ -264,6 +265,60 @@ def lsh_search(
     asc = METRICS.get(metric) == "min"
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
     return scored.orderBy(*order).limit(k).select(id_col, "score", "lsh_bucket")
+
+
+def lsh_search_batch(
+    indexed: DataFrame,
+    queries: Iterable[Sequence[float]],
+    planes: np.ndarray,
+    k: int,
+    metric: str = "cosine",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: int = 3,
+) -> DataFrame:
+    """N queries through the LSH index in ONE job (the batch twin of
+    :func:`lsh_search`, same shape as :func:`ivf_search_batch`):
+    per-query probe buckets computed driver-side against the literal
+    planes, broadcast (query_id, bucket) probe table + query batch,
+    exact re-score, per-query bounded top-k window. On a store saved
+    partitioned by bucket, the `lsh_bucket IN (...)` filter over the
+    union of all probed buckets still prunes partitions."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import score_expr
+
+    qlist = [list(map(float, q)) for q in queries]
+    spark = indexed.sparkSession
+    qd = queries_df(spark, qlist)
+    probe = []
+    for qid, q in enumerate(qlist):
+        for b in _query_buckets(np.asarray(q, dtype=np.float64), planes, multiprobe):
+            probe.append((qid, int(b)))
+    probe_df = spark.createDataFrame(probe, "query_id int, lsh_bucket long")
+    all_buckets = sorted({b for _, b in probe})
+    inv = F.col(INV_NORM_COL) if INV_NORM_COL in indexed.columns else None
+    cand = (
+        indexed.filter(F.col("lsh_bucket").isin(all_buckets))
+        .join(F.broadcast(probe_df), "lsh_bucket")
+        .join(F.broadcast(qd), "query_id")
+    )
+    scored = cand.withColumn(
+        "score",
+        score_expr(
+            vec_col, F.col("qvec"), metric,
+            inv_norm_col=inv, q_inv_norm=F.col("q_inv_norm"),
+        ),
+    )
+    asc = METRICS.get(metric) == "min"
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", id_col, "score", "lsh_bucket")
+    )
 
 
 def ivf_save(assigned: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -112,6 +112,25 @@ def test_ivf_search_batch_matches_sequential(emb):
         assert by_q[qid] == seq, f"query {qid} diverged"
 
 
+def test_lsh_search_batch_matches_sequential(emb):
+    from otters_spark.operators.similarity import lsh_search_batch
+
+    planes = hyperplanes(64, n_planes=4, seed=42)
+    indexed = lsh_index(emb, planes)
+    batch = lsh_search_batch(indexed, [Q7, Q11], planes, k=5, multiprobe=3)
+    by_q = {}
+    for r in sorted(
+        batch.collect(), key=lambda r: (r["query_id"], -r["score"], r["vec_id"])
+    ):
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], round(r["score"], 9)))
+    for qid, q in enumerate([Q7, Q11]):
+        seq = [
+            (r["vec_id"], round(r["score"], 9))
+            for r in lsh_search(indexed, q, planes, k=5, multiprobe=3).collect()
+        ]
+        assert by_q[qid] == seq, f"query {qid} diverged"
+
+
 def test_lsh_bucket_is_deterministic(emb):
     planes = hyperplanes(64, n_planes=8, seed=42)
     a = lsh_index(emb, planes).select("vec_id", "lsh_bucket").orderBy("vec_id").collect()
