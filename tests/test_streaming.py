@@ -56,3 +56,45 @@ def test_streaming_sessionize_runs(spark, sf_dir):
     got = spark.table("t_sess").count()
     want = sessionize(load_events(spark, sf_dir), gap="30 minutes").count()
     assert got == want
+
+
+def test_windowed_agg_update_mode_converges(spark, sf_dir):
+    """Update-mode emissions: a key may be emitted several times as
+    late data refines its window, but the LAST emission per
+    (bucket, event_type) must equal the batch answer — the contract a
+    downstream upsert sink (foreachBatch merge) relies on."""
+    from otters_spark.streaming.events import stream_events, windowed_agg
+
+    agg = windowed_agg(
+        stream_events(spark, sf_dir), window="6 hours", watermark="1 hour"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_update")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import pandas as pd
+
+    emitted = spark.table("t_update").toPandas()
+    assert len(emitted) > 0
+    # last emission per key wins (emissions arrive in batch order; one
+    # file source batch here, but keep the groupby-last form the
+    # upsert sink would use)
+    last = emitted.groupby(["bucket_start", "event_type"]).tail(1)
+    want = (
+        windowed_agg(__import__("otters_spark").suite.load_events(spark, sf_dir),
+                     window="6 hours")
+        .toPandas()
+    )
+    key = ["bucket_start", "event_type"]
+    merged = last.sort_values(key).reset_index(drop=True).merge(
+        want.sort_values(key).reset_index(drop=True), on=key, suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(want)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (abs(merged["sum_value_s"] - merged["sum_value_b"]) < 1e-6).all()
