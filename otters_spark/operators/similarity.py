@@ -289,6 +289,8 @@ def lsh_search_batch(
     from ..functions.vector import score_expr
 
     qlist = [list(map(float, q)) for q in queries]
+    if not qlist or k < 1:
+        raise ValueError("lsh_search_batch needs >= 1 query and k >= 1")
     spark = indexed.sparkSession
     qd = queries_df(spark, qlist)
     probe = []
@@ -462,6 +464,8 @@ def ivf_search_batch(
     from ..functions.vector import score_expr
 
     qlist = [list(map(float, q)) for q in queries]
+    if not qlist or k < 1:
+        raise ValueError("ivf_search_batch needs >= 1 query and k >= 1")
     spark = assigned.sparkSession
     qd = queries_df(spark, qlist)
     probe = []
