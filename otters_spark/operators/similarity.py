@@ -267,6 +267,59 @@ def lsh_search(
     return scored.orderBy(*order).limit(k).select(id_col, "score", "lsh_bucket")
 
 
+def _search_batch(
+    df: DataFrame,
+    probe: list,
+    partition_col: str,
+    part_type: str,
+    qlist: list,
+    k: int,
+    metric: str,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared body of the batch search paths: broadcast the
+    (query_id, partition-key) probe table + query batch onto the
+    pruned index, exact re-score, per-query bounded top-k window.
+    One helper on purpose — the repo already paid once for keeping
+    four copies of this ordering logic in sync (the hardcoded
+    euclidean-direction bug)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import score_expr
+
+    if not qlist or k < 1:
+        raise ValueError("batch search needs >= 1 query and k >= 1")
+    spark = df.sparkSession
+    qd = queries_df(spark, qlist)
+    probe_df = spark.createDataFrame(
+        probe, f"query_id int, {partition_col} {part_type}"
+    )
+    all_keys = sorted({key for _, key in probe})
+    inv = F.col(INV_NORM_COL) if INV_NORM_COL in df.columns else None
+    cand = (
+        df.filter(F.col(partition_col).isin(all_keys))
+        .join(F.broadcast(probe_df), partition_col)
+        .join(F.broadcast(qd), "query_id")
+    )
+    scored = cand.withColumn(
+        "score",
+        score_expr(
+            vec_col, F.col("qvec"), metric,
+            inv_norm_col=inv, q_inv_norm=F.col("q_inv_norm"),
+        ),
+    )
+    asc = METRICS.get(metric) == "min"
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", id_col, "score", partition_col)
+    )
+
+
 def lsh_search_batch(
     indexed: DataFrame,
     queries: Iterable[Sequence[float]],
@@ -284,42 +337,13 @@ def lsh_search_batch(
     exact re-score, per-query bounded top-k window. On a store saved
     partitioned by bucket, the `lsh_bucket IN (...)` filter over the
     union of all probed buckets still prunes partitions."""
-    from pyspark.sql.window import Window
-
-    from ..functions.vector import score_expr
-
     qlist = [list(map(float, q)) for q in queries]
-    if not qlist or k < 1:
-        raise ValueError("lsh_search_batch needs >= 1 query and k >= 1")
-    spark = indexed.sparkSession
-    qd = queries_df(spark, qlist)
     probe = []
     for qid, q in enumerate(qlist):
         for b in _query_buckets(np.asarray(q, dtype=np.float64), planes, multiprobe):
             probe.append((qid, int(b)))
-    probe_df = spark.createDataFrame(probe, "query_id int, lsh_bucket long")
-    all_buckets = sorted({b for _, b in probe})
-    inv = F.col(INV_NORM_COL) if INV_NORM_COL in indexed.columns else None
-    cand = (
-        indexed.filter(F.col("lsh_bucket").isin(all_buckets))
-        .join(F.broadcast(probe_df), "lsh_bucket")
-        .join(F.broadcast(qd), "query_id")
-    )
-    scored = cand.withColumn(
-        "score",
-        score_expr(
-            vec_col, F.col("qvec"), metric,
-            inv_norm_col=inv, q_inv_norm=F.col("q_inv_norm"),
-        ),
-    )
-    asc = METRICS.get(metric) == "min"
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select("query_id", id_col, "score", "lsh_bucket")
+    return _search_batch(
+        indexed, probe, "lsh_bucket", "long", qlist, k, metric, vec_col, id_col
     )
 
 
@@ -459,42 +483,13 @@ def ivf_search_batch(
     (query_id, cell) probe table and the query batch broadcast; the
     per-query top-k window partitions over one query's candidates
     (bounded by its nprobe cells), never the corpus."""
-    from pyspark.sql.window import Window
-
-    from ..functions.vector import score_expr
-
     qlist = [list(map(float, q)) for q in queries]
-    if not qlist or k < 1:
-        raise ValueError("ivf_search_batch needs >= 1 query and k >= 1")
-    spark = assigned.sparkSession
-    qd = queries_df(spark, qlist)
     probe = []
     for qid, q in enumerate(qlist):
         d2 = ((centroids - np.asarray(q)[None, :]) ** 2).sum(1)
         probe += [(qid, int(c)) for c in np.argsort(d2)[:nprobe]]
-    probe_df = spark.createDataFrame(probe, "query_id int, ivf_cell int")
-    all_cells = sorted({c for _, c in probe})
-    inv = F.col(INV_NORM_COL) if INV_NORM_COL in assigned.columns else None
-    cand = (
-        assigned.filter(F.col("ivf_cell").isin(all_cells))
-        .join(F.broadcast(probe_df), "ivf_cell")
-        .join(F.broadcast(qd), "query_id")
-    )
-    scored = cand.withColumn(
-        "score",
-        score_expr(
-            vec_col, F.col("qvec"), metric,
-            inv_norm_col=inv, q_inv_norm=F.col("q_inv_norm"),
-        ),
-    )
-    asc = METRICS.get(metric) == "min"
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select("query_id", id_col, "score", "ivf_cell")
+    return _search_batch(
+        assigned, probe, "ivf_cell", "int", qlist, k, metric, vec_col, id_col
     )
 
 

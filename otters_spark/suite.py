@@ -3725,9 +3725,11 @@ def eval_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _eval_banding_recall_sql() -> str:
+    truth_sql = DEDUP_JACCARD_PAIRS_SQL.replace("ORDER BY 1, 2", "")
+    cand_sql = DEDUP_MINHASH_BANDED_VERIFIED_SQL.replace("ORDER BY 1, 2", "")
     return f"""
-WITH truth AS (SELECT id_a, id_b FROM ({DEDUP_JACCARD_PAIRS_SQL}) t),
-cand AS (SELECT id_a, id_b FROM ({DEDUP_MINHASH_BANDED_VERIFIED_SQL}) c),
+WITH truth AS (SELECT id_a, id_b FROM ({truth_sql}) t),
+cand AS (SELECT id_a, id_b FROM ({cand_sql}) c),
 hit AS (SELECT c.id_a FROM cand c JOIN truth t
         ON c.id_a = t.id_a AND c.id_b = t.id_b)
 SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,

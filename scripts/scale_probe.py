@@ -43,9 +43,10 @@ QUERIES = [
 ]
 
 # events-lane probe: the third table family. Replication shifts each
-# copy by a whole number of days (event ids and users re-keyed), so
-# windows/sessions/joins get MORE independent work, not denser
-# overlap — the shape real traffic growth takes.
+# copy by a whole number of days with event ids re-keyed but the SAME
+# user_ids — per-user history grows replicas-fold across disjoint
+# days (the shape real traffic growth takes), and the SCD2 lookup
+# keeps joining the unreplicated customer dimension.
 EVENTS_QUERIES = [
     "events_sessionization",
     "events_asof_attribution",
@@ -121,7 +122,10 @@ def main() -> int:
         )
         bige_v = rep if bige_v is None else bige_v.unionByName(rep)
     bige_v.write.parquet(f"{tmp}/events.parquet")
-    os.symlink(f"{base_dir}/customer.parquet", f"{tmp}/customer.parquet")
+    os.symlink(
+        os.path.abspath(f"{base_dir}/customer.parquet"),
+        f"{tmp}/customer.parquet",
+    )
 
     for q in QUERIES + EVENTS_QUERIES:
         t = time.time()

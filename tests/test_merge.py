@@ -120,15 +120,16 @@ def test_event_time_lookup_half_open_boundary(spark, dim):
         ],
         "user_id long, ts timestamp",
     ).withColumnRenamed("user_id", "u")
-    got = {
-        (r["u"], r["ts"].microsecond): r["seg"]
-        for r in ev.join(
-            d,
-            (F.col("u") == F.col("k"))
-            & (F.col("ts") >= F.col("vf_ts"))
-            & (F.col("vt_ts").isNull() | (F.col("ts") < F.col("vt_ts"))),
-        ).collect()
-    }
+    rows = ev.join(
+        d,
+        (F.col("u") == F.col("k"))
+        & (F.col("ts") >= F.col("vf_ts"))
+        & (F.col("vt_ts").isNull() | (F.col("ts") < F.col("vt_ts"))),
+    ).collect()
+    # row count first: a dict would silently swallow an event that
+    # matched two overlapping versions
+    assert len(rows) == 3
+    got = {(r["u"], r["ts"].microsecond): r["seg"] for r in rows}
     assert got[(1, 0)] == "platinum"  # boundary event sees the new version
     assert got[(1, 999999)] == "gold"  # a microsecond earlier: the old one
     assert got[(2, 999999)] == "silver"

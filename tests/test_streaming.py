@@ -78,19 +78,13 @@ def test_windowed_agg_update_mode_converges(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-    import pandas as pd
-
     emitted = spark.table("t_update").toPandas()
     assert len(emitted) > 0
     # last emission per key wins (emissions arrive in batch order; one
     # file source batch here, but keep the groupby-last form the
     # upsert sink would use)
     last = emitted.groupby(["bucket_start", "event_type"]).tail(1)
-    want = (
-        windowed_agg(__import__("otters_spark").suite.load_events(spark, sf_dir),
-                     window="6 hours")
-        .toPandas()
-    )
+    want = windowed_agg(load_events(spark, sf_dir), window="6 hours").toPandas()
     key = ["bucket_start", "event_type"]
     merged = last.sort_values(key).reset_index(drop=True).merge(
         want.sort_values(key).reset_index(drop=True), on=key, suffixes=("_s", "_b")
