@@ -241,3 +241,60 @@ def test_cap_per_group_vs_python(spark, seed):
         for r in cap_per_group(df.repartition(13), ["grp"], n_max).collect()
     )
     assert again == sorted(r["doc_id"] for r in kept)
+
+
+@pytest.mark.parametrize("seed", [101, 102])
+def test_tfidf_keywords_vs_python(spark, seed):
+    from otters_spark.operators.text_analysis import tfidf_keywords
+
+    rows = _corpus(seed, n_docs=40)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score"])
+        for r in tfidf_keywords(df, top_n=2).collect()
+    }
+    n = len(rows)
+    dfreq = Counter()
+    for _, text in rows:
+        for t in set(text.split(" ")):
+            dfreq[t] += 1
+    for i, text in rows:
+        tf = Counter(text.split(" "))
+        scored = sorted(
+            ((t, c * math.log((n + 1.0) / (dfreq[t] + 1.0))) for t, c in tf.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:2]
+        for rank, (t, s) in enumerate(scored, start=1):
+            gt, gs = got[(i, rank)]
+            assert gt == t, (i, rank, gt, t)
+            assert gs == pytest.approx(round(s, 6), abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [111, 112])
+def test_retrieval_metrics_vs_python(spark, seed):
+    from otters_spark.operators.evaluation import retrieval_metrics
+
+    rng = random.Random(seed)
+    rows_a, rows_t = [], []
+    for qid in range(6):
+        ids = rng.sample(range(50), 20)
+        truth = ids[:10]
+        approx = rng.sample(range(50), rng.randint(0, 10))
+        rows_t += [(qid, v, r + 1) for r, v in enumerate(truth)]
+        rows_a += [(qid, v, r + 1) for r, v in enumerate(approx)]
+    a = spark.createDataFrame(rows_a, "query_id int, vec_id int, rank int")
+    t = spark.createDataFrame(rows_t, "query_id int, vec_id int, rank int")
+    got = {r["query_id"]: r for r in retrieval_metrics(a, t).collect()}
+    for qid in range(6):
+        truth = {v for q, v, _ in rows_t if q == qid}
+        approx = [(v, r) for q, v, r in rows_a if q == qid]
+        hits = [(v, r) for v, r in approx if v in truth]
+        r0 = got[qid]
+        assert r0["n_truth"] == len(truth)
+        assert r0["n_hits"] == len(hits)
+        assert r0["recall"] == pytest.approx(round(len(hits) / len(truth), 6))
+        mrr = 1.0 / min((r for _, r in hits), default=math.inf) if hits else 0.0
+        assert r0["mrr"] == pytest.approx(round(mrr, 6))
+        dcg = sum(1.0 / math.log2(r + 1) for _, r in hits)
+        idcg = sum(1.0 / math.log2(r + 1) for r in range(1, len(truth) + 1))
+        assert r0["ndcg"] == pytest.approx(round(dcg / idcg, 6), abs=1e-6)
