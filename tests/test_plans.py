@@ -45,3 +45,21 @@ def test_dim_join_broadcasts(spark, sf_dir):
 def test_no_python_udf_in_vector_scoring(store):
     plan = plan_of(store.query(Q7, "cosine").take(10).df())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """A full ORDER BY without LIMIT is the one sort shape the suite
+    queries never use (they all end in TakeOrderedAndProject or
+    window sorts): it must plan as a range-partitioning exchange +
+    per-partition sort — the distributed total order — and the
+    collected output must actually be sorted."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = orders.orderBy("o_totalprice", "o_orderkey").select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" in plan
+    rows = df.collect()
+    keys = [(r["o_totalprice"], r["o_orderkey"]) for r in rows]
+    assert keys == sorted(keys)
+    assert len(rows) == orders.count()
