@@ -5535,7 +5535,6 @@ FROM probe WHERE hit GROUP BY 1 ORDER BY train_id
 # =====================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "vs_cosine_topk": vs_cosine_topk,
     # Session-9 rotation (sixth this round): six new families promoted
     # for first driver verdicts — Manhattan metric + store mutability
     # (the reference's own roadmap items README.md:207,209), MaxSim
@@ -5612,25 +5611,49 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_within_doc_windows": dedup_within_doc_windows,
     "events_funnel_conversion": events_funnel_conversion,
     "rel_null_semantics": rel_null_semantics,
-    "sim_lsh_topk": sim_lsh_topk,
-    "rel_percentiles": rel_percentiles,
-    "events_asof_attribution": events_asof_attribution,
+    # Session-10 rotation (seventh this round): the nine session-10
+    # families promoted for first driver verdicts — the two
+    # evaluation rows (ANN recall/MRR/nDCG and banded-dedup pair
+    # recall), per-domain capping, the Hamming+Jaccard roadmap
+    # metrics, DSL fuzzy matching, event-time SCD2 lookup, the corpus
+    # profile, and TF-IDF keywords. Demoted, each with r1+r2
+    # driver-green history and family cover that STAYS in the
+    # top-50: vs_cosine_topk (cosine math embedded green in
+    # vs_meta_vec_filter_topk + vs_mutation_topk), sim_lsh_topk
+    # (eval_ann_recall runs the IDENTICAL seeded LSH lane and scores
+    # it), rel_percentiles (binned-percentile machinery inside the
+    # retained events_anomaly_mad and pipeline_corpus_profile),
+    # events_asof_attribution (as-of family via the retained
+    # events_asof_tolerance + events_gap_fill),
+    # events_json_extract (JSON scalar family, two green verdicts),
+    # text_pii_redaction (scrub stage embedded in the retained
+    # pipeline_curate_full), text_bm25_topk (retrieval-scoring family
+    # via text_unigram_logprob + the eval rows),
+    # dedup_char_shingle_pairs (its candidate kernel composes the
+    # retained dedup_edit_distance_verified),
+    # sim_pandas_matmul_topk (Arrow-kernel lane via the retained
+    # multimodal_frame_sample; batch-merge semantics via
+    # vs_batch_global_topk).
+    "eval_ann_recall": eval_ann_recall,
+    "eval_banding_recall": eval_banding_recall,
+    "pipeline_domain_cap": pipeline_domain_cap,
+    "vs_hamming_topk": vs_hamming_topk,
+    "vs_jaccard_topk": vs_jaccard_topk,
+    "rel_fuzzy_filter": rel_fuzzy_filter,
+    "events_scd2_lookup": events_scd2_lookup,
+    "pipeline_corpus_profile": pipeline_corpus_profile,
+    "text_keywords_topk": text_keywords_topk,
     "events_asof_tolerance": events_asof_tolerance,
     "events_gap_fill": events_gap_fill,
-    "events_json_extract": events_json_extract,
-    "text_pii_redaction": text_pii_redaction,
     "pipeline_curate_full": pipeline_curate_full,
     "pipeline_source_mix": pipeline_source_mix,
     "pipeline_token_budget": pipeline_token_budget,
-    "text_bm25_topk": text_bm25_topk,
     "text_unigram_logprob": text_unigram_logprob,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "sim_scalar_quant": sim_scalar_quant,
     "dedup_incremental_ingest": dedup_incremental_ingest,
-    "dedup_char_shingle_pairs": dedup_char_shingle_pairs,
     "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
     "multimodal_frame_sample": multimodal_frame_sample,
-    "sim_pandas_matmul_topk": sim_pandas_matmul_topk,
     "dedup_simhash64_banded": dedup_simhash64_banded,
     "dedup_edit_distance_verified": dedup_edit_distance_verified,
     "pipeline_semantic_decontam": pipeline_semantic_decontam,
@@ -5783,16 +5806,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed_quantiles": events_windowed_quantiles,
     "rel_setop_bag": rel_setop_bag,
     "pipeline_epoch_mix": pipeline_epoch_mix,
-    "eval_ann_recall": eval_ann_recall,
-    "pipeline_domain_cap": pipeline_domain_cap,
-    "vs_hamming_topk": vs_hamming_topk,
-    "vs_jaccard_topk": vs_jaccard_topk,
-    "rel_fuzzy_filter": rel_fuzzy_filter,
     "rel_map_functions": rel_map_functions,
-    "text_keywords_topk": text_keywords_topk,
-    "events_scd2_lookup": events_scd2_lookup,
-    "pipeline_corpus_profile": pipeline_corpus_profile,
-    "eval_banding_recall": eval_banding_recall,
+    # Session-10 demotions (r1+r2 driver-green history; rationale at
+    # the session-10 rotation comment near the head of this dict):
+    "vs_cosine_topk": vs_cosine_topk,
+    "sim_lsh_topk": sim_lsh_topk,
+    "rel_percentiles": rel_percentiles,
+    "events_asof_attribution": events_asof_attribution,
+    "events_json_extract": events_json_extract,
+    "text_pii_redaction": text_pii_redaction,
+    "text_bm25_topk": text_bm25_topk,
+    "dedup_char_shingle_pairs": dedup_char_shingle_pairs,
+    "sim_pandas_matmul_topk": sim_pandas_matmul_topk,
     # Session-9 demotions (r1+r2 green history; rationale at the
     # session-9 rotation comment near the head of this dict):
     "vs_dot_topk": vs_dot_topk,
