@@ -4167,6 +4167,43 @@ FROM d GROUP BY 1 ORDER BY 1
 """
 
 
+def events_windowed_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-per-window: top-2 event types per 12-hour window by
+    count (ties broken by type name) — the window-of-windows
+    composition (tumbling agg, then a rank window PARTITIONED BY the
+    time bucket) no other row exercises. The rank partitions hold one
+    bucket's type counts (≤ |event types| rows) — bounded regardless
+    of traffic volume."""
+    from .streaming.events import windowed_agg
+
+    ev = load_events(spark, sf_dir)
+    counts = windowed_agg(ev, window="12 hours")
+    w = Window.partitionBy("bucket_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("bucket_start", "rank", "event_type", "n_events")
+        .orderBy("bucket_start", "rank")
+    )
+
+
+EVENTS_WINDOWED_TOPN_SQL = """
+WITH b AS (
+  SELECT (epoch_ms(ts) // 43200000) * 43200 AS bucket_start,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT bucket_start, event_type, n_events,
+         row_number() OVER (PARTITION BY bucket_start
+                            ORDER BY n_events DESC, event_type)::INTEGER AS rank
+  FROM b)
+SELECT bucket_start, rank, event_type, n_events
+FROM r WHERE rank <= 2 ORDER BY bucket_start, rank
+"""
+
+
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) windows — 2-hour windows every hour, so each
     event contributes to exactly two buckets. Same windowed_agg code
@@ -5807,6 +5844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_setop_bag": rel_setop_bag,
     "pipeline_epoch_mix": pipeline_epoch_mix,
     "rel_map_functions": rel_map_functions,
+    "events_windowed_topn": events_windowed_topn,
     # Session-10 demotions (r1+r2 driver-green history; rationale at
     # the session-10 rotation comment near the head of this dict):
     "vs_cosine_topk": vs_cosine_topk,
@@ -5944,6 +5982,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_scd2_lookup": EVENTS_SCD2_LOOKUP_SQL,
     "pipeline_corpus_profile": PIPELINE_CORPUS_PROFILE_SQL,
     "eval_banding_recall": EVAL_BANDING_RECALL_SQL,
+    "events_windowed_topn": EVENTS_WINDOWED_TOPN_SQL,
     "dedup_frequent_segments": DEDUP_FREQUENT_SEGMENTS_SQL,
     "link_fuzzy_best_match": LINK_FUZZY_BEST_MATCH_SQL,
     "sketch_kmv_distinct": SKETCH_KMV_DISTINCT_SQL,
