@@ -3448,6 +3448,56 @@ FROM it5 ORDER BY round(r, 6) DESC, id
 """
 
 
+def graph_root_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy resolution by POINTER DOUBLING (operators/graph.py
+    resolve_roots): a synthetic parent-pointer forest over customer
+    keys (parent = key div 10; keys under 10 are self-parented roots,
+    so root(k) = k's leading digit and depth = digits-1) resolved to
+    (root, depth) in ceil(log2(max_depth)) self-joins — the
+    transitive-closure query SQL needs a RECURSIVE CTE for, which is
+    exactly the oracle. Aggregated per root."""
+    from .operators.graph import resolve_roots
+
+    par = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") < 10, F.col("c_custkey"))
+        .otherwise(F.expr("c_custkey div 10"))
+        .alias("parent"),
+    )
+    rr = resolve_roots(par, max_depth=8)
+    return (
+        rr.groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("depth").alias("max_depth"),
+            F.sum("depth").alias("depth_sum"),
+        )
+        .orderBy("root")
+    )
+
+
+GRAPH_ROOT_DEPTH_SQL = """
+WITH RECURSIVE par AS (
+  SELECT c_custkey AS node,
+         CASE WHEN c_custkey < 10 THEN c_custkey
+              ELSE c_custkey // 10 END AS parent
+  FROM customer),
+walk(node, cur, d) AS (
+  SELECT node, node, 0 FROM par
+  UNION ALL
+  SELECT w.node, p.parent, w.d + 1
+  FROM walk w JOIN par p ON p.node = w.cur
+  WHERE p.parent <> w.cur),
+resolved AS (
+  SELECT node, cur AS root, d AS depth,
+         row_number() OVER (PARTITION BY node ORDER BY d DESC) AS rn
+  FROM walk)
+SELECT root, count(*) AS n_nodes,
+       max(depth)::BIGINT AS max_depth, sum(depth)::BIGINT AS depth_sum
+FROM resolved WHERE rn = 1 GROUP BY root ORDER BY root
+"""
+
+
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup detection for media payloads
     (operators/multimodal.py): 32-bit aHash fingerprints (cells
@@ -5845,6 +5895,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_epoch_mix": pipeline_epoch_mix,
     "rel_map_functions": rel_map_functions,
     "events_windowed_topn": events_windowed_topn,
+    "graph_root_depth": graph_root_depth,
     # Session-10 demotions (r1+r2 driver-green history; rationale at
     # the session-10 rotation comment near the head of this dict):
     "vs_cosine_topk": vs_cosine_topk,
@@ -5983,6 +6034,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_corpus_profile": PIPELINE_CORPUS_PROFILE_SQL,
     "eval_banding_recall": EVAL_BANDING_RECALL_SQL,
     "events_windowed_topn": EVENTS_WINDOWED_TOPN_SQL,
+    "graph_root_depth": GRAPH_ROOT_DEPTH_SQL,
     "dedup_frequent_segments": DEDUP_FREQUENT_SEGMENTS_SQL,
     "link_fuzzy_best_match": LINK_FUZZY_BEST_MATCH_SQL,
     "sketch_kmv_distinct": SKETCH_KMV_DISTINCT_SQL,

@@ -70,3 +70,22 @@ def test_pagerank_validation(spark):
         pagerank(df, damping=1.0)
     with pytest.raises(ValueError):
         pagerank(df, n_iter=0)
+
+
+def test_resolve_roots_chain_and_forest(spark):
+    from otters_spark.operators.graph import resolve_roots
+
+    # chain 0<-1<-2<-...<-9 (depth 9) plus a separate 2-node tree
+    rows = [(0, 0)] + [(i, i - 1) for i in range(1, 10)] + [(100, 100), (101, 100)]
+    par = spark.createDataFrame(rows, "node long, parent long")
+    got = {r["node"]: (r["root"], r["depth"])
+           for r in resolve_roots(par, max_depth=16).collect()}
+    for i in range(10):
+        assert got[i] == (0, i)
+    assert got[100] == (100, 0) and got[101] == (100, 1)
+    # max_depth is a bound on rounds, not a truncation: depth 9 chain
+    # resolved with ceil(log2(16)) = 4 doubling joins
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resolve_roots(par, max_depth=0)
