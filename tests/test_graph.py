@@ -89,3 +89,30 @@ def test_resolve_roots_chain_and_forest(spark):
 
     with _pytest.raises(ValueError):
         resolve_roots(par, max_depth=0)
+
+
+import random as _random
+
+
+def test_resolve_roots_vs_python_random_forests(spark):
+    """Random parent-pointer forests vs a driver-side walk."""
+    from otters_spark.operators.graph import resolve_roots
+
+    for seed in (7, 8):
+        rng = _random.Random(seed)
+        n = 200
+        parent = {}
+        for i in range(n):
+            # nodes only point to LOWER ids -> guaranteed acyclic;
+            # ~15% are roots (self-parented)
+            parent[i] = i if (i == 0 or rng.random() < 0.15) else rng.randrange(i)
+        par = spark.createDataFrame(
+            list(parent.items()), "node long, parent long"
+        )
+        got = {r["node"]: (r["root"], r["depth"])
+               for r in resolve_roots(par, max_depth=256).collect()}
+        for i in range(n):
+            cur, d = i, 0
+            while parent[cur] != cur:
+                cur, d = parent[cur], d + 1
+            assert got[i] == (cur, d), (seed, i, got[i], (cur, d))
