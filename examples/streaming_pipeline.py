@@ -26,11 +26,11 @@ from pyspark.sql import functions as F
 
 import otters_spark as ot
 from otters_spark.streaming.events import (
-    _with_ts,
     sessionize,
     stream_events,
     view_purchase_join,
     windowed_agg,
+    with_event_ts,
 )
 
 
@@ -70,14 +70,14 @@ def main() -> int:
 
     # 3. stream-stream attribution: views joined to later purchases
     s = stream_events(spark, sf_dir)
-    sv = _with_ts(s.filter(F.col("event_type") == "view")).withWatermark("ts", "1 hour")
-    sp = _with_ts(s.filter(F.col("event_type") == "purchase")).withWatermark(
+    sv = with_event_ts(s.filter(F.col("event_type") == "view")).withWatermark("ts", "1 hour")
+    sp = with_event_ts(s.filter(F.col("event_type") == "purchase")).withWatermark(
         "ts", "1 hour"
     )
     drain(view_purchase_join(sv, sp, within="10 minutes"), "demo_attr")
     inner = spark.table("demo_attr").count()
-    sv2 = _with_ts(s.filter(F.col("event_type") == "view")).withWatermark("ts", "1 hour")
-    sp2 = _with_ts(s.filter(F.col("event_type") == "purchase")).withWatermark(
+    sv2 = with_event_ts(s.filter(F.col("event_type") == "view")).withWatermark("ts", "1 hour")
+    sp2 = with_event_ts(s.filter(F.col("event_type") == "purchase")).withWatermark(
         "ts", "1 hour"
     )
     drain(
@@ -88,11 +88,25 @@ def main() -> int:
     print(f"attribution: {inner} view->purchase pairs; left-outer keeps "
           f"{total} rows incl. unconverted purchases")
 
-    # 4. checkpointed restart: a windowed agg stopped and resumed from
-    # its checkpoint writes each closed window exactly once
+    # 4. checkpointed restart: half the events land, the query runs
+    # and is STOPPED; the other half lands, the query restarts from
+    # its checkpoint — each closed window is written exactly once
     work = tempfile.mkdtemp(prefix="otters_stream_demo_")
-    agg = windowed_agg(stream_events(spark, sf_dir), "6 hours", watermark="1 hour")
-    for phase in (1, 2):
+    batch = with_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lo, hi = batch.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    halves = [
+        raw.join(batch.filter(F.col("ts") < mid).select("event_id"), "event_id"),
+        raw.join(batch.filter(F.col("ts") >= mid).select("event_id"), "event_id"),
+    ]
+    for phase, half in enumerate(halves, start=1):
+        half.coalesce(1).write.parquet(f"{work}/landing/b{phase}")
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .parquet(f"{work}/landing/b*")
+        )
+        agg = windowed_agg(stream, "6 hours", watermark="1 hour")
         q = (
             agg.writeStream.format("parquet")
             .option("path", f"{work}/sink")

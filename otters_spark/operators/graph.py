@@ -27,6 +27,7 @@ def resolve_roots(
     node_col: str = "node",
     parent_col: str = "parent",
     max_depth: int = 64,
+    validate: bool = True,
 ) -> DataFrame:
     """Root and depth of every node in a parent-pointer forest (org
     charts, category trees, BOM hierarchies, thread reply chains) —
@@ -38,11 +39,21 @@ def resolve_roots(
     ancestor, doubling the distance covered — ``ceil(log2(max_depth))``
     self-joins TOTAL, where the naive walk shuffles once PER LEVEL.
     At web scale (reply chains thousands deep) that is 12 rounds
-    instead of thousands. Roots must be self-parented (parent == node);
+    instead of thousands. Roots are self-parented (parent == node) —
     they carry (anc=self, hops=0), so joining through a root is a
-    fixpoint and depths clamp automatically. Per-round lineage is cut
-    with an eager checkpoint (the PageRank lesson: Catalyst
-    re-analysis, not execution, dominates nested iterative plans).
+    fixpoint and depths clamp automatically. A parent id with NO row
+    of its own is also treated as a root (the common "parent points
+    at a sentinel outside the table" encoding): the rounds LEFT-join,
+    so an unmatched ancestor simply stops the walk there instead of
+    silently dropping the node. Per-round lineage is cut with an
+    eager checkpoint (the PageRank lesson: Catalyst re-analysis, not
+    execution, dominates nested iterative plans).
+
+    ``validate=True`` (default) spends one extra count to assert no
+    node was still mid-walk after the final round — otherwise a chain
+    deeper than ``max_depth`` would silently report a non-root
+    ancestor as its root. Pass ``validate=False`` only when the depth
+    bound is guaranteed upstream.
 
     Returns (node, root, depth).
     """
@@ -65,14 +76,27 @@ def resolve_roots(
             F.col("hops").alias("j_hops"),
         )
         state = (
-            state.join(nxt, state["anc"] == nxt["j_node"])
+            state.join(nxt, state["anc"] == nxt["j_node"], "left")
             .select(
                 "node",
-                F.col("j_anc").alias("anc"),
-                (F.col("hops") + F.col("j_hops")).alias("hops"),
+                F.coalesce(F.col("j_anc"), F.col("anc")).alias("anc"),
+                (F.col("hops") + F.coalesce(F.col("j_hops"), F.lit(0))).alias(
+                    "hops"
+                ),
             )
             .localCheckpoint()  # eager, like PageRank's per-round cut
         )
+    if validate:
+        movers = parents.filter(F.col(parent_col) != F.col(node_col)).select(
+            F.col(node_col).alias("__mover")
+        )
+        n_bad = state.join(movers, state["anc"] == F.col("__mover")).count()
+        if n_bad:
+            raise ValueError(
+                f"resolve_roots: {n_bad} nodes still unresolved after "
+                f"ceil(log2({max_depth})) doubling rounds — the forest is "
+                "deeper than max_depth; raise it"
+            )
     return state.select(
         "node", F.col("anc").alias("root"), F.col("hops").alias("depth")
     )

@@ -18,7 +18,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["EVENTS_SCHEMA", "windowed_agg", "sessionize", "stream_events", "run_windowed_stream"]
+__all__ = [
+    "EVENTS_SCHEMA",
+    "with_event_ts",
+    "windowed_agg",
+    "sessionize",
+    "view_purchase_join",
+    "stream_events",
+    "run_windowed_stream",
+]
 
 #: schema of the events stream as Spark reads it when the parquet
 #: stores TIMESTAMP(NANOS) (read as long nanos under
@@ -38,7 +46,7 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def _with_ts(df: DataFrame) -> DataFrame:
+def with_event_ts(df: DataFrame) -> DataFrame:
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":  # TIMESTAMP(NANOS) read as long nanos
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -47,6 +55,10 @@ def _with_ts(df: DataFrame) -> DataFrame:
         # cast is lossless; watermarks/windows require TIMESTAMP proper.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+#: public name; the underscore alias remains for existing callers
+_with_ts = with_event_ts
 
 
 def windowed_agg(

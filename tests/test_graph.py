@@ -83,19 +83,29 @@ def test_resolve_roots_chain_and_forest(spark):
     for i in range(10):
         assert got[i] == (0, i)
     assert got[100] == (100, 0) and got[101] == (100, 1)
-    # max_depth is a bound on rounds, not a truncation: depth 9 chain
-    # resolved with ceil(log2(16)) = 4 doubling joins
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         resolve_roots(par, max_depth=0)
+    # a chain deeper than max_depth raises instead of silently
+    # reporting a mid-chain ancestor as the root
+    with pytest.raises(ValueError, match="deeper than max_depth"):
+        resolve_roots(par, max_depth=4).collect()
 
 
-import random as _random
+def test_resolve_roots_dangling_parent_is_root(spark):
+    """A parent id with no row of its own terminates the walk there
+    (sentinel-root encoding) — no silent row loss."""
+    from otters_spark.operators.graph import resolve_roots
+
+    par = spark.createDataFrame([(1, 0), (2, 1)], "node long, parent long")
+    got = {r["node"]: (r["root"], r["depth"])
+           for r in resolve_roots(par, max_depth=8).collect()}
+    assert got == {1: (0, 1), 2: (0, 2)}
 
 
 def test_resolve_roots_vs_python_random_forests(spark):
     """Random parent-pointer forests vs a driver-side walk."""
+    import random as _random
+
     from otters_spark.operators.graph import resolve_roots
 
     for seed in (7, 8):

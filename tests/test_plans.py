@@ -57,7 +57,7 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
     df = orders.orderBy("o_totalprice", "o_orderkey").select(
         "o_orderkey", "o_totalprice"
     )
-    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    plan = plan_of(df).lower()
     assert "rangepartitioning" in plan
     rows = df.collect()
     keys = [(r["o_totalprice"], r["o_orderkey"]) for r in rows]
