@@ -138,12 +138,26 @@ def hamming_expr(a, b) -> Column:
     differ (reference roadmap metric, README.md:209). Meaningful for
     binary / discretized vectors; defined on any numeric arrays as an
     exact inequality count, accumulated as int64 then cast to double
-    so every metric scores as one column type."""
+    so every metric scores as one column type.
+
+    Length-mismatched (ragged) inputs score NULL, not a silent
+    undercount: ``zip_with`` NULL-pads the shorter array, and a bare
+    ``when(x != y, 1).otherwise(0)`` would map those padded lanes to 0
+    (three-valued logic sends the NULL comparison to the otherwise
+    branch). The explicit NULL guard below makes ragged vectors fail
+    loudly through the sum, exactly like ``manhattan_expr`` already
+    does via arithmetic NULL propagation. VecStore's dim validation
+    prevents ragged rows at ingest; this guard covers direct users of
+    the public function."""
     return F.aggregate(
         F.zip_with(
             _c(a),
             _c(b),
-            lambda x, y: F.when(x != y, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+            lambda x, y: F.when(
+                x.isNull() | y.isNull(), F.lit(None).cast("long")
+            ).otherwise(
+                F.when(x != y, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            ),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
@@ -155,26 +169,29 @@ def jaccard_expr(a, b) -> Column:
     vectors (reference roadmap metric, README.md:209): treating each
     vector as the set of coordinates it activates,
     ``|both nonzero| / |either nonzero|``; two all-zero vectors score
-    0.0, never NaN (the zero-vector convention cosine already uses)."""
+    0.0, never NaN (the zero-vector convention cosine already uses).
+
+    Length-mismatched (ragged) inputs score NULL rather than silently
+    miscounting the zip_with NULL-padded lanes — same loud-failure
+    guard as :func:`hamming_expr` (see there for the 3VL mechanics)."""
+
+    def _lane(cond):  # noqa: ANN001 - Column predicate in, Column out
+        def f(x, y):
+            return F.when(
+                x.isNull() | y.isNull(), F.lit(None).cast("long")
+            ).otherwise(
+                F.when(cond(x, y), F.lit(1)).otherwise(F.lit(0)).cast("long")
+            )
+
+        return f
+
     inter = F.aggregate(
-        F.zip_with(
-            _c(a),
-            _c(b),
-            lambda x, y: F.when((x != 0) & (y != 0), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long"),
-        ),
+        F.zip_with(_c(a), _c(b), _lane(lambda x, y: (x != 0) & (y != 0))),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     union = F.aggregate(
-        F.zip_with(
-            _c(a),
-            _c(b),
-            lambda x, y: F.when((x != 0) | (y != 0), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long"),
-        ),
+        F.zip_with(_c(a), _c(b), _lane(lambda x, y: (x != 0) | (y != 0))),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )

@@ -57,6 +57,7 @@ def retrieval_metrics(
     truth: DataFrame,
     query_col: str = "query_id",
     id_col: str = "vec_id",
+    strict: bool = True,
 ) -> DataFrame:
     """Per-query recall / MRR / nDCG of ``approx`` against ``truth``.
 
@@ -64,9 +65,32 @@ def retrieval_metrics(
     :func:`with_rank`. Queries with no approx hits still emit a row
     (zero metrics): the truth side drives the output, so a lane that
     returns nothing scores 0, not absent.
+
+    ``strict=True`` (default) additionally asserts the approx query-id
+    set is a SUBSET of truth's: because the output is truth-driven, a
+    lane emitting results under a wrong or extra query id would
+    otherwise vanish from the report instead of surfacing as an
+    anomaly. The check is one anti-join over two k-bounded ranked
+    lists — negligible next to the searches that produced them. Pass
+    ``strict=False`` when evaluating a deliberately wider approx batch
+    against a truth subsample.
     """
     a = approx.select(query_col, id_col, F.col("rank").alias("__ra"))
     t = truth.select(query_col, id_col, F.col("rank").alias("__rt"))
+
+    if strict:
+        orphans = (
+            a.select(query_col)
+            .distinct()
+            .join(t.select(query_col).distinct(), query_col, "left_anti")
+        )
+        sample = [r[0] for r in orphans.limit(5).collect()]
+        if sample:
+            raise ValueError(
+                "retrieval_metrics: approx contains query ids absent from "
+                f"truth (sample: {sample}) — a truth-driven report would "
+                "silently drop them; fix the lane or pass strict=False"
+            )
 
     # discounted gain of a hit at rank r (binary relevance)
     def gain(r):  # noqa: ANN001 - Column in, Column out

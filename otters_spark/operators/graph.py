@@ -49,11 +49,16 @@ def resolve_roots(
     eager checkpoint (the PageRank lesson: Catalyst re-analysis, not
     execution, dominates nested iterative plans).
 
-    ``validate=True`` (default) spends one extra count to assert no
-    node was still mid-walk after the final round — otherwise a chain
-    deeper than ``max_depth`` would silently report a non-root
-    ancestor as its root. Pass ``validate=False`` only when the depth
-    bound is guaranteed upstream.
+    ``validate=True`` (default) spends one extra aggregate to assert
+    (a) no node was still mid-walk after the final round — otherwise a
+    chain deeper than the covered range would silently report a
+    non-root ancestor as its root — and (b) no resolved depth exceeds
+    ``max_depth`` exactly. (b) matters because the doubling rounds
+    cover 2^ceil(log2(max_depth)) hops: for non-power-of-two bounds
+    (say 5) a depth-6 chain resolves fine mechanically, but accepting
+    it would make the declared contract looser than documented, so it
+    raises too. Pass ``validate=False`` only when the depth bound is
+    guaranteed upstream.
 
     Returns (node, root, depth).
     """
@@ -90,12 +95,29 @@ def resolve_roots(
         movers = parents.filter(F.col(parent_col) != F.col(node_col)).select(
             F.col(node_col).alias("__mover")
         )
-        n_bad = state.join(movers, state["anc"] == F.col("__mover")).count()
-        if n_bad:
+        # one job checks both contract halves: unresolved walks (anc is
+        # still a node with its own parent) and over-depth chains that
+        # the power-of-two round count happened to cover anyway
+        bad = (
+            state.join(movers, state["anc"] == F.col("__mover"), "left")
+            .agg(
+                F.count("__mover").alias("n_bad"),
+                F.max("hops").alias("max_hops"),
+            )
+            .collect()[0]
+        )
+        if bad["n_bad"]:
             raise ValueError(
-                f"resolve_roots: {n_bad} nodes still unresolved after "
+                f"resolve_roots: {bad['n_bad']} nodes still unresolved after "
                 f"ceil(log2({max_depth})) doubling rounds — the forest is "
                 "deeper than max_depth; raise it"
+            )
+        if bad["max_hops"] is not None and bad["max_hops"] > max_depth:
+            raise ValueError(
+                f"resolve_roots: resolved a chain of depth {bad['max_hops']} "
+                f"> max_depth={max_depth} — the doubling rounds cover the "
+                "next power of two, but the declared bound is max_depth; "
+                "raise it to accept deeper forests"
             )
     return state.select(
         "node", F.col("anc").alias("root"), F.col("hops").alias("depth")

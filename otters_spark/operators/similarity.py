@@ -242,11 +242,20 @@ def lsh_search(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     multiprobe: int = 3,
+    round_to: int | None = None,
 ) -> DataFrame:
     """ANN search: prune to the query's bucket (+ multiprobe neighbor
     buckets), then exact re-score. Recall is tunable via n_planes /
     multiprobe; the pruned scan reads only matching partitions when
-    the index was written partitioned by bucket."""
+    the index was written partitioned by bucket.
+
+    ``round_to`` rounds the score to that many decimals BEFORE the
+    top-k ordering (ties then break on id): cross-engine evaluations
+    rank the same floats computed two algebraically-equal ways
+    (dot x inverse norms here vs an explicit division elsewhere), and
+    an ULP difference at the k-boundary could otherwise flip which
+    candidate makes the cut — the text_bm25_topk lesson. Default None
+    keeps full-precision ordering for single-engine serving."""
     from ..functions.vector import score_expr
 
     q = np.asarray(list(map(float, query)), dtype=np.float64)
@@ -258,10 +267,12 @@ def lsh_search(
         else None
     )
     cand = indexed.filter(F.col("lsh_bucket").isin(buckets))
-    scored = cand.withColumn(
-        "score",
-        score_expr(vec_col, qlit, metric, inv_norm_col=inv_norm, q_inv_norm=inv_norm_of(q)),
+    score = score_expr(
+        vec_col, qlit, metric, inv_norm_col=inv_norm, q_inv_norm=inv_norm_of(q)
     )
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = cand.withColumn("score", score)
     asc = METRICS.get(metric) == "min"
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
     return scored.orderBy(*order).limit(k).select(id_col, "score", "lsh_bucket")

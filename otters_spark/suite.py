@@ -3654,7 +3654,10 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the approximate 100 TB path may replace the reference's exact
     search — and, because the seeded LSH lane is deterministic, the
     whole evaluation (including the metric arithmetic) is itself
-    DuckDB-checkable."""
+    DuckDB-checkable. Both lanes rank on 6-dp-rounded scores on BOTH
+    engines (selection included, via lsh_search(round_to=6)) so an
+    ULP difference between the two engines' cosine formulations can
+    never flip the k=10 boundary."""
     from .operators.evaluation import retrieval_metrics, with_rank
     from .operators.similarity import hyperplanes, lsh_index, lsh_search
 
@@ -3662,10 +3665,14 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = hyperplanes(64, n_planes=4, seed=42)
     indexed = lsh_index(emb, planes)
 
+    # rank on the 6-dp-ROUNDED score (the text_bm25_topk lesson): the
+    # Spark lane scores dot x precomputed inverse norms while the DuckDB
+    # twin divides (list_cosine_similarity) — a ULP difference at the
+    # k=10 boundary could otherwise flip which candidate makes the cut
     ann_lanes, exact_lanes = [], []
     for qid, q in enumerate([Q7, Q11, Q13]):
         ann_lanes.append(
-            lsh_search(indexed, q, planes, k=10, multiprobe=3)
+            lsh_search(indexed, q, planes, k=10, multiprobe=3, round_to=6)
             .select(F.lit(qid).alias("query_id"), "vec_id", "score")
         )
         qlit = F.array(*[F.lit(float(x)) for x in q])
@@ -3673,7 +3680,9 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.select(
                 F.lit(qid).alias("query_id"),
                 "vec_id",
-                score_expr("embedding", qlit, "cosine").alias("score"),
+                F.round(
+                    score_expr("embedding", qlit, "cosine"), 6
+                ).alias("score"),
             )
             .orderBy(F.col("score").desc(), F.col("vec_id"))
             .limit(10)
@@ -3699,12 +3708,12 @@ def _eval_ann_recall_sql() -> str:
         lanes.append(
             f"""a{qid} AS (
   SELECT {qid} AS query_id, vec_id,
-         row_number() OVER (ORDER BY list_cosine_similarity(v, {_sql_vec(q)}) DESC, vec_id) AS rnk
+         row_number() OVER (ORDER BY round(list_cosine_similarity(v, {_sql_vec(q)}), 6) DESC, vec_id) AS rnk
   FROM indexed WHERE b IN ({", ".join(map(str, buckets))})
   QUALIFY rnk <= 10),
 t{qid} AS (
   SELECT {qid} AS query_id, vec_id,
-         row_number() OVER (ORDER BY list_cosine_similarity(v, {_sql_vec(q)}) DESC, vec_id) AS rnk
+         row_number() OVER (ORDER BY round(list_cosine_similarity(v, {_sql_vec(q)}), 6) DESC, vec_id) AS rnk
   FROM indexed QUALIFY rnk <= 10)"""
         )
     lanes_sql = ",\n".join(lanes)

@@ -45,6 +45,18 @@ def test_query_missing_from_approx_still_scores_zero(spark):
     assert out[1].recall == 0.0 and out[1].n_hits == 0
 
 
+def test_approx_only_query_id_raises_in_strict_mode(spark):
+    """A lane emitting rows under a query id truth never saw is an
+    anomaly, not something to silently drop from a truth-driven report."""
+    truth = _ranked(spark, [(0, 1, 1)])
+    approx = _ranked(spark, [(0, 1, 1), (9, 2, 1)])  # 9 not in truth
+    with pytest.raises(ValueError, match="absent from"):
+        retrieval_metrics(approx, truth).collect()
+    # strict=False: documented opt-out, truth-driven output unchanged
+    out = retrieval_metrics(approx, truth, strict=False).collect()
+    assert [r.query_id for r in out] == [0]
+
+
 def test_with_rank_orders_and_breaks_ties_on_id(spark):
     df = spark.createDataFrame(
         [(0, 5, 0.9), (0, 3, 0.9), (0, 7, 1.1)],

@@ -91,6 +91,28 @@ def test_resolve_roots_chain_and_forest(spark):
         resolve_roots(par, max_depth=4).collect()
 
 
+def test_resolve_roots_exact_depth_bound(spark):
+    """Non-power-of-two max_depth: the doubling rounds mechanically
+    cover the next power of two, but the declared contract is
+    max_depth EXACTLY — a depth-6 chain under max_depth=5 raises
+    instead of silently resolving under a looser bound."""
+    from otters_spark.operators.graph import resolve_roots
+
+    rows = [(0, 0)] + [(i, i - 1) for i in range(1, 7)]  # depth 6 chain
+    par = spark.createDataFrame(rows, "node long, parent long")
+    with pytest.raises(ValueError, match="> max_depth=5"):
+        resolve_roots(par, max_depth=5).collect()
+    # validate=False keeps the mechanical behavior for callers who
+    # guarantee the bound upstream
+    got = {r["node"]: r["depth"]
+           for r in resolve_roots(par, max_depth=5, validate=False).collect()}
+    assert got[6] == 6
+    # and the exact bound passes
+    got = {r["node"]: r["depth"]
+           for r in resolve_roots(par, max_depth=6).collect()}
+    assert got[6] == 6
+
+
 def test_resolve_roots_dangling_parent_is_root(spark):
     """A parent id with no row of its own terminates the walk there
     (sentinel-root encoding) — no silent row loss."""

@@ -219,6 +219,38 @@ def test_jaccard_exact_zero_guard_and_direction(spark):
     assert zs[0]["score"] == 0.0
 
 
+def test_ragged_vectors_score_null_not_undercount(spark):
+    """zip_with NULL-pads the shorter array; hamming/jaccard must fail
+    loudly (NULL) on ragged inputs like manhattan does via arithmetic
+    NULL propagation — not silently count the padded lanes as matches."""
+    from pyspark.sql import functions as F
+
+    from otters_spark.functions.vector import (
+        hamming_expr,
+        jaccard_expr,
+        manhattan_expr,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 1.0], [1.0, 0.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        hamming_expr(F.col("a"), F.col("b")).alias("h"),
+        jaccard_expr(F.col("a"), F.col("b")).alias("j"),
+        manhattan_expr(F.col("a"), F.col("b")).alias("m"),
+    ).collect()[0]
+    assert row["h"] is None and row["j"] is None and row["m"] is None
+    # equal-length inputs are untouched by the guard
+    ok = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 1.0])], "a array<double>, b array<double>"
+    )
+    row = ok.select(
+        hamming_expr(F.col("a"), F.col("b")).alias("h"),
+        jaccard_expr(F.col("a"), F.col("b")).alias("j"),
+    ).collect()[0]
+    assert row["h"] == 1.0 and abs(row["j"] - 0.5) < EPS
+
+
 # --- mutability (reference roadmap README.md:207) ---
 
 
