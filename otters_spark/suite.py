@@ -5631,107 +5631,136 @@ FROM probe WHERE hit GROUP BY 1 ORDER BY train_id
 # =====================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Session-9 rotation (sixth this round): six new families promoted
-    # for first driver verdicts — Manhattan metric + store mutability
-    # (the reference's own roadmap items README.md:207,209), MaxSim
-    # late-interaction retrieval, leakage-safe splitting, windowed PMI
-    # collocations, and PageRank (graph lane). Demoted, each with
-    # r1+r2 driver-green history and family cover that STAYS in the
-    # top-50: vs_dot_topk (the dot kernel is cosine's core — cosine =
-    # dot·norms — and sim_pandas_matmul_topk checks the same math),
-    # vs_euclidean_topk (the inferred-Min distance lane now checked
-    # via vs_manhattan_topk; euclidean's exact math pinned in
-    # tests/test_vec_store.py), vs_per_query_topk (window-limit
-    # machinery via rel_window_functions), rel_rollup_revenue
-    # (multi-level agg family; rollup lowers to grouping sets, agg
-    # breadth stays via rel_null_semantics + the pipeline rows),
-    # rel_semi_anti_join (semi/anti machinery embedded green in
-    # pipeline_dedup_end_to_end's anti-join + dedup_incremental_ingest
-    # + pipeline_bloom_decontam probes), rel_predicate_pushdown
-    # (pushdown is mechanically plan-asserted suite-wide in
-    # tests/test_plans.py — a value check adds nothing a filter row
-    # doesn't already get elsewhere).
-    "vs_manhattan_topk": vs_manhattan_topk,
+    # ---- registration order is load-bearing: the driver's correctness
+    # harness records exactly the FIRST 50 entries each round, dropping
+    # the tail. Round-4 rotation (eighth overall): all 28 oracle-paired
+    # queries that had never received a driver verdict (every one green
+    # in the builder's 1e-9 harness at sf0.001/0.01/0.1 —
+    # scripts/check_oracle.py) are promoted at the head, followed by 22
+    # retained round-3-green rows that keep the hardest kernels and the
+    # production pipelines under continuous driver regression. After
+    # this round every oracle-paired query in the suite will have at
+    # least one driver verdict.
+    #
+    # The 28 promotions (never driver-checked before this round):
+    "pipeline_split_reservoir": pipeline_split_reservoir,
+    "events_asof_forward": events_asof_forward,
+    "rel_rolling_average": rel_rolling_average,
+    "text_chunk_passages": text_chunk_passages,
+    "text_bigram_logprob": text_bigram_logprob,
+    "pipeline_temperature_mix": pipeline_temperature_mix,
+    "rel_statistical_aggregates": rel_statistical_aggregates,
+    "rel_range_frame": rel_range_frame,
+    "rel_unpivot_measures": rel_unpivot_measures,
+    "events_asof_nearest": events_asof_nearest,
+    "dedup_span_removal": dedup_span_removal,
+    "rel_scalar_subquery": rel_scalar_subquery,
+    "rel_skew_salted_join": rel_skew_salted_join,
+    "events_cohort_retention": events_cohort_retention,
+    "rel_array_functions": rel_array_functions,
+    "sketch_hist_quantiles": sketch_hist_quantiles,
+    "rel_scd2_time_travel": rel_scd2_time_travel,
+    "multimodal_phash_neardup": multimodal_phash_neardup,
+    "sim_hard_negatives": sim_hard_negatives,
+    "rel_lateral_posexplode": rel_lateral_posexplode,
+    "events_sliding_window": events_sliding_window,
+    "rel_snapshot_diff": rel_snapshot_diff,
+    "events_windowed_quantiles": events_windowed_quantiles,
+    "rel_setop_bag": rel_setop_bag,
+    "pipeline_epoch_mix": pipeline_epoch_mix,
+    "rel_map_functions": rel_map_functions,
+    "events_windowed_topn": events_windowed_topn,
+    "graph_root_depth": graph_root_depth,
+    # The 22 retained round-3-green rows — continuity set: the entry
+    # flagship + batch-merge + mutability trio, both graph/eval lanes,
+    # the production dedup path (end-to-end, incremental ingest, 64-bit
+    # SimHash banding, edit-distance verify, semantic decontam,
+    # frequent segments, fuzzy linkage), the full-curation +
+    # token-budget + packing pipelines, window/SCD2 relational
+    # machinery, and the mergeable-sketch trio's driver rows:
+    "vs_meta_vec_filter_topk": vs_meta_vec_filter_topk,
     "vs_mutation_topk": vs_mutation_topk,
+    "vs_batch_global_topk": vs_batch_global_topk,
+    "graph_pagerank_trade": graph_pagerank_trade,
+    "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
+    "dedup_incremental_ingest": dedup_incremental_ingest,
+    "dedup_simhash64_banded": dedup_simhash64_banded,
+    "dedup_edit_distance_verified": dedup_edit_distance_verified,
+    "pipeline_semantic_decontam": pipeline_semantic_decontam,
+    "dedup_frequent_segments": dedup_frequent_segments,
+    "link_fuzzy_best_match": link_fuzzy_best_match,
+    "pipeline_curate_full": pipeline_curate_full,
+    "pipeline_token_budget": pipeline_token_budget,
+    "pipeline_pack_sequences": pipeline_pack_sequences,
+    "eval_ann_recall": eval_ann_recall,
+    "eval_banding_recall": eval_banding_recall,
+    "rel_window_functions": rel_window_functions,
+    "rel_scd2_merge": rel_scd2_merge,
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "sketch_hll_distinct": sketch_hll_distinct,
+    "pipeline_bloom_decontam": pipeline_bloom_decontam,
+    # ---- end of the driver's 50-entry window ----
+    # Round-4 demotions (28, every one driver-green in round 3; family
+    # cover that STAYS in or enters the top-50 in parentheses):
+    # vs_manhattan/vs_hamming/vs_jaccard_topk (fluent metric lane via
+    #   retained vs_meta_vec_filter/vs_mutation/vs_batch_global; kernel
+    #   math pinned in tests/test_vec_store.py),
+    # sim_maxsim_topk + sim_scalar_quant (batch-search machinery via
+    #   retained eval_ann_recall + promoted sim_hard_negatives),
+    # pipeline_leakage_safe_split (CC stage via retained
+    #   pipeline_dedup_end_to_end; hash-split via promoted
+    #   pipeline_epoch_mix),
+    # text_pmi_topk + text_keywords_topk + text_unigram_logprob
+    #   (count-table + one-row-broadcast-totals family via promoted
+    #   text_bigram_logprob, the strict superset shape),
+    # pipeline_shuffle_shards (two-phase binned permutation via
+    #   retained pipeline_token_budget's binned cumsum),
+    # pipeline_quality_report (fused one-scan gate via retained
+    #   pipeline_curate_full),
+    # pipeline_drift_psi + events_drift_window (windowed cell tables
+    #   via promoted events_windowed_quantiles; PSI pinned vs NumPy),
+    # events_anomaly_mad (binned percentiles via promoted
+    #   sketch_hist_quantiles + events_windowed_quantiles),
+    # pipeline_dsir_select + pipeline_source_mix (integer micro-unit
+    #   weight discipline via promoted pipeline_temperature_mix),
+    # dedup_within_doc_windows (intra-doc window dedup via promoted
+    #   dedup_span_removal, the ExactSubstr superset),
+    # events_funnel_conversion (behavior lane via promoted
+    #   events_cohort_retention),
+    # rel_null_semantics (two driver-green verdicts; 3VL handling also
+    #   inside retained rel_window_functions groups),
+    # pipeline_domain_cap (two-phase bounded selection via retained
+    #   pipeline_token_budget),
+    # rel_fuzzy_filter (same thresholded levenshtein kernel as retained
+    #   dedup_edit_distance_verified),
+    # events_scd2_lookup (half-open as-of snapshot family via promoted
+    #   rel_scd2_time_travel + retained rel_scd2_merge),
+    # pipeline_corpus_profile (one-aggregate-over-one-scan family via
+    #   promoted rel_statistical_aggregates),
+    # events_asof_tolerance + events_gap_fill (as-of family via
+    #   promoted events_asof_nearest — composes backward AND forward —
+    #   plus promoted events_asof_forward and rel_rolling_average's
+    #   window frames),
+    # multimodal_frame_sample (Arrow multimodal lane via promoted
+    #   multimodal_phash_neardup),
+    # rel_skew_salted_agg (skew lane via promoted rel_skew_salted_join,
+    #   the join half of the same salting machinery),
+    # rel_zorder_key (pure-codegen bit math; layout effect measured in
+    #   tests/test_zorder.py).
+    "vs_manhattan_topk": vs_manhattan_topk,
     "sim_maxsim_topk": sim_maxsim_topk,
     "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
     "text_pmi_topk": text_pmi_topk,
-    "graph_pagerank_trade": graph_pagerank_trade,
-    "vs_meta_vec_filter_topk": vs_meta_vec_filter_topk,
-    "vs_batch_global_topk": vs_batch_global_topk,
-    # Session-7 rotation (fourth this round): six new oracle-paired
-    # families — Count-Min heavy hitters, DSIR importance resampling,
-    # intra-doc window dedup, the ordered-funnel behavior family,
-    # SCD2 store maintenance, and the ranking-window breadth row —
-    # promoted for first driver verdicts by demoting six
-    # family-redundant greens with r1+r2 green history:
-    # rel_pricing_summary (groupBy-agg family green via
-    # rel_rollup_revenue + rel_percentiles), rel_shipping_priority
-    # (join+agg family green via rel_semi_anti_join +
-    # rel_top_customers... see below), rel_top_customers_per_nation
-    # (window-rank family SUPERSEDED by the promoted
-    # rel_window_functions, which exercises six ranking functions to
-    # its one), rel_scalar_functions (scalar family; the promoted
-    # rel_array_functions stays in the tail as next-in-line),
-    # text_repetition_filters (text-gate family green via
-    # text_quality + the gates embedded in pipeline_curate_full),
-    # dedup_tfidf_cosine_pairs (sparse set-similarity kernel family
-    # green via dedup_char_shingle_pairs + dedup_incremental_ingest).
-    # Every entry promoted in earlier r3 sessions keeps its slot —
-    # none has received a driver verdict yet.
-    # Session-8 rotation (fifth this round): five new oracle-paired
-    # families — the deterministic global-shuffle shard writer, the
-    # Deequ-style constraint-validation gate, batch + windowed PSI
-    # drift detection, and robust median/MAD anomaly detection —
-    # promoted for first driver verdicts by demoting five
-    # family-redundant greens with r1+r2 green history:
-    # vs_score_filter_all (the score-threshold op is composed inside
-    # the retained vs_meta_vec_filter_topk), events_sessionization
-    # (event-ordering family green via the promoted-and-retained
-    # events_funnel_conversion; gap/rollup shapes below),
-    # events_hypertable_rollup (tumbling machinery embedded in
-    # events_drift_window's 12-hour windows and events_gap_fill),
-    # text_quality (quality_features exercised inside the retained
-    # pipeline_curate_full AND pipeline_token_budget),
-    # multimodal_features (Arrow metadata kernel family green via the
-    # retained multimodal_frame_sample).
     "pipeline_shuffle_shards": pipeline_shuffle_shards,
     "pipeline_quality_report": pipeline_quality_report,
     "pipeline_drift_psi": pipeline_drift_psi,
     "events_drift_window": events_drift_window,
     "events_anomaly_mad": events_anomaly_mad,
-    "rel_window_functions": rel_window_functions,
-    "rel_scd2_merge": rel_scd2_merge,
-    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "pipeline_dsir_select": pipeline_dsir_select,
     "dedup_within_doc_windows": dedup_within_doc_windows,
     "events_funnel_conversion": events_funnel_conversion,
     "rel_null_semantics": rel_null_semantics,
-    # Session-10 rotation (seventh this round): the nine session-10
-    # families promoted for first driver verdicts — the two
-    # evaluation rows (ANN recall/MRR/nDCG and banded-dedup pair
-    # recall), per-domain capping, the Hamming+Jaccard roadmap
-    # metrics, DSL fuzzy matching, event-time SCD2 lookup, the corpus
-    # profile, and TF-IDF keywords. Demoted, each with r1+r2
-    # driver-green history and family cover that STAYS in the
-    # top-50: vs_cosine_topk (cosine math embedded green in
-    # vs_meta_vec_filter_topk + vs_mutation_topk), sim_lsh_topk
-    # (eval_ann_recall runs the IDENTICAL seeded LSH lane and scores
-    # it), rel_percentiles (binned-percentile machinery inside the
-    # retained events_anomaly_mad and pipeline_corpus_profile),
-    # events_asof_attribution (as-of family via the retained
-    # events_asof_tolerance + events_gap_fill),
-    # events_json_extract (JSON scalar family, two green verdicts),
-    # text_pii_redaction (scrub stage embedded in the retained
-    # pipeline_curate_full), text_bm25_topk (retrieval-scoring family
-    # via text_unigram_logprob + the eval rows),
-    # dedup_char_shingle_pairs (its candidate kernel composes the
-    # retained dedup_edit_distance_verified),
-    # sim_pandas_matmul_topk (Arrow-kernel lane via the retained
-    # multimodal_frame_sample; batch-merge semantics via
-    # vs_batch_global_topk).
-    "eval_ann_recall": eval_ann_recall,
-    "eval_banding_recall": eval_banding_recall,
     "pipeline_domain_cap": pipeline_domain_cap,
     "vs_hamming_topk": vs_hamming_topk,
     "vs_jaccard_topk": vs_jaccard_topk,
@@ -5741,112 +5770,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_keywords_topk": text_keywords_topk,
     "events_asof_tolerance": events_asof_tolerance,
     "events_gap_fill": events_gap_fill,
-    "pipeline_curate_full": pipeline_curate_full,
     "pipeline_source_mix": pipeline_source_mix,
-    "pipeline_token_budget": pipeline_token_budget,
     "text_unigram_logprob": text_unigram_logprob,
-    "pipeline_pack_sequences": pipeline_pack_sequences,
     "sim_scalar_quant": sim_scalar_quant,
-    "dedup_incremental_ingest": dedup_incremental_ingest,
-    "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
     "multimodal_frame_sample": multimodal_frame_sample,
-    "dedup_simhash64_banded": dedup_simhash64_banded,
-    "dedup_edit_distance_verified": dedup_edit_distance_verified,
-    "pipeline_semantic_decontam": pipeline_semantic_decontam,
-    "dedup_frequent_segments": dedup_frequent_segments,
-    "link_fuzzy_best_match": link_fuzzy_best_match,
-    # Session-6 rotation (third this round): the five new
-    # oracle-paired families — mergeable distinct sketches (KMV+HLL),
-    # the skew-salted aggregation lane, Z-order layout keys, and
-    # Bloom-prefiltered decontamination — promoted for first driver
-    # verdicts by demoting five family-redundant greens (r1+r2 green
-    # history): text_token_stats + text_langid (scan-speed text
-    # projections, family green via text_quality +
-    # text_repetition_filters), dedup_exact_groups (exact-dedup stage
-    # embedded green in pipeline_dedup_end_to_end +
-    # dedup_incremental_ingest), neardup_embedding_pairs (blocked-GEMM
-    # embedding-cosine kernel shared with the promoted-and-retained
-    # pipeline_semantic_decontam), pipeline_decontaminate (the n-gram
-    # collision shape embedded in its superset
-    # pipeline_bloom_decontam, which also exercises the bloom words).
-    "sketch_kmv_distinct": sketch_kmv_distinct,
-    "sketch_hll_distinct": sketch_hll_distinct,
     "rel_skew_salted_agg": rel_skew_salted_agg,
     "rel_zorder_key": rel_zorder_key,
-    "pipeline_bloom_decontam": pipeline_bloom_decontam,
-    # ---- registration order is load-bearing: the driver's correctness
-    # harness records exactly 50 entries, dropping the tail, so the 50
-    # highest-value oracle-paired queries come first. Round-3 rotation
-    # (per the r2 verdict): the never-driver-checked r2 families —
-    # events_asof_tolerance, events_gap_fill, text_unigram_logprob,
-    # pipeline_pack_sequences, sim_scalar_quant — were promoted into
-    # the top-50, and later in round 3 the five r3-new families —
-    # dedup_simhash64_banded, dedup_edit_distance_verified,
-    # pipeline_semantic_decontam, dedup_frequent_segments,
-    # link_fuzzy_best_match — were promoted by demoting
-    # rel_local_supplier_volume (multi-join agg family green via
-    # rel_shipping_priority + rel_semi_anti_join),
-    # rel_pivot_priority (pivot lowers to groupBy + conditional agg —
-    # families green via rel_scalar_functions + rel_rollup_revenue),
-    # rel_exists_subquery (EXISTS compiles to the semi join the
-    # driver checks via rel_semi_anti_join),
-    # events_tumbling_window (tumbling-window machinery checked via
-    # its superset events_hypertable_rollup + events_sessionization),
-    # dedup_simhash_banded (same banded generator as the promoted
-    # 64-bit variant; 32-bit equivalence in tests/test_dedup.py).
-    # dedup_minhash_banded_verified was demoted for
-    # dedup_incremental_ingest: pipeline_dedup_end_to_end composes the
-    # identical banding+verify stage and stays green in the top-50.
-    # Newest tail entries (builder-harness green at 3 SFs, first in
-    # line for the NEXT rotation): the session-10 families —
-    # eval_ann_recall (retrieval-quality evaluation of the ANN tier),
-    # pipeline_domain_cap (bounded per-domain capping),
-    # vs_hamming_topk + vs_jaccard_topk (the roadmap metric line's
-    # completion), rel_fuzzy_filter (DSL fuzzy matching),
-    # rel_map_functions, text_keywords_topk, events_scd2_lookup
-    # (event-time dimension versions), pipeline_corpus_profile —
-    # then rel_snapshot_diff,
-    # events_windowed_quantiles, events_sliding_window,
-    # rel_setop_bag, rel_lateral_posexplode, pipeline_epoch_mix, then
-    # the session-5/6 backlog — text_bigram_logprob,
-    # pipeline_temperature_mix, rel_statistical_aggregates,
-    # rel_range_frame, rel_unpivot_measures, events_asof_nearest,
-    # dedup_span_removal (ExactSubstr).
-    # The original r2->r3 demotions:
-    # rel_setop_customers (set-op family also covered by
-    # rel_intersect_customers's sibling shape and r1/r2 green history),
-    # rel_left_join_order_counts (outer-join family green via
-    # rel_semi_anti_join + rel_shipping_priority),
-    # events_range_join_counts (interval-join family green via
-    # events_asof_attribution, which composes the same range machinery),
-    # dedup_jaccard_pairs + dedup_minhash_pairs (set-similarity /
-    # signature families green via dedup_char_shingle_pairs,
-    # dedup_minhash_banded_verified and pipeline_dedup_end_to_end).
-    # Still in the tail with builder-harness-only coverage:
-    # rel_conditional_functions + rel_grouping_sets (families green via
-    # rel_scalar_functions and rel_rollup_revenue),
-    # rel_intersect_customers, dedup_simhash_pairs
-    # (equivalence-checked by dedup_simhash_banded and
-    # tests/test_dedup.py), text_vocabulary_topk +
-    # rel_distinct_aggregates (families green via text_token_stats and
-    # rel_null_semantics/rel_pricing_summary), text_rolling_hash +
-    # dedup_fingerprint_groups (fingerprint family green via
-    # dedup_exact_groups), events_asof_forward (direction flag of the
-    # driver-green as-of operator), rel_rolling_average (window-frame
-    # family green via rel_top_customers_per_nation),
-    # text_chunk_passages (chunking shares the tokenizer family),
-    # rel_brand_revenue (groupBy-agg family green via
-    # rel_pricing_summary / rel_rollup_revenue), text_bpe_tokens
-    # (tokenization family green via text_token_stats),
-    # rel_cube_priority_status (multi-level agg family green via
-    # rel_rollup_revenue), pipeline_split_reservoir (hash-sampling
-    # family green via pipeline_source_mix / pipeline_token_budget),
-    # pipeline_clean_corpus (composition family superseded by the
-    # strictly-larger pipeline_curate_full), dedup_containment_pairs
-    # (same bounded matmul kernel as dedup_char_shingle_pairs, measure
-    # variant), rel_date_functions (date built-ins also exercised by
-    # rel_scalar_functions and the events_* family); the rows-only
-    # KMeans-based queries go last.
+    # Pre-round-4 tail (driver-green in earlier rounds or
+    # family-covered; original demotion rationale preserved in git
+    # history of this comment block). Rows-only KMeans/BPE/PQ queries
+    # go last — the driver records a weaker rows-only check for them by
+    # design:
     "rel_local_supplier_volume": rel_local_supplier_volume,
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
@@ -5866,13 +5800,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocabulary_topk": text_vocabulary_topk,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "rel_cube_priority_status": rel_cube_priority_status,
-    "pipeline_split_reservoir": pipeline_split_reservoir,
     "rel_date_functions": rel_date_functions,
     "dedup_containment_pairs": dedup_containment_pairs,
     "rel_distinct_aggregates": rel_distinct_aggregates,
-    "events_asof_forward": events_asof_forward,
-    "rel_rolling_average": rel_rolling_average,
-    "text_chunk_passages": text_chunk_passages,
     "text_bpe_tokens": text_bpe_tokens,
     "text_rolling_hash": text_rolling_hash,
     "rel_brand_revenue": rel_brand_revenue,
@@ -5880,33 +5810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_grouping_sets": rel_grouping_sets,
     "rel_intersect_customers": rel_intersect_customers,
     "dedup_simhash_pairs": dedup_simhash_pairs,
-    "text_bigram_logprob": text_bigram_logprob,
-    "pipeline_temperature_mix": pipeline_temperature_mix,
-    "rel_statistical_aggregates": rel_statistical_aggregates,
-    "rel_range_frame": rel_range_frame,
-    "rel_unpivot_measures": rel_unpivot_measures,
-    "events_asof_nearest": events_asof_nearest,
-    "dedup_span_removal": dedup_span_removal,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
-    "rel_scalar_subquery": rel_scalar_subquery,
-    "rel_skew_salted_join": rel_skew_salted_join,
-    "events_cohort_retention": events_cohort_retention,
-    "rel_array_functions": rel_array_functions,
-    "sketch_hist_quantiles": sketch_hist_quantiles,
-    "rel_scd2_time_travel": rel_scd2_time_travel,
-    "multimodal_phash_neardup": multimodal_phash_neardup,
-    "sim_hard_negatives": sim_hard_negatives,
-    "rel_lateral_posexplode": rel_lateral_posexplode,
-    "events_sliding_window": events_sliding_window,
-    "rel_snapshot_diff": rel_snapshot_diff,
-    "events_windowed_quantiles": events_windowed_quantiles,
-    "rel_setop_bag": rel_setop_bag,
-    "pipeline_epoch_mix": pipeline_epoch_mix,
-    "rel_map_functions": rel_map_functions,
-    "events_windowed_topn": events_windowed_topn,
-    "graph_root_depth": graph_root_depth,
-    # Session-10 demotions (r1+r2 driver-green history; rationale at
-    # the session-10 rotation comment near the head of this dict):
     "vs_cosine_topk": vs_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "rel_percentiles": rel_percentiles,
@@ -5916,23 +5820,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": text_bm25_topk,
     "dedup_char_shingle_pairs": dedup_char_shingle_pairs,
     "sim_pandas_matmul_topk": sim_pandas_matmul_topk,
-    # Session-9 demotions (r1+r2 green history; rationale at the
-    # session-9 rotation comment near the head of this dict):
     "vs_dot_topk": vs_dot_topk,
     "vs_euclidean_topk": vs_euclidean_topk,
     "vs_per_query_topk": vs_per_query_topk,
     "rel_rollup_revenue": rel_rollup_revenue,
     "rel_semi_anti_join": rel_semi_anti_join,
     "rel_predicate_pushdown": rel_predicate_pushdown,
-    # Session-8 demotions (r1+r2 green history; rationale at the head
-    # of this dict):
     "vs_score_filter_all": vs_score_filter_all,
     "events_sessionization": events_sessionization,
     "events_hypertable_rollup": events_hypertable_rollup,
     "text_quality": text_quality,
     "multimodal_features": multimodal_features,
-    # Session-7 demotions (r1+r2 green history; rationale at the head
-    # of this dict):
     "rel_pricing_summary": rel_pricing_summary,
     "rel_shipping_priority": rel_shipping_priority,
     "rel_top_customers_per_nation": rel_top_customers_per_nation,
