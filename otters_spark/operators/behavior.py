@@ -18,7 +18,12 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["funnel_stages", "funnel_counts", "cohort_retention"]
+__all__ = [
+    "funnel_stages",
+    "funnel_counts",
+    "cohort_retention",
+    "transition_matrix",
+]
 
 
 def funnel_stages(
@@ -104,6 +109,71 @@ def funnel_counts(
         ).alias("conv_micros_total")
     )
     return stages.agg(*aggs)
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition table over per-user event
+    sequences: one row per observed ``(from_type, to_type)`` pair with
+    the transition count, the summed inter-event gap in exact
+    MICROseconds, and ``prob`` = count / Σ count over the same
+    ``from_type`` (the maximum-likelihood row-stochastic estimate).
+    The journey-analysis primitive next to :func:`funnel_stages`:
+    funnels test ONE hypothesized path, the transition matrix surfaces
+    which paths exist.
+
+    Ordering within a user is (ts, id) — the deterministic tie-break
+    every ranked query in the suite uses, so two events on the same
+    timestamp order identically on any engine. Gaps are summed as
+    int64 micros (``funnel_counts`` precedent: second-granularity
+    truncation diverges cross-engine on sub-second data, and float
+    accumulation is order-dependent); ``prob`` divides two exact
+    int64s once per output row, rounded to 6 dp.
+
+    Scale shape: ONE window pass partitioned by user (state bounded by
+    a single user's events — never the stream), then ONE count/sum
+    aggregation keyed by the (from, to) pair with map-side combine;
+    the per-from totals come from a second tiny aggregation over the
+    |types|²-bounded pair table, joined back broadcast. Nothing
+    corpus-proportional ever sits in one task."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    steps = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+        (
+            F.unix_micros(F.lead(ts_col).over(w).cast("timestamp"))
+            - F.unix_micros(F.col(ts_col).cast("timestamp"))
+        ).alias("__gap"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans"),
+        F.sum("__gap").alias("gap_micros_total"),
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_trans").alias("__from_total")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            "gap_micros_total",
+            F.round(
+                F.col("n_trans").cast("double") / F.col("__from_total"), 6
+            ).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
 
 
 def cohort_retention(

@@ -40,6 +40,7 @@ __all__ = [
     "pack_sequences",
     "dsir_weights",
     "dsir_select",
+    "weighted_sample",
     "shuffle_shards",
     "epoch_mix",
     "write_training_shards",
@@ -557,6 +558,60 @@ def dsir_select(
         corpus.join(keyed, id_col)
         .orderBy(F.desc("select_key"), F.col(id_col))
         .limit(n_take)
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n_take: int,
+    id_col: str = "doc_id",
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: ``n_take`` rows drawn
+    with probability proportional to ``weight_col`` — globally, or per
+    group when ``group_cols`` is given. The quality-weighted
+    subsampling step of corpus curation (keep 100k docs favoring high
+    quality scores, without deterministically clipping to the top —
+    which overfits the scorer and collapses diversity).
+
+    Efraimidis–Spirakis via Gumbel keys, in the suite's deterministic
+    discipline: ``g = -ln(-ln(u))`` with the content-keyed uniform
+    ``u = (md5(id)+1)/(2^60+1)`` (pipeline-stable: re-runs keep the
+    same rows), and selection key ``= round(ln(w)·1e6) + round(g·1e6)``
+    — exact int64 so partial-aggregation order cannot wobble a
+    boundary, tie-broken by id. Keeping the top-``n_take`` such keys
+    draws a Gumbel-top-k sample ∝ softmax(ln w) = w, the same device
+    :func:`dsir_select` uses for importance resampling.
+
+    Rows with NULL or non-positive weight are excluded (zero mass —
+    they can never be drawn; ln would be undefined).
+
+    Scale shape: the key is one scan-fused projection; the global form
+    is a TakeOrderedAndProject (never a full sort), the grouped form
+    one rank window per group. A group's window partition is the whole
+    group — acceptable for the mixture-weight group counts this is
+    for; if a group can be a double-digit corpus share, bound it first
+    with the :func:`cap_per_group` prefilter device (threshold on u
+    from a broadcast per-group count, then rank survivors)."""
+    if n_take <= 0:
+        raise ValueError("n_take must be positive")
+    w = F.col(weight_col).cast("double")
+    u = (md5_long_expr(F.col(id_col)) + 1).cast("double") / F.lit(_GUMBEL_DEN)
+    gumbel = F.round(-F.log(-F.log(u)) * _MICRO).cast("long")
+    lnw = F.round(F.log(w) * _MICRO).cast("long")
+    keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "select_key", lnw + gumbel
+    )
+    if not group_cols:
+        return keyed.orderBy(F.desc("select_key"), F.col(id_col)).limit(n_take)
+    rank_w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("select_key"), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("__rk", F.row_number().over(rank_w))
+        .filter(F.col("__rk") <= n_take)
+        .drop("__rk")
     )
 
 

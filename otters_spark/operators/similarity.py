@@ -44,7 +44,54 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_search",
+    "embedding_dim_stats",
 ]
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-DIMENSION health report of an embedding column: for each
+    coordinate position, the count of non-null lanes, mean, sample
+    stddev, min, max, and the zero fraction. The preprocessing /
+    diagnostics step every ANN tier in this module assumes has been
+    run: dead dimensions (zero variance) waste PQ codebook bits and
+    make IVF cells elongated, a shifted mean breaks the symmetric-
+    hyperplane assumption of the LSH tier, and a scale outlier
+    dominates euclidean cells. 64 dims → 64 output rows, whatever the
+    corpus size.
+
+    Scale shape: ONE posexplode (fan-out = dim, the unavoidable cost
+    of per-dimension statistics) into ONE dim-keyed aggregation —
+    all six statistics are algebraic, so they partial-aggregate
+    map-side and the exchange carries |dims| × n_partitions rows.
+    Nothing else: no window, no join, no driver action.
+
+    ``mean``/``std`` are rounded (default 6 dp) because double
+    accumulation order differs across engines and partitionings — the
+    rel_statistical_aggregates rounding-budget discipline; min/max/
+    counts are exact."""
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "__v")
+    ).select("dim", F.col("__v").cast("double").alias("__v"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count("__v").alias("n"),
+            F.round(F.avg("__v"), round_to).alias("mean"),
+            F.round(F.stddev_samp("__v"), round_to).alias("std"),
+            F.min("__v").alias("min"),
+            F.max("__v").alias("max"),
+            F.round(
+                F.sum(F.when(F.col("__v") == 0.0, 1).otherwise(0)).cast("double")
+                / F.count("__v"),
+                round_to,
+            ).alias("zero_frac"),
+        )
+        .orderBy("dim")
+    )
 
 
 def knn(store: VecStore, query: Sequence[float], k: int, metric: str = "cosine") -> DataFrame:

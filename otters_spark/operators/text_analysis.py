@@ -36,6 +36,7 @@ __all__ = [
     "apply_bpe_merges",
     "bm25_topk",
     "compression_ratio",
+    "ngram_novelty",
 ]
 
 #: small deterministic stopword lists per language for the n-gram
@@ -859,3 +860,77 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: of the document's DISTINCT word
+    n-grams, what fraction appears in no other document. The
+    memorization/templating signal of corpus curation — wholesale
+    boilerplate and near-copies score near 0 (all their n-grams recur
+    elsewhere), original prose scores near 1 — and the per-doc
+    complement of the corpus-level views (``frequent_segments`` finds
+    the shared segments themselves; ``dedup_span_removal`` rewrites
+    them away; this scores each document by how much of it is its own).
+
+    Returns ``(id, n_ngrams, n_novel, novelty)`` for every doc with at
+    least ``n`` tokens, where ``novelty = n_novel / n_ngrams`` over the
+    doc's distinct n-grams (counts exact int64, division once per
+    output row, 6 dp).
+
+    Scale shape: the (doc, distinct-n-gram-hash) stream is built twice
+    — once for the document-frequency aggregation (count-only,
+    map-side combined, keyed by hash) and once for the probe joined
+    against it (hash-keyed shuffle join) — deliberately re-scanning
+    the text instead of pinning the exploded stream: the scan is
+    cheaper than materializing a tokens×1 blow-up of the corpus
+    (:func:`bigram_logprob` pins only its VOCABULARY-sized counts
+    table; this join's build side is n-gram-distinct-sized, so it
+    stays a shuffle join). Hot boilerplate n-grams land in the partial
+    aggregate, never one task. Hashes are the 60-bit md5 convention —
+    collisions (P ≈ pairs/2^60) can only mark a novel n-gram as seen,
+    never invent novelty."""
+    from ..functions.text import md5_long_expr, word_ngrams_expr
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def gram_stream() -> DataFrame:
+        # materialize the token array before the n-gram transform
+        # (word_ngrams_expr contract: an inline tokenizer re-evaluates
+        # the split once per element)
+        toks = df.select(F.col(id_col), tokens_expr(text_col).alias("__t"))
+        grams = toks.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_ngrams_expr(F.col("__t"), n))
+            ).alias("__g"),
+        )
+        # hash in its own select below the explode (Generate-placement
+        # discipline: computed beside the explode it would re-evaluate
+        # per output row of the SOURCE projection)
+        return grams.select(F.col(id_col), md5_long_expr(F.col("__g")).alias("__h"))
+
+    docfreq = gram_stream().groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    probed = gram_stream().join(docfreq, "__h")
+    return (
+        probed.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_ngrams"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -5626,6 +5626,134 @@ FROM probe WHERE hit GROUP BY 1 ORDER BY train_id
 """
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over per-user event sequences
+    (operators/behavior.py:transition_matrix): which event types
+    follow which, how often, with what summed gap (exact int64
+    micros) and what row-stochastic probability. One user-bounded
+    window pass + one pair-keyed count aggregation — the journey map
+    next to the funnel's single hypothesized path."""
+    from .operators.behavior import transition_matrix
+
+    ev = load(spark, sf_dir, "events")
+    return transition_matrix(ev)
+
+
+EVENTS_TRANSITION_MATRIX_SQL = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER w AS to_type,
+         date_diff('microsecond', ts, lead(ts) OVER w) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (SELECT from_type, to_type, count(*) AS n_trans,
+             sum(gap)::BIGINT AS gap_micros_total
+      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, sum(n_trans)::BIGINT AS tot FROM p GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n_trans, p.gap_micros_total,
+       round(p.n_trans / t.tot, 6) AS prob
+FROM p JOIN t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted subsampling without replacement
+    (operators/sampling.py:weighted_sample): 5 documents per language
+    drawn ∝ n_chars via deterministic Gumbel keys — longer docs are
+    favored but not deterministically clipped to the top (which would
+    overfit the weighting signal and collapse diversity). Content-
+    keyed uniforms make the draw pipeline-stable and the integer
+    micro-unit key makes the per-group boundary exact cross-engine."""
+    from .operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, weight_col="n_chars", n_take=5, group_cols=["lang"]
+    )
+    return out.select("lang", "doc_id", "n_chars", "select_key").orderBy(
+        "lang", F.desc("select_key"), "doc_id"
+    )
+
+
+PIPELINE_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         round(ln(n_chars::DOUBLE) * 1000000)::BIGINT
+         + round(-ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                         / 1152921504606846977.0)) * 1000000)::BIGINT
+           AS select_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY select_key DESC, doc_id) AS rk
+  FROM keyed)
+SELECT lang, doc_id, n_chars, select_key
+FROM ranked WHERE rk <= 5
+ORDER BY lang, select_key DESC, doc_id
+"""
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty (operators/text_analysis.py:
+    ngram_novelty): the fraction of a doc's distinct word 8-grams
+    that occur in no other document — near-copies and boilerplate
+    score near 0, original prose near 1. The planted dup clusters in
+    the synthetic corpus give the score a real bimodal shape. Counts
+    are exact int64; one count-only hash-keyed aggregation + one
+    hash-keyed probe join."""
+    from .operators.text_analysis import ngram_novelty
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=8).orderBy("doc_id")
+
+
+TEXT_NGRAM_NOVELTY_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             ('0x' || substr(md5(unnest(list_distinct(
+                list_transform(generate_series(1, len(w) - 7),
+                               i -> array_to_string(w[i:i+7], ' '))))), 1, 15))::BIGINT AS h
+      FROM t WHERE len(w) >= 8),
+dfq AS (SELECT h, count(*) AS dfc FROM g GROUP BY 1)
+SELECT g.doc_id,
+       count(*) AS n_ngrams,
+       sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS novelty
+FROM g JOIN dfq USING (h)
+GROUP BY 1 ORDER BY doc_id
+"""
+
+
+def sim_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health report
+    (operators/similarity.py:embedding_dim_stats): per-dimension
+    count/mean/std/min/max/zero-fraction — the diagnostics pass that
+    catches dead dims (waste PQ bits), shifted means (break the LSH
+    symmetric-hyperplane assumption) and scale outliers (dominate IVF
+    cells) before an index build. One posexplode into one algebraic
+    dim-keyed aggregate; 64 output rows at any corpus size."""
+    from .operators.similarity import embedding_dim_stats
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb, "embedding")
+
+
+SIM_DIM_STATS_SQL = """
+WITH v AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                  unnest(embedding::DOUBLE[]) AS val
+           FROM embeddings)
+SELECT dim, count(val) AS n,
+       round(avg(val), 6) AS mean,
+       round(stddev_samp(val), 6) AS std,
+       min(val) AS min, max(val) AS max,
+       round(sum(CASE WHEN val = 0 THEN 1 ELSE 0 END)::DOUBLE / count(val), 6)
+         AS zero_frac
+FROM v GROUP BY dim ORDER BY dim
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5642,6 +5770,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # this round every oracle-paired query in the suite will have at
     # least one driver verdict.
     #
+    # Round-4-new families, registered straight into the verdict
+    # window (the driver has never seen them): Markov transition
+    # matrix (behavior lane), Gumbel weighted sampling (curation
+    # lane), n-gram novelty scoring (text lane), embedding dim-stats
+    # (ANN diagnostics). Four keeps moved below the boundary to make
+    # room: sketch_kmv_distinct + sketch_hll_distinct (mergeable-
+    # sketch trio keeps sketch_cms_heavy_hitters in the window plus
+    # the promoted sketch_hist_quantiles), pipeline_bloom_decontam
+    # (decontamination family via the retained
+    # pipeline_semantic_decontam), vs_batch_global_topk (batch-merge
+    # semantics also inside eval_ann_recall's 3-query batch and the
+    # retained flagship vs_meta_vec_filter_topk).
+    "events_transition_matrix": events_transition_matrix,
+    "pipeline_weighted_sample": pipeline_weighted_sample,
+    "text_ngram_novelty": text_ngram_novelty,
+    "sim_dim_stats": sim_dim_stats,
     # The 28 promotions (never driver-checked before this round):
     "pipeline_split_reservoir": pipeline_split_reservoir,
     "events_asof_forward": events_asof_forward,
@@ -5680,7 +5824,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # machinery, and the mergeable-sketch trio's driver rows:
     "vs_meta_vec_filter_topk": vs_meta_vec_filter_topk,
     "vs_mutation_topk": vs_mutation_topk,
-    "vs_batch_global_topk": vs_batch_global_topk,
     "graph_pagerank_trade": graph_pagerank_trade,
     "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
     "dedup_incremental_ingest": dedup_incremental_ingest,
@@ -5697,10 +5840,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_window_functions": rel_window_functions,
     "rel_scd2_merge": rel_scd2_merge,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
-    "sketch_kmv_distinct": sketch_kmv_distinct,
-    "sketch_hll_distinct": sketch_hll_distinct,
-    "pipeline_bloom_decontam": pipeline_bloom_decontam,
     # ---- end of the driver's 50-entry window ----
+    "pipeline_bloom_decontam": pipeline_bloom_decontam,
+    "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "vs_batch_global_topk": vs_batch_global_topk,
     # Round-4 demotions (28, every one driver-green in round 3; family
     # cover that STAYS in or enters the top-50 in parentheses):
     # vs_manhattan/vs_hamming/vs_jaccard_topk (fluent metric lane via
@@ -5846,6 +5990,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "events_transition_matrix": EVENTS_TRANSITION_MATRIX_SQL,
+    "pipeline_weighted_sample": PIPELINE_WEIGHTED_SAMPLE_SQL,
+    "text_ngram_novelty": TEXT_NGRAM_NOVELTY_SQL,
+    "sim_dim_stats": SIM_DIM_STATS_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

@@ -87,3 +87,49 @@ def test_cohort_retention_counts(spark):
     assert out["2024-01-02"]["n_day_7"] == 1
     with pytest.raises(ValueError, match="positive"):
         cohort_retention(df, horizons=(0,))
+
+
+def test_transition_matrix_hand_computed(spark):
+    from otters_spark.operators.behavior import transition_matrix
+
+    rows = [
+        # user 1: view -> click -> view (gaps 1h, 2h)
+        (10, 1, _ts(1, 1), "view"),
+        (11, 1, _ts(1, 2), "click"),
+        (12, 1, _ts(1, 4), "view"),
+        # user 2: view -> view (gap 30m); same-ts tie orders by id
+        (20, 2, _ts(2, 1), "view"),
+        (21, 2, _ts(2, 1, 30), "view"),
+        # user 3: single event -> contributes no transition
+        (30, 3, _ts(3), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {(r["from_type"], r["to_type"]): r
+           for r in transition_matrix(df).collect()}
+    assert set(out) == {("view", "click"), ("click", "view"), ("view", "view")}
+    assert out[("view", "click")]["n_trans"] == 1
+    assert out[("view", "view")]["n_trans"] == 1
+    # from 'view' there are 2 transitions total -> probs 0.5 each
+    assert out[("view", "click")]["prob"] == 0.5
+    assert out[("view", "view")]["prob"] == 0.5
+    assert out[("click", "view")]["prob"] == 1.0
+    assert out[("view", "click")]["gap_micros_total"] == 3600 * 1_000_000
+    assert out[("view", "view")]["gap_micros_total"] == 1800 * 1_000_000
+
+
+def test_transition_matrix_ts_tie_breaks_on_id(spark):
+    from otters_spark.operators.behavior import transition_matrix
+
+    # two events at the SAME timestamp: order must follow event_id
+    rows = [
+        (2, 1, _ts(1), "b"),
+        (1, 1, _ts(1), "a"),
+        (3, 1, _ts(2), "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {(r["from_type"], r["to_type"]) for r in transition_matrix(df).collect()}
+    assert out == {("a", "b"), ("b", "c")}

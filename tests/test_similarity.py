@@ -274,3 +274,36 @@ def test_maxsim_matches_numpy(spark):
         assert abs(got[g] - exp[g]) < 1e-9
     with pytest.raises(ValueError):
         maxsim_topk(df, [list(qs[0])], k=0)
+
+
+def test_embedding_dim_stats_vs_numpy(spark, sf_dir):
+    import numpy as np
+
+    from otters_spark.operators.similarity import embedding_dim_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    out = embedding_dim_stats(emb, "embedding").collect()
+    assert [r["dim"] for r in out] == list(range(mat.shape[1]))
+    for r in out:
+        col = mat[:, r["dim"]]
+        assert r["n"] == len(col)
+        assert abs(r["mean"] - round(float(col.mean()), 6)) <= 1e-6
+        assert abs(r["std"] - round(float(col.std(ddof=1)), 6)) <= 1e-6
+        assert r["min"] == float(col.min())
+        assert r["max"] == float(col.max())
+        assert r["zero_frac"] == round(float((col == 0).mean()), 6)
+
+
+def test_embedding_dim_stats_flags_dead_and_shifted_dims(spark):
+    from otters_spark.operators.similarity import embedding_dim_stats
+
+    rows = [([0.0, 5.0 + i, float(i % 3)],) for i in range(30)]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    out = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
+    assert out[0]["std"] == 0.0 and out[0]["zero_frac"] == 1.0  # dead dim
+    assert out[1]["mean"] > 5.0  # shifted mean
+    assert out[2]["zero_frac"] == round(10 / 30, 6)

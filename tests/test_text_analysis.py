@@ -407,3 +407,50 @@ def test_pmi_pairs_edges(spark):
     assert {(r["a"], r["b"]) for r in rows} == {("a", "b"), ("a", "a"), ("b", "b")}
     with _pytest.raises(ValueError):
         pmi_pairs(df, window=0)
+
+
+def test_ngram_novelty_hand_computed(spark):
+    from otters_spark.operators.text_analysis import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share their only 3-gram -> novelty 0
+            (1, "a b c"),
+            (2, "a b c"),
+            # doc 3: 2 distinct 3-grams, both unique -> novelty 1
+            (3, "x y z w"),
+            # doc 4: one shared gram (a b c), one unique -> 0.5
+            (4, "a b c q"),
+            # doc 5: too short for a 3-gram -> no row
+            (5, "p q"),
+            # repeated gram inside one doc counts once (distinct)
+            (6, "m n o m n o m n o"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert set(out) == {1, 2, 3, 4, 6}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["n_ngrams"] == 2 and out[3]["novelty"] == 1.0
+    assert out[4]["n_ngrams"] == 2 and out[4]["n_novel"] == 1
+    assert out[4]["novelty"] == 0.5
+    # doc 6: grams {m n o, n o m, o m n} each seen 3x in-doc but
+    # deduped per doc -> df 1 each -> fully novel
+    assert out[6]["n_ngrams"] == 3 and out[6]["novelty"] == 1.0
+    with pytest.raises(ValueError, match=">= 1"):
+        ngram_novelty(docs, n=0)
+
+
+def test_ngram_novelty_planted_dups_score_low(spark, sf_dir):
+    """On the synthetic corpus the planted dup clusters must score
+    below the corpus median: their 8-grams recur in their cluster."""
+    from otters_spark.operators.text_analysis import ngram_novelty
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_novelty(docs, n=8).collect()
+    by_id = {r["doc_id"]: r["novelty"] for r in out}
+    import statistics
+
+    med = statistics.median(by_id.values())
+    dup_scores = [v for k, v in by_id.items() if k % 20 == 0]
+    assert statistics.median(dup_scores) <= med
