@@ -20,7 +20,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_user_totals", "streaming_exact_dedup", "RUNNING_TOTALS_SCHEMA"]
+__all__ = [
+    "running_user_totals",
+    "streaming_exact_dedup",
+    "streaming_transitions",
+    "RUNNING_TOTALS_SCHEMA",
+    "TRANSITIONS_SCHEMA",
+]
 
 RUNNING_TOTALS_SCHEMA = T.StructType(
     [
@@ -94,6 +100,80 @@ def streaming_exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str =
         dedupe,
         outputStructType=out_schema,
         stateStructType=seen_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+TRANSITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+        T.StructField("gap_micros", T.LongType()),
+    ]
+)
+
+_TRANS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_micros", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def streaming_transitions(events: DataFrame) -> DataFrame:
+    """Online event-transition extraction — the streaming twin of
+    ``operators.behavior.transition_matrix``: each micro-batch emits
+    one row per observed (from_type → to_type) step, INCLUDING the
+    bridge from the user's last event of the previous batch, which no
+    stateless per-batch window could see. Downstream aggregation
+    (count per pair, sum of gaps) then equals the batch operator's
+    table exactly — pinned in tests/test_stateful_streaming.py over a
+    multi-micro-batch replay.
+
+    State per user = (last event-time micros, last type): two fields,
+    bounded by key cardinality, not stream length — RocksDB-spillable
+    like the other stateful lanes. Contract: per-user event-time
+    ordering across micro-batches (true for in-order replay and for
+    event logs partitioned by arrival time); within a batch rows are
+    sorted by (micros, event_id) — the batch operator's tie-break.
+
+    Input needs (user_id, event_id, ts); timestamps are converted to
+    int64 micros SPARK-SIDE (``unix_micros``) so the Arrow kernel
+    handles only integers — no pandas datetime-unit ambiguity."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__micros"),
+        F.col("event_type"),
+    )
+
+    def step(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        lm, lt = state.get if state.exists else (None, None)
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["__micros", "event_id"])
+            for m, et in zip(pdf["__micros"], pdf["event_type"]):
+                m = int(m)
+                if lt is not None:
+                    out.append((key[0], lt, et, m - lm))
+                lm, lt = m, et
+        if lt is not None:
+            state.update((lm, lt))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "from_type", "to_type", "gap_micros"]
+            )
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=TRANSITIONS_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -45,3 +45,75 @@ def test_running_totals_match_batch(spark, sf_dir):
     got = sorted(map(tuple, final.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_streaming_transitions_equal_batch_across_batches(spark, sf_dir, tmp_path):
+    """Transitions from a 3-micro-batch time-split replay must equal
+    the batch transition_matrix exactly — including the pair counts
+    that BRIDGE micro-batch boundaries (the stored per-user state)."""
+    from otters_spark.operators.behavior import transition_matrix
+    from otters_spark.streaming.stateful import streaming_transitions
+
+    ev = load_events(spark, sf_dir)
+    # split by event time into 3 files -> 3 in-order micro-batches
+    # (quantiles over the micros encoding; TimestampType itself is not
+    # approxQuantile-able)
+    evm = ev.withColumn("__m", F.unix_micros(F.col("ts").cast("timestamp")))
+    qs = evm.approxQuantile("__m", [0.33, 0.66], 0.001)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    parts = [
+        evm.filter(F.col("__m") <= qs[0]).drop("__m"),
+        evm.filter((F.col("__m") > qs[0]) & (F.col("__m") <= qs[1])).drop("__m"),
+        evm.filter(F.col("__m") > qs[1]).drop("__m"),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(landing / f"b{i}.parquet"))
+        # nest each batch as its own file set; file source treats each
+        # new file as a micro-batch under maxFilesPerTrigger=1
+    import glob
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i in range(3):
+        src = glob.glob(str(landing / f"b{i}.parquet" / "part-*.parquet"))[0]
+        shutil.copy(src, flat / f"{i:02d}.parquet")
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(flat))
+    )
+    q = (
+        streaming_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("t_transitions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.table("t_transitions")
+        .groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum("gap_micros").alias("gap_micros_total"),
+        )
+    )
+    got_rows = {
+        (r["from_type"], r["to_type"]): (r["n_trans"], r["gap_micros_total"])
+        for r in got.collect()
+    }
+    want_rows = {
+        (r["from_type"], r["to_type"]): (r["n_trans"], r["gap_micros_total"])
+        for r in transition_matrix(ev).collect()
+    }
+    assert got_rows == want_rows
+    # sanity: the replay really was multi-batch (bridged pairs exist)
+    assert len(got_rows) > 0
