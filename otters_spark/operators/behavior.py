@@ -158,6 +158,12 @@ def transition_matrix(
         F.count(F.lit(1)).alias("n_trans"),
         F.sum("__gap").alias("gap_micros_total"),
     )
+    # pin the |types|²-bounded pair table: it feeds BOTH the output and
+    # the per-from totals, and Catalyst re-expands shared subtrees per
+    # consumer — unpinned, the scan + user window + pair aggregation
+    # all run twice (the bigram_logprob lesson; lazy checkpoint so a
+    # never-executed plan costs nothing)
+    pairs = pairs.localCheckpoint(eager=False)
     totals = pairs.groupBy("from_type").agg(
         F.sum("n_trans").alias("__from_total")
     )
