@@ -23,6 +23,7 @@ __all__ = [
     "funnel_counts",
     "cohort_retention",
     "transition_matrix",
+    "path_counts",
 ]
 
 
@@ -179,6 +180,49 @@ def transition_matrix(
             ).alias("prob"),
         )
         .orderBy("from_type", "to_type")
+    )
+
+
+def path_counts(
+    df: DataFrame,
+    depth: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Frequency of every CONSECUTIVE ``depth``-step event path across
+    all users: one row per observed (step_1, …, step_n) sequence with
+    its count. :func:`transition_matrix` generalized from pairs to
+    n-grams of the event stream — the "what do journeys actually look
+    like" query behind funnel design (pick the paths users take, then
+    funnel-test the candidates).
+
+    Sliding, not tumbling: a user with events A B C D contributes
+    paths (A,B,C) and (B,C,D). Ordering/tie-break is (ts, id), the
+    suite convention.
+
+    Scale shape: the ``depth-1`` leads share ONE window (one sort, one
+    exchange keyed by user — Spark evaluates same-spec window
+    functions in a single Window node), then one count aggregation
+    keyed by the path tuple, map-side combined. Output is bounded by
+    |types|^depth, not the stream."""
+    from pyspark.sql.window import Window
+
+    if depth < 2:
+        raise ValueError(f"depth must be >= 2, got {depth}")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    steps = [F.col(type_col).alias("step_1")] + [
+        F.lead(type_col, i).over(w).alias(f"step_{i + 1}")
+        for i in range(1, depth)
+    ]
+    paths = df.select(*steps).filter(
+        F.col(f"step_{depth}").isNotNull()
+    )
+    return paths.groupBy(*[f"step_{i + 1}" for i in range(depth)]).agg(
+        F.count(F.lit(1)).alias("n_paths")
     )
 
 

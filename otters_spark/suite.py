@@ -5726,6 +5726,38 @@ GROUP BY 1 ORDER BY doc_id
 """
 
 
+def events_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top consecutive 3-step event paths across all users
+    (operators/behavior.py:path_counts): the transition matrix
+    generalized to path n-grams — the journey shapes behind funnel
+    design. The depth-1 leads share ONE window node (one user-keyed
+    exchange), the count aggregation is map-side combined, and output
+    is bounded by |types|^3. Top-15 with the (count desc, path) order
+    so the k-boundary is engine-stable."""
+    from .operators.behavior import path_counts
+
+    ev = load(spark, sf_dir, "events")
+    out = path_counts(ev, depth=3)
+    return out.orderBy(
+        F.desc("n_paths"), "step_1", "step_2", "step_3"
+    ).limit(15)
+
+
+EVENTS_COMMON_PATHS_SQL = """
+WITH s AS (
+  SELECT event_type AS step_1,
+         lead(event_type, 1) OVER w AS step_2,
+         lead(event_type, 2) OVER w AS step_3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT step_1, step_2, step_3, count(*) AS n_paths
+FROM s WHERE step_3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, step_1, step_2, step_3
+LIMIT 15
+"""
+
+
 def sim_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-column health report
     (operators/similarity.py:embedding_dim_stats): per-dimension
@@ -5774,8 +5806,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window (the driver has never seen them): Markov transition
     # matrix (behavior lane), Gumbel weighted sampling (curation
     # lane), n-gram novelty scoring (text lane), embedding dim-stats
-    # (ANN diagnostics). Four keeps moved below the boundary to make
-    # room: sketch_kmv_distinct + sketch_hll_distinct (mergeable-
+    # (ANN diagnostics), plus common-paths (journey n-grams). Five
+    # keeps moved below the boundary to make room:
+    # pipeline_pack_sequences (two-phase binned cumsum machinery via
+    # the retained pipeline_token_budget),
+    # sketch_kmv_distinct + sketch_hll_distinct (mergeable-
     # sketch trio keeps sketch_cms_heavy_hitters in the window plus
     # the promoted sketch_hist_quantiles), pipeline_bloom_decontam
     # (decontamination family via the retained
@@ -5783,6 +5818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # semantics also inside eval_ann_recall's 3-query batch and the
     # retained flagship vs_meta_vec_filter_topk).
     "events_transition_matrix": events_transition_matrix,
+    "events_common_paths": events_common_paths,
     "pipeline_weighted_sample": pipeline_weighted_sample,
     "text_ngram_novelty": text_ngram_novelty,
     "sim_dim_stats": sim_dim_stats,
@@ -5834,13 +5870,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_fuzzy_best_match": link_fuzzy_best_match,
     "pipeline_curate_full": pipeline_curate_full,
     "pipeline_token_budget": pipeline_token_budget,
-    "pipeline_pack_sequences": pipeline_pack_sequences,
     "eval_ann_recall": eval_ann_recall,
     "eval_banding_recall": eval_banding_recall,
     "rel_window_functions": rel_window_functions,
     "rel_scd2_merge": rel_scd2_merge,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     # ---- end of the driver's 50-entry window ----
+    "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "sketch_hll_distinct": sketch_hll_distinct,
     "sketch_kmv_distinct": sketch_kmv_distinct,
@@ -5991,6 +6027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "events_transition_matrix": EVENTS_TRANSITION_MATRIX_SQL,
+    "events_common_paths": EVENTS_COMMON_PATHS_SQL,
     "pipeline_weighted_sample": PIPELINE_WEIGHTED_SAMPLE_SQL,
     "text_ngram_novelty": TEXT_NGRAM_NOVELTY_SQL,
     "sim_dim_stats": SIM_DIM_STATS_SQL,

@@ -298,3 +298,87 @@ def test_retrieval_metrics_vs_python(spark, seed):
         dcg = sum(1.0 / math.log2(r + 1) for _, r in hits)
         idcg = sum(1.0 / math.log2(r + 1) for r in range(1, len(truth) + 1))
         assert r0["ndcg"] == pytest.approx(round(dcg / idcg, 6), abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_transition_and_paths_vs_python(spark, seed):
+    """Random event streams (with deliberate ts ties): transition
+    counts/gaps/probs and 3-step path counts must equal a driver-side
+    walk using the same (ts, id) ordering."""
+    from datetime import datetime, timedelta
+
+    from otters_spark.operators.behavior import path_counts, transition_matrix
+
+    rng = random.Random(seed)
+    types = ["a", "b", "c", "d"]
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1)
+    for u in range(12):
+        t = base
+        for _ in range(rng.randint(0, 15)):
+            # ~30% chance the ts does NOT advance -> real ties
+            if rng.random() > 0.3:
+                t = t + timedelta(seconds=rng.randint(1, 500))
+            rows.append((eid, u, t, rng.choice(types)))
+            eid += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    # python reference
+    trans = Counter()
+    gaps = Counter()
+    paths = Counter()
+    by_user = {}
+    for eid_, u, t, ty in rows:
+        by_user.setdefault(u, []).append((t, eid_, ty))
+    for u, evs in by_user.items():
+        evs.sort()
+        for (t1, _, a), (t2, _, b) in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+            gaps[(a, b)] += int((t2 - t1).total_seconds() * 1_000_000)
+        for (_, _, a), (_, _, b), (_, _, c) in zip(evs, evs[1:], evs[2:]):
+            paths[(a, b, c)] += 1
+    got = {(r["from_type"], r["to_type"]): r for r in transition_matrix(df).collect()}
+    assert set(got) == set(trans)
+    from_totals = Counter()
+    for (a, _), n in trans.items():
+        from_totals[a] += n
+    for k, n in trans.items():
+        assert got[k]["n_trans"] == n
+        assert got[k]["gap_micros_total"] == gaps[k]
+        assert got[k]["prob"] == round(n / from_totals[k[0]], 6)
+    gotp = {
+        (r["step_1"], r["step_2"], r["step_3"]): r["n_paths"]
+        for r in path_counts(df, depth=3).collect()
+    }
+    assert gotp == dict(paths)
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_ngram_novelty_vs_python(spark, seed):
+    from otters_spark.operators.text_analysis import ngram_novelty
+
+    rows = _corpus(seed, n_docs=50)
+    n = 3
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    per_doc = {}
+    dfreq = Counter()
+    for i, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        grams = {
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        }
+        if grams:
+            per_doc[i] = grams
+            for g in grams:
+                dfreq[g] += 1
+    got = {r["doc_id"]: r for r in ngram_novelty(df, n=n).collect()}
+    assert set(got) == set(per_doc)
+    for i, grams in per_doc.items():
+        novel = sum(1 for g in grams if dfreq[g] == 1)
+        assert got[i]["n_ngrams"] == len(grams)
+        assert got[i]["n_novel"] == novel
+        assert got[i]["novelty"] == round(novel / len(grams), 6)
