@@ -86,6 +86,24 @@ def main() -> int:
           f"-> mixed {mixed.count()}; late batch {late.count()} "
           f"-> admitted {admitted.count()}")
     mixed.groupBy("lang").count().orderBy("lang").show()
+
+    # 8. novelty scoring + quality-weighted subsample (round-4 lanes):
+    # rank what survived by how much of it is its own, then draw a
+    # diversity-preserving sample proportional to novelty instead of
+    # deterministically clipping to the top
+    from otters_spark.operators.sampling import weighted_sample
+    from otters_spark.operators.text_analysis import ngram_novelty
+
+    nov = ngram_novelty(mixed, n=8)
+    pool = mixed.join(nov.select("doc_id", "novelty"), "doc_id").filter(
+        F.col("novelty") > 0
+    )
+    sample = weighted_sample(pool, "novelty", 10, group_cols=["lang"])
+    print("-- novelty-weighted sample (10 per language) --")
+    sample.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("novelty"), 3).alias("avg_novelty"),
+    ).orderBy("lang").show()
     return 0
 
 

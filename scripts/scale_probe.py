@@ -40,6 +40,11 @@ QUERIES = [
     "text_pmi_topk",
     "sim_maxsim_topk",
     "vs_manhattan_topk",
+    # round-4: novelty (df-aggregate + probe join), weighted sampling
+    # (scan-fused keys + grouped top-n), dim stats (posexplode + agg)
+    "text_ngram_novelty",
+    "pipeline_weighted_sample",
+    "sim_dim_stats",
 ]
 
 # events-lane probe: the third table family. Replication shifts each
@@ -54,6 +59,9 @@ EVENTS_QUERIES = [
     "events_anomaly_mad",
     "events_drift_window",
     "events_scd2_lookup",
+    # round-4 journey lane: one user-keyed window + pair/path-keyed agg
+    "events_transition_matrix",
+    "events_common_paths",
 ]
 
 
