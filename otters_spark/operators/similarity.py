@@ -45,6 +45,7 @@ __all__ = [
     "pq_encode",
     "pq_search",
     "embedding_dim_stats",
+    "label_centroids",
 ]
 
 
@@ -91,6 +92,52 @@ def embedding_dim_stats(
             ).alias("zero_frac"),
         )
         .orderBy("dim")
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label mean embedding ("class prototypes"): one
+    ``(label, n_vectors, centroid)`` row per label, the centroid a
+    dense ``array<double>``. The building block of prototype-based
+    curation — score every corpus vector against its class prototype
+    and gate outliers (mislabeled/noisy examples), seed KMeans for
+    SemDeDup-style cells, or serve as the coarse level of a
+    two-level index.
+
+    Scale shape: posexplode (fan-out = dim) into a (label, dim)-keyed
+    algebraic mean — partial-aggregated map-side, the exchange carries
+    |labels| × |dims| × n_partitions rows at most — then ONE
+    |labels|-keyed re-assembly: ``array_sort(collect_list(struct(dim,
+    val)))`` over exactly |dims| rows per label (bounded state, not a
+    corpus-sized collect). No window, no join, no driver action.
+
+    Means are rounded (default 6 dp — the accumulation-order budget,
+    see :func:`embedding_dim_stats`); NULL vectors contribute nothing
+    (posexplode emits no rows for them) and ``n_vectors`` counts only
+    contributing rows."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("__v").cast("double")), round_to).alias("__m"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("__n").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "__m"))),
+                lambda s: s["__m"],
+            ).alias("centroid"),
+        )
+        .select("label", "n_vectors", "centroid")
     )
 
 

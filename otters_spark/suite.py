@@ -5726,6 +5726,40 @@ GROUP BY 1 ORDER BY doc_id
 """
 
 
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids
+    (operators/similarity.py:label_centroids) — class prototypes for
+    prototype-based curation, KMeans seeding, or a two-level index's
+    coarse tier. The suite row explodes the assembled array back to
+    (label, dim, centroid_val) scalars so the oracle compares the
+    ROUND-TRIP: per-dim mean → bounded |dims|-row re-assembly →
+    explode. Means at 6 dp (accumulation-order budget)."""
+    from .operators.similarity import label_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb, "embedding", "label")
+    return (
+        cents.select(
+            "label",
+            "n_vectors",
+            F.posexplode("centroid").alias("dim", "centroid_val"),
+        )
+        .select("label", "dim", "n_vectors", "centroid_val")
+        .orderBy("label", "dim")
+    )
+
+
+SIM_LABEL_CENTROIDS_SQL = """
+WITH v AS (SELECT label,
+                  generate_subscripts(embedding, 1) - 1 AS dim,
+                  unnest(embedding::DOUBLE[]) AS val
+           FROM embeddings)
+SELECT label, dim, count(*)::BIGINT AS n_vectors,
+       round(avg(val), 6) AS centroid_val
+FROM v GROUP BY label, dim ORDER BY label, dim
+"""
+
+
 def events_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top consecutive 3-step event paths across all users
     (operators/behavior.py:path_counts): the transition matrix
@@ -5806,10 +5840,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window (the driver has never seen them): Markov transition
     # matrix (behavior lane), Gumbel weighted sampling (curation
     # lane), n-gram novelty scoring (text lane), embedding dim-stats
-    # (ANN diagnostics), plus common-paths (journey n-grams). Five
-    # keeps moved below the boundary to make room:
+    # (ANN diagnostics), plus common-paths (journey n-grams) and
+    # label centroids (class prototypes). Six keeps moved below the
+    # boundary to make room:
     # pipeline_pack_sequences (two-phase binned cumsum machinery via
     # the retained pipeline_token_budget),
+    # dedup_frequent_segments (recurring-segment family via the
+    # promoted dedup_span_removal, the exact-substring superset),
     # sketch_kmv_distinct + sketch_hll_distinct (mergeable-
     # sketch trio keeps sketch_cms_heavy_hitters in the window plus
     # the promoted sketch_hist_quantiles), pipeline_bloom_decontam
@@ -5822,6 +5859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_weighted_sample": pipeline_weighted_sample,
     "text_ngram_novelty": text_ngram_novelty,
     "sim_dim_stats": sim_dim_stats,
+    "sim_label_centroids": sim_label_centroids,
     # The 28 promotions (never driver-checked before this round):
     "pipeline_split_reservoir": pipeline_split_reservoir,
     "events_asof_forward": events_asof_forward,
@@ -5866,7 +5904,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash64_banded": dedup_simhash64_banded,
     "dedup_edit_distance_verified": dedup_edit_distance_verified,
     "pipeline_semantic_decontam": pipeline_semantic_decontam,
-    "dedup_frequent_segments": dedup_frequent_segments,
     "link_fuzzy_best_match": link_fuzzy_best_match,
     "pipeline_curate_full": pipeline_curate_full,
     "pipeline_token_budget": pipeline_token_budget,
@@ -5876,6 +5913,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_scd2_merge": rel_scd2_merge,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     # ---- end of the driver's 50-entry window ----
+    "dedup_frequent_segments": dedup_frequent_segments,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "sketch_hll_distinct": sketch_hll_distinct,
@@ -6031,6 +6069,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_weighted_sample": PIPELINE_WEIGHTED_SAMPLE_SQL,
     "text_ngram_novelty": TEXT_NGRAM_NOVELTY_SQL,
     "sim_dim_stats": SIM_DIM_STATS_SQL,
+    "sim_label_centroids": SIM_LABEL_CENTROIDS_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

@@ -307,3 +307,34 @@ def test_embedding_dim_stats_flags_dead_and_shifted_dims(spark):
     assert out[0]["std"] == 0.0 and out[0]["zero_frac"] == 1.0  # dead dim
     assert out[1]["mean"] > 5.0  # shifted mean
     assert out[2]["zero_frac"] == round(10 / 30, 6)
+
+
+def test_label_centroids_vs_numpy(spark, sf_dir):
+    import numpy as np
+
+    from otters_spark.operators.similarity import label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    got = {r["label"]: r for r in label_centroids(emb).collect()}
+    assert set(got) == set(by_label)
+    for lbl, vecs in by_label.items():
+        mat = np.array(vecs, dtype=np.float64)
+        assert got[lbl]["n_vectors"] == len(vecs)
+        want = [round(float(x), 6) for x in mat.mean(axis=0)]
+        assert got[lbl]["centroid"] == pytest.approx(want, abs=1e-9)
+
+
+def test_label_centroids_null_vector_skipped(spark):
+    from otters_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 3.0]), (0, [3.0, 5.0]), (0, None), (1, [2.0, 2.0])],
+        "label int, embedding array<double>",
+    )
+    got = {r["label"]: r for r in label_centroids(df).collect()}
+    assert got[0]["n_vectors"] == 2 and got[0]["centroid"] == [2.0, 4.0]
+    assert got[1]["n_vectors"] == 1 and got[1]["centroid"] == [2.0, 2.0]

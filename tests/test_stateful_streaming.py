@@ -72,13 +72,21 @@ def test_streaming_transitions_equal_batch_across_batches(spark, sf_dir, tmp_pat
         # nest each batch as its own file set; file source treats each
         # new file as a micro-batch under maxFilesPerTrigger=1
     import glob
+    import os
     import shutil
+    import time
 
     flat = tmp_path / "flat"
     flat.mkdir()
+    now = time.time()
     for i in range(3):
         src = glob.glob(str(landing / f"b{i}.parquet" / "part-*.parquet"))[0]
-        shutil.copy(src, flat / f"{i:02d}.parquet")
+        dst = flat / f"{i:02d}.parquet"
+        shutil.copy(src, dst)
+        # the file source picks up files in MODIFICATION-TIME order and
+        # fast copies can tie on mtime — pin strictly increasing times
+        # so batch order (and thus per-user event-time order) is fixed
+        os.utime(dst, (now + i, now + i))
 
     schema = ev.schema
     stream = (
