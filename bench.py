@@ -147,22 +147,24 @@ def main() -> int:
     head = dict(full)
     head["queries_full"] = "BENCH_FULL.json"
     head["queries"] = {}
+    # seed the omission marker BEFORE filling so its bytes are always
+    # reserved — appending it afterwards could push the line over
+    # budget and print a partial dict that reads as complete
+    head["queries_omitted"] = len(times)
     by_cost = sorted(
         times.items(), key=lambda kv: (-(kv[1] or 0.0), kv[0])
     )
     line = json.dumps(head, separators=(",", ":"))
     for name, t in by_cost:
         head["queries"][name] = t
+        head["queries_omitted"] = len(times) - len(head["queries"])
         candidate = json.dumps(head, separators=(",", ":"))
         if len(candidate) > budget:
             del head["queries"][name]
+            head["queries_omitted"] = len(times) - len(head["queries"])
             break
         line = candidate
-    head["queries_omitted"] = len(times) - len(head["queries"])
-    candidate = json.dumps(head, separators=(",", ":"))
-    if len(candidate) <= budget:
-        line = candidate
-    print(line)
+    print(json.dumps(head, separators=(",", ":")))
     return 0
 
 

@@ -47,7 +47,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     )
     paths.show(10)
     top = paths.first()
-    steps = [top["step_1"], top["step_2"], top["step_3"]]
+    steps = (
+        [top["step_1"], top["step_2"], top["step_3"]] if top is not None else []
+    )
     if len(set(steps)) < 3:
         # funnel steps must be distinct event types; fall back to the
         # classic trio if the top path repeats a step

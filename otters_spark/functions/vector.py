@@ -133,6 +133,25 @@ def manhattan_expr(a, b) -> Column:
     )
 
 
+def _null_guarded_lane(cond):
+    """Lane combinator for zip_with kernels that count matches: maps a
+    (x, y) predicate to 1/0 as int64, but NULLs the lane when either
+    side is NULL — so a ragged (zip_with NULL-padded) or null-element
+    input propagates NULL through the sum instead of silently counting
+    the padded lanes (SQL 3VL would send the NULL comparison to the
+    otherwise-branch 0). Shared by hamming and jaccard; manhattan gets
+    the same behavior from arithmetic NULL propagation for free."""
+
+    def lane(x, y):
+        return F.when(
+            x.isNull() | y.isNull(), F.lit(None).cast("long")
+        ).otherwise(
+            F.when(cond(x, y), F.lit(1)).otherwise(F.lit(0)).cast("long")
+        )
+
+    return lane
+
+
 def hamming_expr(a, b) -> Column:
     """Hamming distance — the count of positions where the two vectors
     differ (reference roadmap metric, README.md:209). Meaningful for
@@ -141,24 +160,12 @@ def hamming_expr(a, b) -> Column:
     so every metric scores as one column type.
 
     Length-mismatched (ragged) inputs score NULL, not a silent
-    undercount: ``zip_with`` NULL-pads the shorter array, and a bare
-    ``when(x != y, 1).otherwise(0)`` would map those padded lanes to 0
-    (three-valued logic sends the NULL comparison to the otherwise
-    branch). The explicit NULL guard below makes ragged vectors fail
-    loudly through the sum, exactly like ``manhattan_expr`` already
-    does via arithmetic NULL propagation. VecStore's dim validation
-    prevents ragged rows at ingest; this guard covers direct users of
-    the public function."""
+    undercount — see :func:`_null_guarded_lane`. VecStore's dim
+    validation prevents ragged rows at ingest; the guard covers direct
+    users of the public function, and the plan layer drops NULL scores
+    alongside NaN so a guarded row can never occupy a top-k slot."""
     return F.aggregate(
-        F.zip_with(
-            _c(a),
-            _c(b),
-            lambda x, y: F.when(
-                x.isNull() | y.isNull(), F.lit(None).cast("long")
-            ).otherwise(
-                F.when(x != y, F.lit(1)).otherwise(F.lit(0)).cast("long")
-            ),
-        ),
+        F.zip_with(_c(a), _c(b), _null_guarded_lane(lambda x, y: x != y)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     ).cast("double")
@@ -172,26 +179,19 @@ def jaccard_expr(a, b) -> Column:
     0.0, never NaN (the zero-vector convention cosine already uses).
 
     Length-mismatched (ragged) inputs score NULL rather than silently
-    miscounting the zip_with NULL-padded lanes — same loud-failure
-    guard as :func:`hamming_expr` (see there for the 3VL mechanics)."""
-
-    def _lane(cond):  # noqa: ANN001 - Column predicate in, Column out
-        def f(x, y):
-            return F.when(
-                x.isNull() | y.isNull(), F.lit(None).cast("long")
-            ).otherwise(
-                F.when(cond(x, y), F.lit(1)).otherwise(F.lit(0)).cast("long")
-            )
-
-        return f
-
+    miscounting the zip_with NULL-padded lanes — the shared
+    :func:`_null_guarded_lane` guard."""
     inter = F.aggregate(
-        F.zip_with(_c(a), _c(b), _lane(lambda x, y: (x != 0) & (y != 0))),
+        F.zip_with(
+            _c(a), _c(b), _null_guarded_lane(lambda x, y: (x != 0) & (y != 0))
+        ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     union = F.aggregate(
-        F.zip_with(_c(a), _c(b), _lane(lambda x, y: (x != 0) | (y != 0))),
+        F.zip_with(
+            _c(a), _c(b), _null_guarded_lane(lambda x, y: (x != 0) | (y != 0))
+        ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )

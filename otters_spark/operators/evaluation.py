@@ -71,14 +71,21 @@ def retrieval_metrics(
     lane emitting results under a wrong or extra query id would
     otherwise vanish from the report instead of surfacing as an
     anomaly. The check is one anti-join over two k-bounded ranked
-    lists — negligible next to the searches that produced them. Pass
-    ``strict=False`` when evaluating a deliberately wider approx batch
-    against a truth subsample.
+    lists — negligible next to the searches that produced them. Both
+    inputs are pinned with a lazy localCheckpoint first: the eager
+    assertion would otherwise execute the full search lanes once for
+    the id-set check and AGAIN when the returned metrics plan runs —
+    the checkpoint makes the check's execution the only one, and the
+    pinned lists are k-bounded (tiny). Pass ``strict=False`` when
+    evaluating a deliberately wider approx batch against a truth
+    subsample (also skips the checkpoint — fully lazy).
     """
     a = approx.select(query_col, id_col, F.col("rank").alias("__ra"))
     t = truth.select(query_col, id_col, F.col("rank").alias("__rt"))
 
     if strict:
+        a = a.localCheckpoint(eager=False)
+        t = t.localCheckpoint(eager=False)
         orphans = (
             a.select(query_col)
             .distinct()

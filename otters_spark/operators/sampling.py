@@ -441,6 +441,19 @@ _MICRO = 1_000_000
 _GUMBEL_DEN = float(2**60 + 1)
 
 
+def _gumbel_micro(id_col) -> F.Column:
+    """Content-keyed Gumbel draw in integer micro-units: ``u =
+    (md5(id)+1)/(2^60+1)`` is a uniform strictly inside (0,1) — h spans
+    [0, 2^60-1], so u ∈ [1/(2^60+1), 2^60/(2^60+1)] and neither log can
+    hit 0 or ∞ — and ``round(-ln(-ln(u))·1e6)`` its micro-snapped Gumbel
+    transform. Shared by :func:`dsir_select` (importance resampling) and
+    :func:`weighted_sample` (Efraimidis–Spirakis): one definition so the
+    hash convention and denominator can never silently diverge between
+    the two samplers."""
+    u = (md5_long_expr(F.col(id_col)) + 1).cast("double") / F.lit(_GUMBEL_DEN)
+    return F.round(-F.log(-F.log(u)) * _MICRO).cast("long")
+
+
 def dsir_weights(
     corpus: DataFrame,
     target: DataFrame,
@@ -547,12 +560,10 @@ def dsir_select(
     if n_take <= 0:
         raise ValueError("n_take must be positive")
     w = dsir_weights(corpus, target, text_col, id_col, n_buckets, smoothing)
-    u = (md5_long_expr(F.col(id_col)) + 1).cast("double") / F.lit(_GUMBEL_DEN)
-    gumbel = F.round(-F.log(-F.log(u)) * _MICRO).cast("long")
     keyed = w.select(
         id_col,
         "logw_micro",
-        (F.col("logw_micro") + gumbel).alias("select_key"),
+        (F.col("logw_micro") + _gumbel_micro(id_col)).alias("select_key"),
     )
     return (
         corpus.join(keyed, id_col)
@@ -597,11 +608,9 @@ def weighted_sample(
     if n_take <= 0:
         raise ValueError("n_take must be positive")
     w = F.col(weight_col).cast("double")
-    u = (md5_long_expr(F.col(id_col)) + 1).cast("double") / F.lit(_GUMBEL_DEN)
-    gumbel = F.round(-F.log(-F.log(u)) * _MICRO).cast("long")
     lnw = F.round(F.log(w) * _MICRO).cast("long")
     keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(
-        "select_key", lnw + gumbel
+        "select_key", lnw + _gumbel_micro(id_col)
     )
     if not group_cols:
         return keyed.orderBy(F.desc("select_key"), F.col(id_col)).limit(n_take)

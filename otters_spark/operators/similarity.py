@@ -777,7 +777,7 @@ def pq_search(
     )
     scored = encoded.withColumn("approx_score", approx)
     order = [
-        F.col("approx_score").asc() if asc else F.col("approx_score").desc(),
+        F.col("approx_score").asc_nulls_last() if asc else F.col("approx_score").desc(),
         F.col(id_col).asc(),
     ]
     if store is None or rerank is None:

@@ -329,8 +329,14 @@ class VecQueryPlan:
                 q_inv_norm=F.col("q_inv_norm"),
             ),
         )
-        # NaN scores silently dropped (src/vec_compute.rs:236-239)
-        scored = scored.filter(~F.isnan(F.col("score")))
+        # NaN scores silently dropped (src/vec_compute.rs:236-239).
+        # NULL joins the drop: isnan(NULL) is false in Spark, so NaN
+        # filtering alone would keep a NULL score (ragged vector under
+        # validate=False) and min-direction ordering sorts NULLS FIRST
+        # — it would silently occupy the top-k slots.
+        scored = scored.filter(
+            F.col("score").isNotNull() & ~F.isnan(F.col("score"))
+        )
         if self._vec_filter is not None:
             thr, cmp = self._vec_filter
             c = F.col("score")
@@ -342,7 +348,7 @@ class VecQueryPlan:
             scored = scored.observe(obs_survivors, F.count(F.lit(1)).alias("n"))
         direction = self._take_dir or METRICS[self._metric]
         order = [
-            F.col("score").asc() if direction == "min" else F.col("score").desc(),
+            F.col("score").asc_nulls_last() if direction == "min" else F.col("score").desc(),
             F.col(store.id_col).asc(),
         ]
         out = scored.orderBy(*order)

@@ -141,7 +141,12 @@ def streaming_transitions(events: DataFrame) -> DataFrame:
 
     Input needs (user_id, event_id, ts); timestamps are converted to
     int64 micros SPARK-SIDE (``unix_micros``) so the Arrow kernel
-    handles only integers — no pandas datetime-unit ambiguity."""
+    handles only integers — no pandas datetime-unit ambiguity. Events
+    with NULL ts are dropped before the kernel: they carry no event
+    time (a watermark would drop them too), and a NaN would otherwise
+    kill the query inside the int conversion. The batch twin orders
+    them NULLS FIRST with NULL gaps — equivalence is promised on
+    timestamped data."""
     from pyspark.sql import functions as F
 
     keyed = events.select(
@@ -149,16 +154,23 @@ def streaming_transitions(events: DataFrame) -> DataFrame:
         F.col("event_id"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("__micros"),
         F.col("event_type"),
-    )
+    ).filter(F.col("__micros").isNotNull())
 
     def step(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         lm, lt = state.get if state.exists else (None, None)
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["__micros", "event_id"])
-            for m, et in zip(pdf["__micros"], pdf["event_type"]):
+        # a group's micro-batch arrives as MULTIPLE Arrow chunks (split
+        # at arrow.maxRecordsPerBatch) in arbitrary order — concat and
+        # sort ONCE; per-chunk sorting would walk a >10k-event user out
+        # of time order and silently emit wrong transitions
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["__micros", "event_id"]
+            )
+            for m, et in zip(batch["__micros"], batch["event_type"]):
                 m = int(m)
                 if lt is not None:
                     out.append((key[0], lt, et, m - lm))

@@ -125,3 +125,64 @@ def test_streaming_transitions_equal_batch_across_batches(spark, sf_dir, tmp_pat
     assert got_rows == want_rows
     # sanity: the replay really was multi-batch (bridged pairs exist)
     assert len(got_rows) > 0
+
+
+def test_streaming_transitions_multi_chunk_group(spark, tmp_path):
+    """A user whose micro-batch spans multiple Arrow chunks must still
+    process in (ts, id) order: chunks arrive as an iterator in
+    arbitrary order, and per-chunk sorting would emit wrong pairs."""
+    from otters_spark.operators.behavior import transition_matrix
+    from otters_spark.streaming.stateful import streaming_transitions
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        import random as _random
+        from datetime import datetime, timedelta
+
+        rng = _random.Random(5)
+        rows = []
+        for eid in range(60):  # one user, 60 events >> 7-row chunks
+            rows.append(
+                (eid, 1, datetime(2024, 1, 1) + timedelta(seconds=eid * 10),
+                 rng.choice(["a", "b", "c"]))
+            )
+        rng.shuffle(rows)  # physical order != event-time order
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        src = tmp_path / "one"
+        ev.coalesce(1).write.parquet(str(src))
+        stream = (
+            spark.readStream.schema(ev.schema).format("parquet").load(str(src))
+        )
+        q = (
+            streaming_transitions(stream)
+            .writeStream.format("memory")
+            .queryName("t_chunked")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["from_type"], r["to_type"]): (r["n_trans"], r["gap_micros_total"])
+            for r in spark.table("t_chunked")
+            .groupBy("from_type", "to_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_trans"),
+                F.sum("gap_micros").alias("gap_micros_total"),
+            )
+            .collect()
+        }
+        want = {
+            (r["from_type"], r["to_type"]): (r["n_trans"], r["gap_micros_total"])
+            for r in transition_matrix(ev).collect()
+        }
+        assert got == want
+        # every gap is the fixed 10 s grid -> no negative/wrong gaps
+        assert all(g % 10_000_000 == 0 and g > 0 for _, g in got.values())
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -286,3 +286,20 @@ def test_remove_rows_list_and_df(spark):
     # removing then re-adding round-trips the store contents
     readd = by_list.add_rows(store.df.filter("vec_id in (0, 2)").drop("__inv_norm"))
     assert readd.count() == 3
+
+
+def test_null_score_never_occupies_topk(spark):
+    """A NULL score (ragged vector ingested under validate=False) must
+    be dropped like NaN — min-direction ordering would otherwise sort
+    it NULLS FIRST, silently displacing real matches from the top-k."""
+    from otters_spark.store import VecStore
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 1.0]), (1, [1.0, 1.0, 1.0]), (2, [1.0, 0.0])],
+        "vec_id long, vec array<double>",
+    )
+    store = VecStore.from_df(df, vec_col="vec", id_col="vec_id", validate=False)
+    rows = store.query([1.0, 0.0, 1.0], "hamming").take(2).collect()
+    assert [r["vec_id"] for r in rows] == [0, 1]  # ragged id=2 absent
+    all_rows = store.query([1.0, 0.0, 1.0], "hamming").collect()
+    assert {r["vec_id"] for r in all_rows} == {0, 1}
