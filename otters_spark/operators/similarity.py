@@ -46,6 +46,7 @@ __all__ = [
     "pq_search",
     "embedding_dim_stats",
     "label_centroids",
+    "prototype_outliers",
 ]
 
 
@@ -138,6 +139,65 @@ def label_centroids(
             ).alias("centroid"),
         )
         .select("label", "n_vectors", "centroid")
+    )
+
+
+def prototype_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    n_flag: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mislabel/noise candidates: the ``n_flag`` vectors per label
+    LEAST similar (cosine) to their own label's centroid — the
+    prototype-based cleaning pass (Northcutt-style confident-learning
+    lite) that :func:`label_centroids` exists to feed. Returns
+    ``(label, id, proto_cos, rank)`` with rank 1 = worst fit.
+
+    Scale shape: centroids are a |labels|-row table and BROADCAST onto
+    the corpus — the scoring pass is one scan with a codegen'd
+    dot/norm expression, no corpus shuffle. The per-label worst-k is
+    a rank window over (label) partitions ordered by the 6-dp-rounded
+    score (engine-stable boundary, id tie-break); Spark's
+    WindowGroupLimit pushes the top-``n_flag`` selection map-side.
+    Zero-norm vectors or centroids score 0.0 (the engine's cosine
+    convention)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import cosine_expr, inv_norm_expr
+
+    if n_flag < 1:
+        raise ValueError(f"n_flag must be >= 1, got {n_flag}")
+    cents = label_centroids(df, vec_col, label_col, round_to=12).select(
+        F.col("label").alias("__lbl"), F.col("centroid").alias("__c")
+    )
+    scored = (
+        df.join(
+            F.broadcast(cents), F.col(label_col).eqNullSafe(F.col("__lbl"))
+        )
+        .select(
+            F.col(label_col).alias("label"),
+            F.col(id_col),
+            F.round(
+                cosine_expr(
+                    F.col(vec_col),
+                    F.col("__c"),
+                    inv_norm_expr(vec_col),
+                    inv_norm_expr("__c"),
+                ),
+                round_to,
+            ).alias("proto_cos"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("proto_cos").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_flag)
+        .select("label", id_col, "proto_cos", "rank")
     )
 
 

@@ -5760,6 +5760,37 @@ FROM v GROUP BY label, dim ORDER BY label, dim
 """
 
 
+def sim_prototype_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-based mislabel candidates
+    (operators/similarity.py:prototype_outliers): the 3 vectors per
+    label least cosine-similar to their own label centroid. Centroids
+    broadcast; scoring is one scan-fused codegen pass; the per-label
+    worst-k ranks on the 6-dp-rounded score (engine-stable boundary)
+    and lowers to WindowGroupLimit."""
+    from .operators.similarity import prototype_outliers
+
+    emb = load(spark, sf_dir, "embeddings")
+    return prototype_outliers(emb, n_flag=3).orderBy("label", "rank")
+
+
+SIM_PROTOTYPE_OUTLIERS_SQL = """
+WITH v AS (SELECT label, vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+d AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding::DOUBLE[]) AS val
+      FROM embeddings),
+m AS (SELECT label, i, round(avg(val), 12) AS c FROM d GROUP BY 1, 2),
+cent AS (SELECT label, list(c ORDER BY i) AS cvec FROM m GROUP BY 1),
+s AS (SELECT v.label, v.vec_id,
+             round(list_cosine_similarity(v.e, cent.cvec), 6) AS proto_cos
+      FROM v JOIN cent USING (label)),
+r AS (SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY proto_cos ASC, vec_id) AS rank
+      FROM s)
+SELECT label, vec_id, proto_cos, rank FROM r WHERE rank <= 3
+ORDER BY label, rank
+"""
+
+
 def events_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top consecutive 3-step event paths across all users
     (operators/behavior.py:path_counts): the transition matrix
@@ -5914,6 +5945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     # ---- end of the driver's 50-entry window ----
     "dedup_frequent_segments": dedup_frequent_segments,
+    "sim_prototype_outliers": sim_prototype_outliers,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "sketch_hll_distinct": sketch_hll_distinct,
@@ -6070,6 +6102,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_ngram_novelty": TEXT_NGRAM_NOVELTY_SQL,
     "sim_dim_stats": SIM_DIM_STATS_SQL,
     "sim_label_centroids": SIM_LABEL_CENTROIDS_SQL,
+    "sim_prototype_outliers": SIM_PROTOTYPE_OUTLIERS_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

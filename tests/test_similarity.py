@@ -338,3 +338,34 @@ def test_label_centroids_null_vector_skipped(spark):
     got = {r["label"]: r for r in label_centroids(df).collect()}
     assert got[0]["n_vectors"] == 2 and got[0]["centroid"] == [2.0, 4.0]
     assert got[1]["n_vectors"] == 1 and got[1]["centroid"] == [2.0, 2.0]
+
+
+def test_prototype_outliers_planted_mislabels(spark):
+    """Vectors planted far from their label's cluster must surface as
+    the worst-fit candidates, and scores must match NumPy."""
+    import numpy as np
+
+    from otters_spark.operators.similarity import prototype_outliers
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    for lbl, center in [(0, np.array([5.0, 0.0, 0.0])), (1, np.array([0.0, 5.0, 0.0]))]:
+        for _ in range(20):
+            rows.append((vid, lbl, (center + rng.normal(0, 0.3, 3)).tolist()))
+            vid += 1
+    # two mislabels: label-0 rows sitting in label 1's cluster
+    planted = {vid, vid + 1}
+    rows.append((vid, 0, [0.0, 5.1, 0.1])); vid += 1
+    rows.append((vid, 0, [0.2, 4.9, 0.0])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = prototype_outliers(df, n_flag=2, id_col="vec_id").collect()
+    worst0 = {r["vec_id"] for r in out if r["label"] == 0}
+    assert worst0 == planted
+    # NumPy parity on one flagged row
+    mat0 = np.array([e for _, l, e in rows if l == 0])
+    cent = np.round(mat0.mean(axis=0), 12)
+    flagged = next(r for r in out if r["vec_id"] == min(planted))
+    v = np.array(dict((i, e) for i, l, e in rows)[min(planted)])
+    want = round(float(v @ cent / (np.linalg.norm(v) * np.linalg.norm(cent))), 6)
+    assert flagged["proto_cos"] == pytest.approx(want, abs=1e-9)
