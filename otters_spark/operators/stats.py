@@ -18,7 +18,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["group_percentiles", "robust_outliers"]
+__all__ = ["group_percentiles", "robust_outliers", "quantile_normalize"]
 
 
 def _sort_percentiles(
@@ -257,6 +257,89 @@ def group_percentiles(
                 expr = F.round(expr, round_to)
             aggs.append(expr.alias(name))
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    out_col: str = "pctl",
+    n_bins: int = 4096,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-row percent-rank of ``value_col`` within its group — the
+    score-calibration step of multi-source curation: a quality score
+    of 0.7 means different things from different scorers/sources, but
+    "the 93rd percentile of its source" is comparable everywhere, so
+    thresholds and mixing ratios transfer across sources. Exact SQL
+    ``PERCENT_RANK`` semantics: ``(#strictly-smaller) / (n-1)``, ties
+    share their first peer's rank, single-row groups score 0. NULL/NaN
+    values pass through with a NULL percentile.
+
+    Scale shape — the two-phase binned rank (the ``shuffle_shards``
+    permutation device, per group): a naive
+    ``percent_rank().over(partitionBy(group))`` sorts each WHOLE group
+    in one task — at web scale one source can be a double-digit corpus
+    share. Instead: value-range bins within each group (broadcast
+    min/max), cumulative bin offsets over the n_bins-BOUNDED histogram
+    window, then a rank window over one (group, bin) — ≈ n/n_bins rows
+    — and ``rank = offset + within-bin rank``. Equal values share a
+    bin, so tie ranks are exact. Every partition is bin-bounded; no
+    task ever holds a whole group."""
+    from pyspark.sql.window import Window
+
+    out_g = list(group_cols)
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    v = F.nanvl(F.col(value_col).cast("double"), F.lit(None).cast("double"))
+    base = df.withColumn("__v", v)
+    good = base.filter(F.col("__v").isNotNull())
+    g: list[str] = []
+    keyed = good
+    if out_g:
+        keyed = good.withColumn("__g", F.struct(*out_g))
+        g = ["__g"]
+    stats = keyed.groupBy(*g).agg(
+        F.min("__v").alias("__mn"),
+        F.max("__v").alias("__mx"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    width = F.col("__mx") - F.col("__mn")
+    bucket = F.when(width <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col("__v") - F.col("__mn")) / width * n_bins),
+        )
+    )
+    m = keyed.join(F.broadcast(stats), g) if g else keyed.crossJoin(
+        F.broadcast(stats)
+    )
+    m = m.withColumn("__b", bucket.cast("long"))
+    hist = m.groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__bc"))
+    wcum = (
+        Window.partitionBy(*g)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.select(
+        *g, "__b", F.coalesce(F.sum("__bc").over(wcum), F.lit(0)).alias("__off")
+    )
+    wbin = Window.partitionBy(*g, "__b").orderBy("__v")
+    ranked = (
+        m.join(hist, [*g, "__b"])
+        .withColumn("__r", F.col("__off") + F.rank().over(wbin))
+    )
+    pct = F.when(
+        F.col("__n") > 1,
+        (F.col("__r") - 1).cast("double") / (F.col("__n") - 1),
+    ).otherwise(F.lit(0.0))
+    if round_to is not None:
+        pct = F.round(pct, round_to)
+    ranked = ranked.select(*df.columns, pct.alias(out_col))
+    nulls = base.filter(F.col("__v").isNull()).select(
+        *df.columns, F.lit(None).cast("double").alias(out_col)
+    )
+    return ranked.unionByName(nulls)
 
 
 def robust_outliers(

@@ -5760,6 +5760,30 @@ FROM v GROUP BY label, dim ORDER BY label, dim
 """
 
 
+def pipeline_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score calibration across sources
+    (operators/stats.py:quantile_normalize): each document's n_chars
+    as an exact PERCENT_RANK within its source — "93rd percentile of
+    its source" transfers across sources where raw scores don't. The
+    two-phase binned rank keeps every partition bin-bounded (no
+    one-task-per-source window); ties share their first peer's rank,
+    so the result is engine-exact, not approximate."""
+    from .operators.stats import quantile_normalize
+
+    docs = load(spark, sf_dir, "documents")
+    out = quantile_normalize(docs, "n_chars", ["source"])
+    return out.select("doc_id", "source", "n_chars", "pctl").orderBy("doc_id")
+
+
+PIPELINE_QUANTILE_NORMALIZE_SQL = """
+SELECT doc_id, source, n_chars,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+         AS pctl
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def sim_prototype_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototype-based mislabel candidates
     (operators/similarity.py:prototype_outliers): the 3 vectors per
@@ -5946,6 +5970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- end of the driver's 50-entry window ----
     "dedup_frequent_segments": dedup_frequent_segments,
     "sim_prototype_outliers": sim_prototype_outliers,
+    "pipeline_quantile_normalize": pipeline_quantile_normalize,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "sketch_hll_distinct": sketch_hll_distinct,
@@ -6103,6 +6128,7 @@ ORACLE_SQL: dict[str, str] = {
     "sim_dim_stats": SIM_DIM_STATS_SQL,
     "sim_label_centroids": SIM_LABEL_CENTROIDS_SQL,
     "sim_prototype_outliers": SIM_PROTOTYPE_OUTLIERS_SQL,
+    "pipeline_quantile_normalize": PIPELINE_QUANTILE_NORMALIZE_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

@@ -176,3 +176,48 @@ def test_robust_outliers_null_values_and_validation(spark):
     assert out[None] is False
     with _pytest.raises(ValueError):
         robust_outliers(df, "v", ["g"], k=0)
+
+
+def test_quantile_normalize_vs_python_percent_rank(spark):
+    """Binned two-phase rank must equal SQL PERCENT_RANK exactly,
+    ties (first-peer rank) and single-row groups (0.0) included."""
+    import random as _random
+
+    from otters_spark.operators.stats import quantile_normalize
+
+    rng = _random.Random(9)
+    rows = []
+    for i in range(300):
+        g = "g" + str(i % 3)
+        # coarse values -> plenty of exact ties
+        rows.append((i, g, float(rng.randint(0, 40))))
+    rows.append((1000, "solo", 7.0))  # single-row group
+    rows.append((1001, "g0", None))   # NULL passes through
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {r["id"]: r["pctl"]
+           for r in quantile_normalize(df, "v", ["grp"]).collect()}
+    by_g = {}
+    for i, g, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append((v, i))
+    for g, vals in by_g.items():
+        n = len(vals)
+        svals = sorted(v for v, _ in vals)
+        for v, i in vals:
+            smaller = sum(1 for x in svals if x < v)
+            want = 0.0 if n == 1 else round(smaller / (n - 1), 6)
+            assert got[i] == want, (g, i, got[i], want)
+    assert got[1000] == 0.0
+    assert got[1001] is None
+    with pytest.raises(ValueError, match="already exists"):
+        quantile_normalize(df.withColumn("pctl", df.v), "v", ["grp"])
+
+
+def test_quantile_normalize_global_no_group(spark):
+    from otters_spark.operators.stats import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 2.0), (3, 10.0)], "id long, v double"
+    )
+    got = {r["id"]: r["pctl"] for r in quantile_normalize(df, "v").collect()}
+    assert got == {0: 0.0, 1: round(1 / 3, 6), 2: round(1 / 3, 6), 3: 1.0}
