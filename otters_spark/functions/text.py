@@ -25,7 +25,51 @@ __all__ = [
     "char_shingles_expr",
     "jaccard_expr",
     "est_jaccard_from_sigs_expr",
+    "canonical_url_expr",
 ]
+
+
+#: query-parameter names stripped by canonical_url_expr: per-click
+#: tracking identifiers that make every shared link a distinct URL
+TRACKING_PARAMS = ("gclid", "fbclid", "ref", "mc_cid", "mc_eid")
+
+
+def canonical_url_expr(url) -> "Column":
+    """Canonical form of an absolute http(s) URL — the C4-style URL
+    normalization behind URL-level dedup: the same page reached via
+    ``https://WWW.Site.com/a/b/?utm_source=x&b=2&a=1#frag`` and
+    ``https://site.com/a/b?a=1&b=2`` must collide.
+
+    Rules (each a deliberate, documented choice):
+    - host lowercased (DNS is case-insensitive), leading ``www.``
+      stripped; scheme dropped (http/https serve the same document);
+    - fragment dropped (client-side only);
+    - trailing slashes stripped from the path (path CASE is kept —
+      unlike hosts, paths are case-sensitive);
+    - tracking parameters removed: names starting ``utm_`` plus
+      :data:`TRACKING_PARAMS`;
+    - surviving query parameters SORTED (order never changes the
+      resource) and re-joined; a then-empty query disappears.
+
+    Pure codegen (parse_url + array ops) — runs at scan speed as a
+    projection; pair with ``dedup.exact_dedup_keep_first`` on the
+    result for URL-level dedup. Expects absolute ``scheme://host...``
+    URLs; NULL input yields NULL."""
+    u = _c(url)
+    host = F.regexp_replace(F.lower(F.parse_url(u, F.lit("HOST"))), r"^www\.", "")
+    path = F.regexp_replace(F.parse_url(u, F.lit("PATH")), r"/+$", "")
+    query = F.parse_url(u, F.lit("QUERY"))
+    name = lambda p: F.split(p, "=")[0]  # noqa: E731
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~name(p).startswith("utm_")
+        & ~name(p).isin(*TRACKING_PARAMS),
+    )
+    qs = F.array_join(F.array_sort(keep), "&")
+    return F.when(
+        query.isNull() | (qs == ""), F.concat(host, path)
+    ).otherwise(F.concat(host, path, F.lit("?"), qs))
 
 
 def _c(x) -> Column:

@@ -5760,6 +5760,85 @@ FROM v GROUP BY label, dim ORDER BY label, dim
 """
 
 
+def _messy_url_expr() -> F.Column:
+    """Deterministic messy-URL synthesis over documents: scheme-case,
+    www-prefix, trailing-slash, tracking-param, param-order, and
+    fragment variants all derived from doc_id — the shapes URL-level
+    dedup must collapse. Shared by the Spark query; the oracle SQL
+    rebuilds the identical string."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com/d/"),
+        (d % 25).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+
+
+def pipeline_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup groups
+    (functions/text.py:canonical_url_expr): canonicalize messy URL
+    variants (www/case/trailing-slash/tracking-params/param-order/
+    fragment) and count documents per canonical URL — the C4-style
+    first dedup pass of web curation, a scan-speed projection plus one
+    count-only aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    from .functions.text import canonical_url_expr
+
+    withu = docs.select(
+        "doc_id", canonical_url_expr(_messy_url_expr()).alias("curl")
+    )
+    return (
+        withu.groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("curl")
+    )
+
+
+PIPELINE_URL_DEDUP_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+         || source || '.example.com/d/' || (doc_id % 25)::VARCHAR
+         || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+                 WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(url, '://([^/?#]+)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_replace(regexp_extract(url, '://[^/?#]+([^?#]*)', 1),
+                        '/+$', '') AS path,
+         coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
+  FROM u),
+canon AS (
+  SELECT doc_id, host, path,
+         -- coalesce: DuckDB's array_to_string returns NULL for an
+         -- EMPTY list, which would NULL the whole canonical URL
+         coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+           p -> p <> '' AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+                AND split_part(p, '=', 1) NOT IN
+                    ('gclid', 'fbclid', 'ref', 'mc_cid', 'mc_eid'))), '&'),
+                  '') AS qs
+  FROM parts)
+SELECT host || path || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS curl,
+       count(*) AS n_docs,
+       min(doc_id) AS first_doc
+FROM canon GROUP BY 1 ORDER BY curl
+"""
+
+
 def pipeline_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score calibration across sources
     (operators/stats.py:quantile_normalize): each document's n_chars
@@ -5971,6 +6050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_frequent_segments": dedup_frequent_segments,
     "sim_prototype_outliers": sim_prototype_outliers,
     "pipeline_quantile_normalize": pipeline_quantile_normalize,
+    "pipeline_url_dedup": pipeline_url_dedup,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "sketch_hll_distinct": sketch_hll_distinct,
@@ -6129,6 +6209,7 @@ ORACLE_SQL: dict[str, str] = {
     "sim_label_centroids": SIM_LABEL_CENTROIDS_SQL,
     "sim_prototype_outliers": SIM_PROTOTYPE_OUTLIERS_SQL,
     "pipeline_quantile_normalize": PIPELINE_QUANTILE_NORMALIZE_SQL,
+    "pipeline_url_dedup": PIPELINE_URL_DEDUP_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

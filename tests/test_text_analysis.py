@@ -454,3 +454,28 @@ def test_ngram_novelty_planted_dups_score_low(spark, sf_dir):
     med = statistics.median(by_id.values())
     dup_scores = [v for k, v in by_id.items() if k % 20 == 0]
     assert statistics.median(dup_scores) <= med
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule pinned: host case/www, scheme drop,
+    fragment drop, trailing slash, tracking strip, param sort."""
+    from otters_spark.functions.text import canonical_url_expr
+
+    cases = [
+        ("https://WWW.Site.com/a/b/?utm_source=x&b=2&a=1#frag",
+         "site.com/a/b?a=1&b=2"),
+        ("http://site.com/a/b?a=1&b=2", "site.com/a/b?a=1&b=2"),
+        ("https://site.com/CaseKept/", "site.com/CaseKept"),
+        ("https://site.com/x?gclid=123&fbclid=9&ref=z&mc_cid=1&mc_eid=2",
+         "site.com/x"),
+        ("https://site.com/x#only-fragment", "site.com/x"),
+        ("https://www.site.com/x?z=1&y=2&utm_campaign=c",
+         "site.com/x?y=2&z=1"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonical_url_expr("url").alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
