@@ -42,6 +42,7 @@ __all__ = [
     "kmv_sketch",
     "kmv_merge",
     "kmv_estimate",
+    "kmv_pairwise",
     "hll_registers",
     "hll_merge",
     "hll_estimate",
@@ -127,6 +128,67 @@ def kmv_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
         F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / kth
     )
     return sketches.withColumn("n_sketch", n).withColumn("est_distinct", est)
+
+
+def kmv_pairwise(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise SET-OPERATION estimates between per-group KMV sketches
+    — the theta-sketch use of bottom-k (Beyer et al. 2007): estimate
+    |A∩B|, |A∪B|, and Jaccard between every pair of groups FROM THE
+    SKETCHES ALONE, no raw-data re-scan. "How much vocabulary do these
+    two sources share" over a 100 TB corpus becomes arithmetic over
+    two k-length arrays.
+
+    Estimator: merge the two sketches to the union's bottom-k sample
+    S with threshold θ = the k-th smallest union hash. The common
+    hashes ≤ θ are exactly A∩B∩S, a uniform k-sample of the union, so
+    ``jaccard ≈ |A∩B∩S| / k`` and ``inter ≈ jaccard · union_est``
+    with ``union_est`` the usual (k-1)/U_(k) order-statistic. While
+    the union is UNSATURATED (< k distinct hashes) the sketches see
+    every element, so all three numbers are exact. One double
+    division per output row — bit-reproducible in any engine that
+    computed the same hashes (DuckDB twin in the suite).
+
+    Scale shape: the sketch table is |groups| rows of k int64s; the
+    pair join is |groups|² over that TINY table (broadcast), and all
+    array arithmetic is codegen. Output one row per unordered pair
+    (g_a < g_b)."""
+    a = sketches.select(
+        F.col(group_col).alias("g_a"), F.col("kmv").alias("__ka")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("g_b"), F.col("kmv").alias("__kb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("__ka"), F.col("__kb"))), 1, k
+    )
+    common = F.array_sort(F.array_intersect(F.col("__ka"), F.col("__kb")))
+    n_m = F.size(merged)
+    theta_h = F.element_at(merged, k).cast("double")
+    c_sat = F.size(F.filter(common, lambda h: h.cast("double") <= theta_h))
+    union_sat = F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / theta_h
+    jacc_sat = c_sat.cast("double") / F.lit(float(k))
+    out = pairs.select(
+        "g_a",
+        "g_b",
+        F.when(n_m < k, n_m.cast("double"))
+        .otherwise(F.round(union_sat, round_to))
+        .alias("est_union"),
+        F.when(n_m < k, F.size(common).cast("double"))
+        .otherwise(F.round(jacc_sat * union_sat, round_to))
+        .alias("est_intersect"),
+        F.when(n_m < k, F.size(common).cast("double") / n_m)
+        .otherwise(jacc_sat)
+        .alias("__j"),
+    )
+    return out.withColumn("est_jaccard", F.round(F.col("__j"), round_to)).drop(
+        "__j"
+    )
 
 
 # --------------------------------------------------------------------------

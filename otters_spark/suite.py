@@ -5839,6 +5839,113 @@ FROM canon GROUP BY 1 ORDER BY curl
 """
 
 
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise set-operation estimates from KMV sketches
+    (operators/sketches.py:kmv_pairwise): shared vocabulary between
+    every language pair, estimated from two 64-hash sketches instead
+    of a token self-join — the theta-sketch answer to "how similar are
+    these corpus slices" at 100 TB. Exact intersection/union computed
+    alongside (hash-keyed join) so the estimate's quality is visible
+    in the row itself."""
+    from .functions.text import md5_long_expr
+    from .operators.sketches import kmv_pairwise, kmv_sketch
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .select("lang", md5_long_expr(F.col("tok")).alias("__h"))
+        .distinct()
+    )
+    sk = kmv_sketch(tok, "__h", ["lang"], k=64)
+    est = kmv_pairwise(sk, "lang", k=64)
+    inter = (
+        tok.alias("a")
+        .join(tok.alias("b"), (F.col("a.__h") == F.col("b.__h"))
+              & (F.col("a.lang") < F.col("b.lang")))
+        .groupBy(F.col("a.lang").alias("g_a"), F.col("b.lang").alias("g_b"))
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    sizes = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        est.join(inter, ["g_a", "g_b"])
+        .join(sizes.select(F.col("lang").alias("g_a"),
+                           F.col("__n").alias("__na")), "g_a")
+        .join(sizes.select(F.col("lang").alias("g_b"),
+                           F.col("__n").alias("__nb")), "g_b")
+        .select(
+            "g_a",
+            "g_b",
+            "est_union",
+            "est_intersect",
+            "est_jaccard",
+            (F.col("__na") + F.col("__nb") - F.col("exact_intersect")).alias(
+                "exact_union"
+            ),
+            "exact_intersect",
+        )
+        .orderBy("g_a", "g_b")
+    )
+
+
+SKETCH_KMV_SETOPS_SQL = """
+WITH tok AS (
+  SELECT DISTINCT lang,
+         ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),
+-- NOTE: the engine sketches the HASH column (kmv_sketch hashes its
+-- value column), so the sketch hash is md5 applied twice
+h2 AS (SELECT lang, ('0x' || substr(md5(hv::VARCHAR), 1, 15))::BIGINT AS hv
+       FROM tok),
+r AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT lang, hv FROM h2)),
+sk AS (SELECT lang, hv FROM r WHERE rn <= 64),
+langs AS (SELECT DISTINCT lang FROM sk),
+pairs AS (SELECT a.lang AS g_a, b.lang AS g_b
+          FROM langs a JOIN langs b ON a.lang < b.lang),
+uni AS (SELECT DISTINCT p.g_a, p.g_b, s.hv
+        FROM pairs p JOIN sk s ON s.lang IN (p.g_a, p.g_b)),
+ur AS (SELECT g_a, g_b, hv,
+              row_number() OVER (PARTITION BY g_a, g_b ORDER BY hv) AS rn
+       FROM uni),
+th AS (SELECT g_a, g_b, count(*) AS n_m,
+              max(CASE WHEN rn = 64 THEN hv END) AS theta
+       FROM ur WHERE rn <= 64 GROUP BY 1, 2),
+com AS (SELECT a.lang AS g_a, b.lang AS g_b, a.hv
+        FROM sk a JOIN sk b ON a.hv = b.hv AND a.lang < b.lang),
+cc AS (SELECT th.g_a, th.g_b, th.n_m, th.theta,
+              count(CASE WHEN com.hv <= th.theta THEN 1 END) AS c_sat,
+              count(com.hv) AS c_all
+       FROM th LEFT JOIN com ON th.g_a = com.g_a AND th.g_b = com.g_b
+       GROUP BY 1, 2, 3, 4),
+est AS (SELECT g_a, g_b,
+               CASE WHEN n_m < 64 THEN n_m::DOUBLE
+                    ELSE round(63.0 * 1152921504606846976.0
+                               / theta::DOUBLE, 6) END AS est_union,
+               CASE WHEN n_m < 64 THEN c_all::DOUBLE
+                    ELSE round((c_sat / 64.0) * (63.0 * 1152921504606846976.0
+                               / theta::DOUBLE), 6) END AS est_intersect,
+               CASE WHEN n_m < 64 THEN round(c_all::DOUBLE / n_m, 6)
+                    ELSE round(c_sat / 64.0, 6) END AS est_jaccard
+        FROM cc),
+ex AS (SELECT a.lang AS g_a, b.lang AS g_b, count(*) AS exact_intersect
+       FROM tok a JOIN tok b ON a.hv = b.hv AND a.lang < b.lang
+       GROUP BY 1, 2),
+sz AS (SELECT lang, count(*) AS n FROM tok GROUP BY 1)
+SELECT est.g_a, est.g_b, est_union, est_intersect, est_jaccard,
+       (za.n + zb.n - ex.exact_intersect)::BIGINT AS exact_union,
+       ex.exact_intersect::BIGINT AS exact_intersect
+FROM est
+JOIN ex ON est.g_a = ex.g_a AND est.g_b = ex.g_b
+JOIN sz za ON za.lang = est.g_a
+JOIN sz zb ON zb.lang = est.g_b
+ORDER BY est.g_a, est.g_b
+"""
+
+
 def pipeline_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score calibration across sources
     (operators/stats.py:quantile_normalize): each document's n_chars
@@ -6051,6 +6158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_prototype_outliers": sim_prototype_outliers,
     "pipeline_quantile_normalize": pipeline_quantile_normalize,
     "pipeline_url_dedup": pipeline_url_dedup,
+    "sketch_kmv_setops": sketch_kmv_setops,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "sketch_hll_distinct": sketch_hll_distinct,
@@ -6210,6 +6318,7 @@ ORACLE_SQL: dict[str, str] = {
     "sim_prototype_outliers": SIM_PROTOTYPE_OUTLIERS_SQL,
     "pipeline_quantile_normalize": PIPELINE_QUANTILE_NORMALIZE_SQL,
     "pipeline_url_dedup": PIPELINE_URL_DEDUP_SQL,
+    "sketch_kmv_setops": SKETCH_KMV_SETOPS_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

@@ -246,3 +246,51 @@ def test_hist_grouped_and_validation(spark):
         hist_sketch(df, "v", lo=1.0, hi=1.0)
     with _pytest.raises(ValueError, match="quantiles"):
         hist_quantiles(sk, [1.5])
+
+
+def test_kmv_pairwise_exact_when_unsaturated_and_close_when_not(spark):
+    """Below k the pairwise numbers are exact; saturated estimates land
+    within the order-statistic error envelope; both replicate in
+    Python from the same sketch arrays."""
+    import hashlib
+
+    from otters_spark.operators.sketches import kmv_pairwise, kmv_sketch
+
+    def h(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    # groups: small (unsaturated at k=64) and large overlapping sets
+    rows = []
+    for v in range(20):
+        rows.append(("s1", f"a{v}"))
+    for v in range(10, 30):
+        rows.append(("s2", f"a{v}"))          # |s1 ∩ s2| = 10
+    for v in range(3000):
+        rows.append(("b1", f"x{v}"))
+    for v in range(1500, 4500):
+        rows.append(("b2", f"x{v}"))          # |b1 ∩ b2| = 1500
+    df = spark.createDataFrame(rows, "g string, v string")
+    sk = kmv_sketch(df, "v", ["g"], k=64)
+    out = {(r["g_a"], r["g_b"]): r for r in kmv_pairwise(sk, "g", k=64).collect()}
+    small = out[("s1", "s2")]
+    assert small["est_union"] == 30.0
+    assert small["est_intersect"] == 10.0
+    assert small["est_jaccard"] == round(10 / 30, 6)
+    big = out[("b1", "b2")]
+    # true: union 4500, inter 1500, jaccard 1/3; k=64 gives ~1/sqrt(k)
+    # ≈ 12% relative error envelopes (3 sigma ≈ 38%)
+    assert abs(big["est_union"] - 4500) / 4500 < 0.4
+    assert abs(big["est_jaccard"] - 1 / 3) < 0.25
+    # python replication from the same hash definition (double md5:
+    # kmv_sketch hashes its value column, which is itself md5-hashed
+    # only when the caller pre-hashes; here values are raw strings)
+    hs = {g: sorted(h(v) for g2, v in rows if g2 == g) for g in ("b1", "b2")}
+    union = sorted(set(hs["b1"][:]) | set(hs["b2"][:]))
+    sk1, sk2 = set(hs["b1"][:64]), set(hs["b2"][:64])
+    merged = sorted(sk1 | sk2)[:64]
+    theta = merged[-1]
+    c = sum(1 for x in sk1 & sk2 if x <= theta)
+    est_u = 63.0 * float(2**60) / theta
+    assert big["est_jaccard"] == round(c / 64.0, 6)
+    assert big["est_union"] == round(est_u, 6)
+    assert big["est_intersect"] == round(c / 64.0 * est_u, 6)
