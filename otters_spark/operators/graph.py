@@ -19,7 +19,86 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "resolve_roots"]
+__all__ = ["pagerank", "resolve_roots", "triangle_count"]
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts of the UNDIRECTED graph induced by
+    ``edges`` (direction/duplicates/self-loops ignored) — the local
+    clustering signal behind community detection and link-spam
+    scoring. Returns ``(node, n_triangles)`` for every node in at
+    least one triangle.
+
+    DEGREE-ORDERED wedge join (Cohen's MapReduce formulation; the
+    Schank–Wagner order): direct every edge from its lower
+    (degree, id) endpoint to the higher, enumerate wedges only at
+    each edge's LOW endpoint, and close them against the directed
+    edge set. Every triangle a<b<c (in rank order) is found exactly
+    once — as wedge (b,c) at a closed by edge b→c.
+
+    Why the ordering matters at scale: out-degrees in the ranked
+    orientation are bounded by O(√m) on ANY graph, so the wedge join
+    emits at most O(m^1.5) candidates — a celebrity hub (degree
+    10^7) RECEIVES edges instead of emitting 10^14 wedge pairs; its
+    wedges are charged to its low-degree neighbors. All three stages
+    are hash-keyed shuffles (canonicalize+distinct, degree join,
+    wedge self-join + closing join); nothing is ever adjacency-
+    materialized per node beyond the ranked out-list."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        # pinned: consumed by both degree arms and the ranked join —
+        # unpinned, Catalyst re-expands the caller's (possibly
+        # many-table) edge derivation once per consumer
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("__db"))
+    ranked = und.join(da, "a").join(db, "b")
+    lo_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    # directed low-rank -> high-rank, carrying the head's rank key for
+    # the wedge ordering
+    ed = ranked.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(
+            lo_first,
+            F.struct(F.col("__db").alias("d"), F.col("b").alias("n")),
+        ).otherwise(
+            F.struct(F.col("__da").alias("d"), F.col("a").alias("n"))
+        ).alias("__rt"),
+    ).localCheckpoint(eager=False)  # consumed 3x: both wedge arms + closing
+    e1 = ed.select(
+        F.col("s"), F.col("t").alias("w1"), F.col("__rt").alias("__r1")
+    )
+    e2 = ed.select(
+        F.col("s"), F.col("t").alias("w2"), F.col("__rt").alias("__r2")
+    )
+    wedges = e1.join(e2, "s").filter(F.col("__r1") < F.col("__r2"))
+    closing = ed.select(F.col("s").alias("w1"), F.col("t").alias("w2"))
+    tris = wedges.join(closing, ["w1", "w2"]).select("s", "w1", "w2")
+    members = (
+        tris.select(F.col("s").alias("node"))
+        .unionAll(tris.select(F.col("w1").alias("node")))
+        .unionAll(tris.select(F.col("w2").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
 
 
 def resolve_roots(

@@ -3448,6 +3448,76 @@ FROM it5 ORDER BY round(r, 6) DESC, id
 """
 
 
+def graph_triangles_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle counts in the undirected trade graph
+    (operators/graph.py:triangle_count) — the degree-ordered wedge
+    join: each edge directed low→high (degree, id) rank, wedges
+    enumerated only at low endpoints, closed against the directed
+    edge set, so out-degrees are O(√m)-bounded and a hub never emits
+    its degree² wedge pairs. Same cust-nation ↔ supp-nation edges as
+    graph_pagerank_trade, direction ignored."""
+    from .operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            n.select(
+                F.col("n_nationkey").alias("__ck"),
+                F.col("n_name").alias("src"),
+            ),
+            F.col("c_nationkey") == F.col("__ck"),
+        )
+        .join(
+            n.select(
+                F.col("n_nationkey").alias("__sk"),
+                F.col("n_name").alias("dst"),
+            ),
+            F.col("s_nationkey") == F.col("__sk"),
+        )
+        .select("src", "dst")
+    )
+    return triangle_count(edges).orderBy("node")
+
+
+GRAPH_TRIANGLES_TRADE_SQL = """
+WITH trade AS (
+  SELECT DISTINCT cn.n_name AS u, sn.n_name AS v
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey),
+e0 AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+       FROM trade WHERE u <> v),
+deg AS (SELECT n, count(*) AS d
+        FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY 1),
+r AS (SELECT e0.a, e0.b, da.d AS da, db.d AS db
+      FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b),
+ed AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS s,
+              CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS t,
+              CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS td
+       FROM r),
+w AS (SELECT e1.s, e1.t AS w1, e2.t AS w2
+      FROM ed e1 JOIN ed e2 ON e1.s = e2.s
+      WHERE e1.td < e2.td OR (e1.td = e2.td AND e1.t < e2.t)),
+tri AS (SELECT w.s, w.w1, w.w2
+        FROM w JOIN ed ON ed.s = w.w1 AND ed.t = w.w2),
+m AS (SELECT s AS node FROM tri
+      UNION ALL SELECT w1 FROM tri
+      UNION ALL SELECT w2 FROM tri)
+SELECT node, count(*) AS n_triangles FROM m GROUP BY 1 ORDER BY node
+"""
+
+
 def graph_root_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy resolution by POINTER DOUBLING (operators/graph.py
     resolve_roots): a synthetic parent-pointer forest over customer
@@ -6159,6 +6229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_quantile_normalize": pipeline_quantile_normalize,
     "pipeline_url_dedup": pipeline_url_dedup,
     "sketch_kmv_setops": sketch_kmv_setops,
+    "graph_triangles_trade": graph_triangles_trade,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "sketch_hll_distinct": sketch_hll_distinct,
@@ -6319,6 +6390,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_quantile_normalize": PIPELINE_QUANTILE_NORMALIZE_SQL,
     "pipeline_url_dedup": PIPELINE_URL_DEDUP_SQL,
     "sketch_kmv_setops": SKETCH_KMV_SETOPS_SQL,
+    "graph_triangles_trade": GRAPH_TRIANGLES_TRADE_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

@@ -148,3 +148,37 @@ def test_resolve_roots_vs_python_random_forests(spark):
             while parent[cur] != cur:
                 cur, d = parent[cur], d + 1
             assert got[i] == (cur, d), (seed, i, got[i], (cur, d))
+
+
+def test_triangle_count_hand_and_random(spark):
+    """Hand case (K4 minus an edge) and random graphs vs a brute-force
+    Python reference; duplicates/direction/self-loops ignored."""
+    import itertools
+    import random as _random
+
+    from otters_spark.operators.graph import triangle_count
+
+    # K4 minus edge (2,3): triangles (0,1,2) and (0,1,3)
+    edges = [(0, 1), (1, 0), (0, 2), (1, 2), (0, 3), (3, 1), (2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 2, 1: 2, 2: 1, 3: 1}
+
+    for seed in (3, 4):
+        rng = _random.Random(seed)
+        n = 25
+        und = {
+            (a, b)
+            for a, b in itertools.combinations(range(n), 2)
+            if rng.random() < 0.25
+        }
+        rows = [(a, b) if rng.random() < 0.5 else (b, a) for a, b in und]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+        want = {}
+        for a, b, c in itertools.combinations(range(n), 3):
+            if ({tuple(sorted((a, b))), tuple(sorted((a, c))),
+                 tuple(sorted((b, c)))} <= und):
+                for x in (a, b, c):
+                    want[x] = want.get(x, 0) + 1
+        assert got == want, seed
