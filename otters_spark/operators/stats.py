@@ -16,9 +16,16 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["group_percentiles", "robust_outliers", "quantile_normalize"]
+__all__ = [
+    "group_percentiles",
+    "robust_outliers",
+    "quantile_normalize",
+    "ewma_smooth",
+]
 
 
 def _sort_percentiles(
@@ -405,3 +412,70 @@ def robust_outliers(
             F.col("abs_resid") > F.lit(k) * F.lit(1.4826) * F.col("group_mad")
         ),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Adjusted exponentially-weighted moving average per key:
+    ``ewma_i = sum_{j<=i} (1-a)^(i-j) x_j / sum_{j<=i} (1-a)^(i-j)``
+    (pandas ``ewm(alpha).mean()`` semantics) as ONE keyed window pass.
+
+    The recurrence is made window-expressible by rescaling: with
+    ``w = 1-a``, ``ewma_i = sum(x_j w^-j) / sum(w^-j)`` — the common
+    ``w^i`` cancels in the ratio, so two cumulative sums over the same
+    window suffice.  The default ``alpha=0.5`` makes every weight an
+    exact power of two: ``pow(2.0, rn)`` is exactly representable and
+    ``x * 2^k`` rescales only the exponent, so the smoothed values
+    reproduce bit-for-bit across engines (the oracle-pairing
+    discipline) — any other alpha works but inherits libm ``pow``
+    ULP noise.
+
+    Scale contract: the rescaled weights span ``w^-n`` for an n-row
+    series, overflowing doubles near n ≈ 1000/log2(1/w) — this
+    operator is for BOUNDED per-key series (per-day rollups, trailing
+    windows), not raw event streams; aggregate first (the suite's
+    ``events_ewma_daily`` smooths a 1-row-per-day table), or smooth
+    unbounded streams with the O(1)-state streaming recurrence
+    (``applyInPandasWithState``) instead.  A guard raises past
+    ``max_len`` rows per key rather than silently returning inf.
+    """
+    from pyspark.sql.window import Window
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    keys = list(keys)
+    w = 1.0 - alpha
+    # past this rank w^-rn overflows; raise loudly instead of
+    # silently returning inf
+    max_len = int(900 / -math.log2(w))
+    order = Window.partitionBy(*keys).orderBy(order_col)
+    cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    rn = F.row_number().over(order)
+    scaled = F.pow(F.lit(w), -rn)
+    out = (
+        df.filter(F.col(value_col).isNotNull() & F.col(order_col).isNotNull())
+        .withColumn("__w", scaled)
+        .withColumn(
+            out_col,
+            F.sum(F.col(value_col) * F.col("__w")).over(cum)
+            / F.sum("__w").over(cum),
+        )
+        .withColumn("__rn", rn)
+    )
+    guard = F.when(
+        F.col("__rn") > max_len,
+        F.raise_error(
+            F.lit(
+                f"ewma_smooth: series longer than {max_len} rows per key "
+                "overflows the rescaled weights — pre-aggregate or use the "
+                "streaming recurrence"
+            )
+        ).cast("double"),
+    ).otherwise(F.col(out_col))
+    return out.withColumn(out_col, guard).drop("__w", "__rn")

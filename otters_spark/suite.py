@@ -6131,6 +6131,95 @@ FROM v GROUP BY dim ORDER BY dim
 """
 
 
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval union (operators/intervals.py): each event
+    opens a ``[ts, ts + value minutes)`` exposure interval; per user,
+    merge overlapping-or-touching intervals into disjoint islands and
+    report exact covered micros — overlap counted once. One user-keyed
+    window (frontier = running max end) + one island aggregate: the
+    sessionization plan shape, never the quadratic overlap self-join.
+    All arithmetic in epoch-micros longs, so the hash is exact."""
+    from .operators.intervals import interval_coverage
+
+    ev = load_events(spark, sf_dir)
+    iv = ev.filter(F.col("value").isNotNull() & (F.col("value") > 0)).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.floor(F.col("value") * F.lit(60000000.0)).cast("long")
+        ).alias("e"),
+    )
+    return interval_coverage(iv, ["user_id"], "s", "e").orderBy("user_id")
+
+
+EVENTS_INTERVAL_COVERAGE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS e
+  FROM events WHERE value IS NOT NULL AND value > 0 AND ts IS NOT NULL),
+m AS (SELECT user_id, s, e,
+        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM iv WHERE e > s),
+isl AS (SELECT user_id, s, e,
+        sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS UNBOUNDED PRECEDING) AS island
+      FROM m),
+g AS (SELECT user_id, island, min(s) AS i0, max(e) AS i1, count(*) AS n
+      FROM isl GROUP BY 1, 2)
+SELECT user_id, sum(n)::BIGINT AS n_intervals, count(*)::BIGINT AS n_islands,
+       sum(i1 - i0)::BIGINT AS covered
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend smoothing (operators/stats.py:ewma_smooth): per-type daily
+    mean value, EWMA-smoothed with alpha=0.5 — the adjusted pandas
+    ``ewm`` semantics as ONE keyed window pass via weight rescaling
+    (the w^i common factor cancels in the num/den ratio). alpha=0.5
+    makes every weight an exact power of two, so both engines produce
+    bit-identical smoothed values. The 100 TB shape: the corpus-sized
+    work is the algebraic daily aggregate; the smoothing window runs
+    over the bounded per-day table."""
+    from .operators.stats import ewma_smooth
+
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("day_avg"), F.count(F.lit(1)).alias("n"))
+    )
+    sm = ewma_smooth(daily, ["event_type"], "day", "day_avg", alpha=0.5)
+    return sm.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round("day_avg", 6).alias("day_avg"),
+        F.round("ewma", 6).alias("ewma"),
+    ).orderBy("event_type", "day")
+
+
+EVENTS_EWMA_DAILY_SQL = """
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  avg(value) AS day_avg, count(*)::BIGINT AS n
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM d),
+e AS (SELECT *,
+   sum(day_avg * power(2.0, rn)) OVER (PARTITION BY event_type ORDER BY day
+     ROWS UNBOUNDED PRECEDING) AS snum,
+   sum(power(2.0, rn)) OVER (PARTITION BY event_type ORDER BY day
+     ROWS UNBOUNDED PRECEDING) AS sden
+ FROM r)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       round(day_avg, 6) AS day_avg, round(snum / sden, 6) AS ewma
+FROM e ORDER BY event_type, day
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6230,6 +6319,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_url_dedup": pipeline_url_dedup,
     "sketch_kmv_setops": sketch_kmv_setops,
     "graph_triangles_trade": graph_triangles_trade,
+    "events_interval_coverage": events_interval_coverage,
+    "events_ewma_daily": events_ewma_daily,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "sketch_hll_distinct": sketch_hll_distinct,
@@ -6391,6 +6482,8 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_url_dedup": PIPELINE_URL_DEDUP_SQL,
     "sketch_kmv_setops": SKETCH_KMV_SETOPS_SQL,
     "graph_triangles_trade": GRAPH_TRIANGLES_TRADE_SQL,
+    "events_interval_coverage": EVENTS_INTERVAL_COVERAGE_SQL,
+    "events_ewma_daily": EVENTS_EWMA_DAILY_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

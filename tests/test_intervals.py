@@ -1,0 +1,108 @@
+"""Interval union / coverage (operators/intervals.py): hand-checked
+island semantics, pandas-verified coverage on real data, and EWMA
+(operators/stats.py:ewma_smooth) against pandas ``ewm``."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from otters_spark.operators.intervals import interval_coverage, merge_intervals
+from otters_spark.operators.stats import ewma_smooth
+
+
+@pytest.fixture(scope="module")
+def iv(spark):
+    # key a: [0,10) [5,15) touch-merge [15,20) -> one island [0,20)
+    #        [30,40) gap -> second island; zero-length [50,50) dropped
+    # key b: nested [0,100) contains [10,20) -> one island [0,100)
+    #        NULL endpoint dropped
+    rows = [
+        ("a", 0, 10), ("a", 5, 15), ("a", 15, 20), ("a", 30, 40),
+        ("a", 50, 50),
+        ("b", 0, 100), ("b", 10, 20), ("b", None, 5),
+    ]
+    return spark.createDataFrame(rows, "k string, s long, e long")
+
+
+def test_merge_islands(iv):
+    got = {
+        (r["k"], r["island_start"]): (r["island_end"], r["n_intervals"])
+        for r in merge_intervals(iv, ["k"], "s", "e").collect()
+    }
+    assert got == {
+        ("a", 0): (20, 3),
+        ("a", 30): (40, 1),
+        ("b", 0): (100, 2),
+    }
+
+
+def test_coverage_counts_overlap_once(iv):
+    got = {r["k"]: r for r in interval_coverage(iv, ["k"], "s", "e").collect()}
+    assert got["a"]["covered"] == 30 and got["a"]["n_islands"] == 2
+    assert got["a"]["n_intervals"] == 4  # zero-length row dropped
+    assert got["b"]["covered"] == 100 and got["b"]["n_islands"] == 1
+
+
+def test_coverage_matches_pandas_sweep(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.filter(F.col("value").isNotNull() & (F.col("value") > 0)).select(
+        "user_id",
+        F.col("event_id").alias("s"),
+        (F.col("event_id") + (F.col("value") * 7).cast("long")).alias("e"),
+    )
+    got = {
+        r["user_id"]: (r["n_islands"], r["covered"])
+        for r in interval_coverage(iv, ["user_id"], "s", "e").collect()
+    }
+    pdf = iv.toPandas()
+    for uid, grp in pdf.groupby("user_id"):
+        grp = grp[grp.e > grp.s].sort_values(["s", "e"])
+        islands, cov, frontier = 0, 0, None
+        for s, e in zip(grp.s, grp.e):
+            if frontier is None or s > frontier:
+                islands += 1
+                cov += e - s
+                frontier = e
+            elif e > frontier:
+                cov += e - frontier
+                frontier = e
+        assert got[uid] == (islands, cov), uid
+
+
+def test_ewma_matches_pandas(spark):
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "k string, t long, x double"
+    )
+    got = [
+        r["ewma"]
+        for r in ewma_smooth(df, ["k"], "t", "x", alpha=0.5).orderBy("t").collect()
+    ]
+    want = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean().tolist()
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_ewma_multi_key_and_null_drop(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 1, None), ("a", 2, 20.0), ("b", 0, 7.0)],
+        "k string, t long, x double",
+    )
+    out = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma_smooth(df, ["k"], "t", "x").collect()
+    }
+    # NULL row dropped; a's second point blends 10 and 20 with 1/3, 2/3
+    assert out[("a", 2)] == pytest.approx((10 * 0.5 + 20) / 1.5)
+    assert out[("b", 0)] == 7.0
+    assert ("a", 1) not in out
+
+
+def test_ewma_rejects_bad_alpha_and_long_series(spark):
+    df = spark.createDataFrame([("k", 0, 1.0)], "k string, t long, x double")
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_smooth(df, ["k"], "t", "x", alpha=1.0)
+    long = spark.range(0, 1200).select(
+        F.lit("k").alias("k"), F.col("id").alias("t"), F.rand(7).alias("x")
+    )
+    with pytest.raises(Exception, match="overflows the rescaled weights"):
+        ewma_smooth(long, ["k"], "t", "x", alpha=0.5).collect()
