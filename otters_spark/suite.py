@@ -6220,6 +6220,43 @@ FROM e ORDER BY event_type, day
 """
 
 
+def sim_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization ANN
+    (operators/similarity.py:binary_search): 1 bit/dim packed 64-per-
+    long (32x fewer scan bytes than f32), Hamming shortlist of 50 via
+    XOR + bit_count codegen, exact cosine rerank to top-10 on the
+    6-dp-rounded score. Single scan: the shortlist heap carries the
+    raw vectors for its 50 winners only. The tier below int8
+    sim_scalar_quant in the serving-compression ladder."""
+    from .operators.similarity import binary_index, binary_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = binary_index(emb, dim=64)
+    out = binary_search(idx, Q11, k=10, dim=64, shortlist=50, round_to=6)
+    return out.select("vec_id", "hamming", "score", "label")
+
+
+SIM_BINARY_QUANT_TOPK_SQL = f"""
+WITH qb AS (SELECT unnest({_sql_vec(Q11)}) AS qx,
+                   generate_subscripts({_sql_vec(Q11)}, 1) AS i),
+ve AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings),
+h AS (SELECT vec_id,
+             sum(CASE WHEN (x > 0) <> (qx > 0) THEN 1 ELSE 0 END)::BIGINT
+               AS hamming
+      FROM ve JOIN qb USING (i) GROUP BY vec_id),
+short AS (SELECT vec_id, hamming FROM h ORDER BY hamming, vec_id LIMIT 50),
+r AS (SELECT s.vec_id, s.hamming,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          {_sql_vec(Q11)}), 6) AS score,
+             e.label
+      FROM short s JOIN embeddings e USING (vec_id))
+SELECT vec_id, hamming, score, label FROM r
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6321,6 +6358,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles_trade": graph_triangles_trade,
     "events_interval_coverage": events_interval_coverage,
     "events_ewma_daily": events_ewma_daily,
+    "sim_binary_quant_topk": sim_binary_quant_topk,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "sketch_hll_distinct": sketch_hll_distinct,
@@ -6484,6 +6522,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_triangles_trade": GRAPH_TRIANGLES_TRADE_SQL,
     "events_interval_coverage": EVENTS_INTERVAL_COVERAGE_SQL,
     "events_ewma_daily": EVENTS_EWMA_DAILY_SQL,
+    "sim_binary_quant_topk": SIM_BINARY_QUANT_TOPK_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

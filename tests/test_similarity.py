@@ -369,3 +369,57 @@ def test_prototype_outliers_planted_mislabels(spark):
     v = np.array(dict((i, e) for i, l, e in rows)[min(planted)])
     want = round(float(v @ cent / (np.linalg.norm(v) * np.linalg.norm(cent))), 6)
     assert flagged["proto_cos"] == pytest.approx(want, abs=1e-9)
+
+
+def test_binary_pack_roundtrip(spark):
+    from otters_spark.operators.similarity import (
+        binary_index,
+        pack_sign_bits_py,
+    )
+
+    # 70 dims forces a 2-word packing and exercises the bit-63 wrap
+    vec = [(1.0 if i % 3 == 0 else -1.0) for i in range(70)]
+    vec[63] = 1.0  # top bit of word 0
+    df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<double>")
+    got = binary_index(df, dim=70).collect()[0]["sign_bits"]
+    assert got == pack_sign_bits_py(vec)
+    # python-side reference: reconstruct the bit pattern
+    want0 = 0
+    for i in range(64):
+        if vec[i] > 0:
+            want0 |= 1 << i
+    if want0 >= 1 << 63:
+        want0 -= 1 << 64
+    assert got[0] == want0
+
+
+def test_binary_search_recall_and_exact_rerank(emb, brute_top10):
+    import numpy as np
+
+    from otters_spark.operators.similarity import binary_index, binary_search
+
+    idx = binary_index(emb, dim=64)
+    out = binary_search(idx, Q7, k=10, dim=64, shortlist=100).toPandas()
+    # shortlist=100 over 500 vectors: near-perfect recall expected
+    recall = len(set(out.vec_id) & set(brute_top10)) / 10
+    assert recall >= 0.8, recall
+    # reranked scores are the EXACT cosine (match numpy to fp noise)
+    pdf = emb.toPandas()
+    V = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    q = np.array(Q7)
+    cos = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+    by_id = dict(zip(pdf.vec_id, cos))
+    for r in out.itertuples():
+        assert abs(by_id[r.vec_id] - r.score) < 1e-9
+    # hamming column really is the sign-mismatch count
+    sm = dict(zip(pdf.vec_id, ((V > 0) != (q > 0)).sum(axis=1)))
+    for r in out.itertuples():
+        assert sm[r.vec_id] == r.hamming
+
+
+def test_binary_search_rejects_dim_mismatch(emb):
+    from otters_spark.operators.similarity import binary_index, binary_search
+
+    idx = binary_index(emb, dim=64)
+    with pytest.raises(ValueError, match="dim"):
+        binary_search(idx, [1.0, 2.0], k=5, dim=64)
