@@ -6257,6 +6257,96 @@ ORDER BY score DESC, vec_id LIMIT 10
 """
 
 
+def sketch_ams_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation without shuffling keys
+    (operators/sketches.py:ams_sketch) — the optimizer statistic: F2
+    (self-join size of l_partkey) and the equi-join size between the
+    quantity<25 and quantity>=25 halves of lineitem, each estimated
+    from ONE algebraic sign-sum aggregate (32 counters, median of 4
+    means of 8) and shown beside the exact answers. Sketch linearity
+    does the self-join for free: z_all = z_lo + z_hi, no second pass.
+    The exact answers cost the full l_partkey shuffle the sketch
+    avoids."""
+    from .operators.sketches import ams_sketch
+
+    li = load(spark, sf_dir, "lineitem")
+    sided = li.select(
+        F.col("l_partkey").alias("k"),
+        F.when(F.col("l_quantity") < 25, F.lit("lo"))
+        .otherwise(F.lit("hi"))
+        .alias("side"),
+    )
+    # the 64-row sketch is read three ways below; pin it so the
+    # md5+explode pipeline runs once (the transition_matrix lesson)
+    sk = ams_sketch(sided, "k", ["side"]).localCheckpoint(eager=False)
+    lo = sk.filter(F.col("side") == "lo").select("i", F.col("z").alias("zlo"))
+    hi = sk.filter(F.col("side") == "hi").select("i", F.col("z").alias("zhi"))
+    zs = lo.join(hi, "i")
+    grp = zs.withColumn("grp", F.floor(F.col("i") / 8)).groupBy("grp").agg(
+        F.avg(
+            (F.col("zlo") + F.col("zhi")) * (F.col("zlo") + F.col("zhi"))
+        ).alias("msq"),
+        F.avg(F.col("zlo") * F.col("zhi")).alias("mpr"),
+    )
+    est = grp.agg(
+        F.median("msq").alias("est_self"), F.median("mpr").alias("est_cross")
+    )
+    cnt = sided.groupBy("k").agg(
+        F.sum(F.when(F.col("side") == "lo", 1).otherwise(0)).alias("nlo"),
+        F.sum(F.when(F.col("side") == "hi", 1).otherwise(0)).alias("nhi"),
+    )
+    ex = cnt.agg(
+        F.sum((F.col("nlo") + F.col("nhi")) * (F.col("nlo") + F.col("nhi"))).alias(
+            "exact_self"
+        ),
+        F.sum(F.col("nlo") * F.col("nhi")).alias("exact_cross"),
+    )
+    return ex.crossJoin(F.broadcast(est)).select(
+        "exact_self",
+        F.round("est_self", 4).alias("est_self"),
+        F.round(
+            (F.col("est_self") - F.col("exact_self")) / F.col("exact_self"), 6
+        ).alias("err_self"),
+        "exact_cross",
+        F.round("est_cross", 4).alias("est_cross"),
+        F.round(
+            (F.col("est_cross") - F.col("exact_cross")) / F.col("exact_cross"), 6
+        ).alias("err_cross"),
+    )
+
+
+SKETCH_AMS_JOINSIZE_SQL = """
+WITH s AS (SELECT l_partkey AS k,
+                  CASE WHEN l_quantity < 25 THEN 'lo' ELSE 'hi' END AS side
+           FROM lineitem),
+h AS (SELECT side, ('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT AS hv
+      FROM s),
+z AS (SELECT side, i,
+             sum(2 * ((hv >> i::INT) & 1) - 1)::BIGINT AS z
+      FROM h CROSS JOIN range(32) r(i) GROUP BY 1, 2),
+p AS (SELECT lo.i, lo.z AS zlo, hi.z AS zhi
+      FROM (SELECT i, z FROM z WHERE side = 'lo') lo
+      JOIN (SELECT i, z FROM z WHERE side = 'hi') hi USING (i)),
+g AS (SELECT i // 8 AS grp,
+             avg((zlo + zhi) * (zlo + zhi)) AS msq,
+             avg(zlo * zhi) AS mpr
+      FROM p GROUP BY 1),
+est AS (SELECT median(msq) AS est_self, median(mpr) AS est_cross FROM g),
+cnt AS (SELECT k,
+               sum(CASE WHEN side = 'lo' THEN 1 ELSE 0 END)::BIGINT AS nlo,
+               sum(CASE WHEN side = 'hi' THEN 1 ELSE 0 END)::BIGINT AS nhi
+        FROM s GROUP BY k),
+ex AS (SELECT sum((nlo + nhi) * (nlo + nhi))::BIGINT AS exact_self,
+              sum(nlo * nhi)::BIGINT AS exact_cross
+       FROM cnt)
+SELECT exact_self, round(est_self, 4) AS est_self,
+       round((est_self - exact_self) / exact_self, 6) AS err_self,
+       exact_cross, round(est_cross, 4) AS est_cross,
+       round((est_cross - exact_cross) / exact_cross, 6) AS err_cross
+FROM ex, est
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6359,6 +6449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interval_coverage": events_interval_coverage,
     "events_ewma_daily": events_ewma_daily,
     "sim_binary_quant_topk": sim_binary_quant_topk,
+    "sketch_ams_joinsize": sketch_ams_joinsize,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "sketch_hll_distinct": sketch_hll_distinct,
@@ -6523,6 +6614,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_interval_coverage": EVENTS_INTERVAL_COVERAGE_SQL,
     "events_ewma_daily": EVENTS_EWMA_DAILY_SQL,
     "sim_binary_quant_topk": SIM_BINARY_QUANT_TOPK_SQL,
+    "sketch_ams_joinsize": SKETCH_AMS_JOINSIZE_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

@@ -294,3 +294,61 @@ def test_kmv_pairwise_exact_when_unsaturated_and_close_when_not(spark):
     assert big["est_jaccard"] == round(c / 64.0, 6)
     assert big["est_union"] == round(est_u, 6)
     assert big["est_intersect"] == round(c / 64.0 * est_u, 6)
+
+
+# --------------------------------------------------------------------------
+# AMS F2 / join-size
+# --------------------------------------------------------------------------
+
+
+def test_ams_f2_tracks_exact(spark):
+    from otters_spark.operators.sketches import ams_f2_estimate, ams_sketch
+
+    # skewed synthetic stream: key k appears k times, k = 1..60
+    rows = [(k,) for k in range(1, 61) for _ in range(k)]
+    df = spark.createDataFrame(rows, "k long")
+    exact = sum(k * k for k in range(1, 61))
+    sk = ams_sketch(df, "k", n_counters=32)
+    est = ams_f2_estimate(sk).collect()[0]["f2_est"]
+    assert abs(est - exact) / exact < 0.6, (est, exact)
+
+
+def test_ams_sketch_is_linear_and_mergeable(spark):
+    from otters_spark.operators.sketches import ams_sketch
+
+    a = spark.createDataFrame([(k,) for k in range(100)], "k long")
+    b = spark.createDataFrame([(k,) for k in range(50, 150)], "k long")
+    za = {r["i"]: r["z"] for r in ams_sketch(a, "k").collect()}
+    zb = {r["i"]: r["z"] for r in ams_sketch(b, "k").collect()}
+    zu = {r["i"]: r["z"] for r in ams_sketch(a.unionAll(b), "k").collect()}
+    assert zu == {i: za[i] + zb[i] for i in za}
+
+
+def test_ams_join_size_tracks_exact(spark):
+    from otters_spark.operators.sketches import (
+        ams_join_size_estimate,
+        ams_sketch,
+    )
+
+    # R: key k x k times; S: key k x (61-k) times; true join size known
+    r = spark.createDataFrame([(k,) for k in range(1, 61) for _ in range(k)], "k long")
+    s = spark.createDataFrame(
+        [(k,) for k in range(1, 61) for _ in range(61 - k)], "k long"
+    )
+    exact = sum(k * (61 - k) for k in range(1, 61))
+    est = ams_join_size_estimate(ams_sketch(r, "k"), ams_sketch(s, "k")).collect()[
+        0
+    ]["join_est"]
+    assert abs(est - exact) / exact < 0.6, (est, exact)
+
+
+def test_ams_counter_bounds(spark):
+    import pytest as _pytest
+
+    from otters_spark.operators.sketches import ams_sketch
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="n_counters"):
+        ams_sketch(df, "k", n_counters=0)
+    with _pytest.raises(ValueError, match="n_counters"):
+        ams_sketch(df, "k", n_counters=61)
