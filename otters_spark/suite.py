@@ -6347,6 +6347,85 @@ FROM ex, est
 """
 
 
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core by iterative peeling (operators/graph.py:kcore) on a
+    deterministic synthetic graph over customer keys — chain segments
+    (k, k+1 with breaks at k%7==0) that dissolve layer by layer, plus
+    4-cliques on {k, k+25, k+50, k+75} for k%100==0 that survive: the
+    peeling cascades 6 rounds deep at every SF, exercising the
+    degree-recompute/anti-join loop, not just one filter pass. The
+    oracle unrolls 8 peeling stages in plain SQL (peeling removes
+    rows, so a monotone recursive CTE can't express it); extra stages
+    past convergence are idempotent, so fixed-unroll == converged
+    result. Returns every core member with its within-core degree."""
+    from .operators.graph import kcore
+
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    chain = c.filter(F.col("k") % 7 != 0).select(
+        F.col("k").alias("u"), (F.col("k") + 1).alias("v")
+    )
+    offs = [(0, 25), (0, 50), (0, 75), (25, 50), (25, 75), (50, 75)]
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(a).alias("oa"), F.lit(b).alias("ob"))
+                for a, b in offs
+            ]
+        )
+    ).alias("o")
+    clq = (
+        c.filter(F.col("k") % 100 == 0)
+        .select(F.col("k"), pairs)
+        .select(
+            (F.col("k") + F.col("o.oa")).alias("u"),
+            (F.col("k") + F.col("o.ob")).alias("v"),
+        )
+    )
+    km = c.select(F.col("k").alias("kk"))
+    edges = (
+        chain.unionAll(clq)
+        .join(km, F.col("u") == F.col("kk"), "left_semi")
+        .join(km, F.col("v") == F.col("kk"), "left_semi")
+    )
+    return kcore(edges, k=2, src="u", dst="v").orderBy("node")
+
+
+def _kcore_sql() -> str:
+    head = """
+WITH keys AS (SELECT c_custkey AS k FROM customer),
+chain AS (SELECT k AS u, k + 1 AS v FROM keys
+          WHERE k % 7 <> 0 AND k + 1 IN (SELECT k FROM keys)),
+clq AS (SELECT k + o.a AS u, k + o.b AS v
+        FROM (SELECT k FROM keys WHERE k % 100 = 0) c
+        CROSS JOIN (VALUES (0,25),(0,50),(0,75),(25,50),(25,75),(50,75))
+          o(a, b)
+        WHERE k + o.a IN (SELECT k FROM keys)
+          AND k + o.b IN (SELECT k FROM keys)),
+e0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+       FROM (SELECT u, v FROM chain UNION ALL SELECT u, v FROM clq)
+       WHERE u <> v)"""
+    stages = []
+    for r in range(8):
+        stages.append(
+            f""",
+d{r} AS MATERIALIZED (SELECT node, count(*) AS degree
+       FROM (SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r})
+       GROUP BY 1),
+e{r + 1} AS MATERIALIZED (SELECT e{r}.a, e{r}.b FROM e{r}
+       JOIN (SELECT node FROM d{r} WHERE degree >= 2) x ON x.node = e{r}.a
+       JOIN (SELECT node FROM d{r} WHERE degree >= 2) y ON y.node = e{r}.b)"""
+        )
+    tail = """,
+d8 AS (SELECT node, count(*)::BIGINT AS degree
+       FROM (SELECT a AS node FROM e8 UNION ALL SELECT b FROM e8)
+       GROUP BY 1)
+SELECT node, degree FROM d8 ORDER BY node"""
+    return head + "".join(stages) + tail
+
+
+GRAPH_KCORE_MEMBERS_SQL = _kcore_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6450,6 +6529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ewma_daily": events_ewma_daily,
     "sim_binary_quant_topk": sim_binary_quant_topk,
     "sketch_ams_joinsize": sketch_ams_joinsize,
+    "graph_kcore_members": graph_kcore_members,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "sketch_hll_distinct": sketch_hll_distinct,
@@ -6615,6 +6695,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_ewma_daily": EVENTS_EWMA_DAILY_SQL,
     "sim_binary_quant_topk": SIM_BINARY_QUANT_TOPK_SQL,
     "sketch_ams_joinsize": SKETCH_AMS_JOINSIZE_SQL,
+    "graph_kcore_members": GRAPH_KCORE_MEMBERS_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

@@ -182,3 +182,93 @@ def test_triangle_count_hand_and_random(spark):
                 for x in (a, b, c):
                     want[x] = want.get(x, 0) + 1
         assert got == want, seed
+
+
+# --------------------------------------------------------------------------
+# k-core peeling
+# --------------------------------------------------------------------------
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    from otters_spark.operators.graph import kcore
+
+    # triangle {1,2,3} with a pendant path 3-4-5: the path peels in two
+    # rounds (5 first, then 4), the triangle survives with degree 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r["node"]: r["degree"] for r in kcore(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_when_everything_peels(spark):
+    from otters_spark.operators.graph import kcore
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    assert kcore(path, k=2).count() == 0
+
+
+def test_kcore_ignores_direction_dupes_selfloops(spark):
+    from otters_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3), (1, 3)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["degree"] for r in kcore(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_matches_reference_peeling(spark, sf_dir):
+    import collections
+
+    from otters_spark.operators.graph import kcore
+    from pyspark.sql import functions as F
+
+    # co-purchase graph restricted to a sparse slice so peeling is real
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 17 == 0
+    )
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    got = {r["node"]: r["degree"] for r in kcore(edges, k=3, max_rounds=30).collect()}
+    adj = collections.defaultdict(set)
+    for r in edges.distinct().collect():
+        adj[r["src"]].add(r["dst"])
+        adj[r["dst"]].add(r["src"])
+    alive = {n: set(s) for n, s in adj.items()}
+    while True:
+        dead = [n for n, s in alive.items() if len(s) < 3]
+        if not dead:
+            break
+        for n in dead:
+            for m in alive[n]:
+                alive[m].discard(n)
+            del alive[n]
+    assert got == {n: len(s) for n, s in alive.items()}
+
+
+def test_kcore_raises_on_round_exhaustion(spark):
+    import pytest as _pytest
+
+    from otters_spark.operators.graph import kcore
+
+    # a path of 9 nodes needs 4 peel rounds at k=2; cap at 1 and it
+    # must refuse rather than return a partial peel
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        kcore(path, k=2, max_rounds=1)
+    with _pytest.raises(ValueError, match="k must be"):
+        kcore(path, k=0)
