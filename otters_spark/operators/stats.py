@@ -417,7 +417,7 @@ def robust_outliers(
 def ewma_smooth(
     df: DataFrame,
     keys: Sequence[str],
-    order_col: str,
+    order_col: str | Sequence[str],
     value_col: str,
     alpha: float = 0.5,
     out_col: str = "ewma",
@@ -450,16 +450,20 @@ def ewma_smooth(
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     keys = list(keys)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w = 1.0 - alpha
     # past this rank w^-rn overflows; raise loudly instead of
     # silently returning inf
     max_len = int(900 / -math.log2(w))
-    order = Window.partitionBy(*keys).orderBy(order_col)
+    order = Window.partitionBy(*keys).orderBy(*order_cols)
     cum = order.rowsBetween(Window.unboundedPreceding, 0)
     rn = F.row_number().over(order)
     scaled = F.pow(F.lit(w), -rn)
+    not_null = F.col(value_col).isNotNull()
+    for oc in order_cols:
+        not_null = not_null & F.col(oc).isNotNull()
     out = (
-        df.filter(F.col(value_col).isNotNull() & F.col(order_col).isNotNull())
+        df.filter(not_null)
         .withColumn("__w", scaled)
         .withColumn(
             out_col,

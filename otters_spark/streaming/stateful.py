@@ -22,8 +22,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = [
     "running_user_totals",
+    "streaming_ewma",
     "streaming_exact_dedup",
     "streaming_transitions",
+    "EWMA_SCHEMA",
     "RUNNING_TOTALS_SCHEMA",
     "TRANSITIONS_SCHEMA",
 ]
@@ -201,5 +203,81 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputStructType=RUNNING_TOTALS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("num", T.DoubleType()),
+        T.StructField("den", T.DoubleType()),
+    ]
+)
+
+
+def streaming_ewma(
+    events: DataFrame, alpha: float = 0.5, value_col: str = "value"
+) -> DataFrame:
+    """Online per-user EWMA — the O(1)-state streaming recurrence the
+    batch operator's docstring points unbounded series at
+    (operators/stats.py:ewma_smooth overflows its rescaled weights
+    past ~900 rows per key; this recurrence never does):
+
+        num_i = x_i + (1-a) * num_{i-1}
+        den_i = 1  + (1-a) * den_{i-1}
+        ewma_i = num_i / den_i          (pandas adjusted ``ewm`` form)
+
+    Emits one row per event with its smoothed value; state per user is
+    two doubles, bounded by key cardinality, not stream length.
+    Ordering contract and chunk handling follow streaming_transitions:
+    per-user event-time order across micro-batches, one concat+sort
+    per batch (chunk-local sorting walks large users out of order),
+    NULL ts/value rows dropped before the kernel. Equals the batch
+    ``ewma_smooth`` per-row to float tolerance (same recurrence, summed
+    in a different but fixed order) — pinned over a multi-micro-batch
+    replay in tests/test_stateful_streaming.py."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from pyspark.sql import functions as F
+
+    w = 1.0 - alpha
+    keyed = events.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__micros"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).filter(F.col("__micros").isNotNull() & F.col("__x").isNotNull())
+
+    def step(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        num, den = state.get if state.exists else (0.0, 0.0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        rows: list[tuple] = []
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["__micros", "event_id"]
+            )
+            for eid, x in zip(batch["event_id"], batch["__x"]):
+                num = float(x) + w * num
+                den = 1.0 + w * den
+                rows.append((key[0], int(eid), num / den))
+        state.update((num, den))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "event_id", "ewma"])
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1,6 +1,7 @@
 """Custom stateful operator (applyInPandasWithState): final per-user
 totals from the stream must equal the batch groupBy."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from otters_spark.streaming.events import stream_events
@@ -186,3 +187,70 @@ def test_streaming_transitions_multi_chunk_group(spark, tmp_path):
         assert all(g % 10_000_000 == 0 and g > 0 for _, g in got.values())
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_streaming_ewma_equal_batch_across_batches(spark, sf_dir, tmp_path):
+    """Per-event EWMAs from a 3-micro-batch time-split replay must
+    match the batch ewma_smooth row-for-row (float tolerance: same
+    recurrence, different but fixed summation order) — including rows
+    whose smoothing history crosses micro-batch boundaries (the
+    two-double stored state)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from otters_spark.operators.stats import ewma_smooth
+    from otters_spark.streaming.stateful import streaming_ewma
+
+    ev = load_events(spark, sf_dir)
+    evm = ev.withColumn("__m", F.unix_micros(F.col("ts").cast("timestamp")))
+    qs = evm.approxQuantile("__m", [0.33, 0.66], 0.001)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    parts = [
+        evm.filter(F.col("__m") <= qs[0]).drop("__m"),
+        evm.filter((F.col("__m") > qs[0]) & (F.col("__m") <= qs[1])).drop("__m"),
+        evm.filter(F.col("__m") > qs[1]).drop("__m"),
+    ]
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    now = time.time()
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(landing / f"b{i}.parquet"))
+        src = glob.glob(str(landing / f"b{i}.parquet" / "part-*.parquet"))[0]
+        dst = flat / f"{i:02d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(flat))
+    )
+    q = (
+        streaming_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("t_ewma")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["event_id"]: r["ewma"] for r in spark.table("t_ewma").collect()
+    }
+    want_df = ewma_smooth(
+        ev.withColumn("__m", F.unix_micros(F.col("ts").cast("timestamp"))),
+        ["user_id"],
+        ["__m", "event_id"],
+        "value",
+        alpha=0.5,
+    )
+    want = {r["event_id"]: r["ewma"] for r in want_df.collect()}
+    assert got.keys() == want.keys()
+    for eid in want:
+        assert got[eid] == pytest.approx(want[eid], abs=1e-9), eid
