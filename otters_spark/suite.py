@@ -6426,6 +6426,61 @@ SELECT node, degree FROM d8 ORDER BY node"""
 GRAPH_KCORE_MEMBERS_SQL = _kcore_sql()
 
 
+def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets
+    (operators/association.py:frequent_pairs): brand pairs co-purchased
+    within one order, with support / directional confidence / lift.
+    The self-join is keyed per basket and bounded by basket width
+    (C(b,2) pairs per order, never corpus-quadratic); margins
+    broadcast. Top-20 by (lift desc, pair) — exact integer counts
+    under the ratios make the ranking engine-stable."""
+    from .operators.association import frequent_pairs
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    baskets = li.join(
+        p.select("p_partkey", "p_brand"),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    out = frequent_pairs(baskets, "basket", "item", min_pair_count=2)
+    return (
+        out.select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round("support", 6).alias("support"),
+            F.round("conf_a_to_b", 6).alias("conf_a_to_b"),
+            F.round("conf_b_to_a", 6).alias("conf_b_to_a"),
+            F.round("lift", 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(20)
+    )
+
+
+REL_MARKET_BASKET_SQL = """
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+pairs AS (
+  SELECT a.i AS item_a, bb.i AS item_b, count(*)::BIGINT AS n_ab
+  FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+m AS (SELECT i, count(*)::BIGINT AS n FROM items GROUP BY 1),
+t AS (SELECT count(DISTINCT b)::BIGINT AS nb FROM items)
+SELECT item_a, item_b, n_ab, ma.n AS n_a, mb.n AS n_b,
+       round(n_ab / nb, 6) AS support,
+       round(n_ab / ma.n, 6) AS conf_a_to_b,
+       round(n_ab / mb.n, 6) AS conf_b_to_a,
+       round(n_ab * nb / (ma.n * mb.n), 6) AS lift
+FROM pairs JOIN m ma ON ma.i = item_a JOIN m mb ON mb.i = item_b, t
+ORDER BY n_ab * nb / (ma.n * mb.n) DESC, item_a, item_b
+LIMIT 20
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6530,6 +6585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_binary_quant_topk": sim_binary_quant_topk,
     "sketch_ams_joinsize": sketch_ams_joinsize,
     "graph_kcore_members": graph_kcore_members,
+    "rel_market_basket": rel_market_basket,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "sketch_hll_distinct": sketch_hll_distinct,
@@ -6696,6 +6752,7 @@ ORACLE_SQL: dict[str, str] = {
     "sim_binary_quant_topk": SIM_BINARY_QUANT_TOPK_SQL,
     "sketch_ams_joinsize": SKETCH_AMS_JOINSIZE_SQL,
     "graph_kcore_members": GRAPH_KCORE_MEMBERS_SQL,
+    "rel_market_basket": REL_MARKET_BASKET_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

@@ -133,3 +133,40 @@ def test_transition_matrix_ts_tie_breaks_on_id(spark):
     )
     out = {(r["from_type"], r["to_type"]) for r in transition_matrix(df).collect()}
     assert out == {("a", "b"), ("b", "c")}
+
+
+# --------------------------------------------------------------------------
+# association rules (operators/association.py)
+# --------------------------------------------------------------------------
+
+
+def test_frequent_pairs_hand_counts(spark):
+    from otters_spark.operators.association import frequent_pairs
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"), (3, "y"),  # dupe counts once
+        (4, "z"), (4, None), (None, "x"),  # nulls dropped
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in frequent_pairs(df, "b", "i", min_pair_count=1).collect()
+    }
+    xy = out[("x", "y")]
+    assert (xy["n_ab"], xy["n_a"], xy["n_b"]) == (3, 3, 3)
+    assert xy["support"] == 3 / 4 and xy["conf_a_to_b"] == 1.0
+    assert xy["lift"] == 3 * 4 / (3 * 3)
+    # (x,z) and (y,z) co-occur once -> filtered at min_pair_count=2
+    assert ("x", "z") in out
+    got2 = frequent_pairs(df, "b", "i", min_pair_count=2).collect()
+    assert {(r["item_a"], r["item_b"]) for r in got2} == {("x", "y")}
+
+
+def test_frequent_pairs_bounded_per_basket(spark):
+    from otters_spark.operators.association import frequent_pairs
+
+    # one basket with 6 items emits exactly C(6,2)=15 pairs
+    df = spark.createDataFrame([(1, f"i{j}") for j in range(6)], "b long, i string")
+    assert frequent_pairs(df, "b", "i", min_pair_count=1).count() == 15
