@@ -27,7 +27,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["merge_upsert", "scd2_merge", "scd2_as_of", "snapshot_diff"]
+__all__ = ["merge_upsert", "scd2_merge", "scd2_as_of", "snapshot_diff", "change_feed", "apply_agg_delta"]
 
 
 def merge_upsert(
@@ -191,3 +191,104 @@ def snapshot_diff(
         F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
     ]
     return j.select(*key_out, change.alias("change_type"))
+
+
+def change_feed(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Signed row-level change feed between two dataset versions: the
+    CDC shape incremental maintenance consumes. Returns key columns +
+    ``value_cols`` + ``__sign`` — one +1 row per added key (new
+    values), one -1 per removed key (old values), and a -1/+1 PAIR per
+    changed key. Unchanged keys emit nothing, so the feed is
+    change-sized, not corpus-sized. One full-outer join hashed on the
+    key, same contract as :func:`snapshot_diff` (unique keys per
+    side)."""
+    keys = list(key_cols)
+    vals = list(value_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    o = old.select(*keys, *vals, F.lit(1).alias("__po")).alias("o")
+    n = new.select(*keys, *vals, F.lit(1).alias("__pn")).alias("n")
+    cond = None
+    for k in keys:
+        e = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = e if cond is None else cond & e
+    j = (
+        o.join(n, cond, "full_outer")
+        # both signed arms read this join — pin it or Catalyst re-runs
+        # the full-outer per arm
+        .localCheckpoint(eager=False)
+    )
+    same = _all_equal(vals, "o", "n") if vals else F.lit(True)
+    is_removed = F.col("n.__pn").isNull()
+    is_added = F.col("o.__po").isNull()
+    minus = j.filter(~is_added & (is_removed | ~same)).select(
+        *[F.col(f"o.{k}").alias(k) for k in keys],
+        *[F.col(f"o.{v}").alias(v) for v in vals],
+        F.lit(-1).alias("__sign"),
+    )
+    plus = j.filter(~is_removed & (is_added | ~same)).select(
+        *[F.col(f"n.{k}").alias(k) for k in keys],
+        *[F.col(f"n.{v}").alias(v) for v in vals],
+        F.lit(1).alias("__sign"),
+    )
+    return minus.unionByName(plus)
+
+
+def apply_agg_delta(
+    old_agg: DataFrame,
+    changes: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental maintenance of an algebraic aggregate: given the
+    previous per-group aggregate (``sum_cols`` sums + ``count_col``
+    row count) and a signed :func:`change_feed`, produce the aggregate
+    of the NEW version touching only the changes —
+    ``new = old + sum(sign * x)`` per group, groups whose count drops
+    to zero removed, unseen groups created.
+
+    This is the 100 TB maintenance shape: a daily rebuild re-shuffles
+    the corpus; applying the feed shuffles only the changed rows.
+    Works for any commutative-group aggregate (sum, count; avg =
+    maintained sum/count) — NOT for min/max (deletes break them; keep
+    a full rebuild or a heap-per-group for those). Exact when sums are
+    integers (cents, micros — the repo's money discipline); float
+    sums drift by reassociation exactly as a rebuild's partial sums
+    do."""
+    g = list(group_cols)
+    sums = list(sum_cols)
+    delta = changes.groupBy(*g).agg(
+        *[F.sum(F.col(c) * F.col("__sign")).alias(f"__d_{c}") for c in sums],
+        F.sum("__sign").alias("__dn"),
+    )
+    o = old_agg.alias("o")
+    d = delta.alias("d")
+    cond = None
+    for k in g:
+        e = F.col(f"o.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = e if cond is None else cond & e
+    j = o.join(d, cond, "full_outer")
+    out_keys = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k) for k in g
+    ]
+    zero = F.lit(0)
+    new_cols = [
+        (
+            F.coalesce(F.col(f"o.{c}"), zero)
+            + F.coalesce(F.col(f"d.__d_{c}"), zero)
+        ).alias(c)
+        for c in sums
+    ]
+    new_n = (
+        F.coalesce(F.col(f"o.{count_col}"), zero)
+        + F.coalesce(F.col("d.__dn"), zero)
+    ).alias(count_col)
+    return j.select(*out_keys, *new_cols, new_n).filter(
+        F.col(count_col) > 0
+    )

@@ -6481,6 +6481,74 @@ LIMIT 20
 """
 
 
+def rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (sources/merge.py:change_feed
+    + apply_agg_delta): per-priority revenue/count maintained from v1's
+    aggregate by applying ONLY the signed change feed between two
+    synthetic order snapshots (the snapshot_diff versions) — never
+    re-aggregating v2. The oracle aggregates v2 directly, so a green
+    row PROVES maintained == rebuilt. Money kept in integer cents so
+    incremental and rebuild sums are exactly equal, not
+    reassociation-close. n_feed_rows shows the efficiency claim:
+    rows touched vs rows in the group."""
+    from .sources.merge import apply_agg_delta, change_feed
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v1 = base.filter(F.col("k") % 11 != 3)
+    v2 = base.filter(F.col("k") % 11 != 7).withColumn(
+        "cents",
+        F.when(F.col("k") % 5 == 0, F.col("cents") + 10000).otherwise(
+            F.col("cents")
+        ),
+    )
+    agg1 = v1.groupBy("pri").agg(
+        F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n")
+    )
+    feed = change_feed(v1, v2, ["k"], ["pri", "cents"]).localCheckpoint(
+        eager=False
+    )  # consumed by the delta AND the touched-rows count
+    agg2 = apply_agg_delta(agg1, feed, ["pri"], ["cents"], count_col="n")
+    touched = feed.groupBy("pri").agg(F.count(F.lit(1)).alias("n_feed_rows"))
+    return (
+        agg2.join(touched, "pri", "left")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n",
+            F.col("cents").alias("revenue_cents"),
+            F.coalesce("n_feed_rows", F.lit(0)).alias("n_feed_rows"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+REL_INCREMENTAL_AGG_SQL = """
+WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+v1 AS (SELECT k, pri, cents FROM base WHERE k % 11 <> 3),
+v2 AS (SELECT k, pri,
+              CASE WHEN k % 5 = 0 THEN cents + 10000 ELSE cents END AS cents
+       FROM base WHERE k % 11 <> 7),
+f AS (SELECT coalesce(v1.pri, v2.pri) AS pri,
+             CASE WHEN v1.k IS NULL OR v2.k IS NULL THEN 1
+                  WHEN v1.cents <> v2.cents THEN 2 ELSE 0 END AS w
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k),
+touched AS (SELECT pri, sum(w)::BIGINT AS n_feed_rows FROM f WHERE w > 0
+            GROUP BY 1),
+agg AS (SELECT pri, count(*)::BIGINT AS n, sum(cents)::BIGINT AS revenue_cents
+        FROM v2 GROUP BY 1)
+SELECT agg.pri AS o_orderpriority, n, revenue_cents,
+       coalesce(n_feed_rows, 0)::BIGINT AS n_feed_rows
+FROM agg LEFT JOIN touched ON touched.pri = agg.pri
+ORDER BY 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6586,6 +6654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_ams_joinsize": sketch_ams_joinsize,
     "graph_kcore_members": graph_kcore_members,
     "rel_market_basket": rel_market_basket,
+    "rel_incremental_agg": rel_incremental_agg,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "sketch_hll_distinct": sketch_hll_distinct,
@@ -6753,6 +6822,7 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_ams_joinsize": SKETCH_AMS_JOINSIZE_SQL,
     "graph_kcore_members": GRAPH_KCORE_MEMBERS_SQL,
     "rel_market_basket": REL_MARKET_BASKET_SQL,
+    "rel_incremental_agg": REL_INCREMENTAL_AGG_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

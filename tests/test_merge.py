@@ -175,3 +175,73 @@ def test_snapshot_diff_validation_and_subset_compare(spark):
         snapshot_diff(old, new, [])
     with _pytest.raises(ValueError):
         snapshot_diff(old, new, ["id"], compare_cols=["nope"])
+
+
+# --------------------------------------------------------------------------
+# change feed + incremental aggregate maintenance
+# --------------------------------------------------------------------------
+
+
+def test_change_feed_signs(spark):
+    from otters_spark.sources.merge import change_feed
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k long, g string, x long"
+    )
+    new = spark.createDataFrame(
+        [(2, "a", 25), (3, "b", 30), (4, "c", 40)], "k long, g string, x long"
+    )
+    rows = {
+        (r["k"], r["__sign"]): (r["g"], r["x"])
+        for r in change_feed(old, new, ["k"], ["g", "x"]).collect()
+    }
+    # 1 removed (-1 old values), 2 changed (-1 old / +1 new), 4 added
+    assert rows == {
+        (1, -1): ("a", 10),
+        (2, -1): ("a", 20),
+        (2, 1): ("a", 25),
+        (4, 1): ("c", 40),
+    }
+
+
+def test_apply_agg_delta_equals_rebuild(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from otters_spark.sources.merge import apply_agg_delta, change_feed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    v1 = orders.filter(F.col("k") % 7 != 2)
+    v2 = orders.filter(F.col("k") % 5 != 1).withColumn(
+        "x", F.when(F.col("k") % 3 == 0, F.col("x") + 1).otherwise(F.col("x"))
+    )
+    agg1 = v1.groupBy("g").agg(F.sum("x").alias("x"), F.count(F.lit(1)).alias("n"))
+    feed = change_feed(v1, v2, ["k"], ["g", "x"])
+    got = {
+        r["g"]: (r["x"], r["n"])
+        for r in apply_agg_delta(agg1, feed, ["g"], ["x"]).collect()
+    }
+    want = {
+        r["g"]: (r["x"], r["n"])
+        for r in v2.groupBy("g")
+        .agg(F.sum("x").alias("x"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_apply_agg_delta_creates_and_drops_groups(spark):
+    from otters_spark.sources.merge import apply_agg_delta
+
+    old_agg = spark.createDataFrame([("a", 30, 2)], "g string, x long, n long")
+    # feed: both 'a' rows deleted, new group 'b' inserted
+    feed = spark.createDataFrame(
+        [("a", 10, -1), ("a", 20, -1), ("b", 5, 1)],
+        "g string, x long, __sign int",
+    )
+    got = {(r["g"]): (r["x"], r["n"]) for r in
+           apply_agg_delta(old_agg, feed, ["g"], ["x"]).collect()}
+    assert got == {"b": (5, 1)}
