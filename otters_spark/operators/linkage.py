@@ -28,7 +28,9 @@ from pyspark.sql.window import Window
 
 from ..functions.text import tokens_expr, word_ngrams_expr
 
-__all__ = ["fuzzy_join_candidates", "fuzzy_best_match"]
+__all__ = ["fuzzy_join_candidates", "fuzzy_best_match",
+    "entity_clusters",
+]
 
 
 def _shingle_side(
@@ -114,4 +116,41 @@ def fuzzy_best_match(
         cands.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .select("left_id", "right_id", "score")
+    )
+
+
+def entity_clusters(
+    records: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """End-to-end entity resolution: fuzzy self-candidates →
+    transitive closure → entity table. Every record gets an
+    ``entity_id`` (the smallest record id reachable through chains of
+    Jaccard-above-threshold matches; unmatched records are their own
+    entity) — the master-data step after :func:`fuzzy_best_match`'s
+    pairwise links, where A~B and B~C must land A, B, C in ONE entity
+    even when A~C alone misses the threshold.
+
+    Pipeline: shingle inverted-index candidates (exact for
+    threshold > 0, never all-pairs), canonicalized to ``left < right``,
+    then dedup.connected_components min-label propagation (one
+    hash-join per round, rounds = cluster diameter). Scale contract is
+    the candidate stage's: sum over shingles of df² pair work, AQE
+    skew-splittable."""
+    from .dedup import connected_components
+
+    cands = fuzzy_join_candidates(
+        records, records, threshold, text_col, id_col, ngram
+    ).filter(F.col("left_id") < F.col("right_id"))
+    cc = connected_components(
+        cands.select(
+            F.col("left_id").alias("id_a"), F.col("right_id").alias("id_b")
+        )
+    )
+    ids = records.select(F.col(id_col).alias("id"))
+    return ids.join(cc, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("entity_id")
     )

@@ -6549,6 +6549,59 @@ ORDER BY 1
 """
 
 
+def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end
+    (operators/linkage.py:entity_clusters): trigram-Jaccard
+    self-candidates at 0.5 → connected components → entity table;
+    returns every multi-member entity with member count and id-sum.
+    The transitivity step is the point — A~B~C lands in one entity
+    even when A~C alone misses the threshold — and the oracle rebuilds
+    it with a recursive CTE over the same inverted-index candidate
+    pairs."""
+    from .operators.linkage import entity_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    ent = entity_clusters(docs, threshold=0.5)
+    return (
+        ent.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("id").alias("id_sum"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("entity_id")
+    )
+
+
+LINK_ENTITY_CLUSTERS_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[(i+1):(i+3)], ' ')
+                        for i in range(len(w) - 2)]) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3),
+e AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM g),
+c AS (SELECT l.doc_id AS a, r.doc_id AS b,
+             count(*) AS c, any_value(l.n) AS nl, any_value(r.n) AS nr
+      FROM e l JOIN e r ON l.gram = r.gram AND l.doc_id < r.doc_id
+      GROUP BY 1, 2),
+p AS (SELECT a, b FROM c WHERE c::DOUBLE / (nl + nr - c) >= 0.5),
+edges AS (SELECT a AS src, b AS dst FROM p
+          UNION SELECT b, a FROM p),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e2.dst FROM r JOIN edges e2 ON r.dst = e2.src)
+  SELECT * FROM r),
+comp AS (SELECT src AS id, least(src, min(dst)) AS component
+         FROM reach GROUP BY src)
+SELECT component AS entity_id, count(*)::BIGINT AS n_members,
+       sum(id)::BIGINT AS id_sum
+FROM comp GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6655,6 +6708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_kcore_members": graph_kcore_members,
     "rel_market_basket": rel_market_basket,
     "rel_incremental_agg": rel_incremental_agg,
+    "link_entity_clusters": link_entity_clusters,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
     "sketch_hll_distinct": sketch_hll_distinct,
@@ -6823,6 +6877,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_kcore_members": GRAPH_KCORE_MEMBERS_SQL,
     "rel_market_basket": REL_MARKET_BASKET_SQL,
     "rel_incremental_agg": REL_INCREMENTAL_AGG_SQL,
+    "link_entity_clusters": LINK_ENTITY_CLUSTERS_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

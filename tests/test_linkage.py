@@ -128,3 +128,31 @@ class TestFrequentSegments:
         )
         ids = {r.doc_id for r in remove_frequent_segments(docs, width=2).collect()}
         assert ids == {0}
+
+
+def test_entity_clusters_transitive_chain(spark):
+    from otters_spark.operators.linkage import entity_clusters
+
+    # A~B and B~C above threshold; A~C alone is weaker — transitivity
+    # must still land all three in one entity. D is unrelated.
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+        (3, "beta gamma delta zeta eta"),
+        (4, "completely different tokens here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["entity_id"] for r in entity_clusters(df, 0.4).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4
+
+
+def test_entity_clusters_singletons_self_entity(spark):
+    from otters_spark.operators.linkage import entity_clusters
+
+    df = spark.createDataFrame(
+        [(7, "one two three four"), (9, "five six seven eight")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["entity_id"] for r in entity_clusters(df, 0.5).collect()}
+    assert got == {7: 7, 9: 9}
