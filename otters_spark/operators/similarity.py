@@ -877,9 +877,11 @@ def pq_search(
 
 def pack_sign_bits(vec_col, dim: int):
     """Expression: array<long> of ceil(dim/64) words, bit d set iff
-    ``vec[d] > 0``. Bit masks are Python-side literals (two's-complement
-    wrapped for bit 63), so the packing is pure codegen — no Python, no
-    shuffle, exact on every engine."""
+    ``vec[d] > 0``; a NULL element packs bit 0 (NULL > 0 is NULL, the
+    ``when`` falls through to 0 — deterministic, and the oracle twin
+    coalesces to match). Bit masks are Python-side literals
+    (two's-complement wrapped for bit 63), so the packing is pure
+    codegen — no Python, no shuffle, exact on every engine."""
     v = vec_col if isinstance(vec_col, F.Column) else F.col(vec_col)
     words = []
     for w in range(0, dim, 64):

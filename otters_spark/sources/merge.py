@@ -55,6 +55,16 @@ def _all_equal(cols: Sequence[str], left: str, right: str) -> Column:
     return out
 
 
+def _key_cond(keys: Sequence[str], left: str, right: str) -> Column:
+    """Null-safe key-equality join condition (NULL keys match NULL
+    keys — they are keys, not unknowns, in a version diff)."""
+    cond = None
+    for k in keys:
+        e = F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}"))
+        cond = e if cond is None else cond & e
+    return cond
+
+
 def scd2_merge(
     dim: DataFrame,
     updates: DataFrame,
@@ -175,11 +185,7 @@ def snapshot_diff(
     # legitimately NULL key would otherwise read as "absent"
     o = old.select(*keys, *compare_cols, F.lit(1).alias("__po")).alias("o")
     n = new.select(*keys, *compare_cols, F.lit(1).alias("__pn")).alias("n")
-    cond = None
-    for k in keys:
-        e = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
-        cond = e if cond is None else cond & e
-    j = o.join(n, cond, "full_outer")
+    j = o.join(n, _key_cond(keys, "o", "n"), "full_outer")
     same = _all_equal(compare_cols, "o", "n") if compare_cols else F.lit(True)
     change = (
         F.when(F.col("o.__po").isNull(), F.lit("added"))
@@ -211,14 +217,14 @@ def change_feed(
     vals = list(value_cols)
     if not keys:
         raise ValueError("key_cols must be non-empty")
+    missing = [c for c in keys + vals
+               if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"columns absent from a side: {missing}")
     o = old.select(*keys, *vals, F.lit(1).alias("__po")).alias("o")
     n = new.select(*keys, *vals, F.lit(1).alias("__pn")).alias("n")
-    cond = None
-    for k in keys:
-        e = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
-        cond = e if cond is None else cond & e
     j = (
-        o.join(n, cond, "full_outer")
+        o.join(n, _key_cond(keys, "o", "n"), "full_outer")
         # both signed arms read this join — pin it or Catalyst re-runs
         # the full-outer per arm
         .localCheckpoint(eager=False)
@@ -269,11 +275,7 @@ def apply_agg_delta(
     )
     o = old_agg.alias("o")
     d = delta.alias("d")
-    cond = None
-    for k in g:
-        e = F.col(f"o.{k}").eqNullSafe(F.col(f"d.{k}"))
-        cond = e if cond is None else cond & e
-    j = o.join(d, cond, "full_outer")
+    j = o.join(d, _key_cond(g, "o", "d"), "full_outer")
     out_keys = [
         F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k) for k in g
     ]

@@ -6205,7 +6205,8 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_EWMA_DAILY_SQL = """
 WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
                   avg(value) AS day_avg, count(*)::BIGINT AS n
-           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
 r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
       FROM d),
 e AS (SELECT *,
@@ -6243,8 +6244,10 @@ ve AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
               generate_subscripts(embedding, 1) AS i
        FROM embeddings),
 h AS (SELECT vec_id,
-             sum(CASE WHEN (x > 0) <> (qx > 0) THEN 1 ELSE 0 END)::BIGINT
-               AS hamming
+             -- coalesce mirrors the Spark packer: a NULL element packs
+             -- bit 0 (CASE's bare NULL <> true would silently skip it)
+             sum(CASE WHEN (coalesce(x, 0) > 0) <> (qx > 0)
+                 THEN 1 ELSE 0 END)::BIGINT AS hamming
       FROM ve JOIN qb USING (i) GROUP BY vec_id),
 short AS (SELECT vec_id, hamming FROM h ORDER BY hamming, vec_id LIMIT 50),
 r AS (SELECT s.vec_id, s.hamming,
@@ -6476,7 +6479,9 @@ SELECT item_a, item_b, n_ab, ma.n AS n_a, mb.n AS n_b,
        round(n_ab / mb.n, 6) AS conf_b_to_a,
        round(n_ab * nb / (ma.n * mb.n), 6) AS lift
 FROM pairs JOIN m ma ON ma.i = item_a JOIN m mb ON mb.i = item_b, t
-ORDER BY n_ab * nb / (ma.n * mb.n) DESC, item_a, item_b
+-- round BEFORE ordering, exactly like the Spark side: an unrounded
+-- sort could keep a different 20th row when two lifts differ <1e-6
+ORDER BY round(n_ab * nb / (ma.n * mb.n), 6) DESC, item_a, item_b
 LIMIT 20
 """
 

@@ -245,3 +245,16 @@ def test_apply_agg_delta_creates_and_drops_groups(spark):
     got = {(r["g"]): (r["x"], r["n"]) for r in
            apply_agg_delta(old_agg, feed, ["g"], ["x"]).collect()}
     assert got == {"b": (5, 1)}
+
+
+def test_change_feed_validates_columns(spark):
+    import pytest as _pytest
+
+    from otters_spark.sources.merge import change_feed
+
+    old = spark.createDataFrame([(1, 10)], "k long, x long")
+    new = spark.createDataFrame([(1, 10)], "k long, x long")
+    with _pytest.raises(ValueError, match="absent"):
+        change_feed(old, new, ["k"], ["prce"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        change_feed(old, new, [], ["x"])
