@@ -24,6 +24,7 @@ __all__ = [
     "cohort_retention",
     "transition_matrix",
     "path_counts",
+    "cumulative_distinct",
 ]
 
 
@@ -264,3 +265,50 @@ def cohort_retention(
             ).alias(f"n_day_{h}")
         )
     return offs.groupBy(F.col("__cohort").alias("cohort_day")).agg(*aggs)
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    entity_col: str,
+    bucket_col: str,
+    out_col: str = "cum_distinct",
+) -> DataFrame:
+    """Cumulative distinct entities per ordered bucket — "users to
+    date per day", the growth-accounting curve. The naive form
+    (COUNT(DISTINCT user) OVER (ORDER BY day ROWS UNBOUNDED
+    PRECEDING)) either isn't supported or re-scans every prior day per
+    bucket; the scalable identity is:
+
+        cum_distinct(d) = #{ entities whose FIRST bucket <= d }
+
+    i.e. one entity-keyed min aggregate (map-side combined), one
+    bucket-sized histogram of first appearances, and one cumulative
+    sum over the BUCKET table (days/hours — bounded), never over
+    entities. Buckets with activity but no first-timers still appear
+    (the histogram is left-joined onto the distinct bucket list);
+    NULL entities/buckets are dropped. Returns (bucket, new_entities,
+    cum_distinct)."""
+    e = df.select(
+        F.col(entity_col).alias("__e"), F.col(bucket_col).alias("__b")
+    ).filter(F.col("__e").isNotNull() & F.col("__b").isNotNull())
+    firsts = e.groupBy("__e").agg(F.min("__b").alias("__fb"))
+    hist = firsts.groupBy("__fb").agg(
+        F.count(F.lit(1)).alias("new_entities")
+    )
+    buckets = e.select("__b").distinct()
+    from pyspark.sql.window import Window
+
+    joined = buckets.join(
+        hist, buckets["__b"] == hist["__fb"], "left"
+    ).select(
+        F.col("__b").alias(bucket_col),
+        F.coalesce("new_entities", F.lit(0)).alias("new_entities"),
+    )
+    w = (
+        Window.orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # the global window runs over the BUCKET table (days) — bounded by
+    # the calendar, not the corpus; the suite plan-audit's
+    # GLOBAL_WINDOW_OK treatment applies
+    return joined.withColumn(out_col, F.sum("new_entities").over(w))

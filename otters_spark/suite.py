@@ -6607,6 +6607,40 @@ FROM comp GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1
 """
 
 
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (operators/behavior.py:cumulative_distinct):
+    distinct users to date per day via the first-appearance identity —
+    one user-keyed min, one day histogram, one cumulative sum over the
+    DAY table (calendar-bounded; the only global window in the plan
+    runs over ~30 rows). The naive per-day COUNT(DISTINCT ... ) OVER
+    re-scan is the anti-pattern this replaces."""
+    from .operators.behavior import cumulative_distinct
+
+    ev = load_events(spark, sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("day"))
+    out = cumulative_distinct(days, "user_id", "day")
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("new_entities").alias("new_users"),
+        F.col("cum_distinct").alias("users_to_date"),
+    ).orderBy("day")
+
+
+EVENTS_CUMULATIVE_USERS_SQL = """
+WITH e AS (SELECT user_id, date_trunc('day', ts) AS day FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+h AS (SELECT day, count(*)::BIGINT AS new_users FROM f GROUP BY 1),
+b AS (SELECT DISTINCT day FROM e)
+SELECT strftime(b.day, '%Y-%m-%d') AS day,
+       coalesce(new_users, 0)::BIGINT AS new_users,
+       sum(coalesce(new_users, 0))
+         OVER (ORDER BY b.day ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS users_to_date
+FROM b LEFT JOIN h USING (day) ORDER BY day
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6736,6 +6770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_window_functions": rel_window_functions,
     "rel_scd2_merge": rel_scd2_merge,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "events_cumulative_users": events_cumulative_users,
     "dedup_frequent_segments": dedup_frequent_segments,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
@@ -6906,6 +6941,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_market_basket": REL_MARKET_BASKET_SQL,
     "rel_incremental_agg": REL_INCREMENTAL_AGG_SQL,
     "link_entity_clusters": LINK_ENTITY_CLUSTERS_SQL,
+    "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

@@ -170,3 +170,20 @@ def test_frequent_pairs_bounded_per_basket(spark):
     # one basket with 6 items emits exactly C(6,2)=15 pairs
     df = spark.createDataFrame([(1, f"i{j}") for j in range(6)], "b long, i string")
     assert frequent_pairs(df, "b", "i", min_pair_count=1).count() == 15
+
+
+def test_cumulative_distinct_first_appearance(spark):
+    from otters_spark.operators.behavior import cumulative_distinct
+
+    rows = [
+        (1, 1), (2, 1),          # day 1: users 1,2
+        (1, 2),                  # day 2: no new users, still a bucket
+        (3, 3), (1, 3), (4, 3),  # day 3: users 3,4 new
+        (None, 4), (5, None),    # dropped
+    ]
+    df = spark.createDataFrame(rows, "u long, d long")
+    got = {
+        r["d"]: (r["new_entities"], r["cum_distinct"])
+        for r in cumulative_distinct(df, "u", "d").collect()
+    }
+    assert got == {1: (2, 2), 2: (0, 2), 3: (2, 4)}

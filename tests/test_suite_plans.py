@@ -39,6 +39,7 @@ ARROW_OK = {
 # unigram_logprob bug class (corpus-total window over a web-scale
 # vocabulary, fixed in r3 with agg-to-one-row + crossJoin(broadcast)).
 GLOBAL_WINDOW_OK = {
+    "events_cumulative_users",  # cumsum over the DAY table (calendar-bounded)
     "pipeline_token_budget",
     "pipeline_pack_sequences",
     "pipeline_shuffle_shards",  # bin-priors window over ≤1024 bin rows
