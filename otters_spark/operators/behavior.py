@@ -25,6 +25,7 @@ __all__ = [
     "transition_matrix",
     "path_counts",
     "cumulative_distinct",
+    "rolling_active",
 ]
 
 
@@ -312,3 +313,56 @@ def cumulative_distinct(
     # the calendar, not the corpus; the suite plan-audit's
     # GLOBAL_WINDOW_OK treatment applies
     return joined.withColumn(out_col, F.sum("new_entities").over(w))
+
+
+def rolling_active(
+    df: DataFrame,
+    entity_col: str,
+    bucket_col: str,
+    window: int = 7,
+) -> DataFrame:
+    """Rolling distinct actives (DAU / trailing-window WAU/MAU): for
+    each bucket, how many distinct entities were active in the
+    trailing ``window`` buckets (inclusive). Rolling DISTINCT is not
+    algebraic — a per-day sliding COUNT(DISTINCT) window re-scans the
+    stream per bucket — so the exact distributed form is the
+    WINDOW-CLAIM explode: each distinct (entity, bucket) activity row
+    claims the ``window`` buckets it keeps the entity active for,
+    then one distinct + one count per claimed bucket. Fan-out is the
+    window length (7, 30) — bounded and chosen, never data-driven;
+    both shuffles are hash-keyed and map-side combined. (Approximate
+    alternative at extreme scale: per-day HLL registers max-merged
+    over the trailing window — streaming/sketch.py shape.)
+
+    ``bucket_col`` must be integer-valued (epoch days/hours). Returns
+    (bucket, active_now, active_window) for every bucket with any
+    activity; claimed buckets beyond the last active one are clipped
+    to the observed bucket list."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    act = (
+        df.select(
+            F.col(entity_col).alias("__e"), F.col(bucket_col).alias("__b")
+        )
+        .filter(F.col("__e").isNotNull() & F.col("__b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)  # three consumers below
+    )
+    cov = (
+        act.select(
+            "__e",
+            F.explode(
+                F.sequence(F.col("__b"), F.col("__b") + (window - 1))
+            ).alias("__cb"),
+        )
+        .distinct()
+        .groupBy("__cb")
+        .agg(F.count(F.lit(1)).alias("active_window"))
+    )
+    dau = act.groupBy("__b").agg(F.count(F.lit(1)).alias("active_now"))
+    return (
+        dau.join(cov, dau["__b"] == cov["__cb"])
+        .select(
+            F.col("__b").alias(bucket_col), "active_now", "active_window"
+        )
+    )

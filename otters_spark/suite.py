@@ -6641,6 +6641,50 @@ FROM b LEFT JOIN h USING (day) ORDER BY day
 """
 
 
+def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day actives per day
+    (operators/behavior.py:rolling_active): rolling DISTINCT is not
+    algebraic, so the exact form is the window-claim explode — each
+    (user, day) activity claims the 7 days it keeps the user active
+    for; fan-out is the chosen window length, never data-driven. The
+    stickiness ratio (active_now / active_window) comes free."""
+    from .operators.behavior import rolling_active
+
+    ev = load_events(spark, sf_dir)
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "epoch_day"
+        ),
+    )
+    out = rolling_active(days, "user_id", "epoch_day", window=7)
+    return out.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("epoch_day").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "active_now",
+        "active_window",
+        F.round(F.col("active_now") / F.col("active_window"), 6).alias(
+            "stickiness"
+        ),
+    ).orderBy("day")
+
+
+EVENTS_ROLLING_ACTIVES_SQL = """
+WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+cov AS (SELECT b.day AS day, count(DISTINCT a.user_id)::BIGINT AS active_window
+        FROM (SELECT DISTINCT day FROM a) b
+        JOIN a ON a.day BETWEEN b.day - INTERVAL 6 DAY AND b.day
+        GROUP BY 1),
+d AS (SELECT day, count(*)::BIGINT AS active_now FROM a GROUP BY 1)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, active_now, active_window,
+       round(active_now / active_window, 6) AS stickiness
+FROM d JOIN cov USING (day) ORDER BY day
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6771,6 +6815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_scd2_merge": rel_scd2_merge,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "events_cumulative_users": events_cumulative_users,
+    "events_rolling_actives": events_rolling_actives,
     "dedup_frequent_segments": dedup_frequent_segments,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
@@ -6942,6 +6987,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_incremental_agg": REL_INCREMENTAL_AGG_SQL,
     "link_entity_clusters": LINK_ENTITY_CLUSTERS_SQL,
     "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,
+    "events_rolling_actives": EVENTS_ROLLING_ACTIVES_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

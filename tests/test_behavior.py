@@ -187,3 +187,42 @@ def test_cumulative_distinct_first_appearance(spark):
         for r in cumulative_distinct(df, "u", "d").collect()
     }
     assert got == {1: (2, 2), 2: (0, 2), 3: (2, 4)}
+
+
+def test_rolling_active_window_claims(spark):
+    from otters_spark.operators.behavior import rolling_active
+
+    # user 1 active days 1 and 5; user 2 active day 2 only (window=3)
+    rows = [(1, 1), (1, 5), (2, 2), (2, 2)]
+    df = spark.createDataFrame(rows, "u long, d long")
+    got = {
+        r["d"]: (r["active_now"], r["active_window"])
+        for r in rolling_active(df, "u", "d", window=3).collect()
+    }
+    # day1: u1 now; trailing {u1}. day2: u2 now; trailing {u1,u2}.
+    # day5: u1 now; trailing {u1} (u2's day-2 claim ends day 4).
+    assert got == {1: (1, 1), 2: (1, 2), 5: (1, 1)}
+
+
+def test_rolling_active_matches_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from otters_spark.operators.behavior import rolling_active
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    )
+    got = {
+        r["d"]: r["active_window"]
+        for r in rolling_active(ev, "user_id", "d", window=7).collect()
+    }
+    pdf = ev.distinct().toPandas()
+    days = sorted(pdf.d.unique())
+    for d in days:
+        want = pdf[(pdf.d <= d) & (pdf.d > d - 7)].user_id.nunique()
+        assert got[d] == want, d
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        rolling_active(ev, "user_id", "d", window=0)
