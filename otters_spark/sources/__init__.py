@@ -36,6 +36,7 @@ __all__ = [
     "write_bucketed_table",
     "table_file_stats",
     "compact_table",
+    "read_evolved_parquet",
     "TABLES",
 ]
 
@@ -178,3 +179,37 @@ def write_orc(
     if bloom_cols:
         w = w.option("orc.bloom.filter.columns", ",".join(bloom_cols))
     w.orc(path)
+
+
+def read_evolved_parquet(
+    spark: SparkSession, path: str, expected: T.StructType | None = None
+) -> DataFrame:
+    """Read a parquet table whose files were written under EVOLVING
+    schemas (columns added over time — the normal life of a 100 TB
+    table that ingests daily). ``mergeSchema=true`` makes Spark
+    reconcile footers across files (files missing a newer column read
+    it as NULL) instead of trusting one random footer and silently
+    dropping late-added columns.
+
+    ``expected`` optionally pins the contract: missing columns raise
+    (schema drift surfaced loudly), extra columns are pruned, and the
+    result is SELECTed into the expected order so downstream
+    positional consumers (unions, writers) never skew. Cost note:
+    footer merging reads every file's footer at planning time — for
+    tables with millions of files, prefer a real table catalog or
+    store the canonical schema alongside (this helper's ``expected``)
+    and skip the merge."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expected is None:
+        return df
+    have = dict((f.name, f.dataType) for f in df.schema.fields)
+    missing = [f.name for f in expected.fields if f.name not in have]
+    if missing:
+        raise ValueError(
+            f"schema drift: expected columns absent from {path}: {missing}"
+        )
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in expected.fields]
+    )

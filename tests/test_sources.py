@@ -121,3 +121,39 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
         back.filter(back.doc_id > 100)._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in plan
+
+
+def test_read_evolved_parquet_merges_and_pins_contract(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from otters_spark.sources import read_evolved_parquet
+
+    base = str(tmp_path / "t")
+    # v1 files: (id, a); v2 files add column b
+    spark.range(0, 5).select("id", F.lit("x").alias("a")).write.parquet(
+        base + "/d=1"
+    )
+    spark.range(5, 8).select(
+        "id", F.lit("y").alias("a"), F.lit(7).alias("b")
+    ).write.parquet(base + "/d=2")
+
+    got = read_evolved_parquet(spark, base)
+    assert set(got.columns) >= {"id", "a", "b"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in got.collect()}
+    assert rows[0] == ("x", None) and rows[6] == ("y", 7)  # old files: b NULL
+
+    expected = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("b", T.LongType()),
+        ]
+    )
+    pinned = read_evolved_parquet(spark, base, expected)
+    assert pinned.columns == ["id", "b"]  # pruned + ordered
+
+    import pytest as _pytest
+
+    bad = T.StructType([T.StructField("nope", T.LongType())])
+    with _pytest.raises(ValueError, match="schema drift"):
+        read_evolved_parquet(spark, base, bad)
