@@ -63,3 +63,23 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
     keys = [(r["o_totalprice"], r["o_orderkey"]) for r in rows]
     assert keys == sorted(keys)
     assert len(rows) == orders.count()
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path_factory):
+    """A partitioned fact joined to a selectively-filtered dim must
+    plan a DynamicPruningExpression on the fact scan: at 100 TB the
+    filter on the dim prunes fact PARTITIONS at runtime instead of
+    scanning all of them. Locks in that engine tables written
+    partitioned actually benefit from Spark's DPP."""
+    path = str(tmp_path_factory.mktemp("dpp") / "orders_by_pri")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.write.partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn("is_urgent", F.col("o_orderpriority").startswith("1"))
+    )
+    joined = fact.join(dim, "o_orderpriority").filter(F.col("is_urgent"))
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
