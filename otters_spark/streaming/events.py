@@ -26,6 +26,7 @@ __all__ = [
     "view_purchase_join",
     "stream_events",
     "run_windowed_stream",
+    "exposure_sessions",
 ]
 
 #: schema of the events stream as Spark reads it when the parquet
@@ -200,3 +201,49 @@ def run_windowed_stream(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def exposure_sessions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    duration_col: str = "value",
+    duration_unit_us: int = 60_000_000,
+) -> DataFrame:
+    """Interval UNION as a built-in session window — the streaming
+    form of ``operators.intervals.merge_intervals``: each event opens
+    an exposure interval ``[ts, ts + duration)`` (duration =
+    ``duration_col`` × ``duration_unit_us`` micros, the dynamic
+    per-row session gap), and Spark's session-window state merges
+    overlapping exposures into disjoint islands per key.
+
+    Batch-mode output is pinned row-for-row equal to
+    ``merge_intervals`` on the same interval set
+    (tests/test_streaming.py) — so the streaming lane inherits the
+    batch operator's semantics, with watermark-managed state instead
+    of a window-function sort. One caveat at the boundary: an event
+    starting EXACTLY at a window's end merges here (gap semantics)
+    and in merge_intervals too (touch merges) — both sides agree.
+
+    Returns (key, s, e, n_intervals) with epoch-micros longs."""
+    gap = F.concat(
+        F.floor(F.col(duration_col) * float(duration_unit_us))
+        .cast("long")
+        .cast("string"),
+        F.lit(" microseconds"),
+    )
+    src = events.filter(
+        F.col(duration_col).isNotNull()
+        & (F.col(duration_col) > 0)
+        & F.col(ts_col).isNotNull()
+    )
+    return (
+        src.groupBy(key_col, F.session_window(ts_col, gap).alias("__w"))
+        .agg(F.count(F.lit(1)).alias("n_intervals"))
+        .select(
+            key_col,
+            F.unix_micros("__w.start").alias("s"),
+            F.unix_micros("__w.end").alias("e"),
+            "n_intervals",
+        )
+    )

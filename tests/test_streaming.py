@@ -92,3 +92,82 @@ def test_windowed_agg_update_mode_converges(spark, sf_dir):
     assert len(merged) == len(want)
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     assert (abs(merged["sum_value_s"] - merged["sum_value_b"]) < 1e-6).all()
+
+
+def test_exposure_sessions_equal_merge_intervals(spark, sf_dir):
+    """Dynamic-gap session windows ARE interval union: batch-mode
+    exposure_sessions must equal operators.intervals.merge_intervals
+    row-for-row on the same exposure set."""
+    from pyspark.sql import functions as F
+
+    from otters_spark.operators.intervals import merge_intervals
+    from otters_spark.streaming.events import exposure_sessions
+
+    ev = load_events(spark, sf_dir)
+    got = {
+        (r["user_id"], r["s"], r["e"], r["n_intervals"])
+        for r in exposure_sessions(ev).collect()
+    }
+    iv = ev.filter(F.col("value").isNotNull() & (F.col("value") > 0)).select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * F.lit(60000000.0)).cast("long")
+        ).alias("e"),
+    )
+    want = {
+        (r["user_id"], r["island_start"], r["island_end"], r["n_intervals"])
+        for r in merge_intervals(iv, ["user_id"], "s", "e").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_exposure_sessions_streams(spark, sf_dir, tmp_path):
+    """The same operator must run as a real stream (session-window
+    state + watermark) and produce the batch islands once the stream
+    is drained."""
+    from pyspark.sql import functions as F
+
+    from otters_spark.streaming.events import exposure_sessions
+
+    ev = load_events(spark, sf_dir)
+    src = tmp_path / "src"
+    src.mkdir()
+    ev.coalesce(1).write.parquet(str(src / "all.parquet"))
+    import glob
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    shutil.copy(
+        glob.glob(str(src / "all.parquet" / "part-*.parquet"))[0],
+        flat / "00.parquet",
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(flat))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        exposure_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("t_exposure")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["s"], r["e"], r["n_intervals"])
+        for r in spark.table("t_exposure").collect()
+    }
+    want = {
+        (r["user_id"], r["s"], r["e"], r["n_intervals"])
+        for r in exposure_sessions(ev).collect()
+    }
+    assert got == want
