@@ -45,6 +45,10 @@ QUERIES = [
     "text_ngram_novelty",
     "pipeline_weighted_sample",
     "sim_dim_stats",
+    # round-4 second wave: entity clustering (documents), binary-quant
+    # ANN (embeddings)
+    "link_entity_clusters",
+    "sim_binary_quant_topk",
 ]
 
 # events-lane probe: the third table family. Replication shifts each
@@ -62,6 +66,13 @@ EVENTS_QUERIES = [
     # round-4 journey lane: one user-keyed window + pair/path-keyed agg
     "events_transition_matrix",
     "events_common_paths",
+    # round-4 second wave: interval sweep-line, daily EWMA (series
+    # grows 30 -> 300 days, still far under the 900-row guard),
+    # growth accounting, rolling actives
+    "events_interval_coverage",
+    "events_ewma_daily",
+    "events_cumulative_users",
+    "events_rolling_actives",
 ]
 
 
