@@ -6685,6 +6685,132 @@ FROM d JOIN cov USING (day) ORDER BY day
 """
 
 
+def rel_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue between nation pairs
+    by ship year, both directions of every pair. Two broadcast nation
+    dims on a fact-sized join spine (customer/supplier joins hash, the
+    25-row dims broadcast); the pair-year aggregate is map-side
+    combined. Revenue in exact integer cents."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("__ck"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("__ck"),
+        )
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("__sk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("__sk"),
+        )
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    out = (
+        j.withColumn("__rc", rev_cents)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum("__rc").alias("revenue_cents"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        out.filter(F.col("revenue_cents") >= 100_000_00)
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+REL_VOLUME_SHIPPING_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate)::BIGINT AS l_year,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT))::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY 1, 2, 3
+HAVING sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+               AS BIGINT)) >= 10000000
+ORDER BY 1, 2, 3
+"""
+
+
+def rel_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returned lineitems, with their nation. Fact filter
+    pushed to the scan (l_returnflag = 'R'), one customer-keyed
+    aggregate, broadcast nation dim, TakeOrderedAndProject top-20 with
+    id tie-break. Cents-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("__nk"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("__nk"),
+        )
+    )
+    return (
+        j.withColumn("__rc", rev_cents)
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(
+            F.sum("__rc").alias("lost_revenue_cents"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.desc("lost_revenue_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+REL_RETURNED_CUSTOMERS_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT))::BIGINT AS lost_revenue_cents,
+       count(*)::BIGINT AS n_returned_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6816,6 +6942,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "events_cumulative_users": events_cumulative_users,
     "events_rolling_actives": events_rolling_actives,
+    "rel_volume_shipping": rel_volume_shipping,
+    "rel_returned_customers": rel_returned_customers,
     "dedup_frequent_segments": dedup_frequent_segments,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
@@ -6988,6 +7116,8 @@ ORACLE_SQL: dict[str, str] = {
     "link_entity_clusters": LINK_ENTITY_CLUSTERS_SQL,
     "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,
     "events_rolling_actives": EVENTS_ROLLING_ACTIVES_SQL,
+    "rel_volume_shipping": REL_VOLUME_SHIPPING_SQL,
+    "rel_returned_customers": REL_RETURNED_CUSTOMERS_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,
