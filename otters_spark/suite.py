@@ -6811,6 +6811,62 @@ LIMIT 20
 """
 
 
+def rel_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under a disjunction of
+    brand/quantity/size cases): the OR-of-ANDs predicate Catalyst must
+    split — per-side conjuncts (l_quantity bounds, p_size bounds) push
+    to their scans as derived filters while the cross-table residual
+    evaluates post-join. One broadcast-able part dim join, one scalar
+    aggregate; cents-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    case1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+        & (F.col("p_size") <= 5)
+    )
+    case2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+        & (F.col("p_size") <= 10)
+    )
+    case3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+        & (F.col("p_size") <= 15)
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        j.filter(case1 | case2 | case3)
+        .withColumn("__rc", rev_cents)
+        .groupBy("p_brand")
+        .agg(F.sum("__rc").alias("revenue_cents"), F.count(F.lit(1)).alias("n"))
+        .orderBy("p_brand")
+    )
+
+
+REL_DISJUNCTIVE_FILTER_SQL = """
+SELECT p.p_brand,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT))::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11
+       AND p.p_size <= 5)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20
+       AND p.p_size <= 10)
+   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30
+       AND p.p_size <= 15)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6944,6 +7000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling_actives": events_rolling_actives,
     "rel_volume_shipping": rel_volume_shipping,
     "rel_returned_customers": rel_returned_customers,
+    "rel_disjunctive_filter": rel_disjunctive_filter,
     "dedup_frequent_segments": dedup_frequent_segments,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
@@ -7118,6 +7175,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_rolling_actives": EVENTS_ROLLING_ACTIVES_SQL,
     "rel_volume_shipping": REL_VOLUME_SHIPPING_SQL,
     "rel_returned_customers": REL_RETURNED_CUSTOMERS_SQL,
+    "rel_disjunctive_filter": REL_DISJUNCTIVE_FILTER_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,
