@@ -333,6 +333,7 @@ def bigram_logprob(
     k: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc cross-entropy under a corpus-trained bigram model with
     add-k smoothing — the next member of the LM-perplexity quality
@@ -358,26 +359,53 @@ def bigram_logprob(
     ``dedup.connected_components``). Deliberately NOT a window
     reformulation: sum-over-partitionBy(context) funnels every bigram
     of a hot context word through one task, while groupBy keeps the
-    rollups map-side combinable."""
-    base = df.select(F.col(id_col), tokens_expr(text_col).alias("__w"))
-    pairs = adjacent_pairs_expr(F.col("__w"), "p", "c")
-    bg = base.select(F.col(id_col), F.explode(pairs).alias("__pc")).select(
-        F.col(id_col),
-        F.col("__pc.p").alias("__p"),
-        F.col("__pc.c").alias("__c2"),
-    )
-    tf = bg.groupBy(id_col, "__p", "__c2").agg(
-        F.count(F.lit(1)).alias("__n")
-    ).localCheckpoint(eager=False)
-    bgc = tf.groupBy("__p", "__c2").agg(F.sum("__n").alias("__cbg"))
+    rollups map-side combinable.
+
+    ``train_df`` separates the model corpus from the scored corpus —
+    the CCNet shape proper (train on the reference domain, score
+    candidates; low cross-entropy = in-domain). Bigrams/contexts the
+    training corpus never saw back off to the smoothing floor
+    (cbg=0, cp=0 -> P = 1/V) via LEFT joins; the default
+    ``train_df=None`` keeps the original self-trained behavior and
+    plan."""
+
+    def _pair_counts(src: DataFrame, *keys):
+        base = src.select(*keys, tokens_expr(text_col).alias("__w"))
+        pairs = adjacent_pairs_expr(F.col("__w"), "p", "c")
+        return (
+            base.select(*keys, F.explode(pairs).alias("__pc"))
+            .select(
+                *keys,
+                F.col("__pc.p").alias("__p"),
+                F.col("__pc.c").alias("__c2"),
+            )
+            .groupBy(*keys, "__p", "__c2")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+
+    tf = _pair_counts(df, id_col).localCheckpoint(eager=False)
+    model_src = df if train_df is None else train_df
+    if train_df is None:
+        bgc = tf.groupBy("__p", "__c2").agg(F.sum("__n").alias("__cbg"))
+    else:
+        bgc = (
+            _pair_counts(train_df)
+            .withColumnRenamed("__n", "__cbg")
+            .localCheckpoint(eager=False)  # context rollup + score join
+        )
     ctx = bgc.groupBy("__p").agg(F.sum("__cbg").alias("__cp"))
     vocab = (
-        df.select(F.explode(distinct_tokens_expr(text_col)).alias("__t"))
+        model_src.select(
+            F.explode(distinct_tokens_expr(text_col)).alias("__t")
+        )
         .agg(F.count_distinct("__t").alias("__v"))
     )
+    join_type = "inner" if train_df is None else "left"
     return (
-        tf.join(bgc, ["__p", "__c2"])
-        .join(ctx, "__p")
+        tf.join(bgc, ["__p", "__c2"], join_type)
+        .join(ctx, "__p", join_type)
+        .withColumn("__cbg", F.coalesce("__cbg", F.lit(0)))
+        .withColumn("__cp", F.coalesce("__cp", F.lit(0)))
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(

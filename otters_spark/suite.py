@@ -6867,6 +6867,60 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def pipeline_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped domain filtering
+    (operators/text_analysis.py:bigram_logprob with ``train_df``):
+    train the add-0.5-smoothed bigram LM on the English reference
+    slice, score every non-English candidate against it, keep the 20
+    most in-domain (lowest cross-entropy; rounded score ranks, doc_id
+    breaks ties). Bigrams the reference never saw back off to the
+    1/V smoothing floor through LEFT joins — the model tables are
+    train-corpus aggregates, the scoring pass touches candidates
+    once."""
+    from .operators.text_analysis import bigram_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    tgt = docs.filter(F.col("lang") != "en")
+    out = bigram_logprob(tgt, k=0.5, train_df=ref)
+    langs = docs.select("doc_id", "lang")
+    return (
+        out.join(langs, "doc_id")
+        .select("doc_id", "lang", "n_bigrams", "avg_neg_logprob")
+        .orderBy("avg_neg_logprob", "doc_id")
+        .limit(20)
+    )
+
+
+PIPELINE_DOMAIN_FILTER_SQL = """
+WITH ref AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+tgt AS (SELECT doc_id, text FROM documents WHERE lang <> 'en'),
+tb AS (SELECT w[i] AS p, w[i+1] AS c
+       FROM (SELECT string_split(text, ' ') AS w FROM ref),
+            UNNEST(range(1, len(w))) AS t(i)
+       WHERE len(w) >= 2),
+bgc AS (SELECT p, c, count(*) AS cbg FROM tb GROUP BY 1, 2),
+ctx AS (SELECT p, sum(cbg) AS cp FROM bgc GROUP BY 1),
+v AS (SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM ref)),
+sb AS (SELECT doc_id, w[i] AS p, w[i+1] AS c
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tgt),
+            UNNEST(range(1, len(w))) AS t(i)
+       WHERE len(w) >= 2),
+stf AS (SELECT doc_id, p, c, count(*) AS n FROM sb GROUP BY 1, 2, 3),
+scored AS (
+  SELECT doc_id, CAST(sum(n) AS INTEGER) AS n_bigrams,
+         round(-sum(n * ln((coalesce(cbg, 0) + 0.5)
+                           / (coalesce(cp, 0) + 0.5 * v))) / sum(n), 6)
+           AS avg_neg_logprob
+  FROM stf LEFT JOIN bgc USING (p, c) LEFT JOIN ctx USING (p), v
+  GROUP BY doc_id)
+SELECT s.doc_id, d.lang, n_bigrams, avg_neg_logprob
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY avg_neg_logprob, s.doc_id LIMIT 20
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7001,6 +7055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_volume_shipping": rel_volume_shipping,
     "rel_returned_customers": rel_returned_customers,
     "rel_disjunctive_filter": rel_disjunctive_filter,
+    "pipeline_domain_filter": pipeline_domain_filter,
     "dedup_frequent_segments": dedup_frequent_segments,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
@@ -7176,6 +7231,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_volume_shipping": REL_VOLUME_SHIPPING_SQL,
     "rel_returned_customers": REL_RETURNED_CUSTOMERS_SQL,
     "rel_disjunctive_filter": REL_DISJUNCTIVE_FILTER_SQL,
+    "pipeline_domain_filter": PIPELINE_DOMAIN_FILTER_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

@@ -479,3 +479,32 @@ def test_canonical_url_rules(spark):
         for r in df.select(canonical_url_expr("url").alias("c")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_bigram_logprob_cross_domain_backoff(spark):
+    """train_df separates model from scored corpus: bigrams the
+    reference never saw back off to the 1/V floor, so an in-domain
+    candidate scores strictly lower cross-entropy than word salad."""
+    import math
+
+    from otters_spark.operators.text_analysis import bigram_logprob
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(3)],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zz qq vv")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in bigram_logprob(tgt, k=0.5, train_df=ref).collect()
+    }
+    assert got[1] < got[2]
+    # doc 2: every bigram unseen, every context unseen -> exactly
+    # -ln(k / (0 + k*V)) = ln(V) per bigram; ref vocab V = 5
+    assert got[2] == round(math.log(5.0), 6)
+    # doc 1: (the,cat) seen 3x under context 'the' (cp=6: the->cat,
+    # the->mat, 3x each); (cat,sat) seen 3x under 'cat' (cp=3); V=5
+    want1 = round(-(math.log(3.5 / 8.5) + math.log(3.5 / 5.5)) / 2, 6)
+    assert got[1] == want1
