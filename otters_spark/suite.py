@@ -6921,6 +6921,84 @@ ORDER BY avg_neg_logprob, s.doc_id LIMIT 20
 """
 
 
+def events_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session co-visitation ("viewed together"), the recommender
+    primitive: 30-minute gaps-and-islands sessions become baskets,
+    the JSON item id becomes the item, and
+    operators/association.py:frequent_pairs yields support /
+    confidence / lift per item pair — top-15 by basket count with
+    item tie-breaks. Pair emission stays session-bounded (C(b,2) per
+    session), margins broadcast; exact integer counts under the
+    ratios."""
+    from .operators.association import frequent_pairs
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = (
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) >= 1_800_000_000)
+    ).cast("long")
+    sid = F.sum(new_s).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    items = ev.select(
+        F.concat_ws(
+            "#", F.col("user_id").cast("string"), sid.cast("string")
+        ).alias("basket"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    out = frequent_pairs(items, "basket", "item", min_pair_count=2)
+    return (
+        out.select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round("lift", 6).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "item_a", "item_b")
+        .limit(15)
+    )
+
+
+EVENTS_COVISITATION_SQL = """
+WITH l AS (
+  SELECT user_id, event_id, ts, props,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+g AS (
+  SELECT user_id, event_id, ts, props,
+         CASE WHEN prev IS NULL
+                OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM l),
+s AS (
+  SELECT user_id, props,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+items AS (
+  SELECT DISTINCT user_id::VARCHAR || '#' || sid::VARCHAR AS b,
+         CAST(props->>'k' AS BIGINT) AS i
+  FROM s WHERE props->>'k' IS NOT NULL),
+pairs AS (
+  SELECT a.i AS item_a, bb.i AS item_b, count(*)::BIGINT AS n_ab
+  FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+m AS (SELECT i, count(*)::BIGINT AS n FROM items GROUP BY 1),
+t AS (SELECT count(DISTINCT b)::BIGINT AS nb FROM items)
+SELECT item_a, item_b, n_ab, ma.n AS n_a, mb.n AS n_b,
+       round(n_ab * nb / (ma.n * mb.n), 6) AS lift
+FROM pairs JOIN m ma ON ma.i = item_a JOIN m mb ON mb.i = item_b, t
+ORDER BY n_ab DESC, item_a, item_b
+LIMIT 15
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7056,6 +7134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_returned_customers": rel_returned_customers,
     "rel_disjunctive_filter": rel_disjunctive_filter,
     "pipeline_domain_filter": pipeline_domain_filter,
+    "events_covisitation": events_covisitation,
     "dedup_frequent_segments": dedup_frequent_segments,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
@@ -7232,6 +7311,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_returned_customers": REL_RETURNED_CUSTOMERS_SQL,
     "rel_disjunctive_filter": REL_DISJUNCTIVE_FILTER_SQL,
     "pipeline_domain_filter": PIPELINE_DOMAIN_FILTER_SQL,
+    "events_covisitation": EVENTS_COVISITATION_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,
