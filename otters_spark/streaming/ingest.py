@@ -32,7 +32,7 @@ from pyspark.sql.streaming import DataStreamWriter
 
 from ..operators.dedup import PreparedCorpus, prepare_ingest_corpus
 
-__all__ = ["streaming_ingest_gate"]
+__all__ = ["streaming_ingest_gate", "streaming_maintained_aggregate"]
 
 
 def streaming_ingest_gate(
@@ -90,3 +90,67 @@ def streaming_ingest_gate(
         )
 
     return stream.writeStream.foreachBatch(_gate).outputMode("append")
+
+
+def streaming_maintained_aggregate(
+    stream: DataFrame,
+    agg_path: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n",
+) -> DataStreamWriter:
+    """Configure (not start) a stream writer that MAINTAINS a
+    per-group sum/count aggregate table at ``agg_path`` from an
+    append-only stream — the streaming face of
+    ``sources.merge.apply_agg_delta``: each micro-batch becomes a
+    +1-signed change feed, the previous aggregate parquet is read,
+    the delta applied, and the table atomically replaced (write to
+    ``<path>.next``, then swap). New aggregate reads touch one tiny
+    table instead of re-scanning the stream's history — the
+    incremental-maintenance contract, now fed by a stream.
+
+    Exactly-once caveat, stated not hidden: foreachBatch retries can
+    re-apply a batch after a crash between swap and checkpoint
+    commit. Production pairs this with an idempotent sink (batch_id
+    recorded in the table, MERGE on it) or a transactional format;
+    this writer records ``last_batch_id`` and SKIPS batches it has
+    already applied, which closes the common restart path (replayed
+    batch ids repeat under Structured Streaming's contract)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..sources.merge import apply_agg_delta
+
+    g = list(group_cols)
+    sums = list(sum_cols)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        feed = batch_df.select(
+            *g, *sums, F.lit(1).alias("__sign")
+        )
+        if os.path.exists(agg_path):
+            old = spark.read.parquet(agg_path)
+            applied = old.select(F.max("__last_batch_id")).collect()[0][0]
+            if applied is not None and batch_id <= applied:
+                return  # replayed batch after restart: already applied
+            old = old.drop("__last_batch_id")
+        else:
+            schema = ", ".join(
+                [f"`{c}` {dict(batch_df.dtypes)[c]}" for c in g]
+                + [f"`{c}` bigint" for c in sums]
+                + [f"`{count_col}` bigint"]
+            )
+            old = spark.createDataFrame([], schema)
+        new = apply_agg_delta(old, feed, g, sums, count_col=count_col)
+        nxt = agg_path + ".next"
+        new.withColumn("__last_batch_id", F.lit(batch_id)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(nxt)
+        if os.path.exists(agg_path):
+            shutil.rmtree(agg_path)
+        os.replace(nxt, agg_path)
+
+    return stream.writeStream.foreachBatch(_apply).outputMode("append")

@@ -56,3 +56,68 @@ def test_streaming_gate_matches_batch(spark, sf_dir):
     assert len(batch_ids) >= 2  # really ran as multiple micro-batches
     assert admitted_ids == want
     assert 0 < len(admitted_ids) < new.count()  # gate actually rejected some
+
+
+def test_streaming_maintained_aggregate_equals_batch(spark, sf_dir, tmp_path):
+    """Replaying events as 3 micro-batches through the maintained-
+    aggregate sink must leave the aggregate table equal to one batch
+    aggregate over all events — integer cents discipline makes the
+    equality exact."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from otters_spark.streaming.ingest import streaming_maintained_aggregate
+    from otters_spark.suite import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    thirds = ev.randomSplit([1.0, 1.0, 1.0], seed=7)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import os
+    import time
+
+    now = time.time()
+    for i, part in enumerate(thirds):
+        d = tmp_path / f"b{i}"
+        part.coalesce(1).write.parquet(str(d))
+        dst = flat / f"{i:02d}.parquet"
+        shutil.copy(glob.glob(str(d / "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(flat))
+    )
+    agg_path = str(tmp_path / "agg")
+    q = (
+        streaming_maintained_aggregate(
+            stream, agg_path, ["event_type"], ["cents"]
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["event_type"]: (r["cents"], r["n"])
+        for r in spark.read.parquet(agg_path)
+        .drop("__last_batch_id")
+        .collect()
+    }
+    want = {
+        r["event_type"]: (r["cents"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
