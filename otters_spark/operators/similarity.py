@@ -52,6 +52,7 @@ __all__ = [
     "binary_index",
     "binary_search",
     "hamming_bits_expr",
+    "mmr_rerank",
 ]
 
 
@@ -982,3 +983,104 @@ def binary_search(
         .limit(k)
         .drop(bits_col)
     )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rel_col: str = "score",
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein '98)
+    diversified re-ranking of a SHORTLIST: greedily pick the candidate
+    maximizing ``lam*relevance - (1-lam)*max_cosine_to_already_picked``
+    k times. Near-duplicate hits collapse to one representative; the
+    rest of the budget goes to genuinely different results.
+
+    Scale contract: MMR is inherently sequential in k, so it belongs
+    AFTER the distributed stages — run ANN/exact search down to a
+    shortlist (tens-hundreds of rows), then rerank that. Each step here
+    is a broadcast-side nested-loop over (pool x picked) — tiny by
+    contract — composed lazily with a lineage cut per step; never run
+    this on a corpus (the shortlist IS the interface).
+
+    Determinism: relevance and pairwise cosines round to ``round_to``
+    BEFORE every argmax (the k-boundary discipline), ties break on the
+    id — the unrolled-SQL oracle reproduces each pick exactly.
+
+    Returns the k picks with ``mmr_rank`` (1-based pick order),
+    relevance and the mmr score at pick time."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    from ..functions.vector import cosine_expr, inv_norm_expr
+
+    pool = cand.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.round(F.col(rel_col), round_to).alias("__rel"),
+    ).localCheckpoint(eager=False)
+    sel = (
+        pool.orderBy(F.col("__rel").desc(), F.col(id_col).asc())
+        .limit(1)
+        .select(
+            id_col,
+            "__v",
+            "__rel",
+            F.lit(1).alias("mmr_rank"),
+            F.col("__rel").alias("mmr_score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for step in range(2, k + 1):
+        picked = sel.select(
+            F.col(id_col).alias("__pid"), F.col("__v").alias("__pv")
+        )
+        remaining = pool.join(
+            picked.select(F.col("__pid").alias(id_col)), id_col, "left_anti"
+        )
+        sims = remaining.join(F.broadcast(picked)).withColumn(
+            "__sim",
+            F.round(
+                cosine_expr("__v", "__pv", inv_norm_expr("__v"), inv_norm_expr("__pv")),
+                round_to,
+            ),
+        )
+        scored = (
+            sims.groupBy(id_col)
+            .agg(
+                F.first("__v").alias("__v"),
+                F.first("__rel").alias("__rel"),
+                F.max("__sim").alias("__ms"),
+            )
+            .withColumn(
+                "__mmr",
+                F.round(
+                    F.lit(lam) * F.col("__rel")
+                    - F.lit(1.0 - lam) * F.col("__ms"),
+                    round_to,
+                ),
+            )
+        )
+        pick = (
+            scored.orderBy(F.col("__mmr").desc(), F.col(id_col).asc())
+            .limit(1)
+            .select(
+                id_col,
+                "__v",
+                "__rel",
+                F.lit(step).alias("mmr_rank"),
+                F.col("__mmr").alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+    return sel.select(
+        "mmr_rank",
+        id_col,
+        F.col("__rel").alias("relevance"),
+        "mmr_score",
+    ).orderBy("mmr_rank")

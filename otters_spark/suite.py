@@ -6999,6 +6999,77 @@ LIMIT 15
 """
 
 
+_MMR_LAM = 0.7
+_MMR_K = 10
+
+
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k (operators/similarity.py:mmr_rerank): exact
+    cosine top-50 shortlist for Q7, then 10 greedy MMR picks at
+    lambda=0.7 — each pick maximizes relevance minus its worst
+    similarity to what's already picked, so near-dup hits collapse to
+    one representative. Every argmax ranks on 6-dp-rounded scores with
+    id tie-breaks, and the oracle unrolls the same 10 picks as
+    MATERIALIZED CTE stages (greedy selection is sequential by
+    nature — the distributed stages are the search and shortlist
+    before it)."""
+    from .operators.similarity import mmr_rerank
+    from .functions.vector import cosine_expr, inv_norm_expr, inv_norm_of
+
+    emb = load(spark, sf_dir, "embeddings")
+    qlit = F.array(*[F.lit(float(x)) for x in Q7])
+    rel = F.round(
+        cosine_expr("embedding", qlit, inv_norm_expr("embedding"), inv_norm_of(Q7)),
+        6,
+    )
+    shortlist = (
+        emb.withColumn("score", rel)
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(50)
+    )
+    return mmr_rerank(shortlist, k=_MMR_K, lam=_MMR_LAM)
+
+
+def _mmr_sql() -> str:
+    lam_r = repr(_MMR_LAM)
+    one_minus = repr(1.0 - _MMR_LAM)  # NOT "0.3": 1.0-0.7 is
+    # 0.30000000000000004 in doubles, and the Spark side computes
+    # exactly that — a hand-written 0.3 literal would diverge
+    head = f"""
+WITH cand AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         round(list_cosine_similarity(embedding::DOUBLE[],
+                                      {_sql_vec(Q7)}), 6) AS rel
+  FROM embeddings ORDER BY rel DESC, vec_id LIMIT 50),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, v, rel, 1 AS mmr_rank, rel AS mmr_score
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"""
+    stages = []
+    for i in range(2, _MMR_K + 1):
+        stages.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT c.vec_id, any_value(c.v) AS v, any_value(c.rel) AS rel,
+         max(round(list_cosine_similarity(c.v, s.v), 6)) AS ms
+  FROM cand c, sel{i - 1} s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  GROUP BY c.vec_id),
+n{i} AS MATERIALIZED (
+  SELECT vec_id, v, rel, {i} AS mmr_rank,
+         round({lam_r} * rel - {one_minus} * ms, 6) AS mmr_score
+  FROM p{i}
+  ORDER BY round({lam_r} * rel - {one_minus} * ms, 6) DESC, vec_id
+  LIMIT 1),
+sel{i} AS MATERIALIZED (
+  SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM n{i})""")
+    tail = f"""
+SELECT mmr_rank, vec_id, rel AS relevance, mmr_score
+FROM sel{_MMR_K} ORDER BY mmr_rank"""
+    return head + "".join(stages) + tail
+
+
+SIM_MMR_RERANK_SQL = _mmr_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7135,6 +7206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_disjunctive_filter": rel_disjunctive_filter,
     "pipeline_domain_filter": pipeline_domain_filter,
     "events_covisitation": events_covisitation,
+    "sim_mmr_rerank": sim_mmr_rerank,
     "dedup_frequent_segments": dedup_frequent_segments,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
@@ -7312,6 +7384,7 @@ ORACLE_SQL: dict[str, str] = {
     "rel_disjunctive_filter": REL_DISJUNCTIVE_FILTER_SQL,
     "pipeline_domain_filter": PIPELINE_DOMAIN_FILTER_SQL,
     "events_covisitation": EVENTS_COVISITATION_SQL,
+    "sim_mmr_rerank": SIM_MMR_RERANK_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,

@@ -423,3 +423,43 @@ def test_binary_search_rejects_dim_mismatch(emb):
     idx = binary_index(emb, dim=64)
     with pytest.raises(ValueError, match="dim"):
         binary_search(idx, [1.0, 2.0], k=5, dim=64)
+
+
+def test_mmr_rerank_diversifies(spark):
+    import numpy as np
+
+    from otters_spark.operators.similarity import mmr_rerank
+
+    # three near-identical vectors aligned with q, one orthogonal-ish:
+    # plain top-3 would take the three clones; MMR at lam=0.5 must
+    # pick one clone, then the diverse vector second
+    rows = [
+        (1, [1.0, 0.0, 0.01]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.99, 0.0, 0.0]),
+        (4, [0.3, 0.95, 0.0]),
+    ]
+    q = np.array([1.0, 0.1, 0.0])
+    V = np.array([r[1] for r in rows])
+    rel = np.round((V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q)), 6)
+    scored = spark.createDataFrame(
+        [(i, v, float(s)) for (i, v), s in zip(rows, rel)],
+        "vec_id long, embedding array<double>, score double",
+    )
+    out = mmr_rerank(scored, k=3, lam=0.5).collect()
+    order = [r["vec_id"] for r in out]
+    assert order[0] == 2  # highest relevance (exactly aligned)
+    assert order[1] == 4  # the diverse one jumps the clones
+    assert [r["mmr_rank"] for r in out] == [1, 2, 3]
+
+
+def test_mmr_rerank_validates(spark):
+    from otters_spark.operators.similarity import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0.9)], "vec_id long, embedding array<double>, score double"
+    )
+    with pytest.raises(ValueError, match="k must"):
+        mmr_rerank(df, k=0)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(df, k=1, lam=1.5)
