@@ -7070,6 +7070,60 @@ FROM sel{_MMR_K} ORDER BY mmr_rank"""
 SIM_MMR_RERANK_SQL = _mmr_sql()
 
 
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly scan: a raw z-score flags every
+    nightly dip as anomalous; the correct baseline is per
+    (event_type, hour-of-day). One algebraic aggregate builds the
+    120-row baseline table (5 types x 24 hours), it broadcasts back
+    onto the scan, and the top-20 |z| rows surface — ranking on the
+    6-dp-rounded score with event_id tie-breaks. Zero-variance cells
+    are excluded (z undefined), stated not hidden."""
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    hours = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.hour("ts").alias("hod"),
+    )
+    base = hours.groupBy("event_type", "hod").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n_cell"),
+    )
+    j = hours.join(F.broadcast(base), ["event_type", "hod"]).filter(
+        F.col("sigma") > 0
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        j.select(
+            "event_id",
+            "event_type",
+            "hod",
+            F.round("value", 4).alias("value"),
+            F.round("mu", 6).alias("cell_mean"),
+            z.alias("z"),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), F.col("event_id").asc())
+        .limit(20)
+    )
+
+
+EVENTS_SEASONAL_ANOMALY_SQL = """
+WITH h AS (SELECT event_id, event_type, value, hour(ts) AS hod
+           FROM events WHERE value IS NOT NULL),
+b AS (SELECT event_type, hod, avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM h GROUP BY 1, 2)
+SELECT event_id, event_type, hod, round(value, 4) AS value,
+       round(mu, 6) AS cell_mean,
+       round((value - mu) / sigma, 6) AS z
+FROM h JOIN b USING (event_type, hod)
+WHERE sigma > 0
+ORDER BY abs(round((value - mu) / sigma, 6)) DESC, event_id
+LIMIT 20
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7207,6 +7261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_domain_filter": pipeline_domain_filter,
     "events_covisitation": events_covisitation,
     "sim_mmr_rerank": sim_mmr_rerank,
+    "events_seasonal_anomaly": events_seasonal_anomaly,
     "dedup_frequent_segments": dedup_frequent_segments,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_bloom_decontam": pipeline_bloom_decontam,
@@ -7385,6 +7440,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_domain_filter": PIPELINE_DOMAIN_FILTER_SQL,
     "events_covisitation": EVENTS_COVISITATION_SQL,
     "sim_mmr_rerank": SIM_MMR_RERANK_SQL,
+    "events_seasonal_anomaly": EVENTS_SEASONAL_ANOMALY_SQL,
     "vs_cosine_topk": VS_COSINE_TOPK_SQL,
     "vs_dot_topk": VS_DOT_TOPK_SQL,
     "vs_euclidean_topk": VS_EUCLIDEAN_TOPK_SQL,
