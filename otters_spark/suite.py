@@ -7125,6 +7125,684 @@ LIMIT 20
 
 
 # =====================================================================
+# Third wave (round 4): remaining classic TPC-H shapes, link
+# prediction, corpus statistics, behavioral segmentation
+# =====================================================================
+
+
+def rel_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly N qualifying orders, INCLUDING the zero-order
+    customers a plain join would drop. The left join keys on the
+    customer spine so absent orders surface as count 0; both
+    aggregations are map-side combinable and the second one runs on a
+    |distinct counts|-sized table. At 100 TB the only real shuffle is
+    the first groupBy on c_custkey — already the join key, so AQE
+    coalesces it into the join exchange."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_c = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_c.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+REL_ORDER_COUNT_DISTRIBUTION_SQL = """
+WITH per_c AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1)
+SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist
+FROM per_c GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): yearly revenue
+    lost if below-one-fifth-of-average-quantity orders for one brand
+    stopped shipping. The correlated per-part average decorrelates
+    into a broadcast-able per-part aggregate joined back on l_partkey
+    — the standard Catalyst-friendly form; the brand filter prunes at
+    the part scan FIRST so both the aggregate and the join see only
+    that brand's lines. Quantities are integral doubles, so the
+    per-part sums (hence the 0.2*avg boundary) are EXACT in both
+    engines — the strict < is engine-stable. Revenue in exact integer
+    cents; the yearly average divides that one exact integer."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    lines = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    per_part = lines.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("__avg_qty")
+    )
+    kept = lines.join(per_part, "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("__avg_qty")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(cents).alias("lost_cents"),
+        F.round(F.sum(cents) / F.lit(700.0), 2).alias("avg_yearly"),
+    )
+
+
+REL_SMALL_QTY_REVENUE_SQL = """
+WITH lines AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#23'),
+per_part AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lines GROUP BY 1)
+SELECT count(*)::BIGINT AS n_lines,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS lost_cents,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 700.0, 2)
+         AS avg_yearly
+FROM lines l JOIN per_part a USING (l_partkey)
+WHERE l.l_quantity < 0.2 * a.avg_qty
+"""
+
+
+def rel_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds 250, with their customer. The HAVING aggregate
+    runs FIRST on (l_orderkey) — the fact table collapses to a tiny
+    qualifying-order list before any dimension join, so the
+    customer/orders joins see dozens of rows, not millions; at scale
+    the qualifying list broadcasts. Quantities are integral doubles —
+    the sum and the > 250 boundary are exact. Top-20 by order value
+    with a key tiebreak."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+        .orderBy(F.col("total_cents").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+REL_LARGE_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       big.sum_qty::BIGINT AS sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_cents DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+def rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_7's share of
+    PROMO-part revenue sold to EUROPE-region customers, by order
+    year. Share = exact-integer national cents / exact-integer total
+    cents, so the double division is bit-identical across engines.
+    Dimensions (part filter, nation+region maps) all broadcast; the
+    only big shuffles are the two fact joins, and the final aggregate
+    is 7 rows."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    eur_nations = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+        n["n_regionkey"] == r["r_regionkey"],
+    ).select(F.col("n_nationkey").alias("__en"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = (
+        li.join(F.broadcast(p.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(eur_nations), c["c_nationkey"] == F.col("__en"), "left_semi")
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("__sk"),
+        )
+    )
+    return (
+        j.withColumn("__c", cents)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("__c")).otherwise(F.lit(0))).alias("nation_cents"),
+            F.sum("__c").alias("total_cents"),
+        )
+        .withColumn(
+            "mkt_share",
+            F.round(F.col("nation_cents") / F.col("total_cents").cast("double"), 6),
+        )
+        .orderBy("o_year")
+    )
+
+
+REL_MARKET_SHARE_SQL = """
+WITH j AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         sn.n_name AS supp_nation,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS c
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'EUROPE'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey)
+SELECT o_year::BIGINT AS o_year,
+       sum(CASE WHEN supp_nation = 'NATION_7' THEN c ELSE 0 END)::BIGINT AS nation_cents,
+       sum(c)::BIGINT AS total_cents,
+       round(sum(CASE WHEN supp_nation = 'NATION_7' THEN c ELSE 0 END)
+             / sum(c)::DOUBLE, 6) AS mkt_share
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with maximum
+    revenue over one shipping quarter, via a scalar-max join — the
+    decorrelated form of Q15's revenue view + WHERE total = (SELECT
+    max(...)). Revenue is exact integer cents so the max comparison
+    has no float boundary. The per-supplier aggregate is one
+    map-combinable shuffle; the scalar max broadcasts back."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = li.withColumn("__c", cents).groupBy("l_suppkey").agg(
+        F.sum("__c").alias("total_cents")
+    )
+    mx = rev.agg(F.max("total_cents").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_cents"] == F.col("__mx"))
+        .join(s, rev["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+REL_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, rev.total_cents::BIGINT AS total_cents
+FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_cents = (SELECT max(total_cents) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+def rel_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive account balance and no RECENT order
+    (nothing since 1999), counted per nation. The global average is
+    an exact-integer-cents aggregate broadcast back (crossJoin of a
+    1-row frame — never a driver collect); the lapsed test is a left
+    anti join against the date-pruned orders spine (the filter
+    reaches the parquet scan). Both shuffles key on already-
+    partitioned ids."""
+    c = load(spark, sf_dir, "customer").withColumn(
+        "__bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    )
+    avg_pos = c.filter(F.col("__bal_cents") > 0).agg(
+        F.avg("__bal_cents").alias("__avg_cents")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("__bal_cents") > F.col("__avg_cents"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("__bal_cents").alias("totacctbal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+REL_IDLE_CUSTOMERS_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer)
+SELECT c_nationkey, count(*)::BIGINT AS numcust,
+       sum(bal_cents)::BIGINT AS totacctbal_cents
+FROM c
+WHERE bal_cents > (SELECT avg(bal_cents) FROM c WHERE bal_cents > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= '1999-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def rel_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept the order waiting): in
+    multi-supplier orders where EXACTLY ONE supplier had returned
+    lines, blame that supplier. Q21's EXISTS / NOT EXISTS pair
+    decorrelates into one per-(order, supplier) aggregate + one
+    per-order aggregate — two map-combinable shuffles on the fact
+    table, no correlated subquery re-scans. Top-20 by blame count
+    with name tiebreak."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("__ret")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum("__ret").alias("__n_ret"),
+    )
+    blamed = (
+        per_os.filter(F.col("__ret") == 1)
+        .join(
+            per_o.filter((F.col("__n_supp") >= 2) & (F.col("__n_ret") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        blamed.join(s, blamed["l_suppkey"] == s["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+REL_SOLE_RETURN_SUPPLIER_SQL = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM lineitem GROUP BY 1, 2),
+per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(ret) AS n_ret
+  FROM per_os GROUP BY 1)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM per_os
+JOIN per_o USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = per_os.l_suppkey
+WHERE per_os.ret = 1 AND per_o.n_supp >= 2 AND per_o.n_ret = 1
+GROUP BY 1 ORDER BY numwait DESC, s.s_name LIMIT 20
+"""
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the nation trade graph
+    (operators/graph.py:adamic_adar): which nation pairs that do NOT
+    yet trade above the volume floor share the most (and the most
+    selective) common trading partners. Edges = unordered nation
+    pairs whose trade revenue reaches 1.2x the mean pair revenue —
+    a relative floor, so the graph keeps the same density at every
+    scale factor. The wedge join's sum(deg^2) cost and its skew
+    mitigation are documented on the operator."""
+    from .operators.graph import adamic_adar
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    flows = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cn"))),
+            F.col("c_nationkey") == F.col("__ck"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("sn"))),
+            F.col("s_nationkey") == F.col("__sk"),
+        )
+        .filter(F.col("cn") != F.col("sn"))
+        .withColumn("__c", cents)
+        .groupBy(
+            F.least("cn", "sn").alias("pa"), F.greatest("cn", "sn").alias("pb")
+        )
+        .agg(F.sum("__c").alias("rev"))
+    )
+    floor = flows.agg((F.avg("rev") * 1.2).alias("__floor"))
+    edges = (
+        flows.crossJoin(F.broadcast(floor))
+        .filter(F.col("rev") >= F.col("__floor"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    out = adamic_adar(edges)
+    return out.select(
+        "node_a", "node_b", "n_common", F.round("aa_score", 6).alias("aa_score")
+    ).orderBy(F.col("aa_score").desc(), "node_a", "node_b")
+
+
+GRAPH_ADAMIC_ADAR_SQL = """
+WITH flows AS (
+  SELECT least(cn.n_name, sn.n_name) AS pa,
+         greatest(cn.n_name, sn.n_name) AS pb,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT)) AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE cn.n_name <> sn.n_name
+  GROUP BY 1, 2),
+und AS (
+  SELECT pa AS a, pb AS b FROM flows
+  WHERE rev >= (SELECT avg(rev) * 1.2 FROM flows)),
+deg AS (
+  SELECT z, count(*) AS d FROM (
+    SELECT a AS z FROM und UNION ALL SELECT b AS z FROM und)
+  GROUP BY 1),
+adj AS (
+  SELECT a AS z, b AS n FROM und UNION ALL SELECT b AS z, a AS n FROM und),
+ctr AS (
+  SELECT adj.z, adj.n, deg.d FROM adj JOIN deg USING (z) WHERE deg.d > 1),
+pairs AS (
+  SELECT w1.n AS node_a, w2.n AS node_b,
+         count(*) AS n_common,
+         sum(1.0 / ln(w1.d)) AS aa_score
+  FROM ctr w1 JOIN ctr w2 ON w1.z = w2.z AND w1.n < w2.n
+  GROUP BY 1, 2)
+SELECT node_a, node_b, n_common::BIGINT AS n_common,
+       round(aa_score, 6) AS aa_score
+FROM pairs
+WHERE NOT EXISTS (
+  SELECT 1 FROM und WHERE und.a = pairs.node_a AND und.b = pairs.node_b)
+ORDER BY aa_score DESC, node_a, node_b
+"""
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token frequency spectrum: the
+    least-squares slope of ln(freq) against ln(rank) over the top 200
+    tokens (a healthy natural-language corpus sits near -1; scraped
+    boilerplate and template spam bend it). Frequencies are exact
+    integers, ranks are ordinal with a token tiebreak, so both
+    engines regress over IDENTICAL (x, y) points — regr_slope is the
+    one built-in linear regression both sides share. The rank window
+    runs over a 200-row table (top tokens), never the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freqs.orderBy(F.col("freq").desc(), F.col("tok")).limit(200)
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.round(
+            F.regr_slope(F.log(F.col("freq").cast("double")), F.log(F.col("rank").cast("double"))),
+            4,
+        ).alias("zipf_slope"),
+        F.round(
+            F.regr_intercept(F.log(F.col("freq").cast("double")), F.log(F.col("rank").cast("double"))),
+            4,
+        ).alias("zipf_intercept"),
+    )
+
+
+TEXT_ZIPF_SLOPE_SQL = """
+WITH freqs AS (
+  SELECT tok, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM freqs ORDER BY freq DESC, tok LIMIT 200)
+SELECT count(*)::BIGINT AS n_ranked,
+       round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+       round(regr_intercept(ln(freq), ln(rank)), 4) AS zipf_intercept
+FROM ranked
+"""
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability profile per language: words and
+    sentences from one regex count each, syllables approximated as
+    vowel-group runs — the standard cheap proxy when no dictionary
+    ships with the cluster. All three counts are exact integers from
+    identical regexes (character classes only — no engine-specific
+    regex features), so the per-doc score is bit-identical in both
+    engines and the per-language average differs only in summation
+    order (killed by the 4-dp round). One scan, pure codegen — at
+    100 TB this is a free rider on any other full-corpus pass."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9']+"), 0))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+    )
+    scored = (
+        docs.withColumn("__w", words.cast("double"))
+        .withColumn("__s", sentences.cast("double"))
+        .withColumn("__y", syllables.cast("double"))
+        .filter(F.col("__w") > 0)
+        .withColumn(
+            "__flesch",
+            F.lit(206.835)
+            - F.lit(1.015) * F.col("__w") / F.col("__s")
+            - F.lit(84.6) * F.col("__y") / F.col("__w"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__flesch"), 4).alias("avg_flesch"),
+            F.round(F.avg(F.col("__y") / F.col("__w")), 4).alias("avg_syll_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_READABILITY_SQL = """
+WITH scored AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '[A-Za-z0-9'']+'))::DOUBLE AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE AS y
+  FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(avg(206.835 - 1.015 * w / s - 84.6 * y / w), 4) AS avg_flesch,
+       round(avg(y / w), 4) AS avg_syll_per_word
+FROM scored WHERE w > 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency (days since last
+    purchase, against the corpus max timestamp), frequency (purchase
+    count) and monetary (exact value cents), each cut into quartiles
+    by ntile over a TOTAL order (user_id tiebreak — ntile under ties
+    is engine-defined, a total order makes it engine-stable). Output
+    is the 4x4x4 segment census. The corpus max broadcasts from a
+    1-row aggregate; the three window functions share ONE partition
+    pass each over the users table (tiny next to events)."""
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    per_u = ev.groupBy("user_id").agg(
+        F.max("ts").alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_cents"),
+    )
+    mx = ev.agg(F.max("ts").alias("__corpus_max"))
+    per_u = per_u.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_days",
+        F.datediff(F.col("__corpus_max"), F.col("__last")).cast("long"),
+    )
+    seg = (
+        per_u.withColumn(
+            "r_q",
+            F.ntile(4).over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))),
+        )
+        .withColumn(
+            "f_q",
+            F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), F.col("user_id"))),
+        )
+        .withColumn(
+            "m_q",
+            F.ntile(4).over(Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id"))),
+        )
+    )
+    return (
+        seg.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+EVENTS_RFM_SEGMENTS_SQL = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+per_u AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+         sum(CAST(round(value * 100) AS BIGINT)) AS monetary_cents
+  FROM p GROUP BY 1),
+seg AS (
+  SELECT user_id, monetary_cents,
+         ntile(4) OVER (ORDER BY date_diff('day', last_ts,
+                        (SELECT max(ts) FROM p)) ASC, user_id) AS r_q,
+         ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+         ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m_q
+  FROM per_u)
+SELECT r_q, f_q, m_q, count(*)::BIGINT AS n_users,
+       sum(monetary_cents)::BIGINT AS segment_cents
+FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label vote: classify 5 held-out query vectors by the
+    majority label of their 10 nearest cosine neighbors (self
+    excluded) — the evaluation loop behind embedding-quality checks
+    and weak-label propagation. Scores round to 6 dp BEFORE ranking
+    with a vec_id tiebreak (the eval_ann_recall boundary discipline),
+    so the k=10 cut is engine-stable; the vote breaks ties toward the
+    smaller label. One broadcast crossJoin of 5 queries against the
+    store, one window, one vote aggregate."""
+    from .functions.vector import cosine_expr, inv_norm_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        inv_norm_expr("embedding").alias("q_inv"),
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.round(
+                cosine_expr(
+                    "embedding", "qvec", inv_norm_expr("embedding"), F.col("q_inv")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    top = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    votes = top.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+        .orderBy("query_id")
+    )
+
+
+SIM_KNN_CLASSIFY_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      q.qvec::DOUBLE[]), 6) AS score
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+top AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= 10),
+votes AS (
+  SELECT query_id, label, count(*) AS n_votes
+  FROM top GROUP BY 1, 2)
+SELECT query_id, label AS predicted_label, n_votes::BIGINT AS n_votes
+FROM (
+  SELECT query_id, label, n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label) AS vr
+  FROM votes) WHERE vr = 1
+ORDER BY query_id
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -7410,6 +8088,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_quality_model": pipeline_quality_model,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_pq_topk": sim_pq_topk,
+    # Third wave (round 4; beyond this round's driver cap — rotate in
+    # round 5):
+    "rel_order_count_distribution": rel_order_count_distribution,
+    "rel_small_qty_revenue": rel_small_qty_revenue,
+    "rel_large_orders": rel_large_orders,
+    "rel_market_share": rel_market_share,
+    "rel_top_supplier": rel_top_supplier,
+    "rel_idle_customers": rel_idle_customers,
+    "rel_sole_return_supplier": rel_sole_return_supplier,
+    "graph_adamic_adar": graph_adamic_adar,
+    "text_zipf_slope": text_zipf_slope,
+    "text_readability": text_readability,
+    "events_rfm_segments": events_rfm_segments,
+    "sim_knn_classify": sim_knn_classify,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7580,4 +8272,16 @@ ORACLE_SQL: dict[str, str] = {
     #   in tests/test_similarity.py
     # text_bpe_train: iterative data-dependent argmax — rows-only; pinned
     #   against a Python reference BPE in tests/test_text_analysis.py
+    "rel_order_count_distribution": REL_ORDER_COUNT_DISTRIBUTION_SQL,
+    "rel_small_qty_revenue": REL_SMALL_QTY_REVENUE_SQL,
+    "rel_large_orders": REL_LARGE_ORDERS_SQL,
+    "rel_market_share": REL_MARKET_SHARE_SQL,
+    "rel_top_supplier": REL_TOP_SUPPLIER_SQL,
+    "rel_idle_customers": REL_IDLE_CUSTOMERS_SQL,
+    "rel_sole_return_supplier": REL_SOLE_RETURN_SUPPLIER_SQL,
+    "graph_adamic_adar": GRAPH_ADAMIC_ADAR_SQL,
+    "text_zipf_slope": TEXT_ZIPF_SLOPE_SQL,
+    "text_readability": TEXT_READABILITY_SQL,
+    "events_rfm_segments": EVENTS_RFM_SEGMENTS_SQL,
+    "sim_knn_classify": SIM_KNN_CLASSIFY_SQL,
 }

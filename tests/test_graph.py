@@ -272,3 +272,77 @@ def test_kcore_raises_on_round_exhaustion(spark):
         kcore(path, k=2, max_rounds=1)
     with _pytest.raises(ValueError, match="k must be"):
         kcore(path, k=0)
+
+
+def _reference_adamic_adar(edges):
+    """Plain-Python AA over an undirected edge list."""
+    import math
+    from collections import defaultdict
+
+    nbr = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            nbr[u].add(v)
+            nbr[v].add(u)
+    deg = {z: len(ns) for z, ns in nbr.items()}
+    nodes = sorted(nbr)
+    out = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if b in nbr[a]:
+                continue  # adjacent — not a prediction
+            common = nbr[a] & nbr[b]
+            common = {z for z in common if deg[z] > 1}
+            if common:
+                out[(a, b)] = (
+                    len(common),
+                    sum(1.0 / math.log(deg[z]) for z in common),
+                )
+    return out
+
+
+def test_adamic_adar_hand_graph(spark):
+    from otters_spark.operators.graph import adamic_adar
+
+    # path 1-2-3 plus hub 4 connected to 1,2,3: prediction (1,3)
+    # through centers 2 (deg 3) and 4 (deg 3)
+    edges = [(1, 2), (2, 3), (4, 1), (4, 2), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = adamic_adar(df).collect()
+    got = {(r["node_a"], r["node_b"]): (r["n_common"], r["aa_score"]) for r in rows}
+    exp = _reference_adamic_adar(edges)
+    assert set(got) == set(exp)
+    for k, (nc, sc) in exp.items():
+        assert got[k][0] == nc
+        assert abs(got[k][1] - sc) < 1e-12
+
+
+def test_adamic_adar_random_vs_reference(spark):
+    import random
+
+    from otters_spark.operators.graph import adamic_adar
+
+    rng = random.Random(42)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(40)})
+    df = spark.createDataFrame(
+        [(u, v) for u, v in edges], "src long, dst long"
+    )
+    rows = adamic_adar(df).collect()
+    got = {(r["node_a"], r["node_b"]): (r["n_common"], r["aa_score"]) for r in rows}
+    exp = _reference_adamic_adar(edges)
+    assert set(got) == set(exp)
+    for k, (nc, sc) in exp.items():
+        assert got[k][0] == nc
+        assert abs(got[k][1] - sc) < 1e-9
+
+
+def test_adamic_adar_ignores_direction_and_duplicates(spark):
+    from otters_spark.operators.graph import adamic_adar
+
+    a = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (2, 3), (3, 3)], "src long, dst long"
+    )
+    b = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    ra = {(r["node_a"], r["node_b"]): r["aa_score"] for r in adamic_adar(a).collect()}
+    rb = {(r["node_a"], r["node_b"]): r["aa_score"] for r in adamic_adar(b).collect()}
+    assert ra == rb
