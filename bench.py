@@ -60,6 +60,16 @@ def main() -> int:
         # steady-state per-query cost
         times[name] = round(best, 3) if best is not None else None
         total += best or 0.0
+        # Drop this query's DataFrame refs NOW: the heavy pipelines pin
+        # eager localCheckpoint blocks that only unpersist when Python
+        # GC releases the DataFrame and ContextCleaner reaps the RDD —
+        # left to chance, block-manager pressure builds across 180
+        # queries and a mid-suite query pays a 2-3x phantom slowdown
+        # (BENCH_FULL history: dedup_incremental_ingest 16.1s r3,
+        # pipeline_dedup_end_to_end 10.5s r4-first — both ~2s solo).
+        import gc
+
+        gc.collect()
 
     # sustained vector-search throughput: repeated top-k queries over a
     # cached store (amortizes scan/codegen; the per-query latency a

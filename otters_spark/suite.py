@@ -7802,6 +7802,72 @@ ORDER BY query_id
 """
 
 
+def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level exact dedup over the binary payload column — the
+    first gate of any multimodal pipeline (identical files dedup on
+    CONTENT BYTES before a single decoder runs; at 100 TB of media
+    the reclaimable bytes, not row counts, are the business number).
+    The content key hashes the payload itself (not its metadata), the
+    shuffle carries ~50 B/row, and duplicate groups report one
+    representative + reclaimable bytes. The synthetic payload is
+    deterministic (md5 of text), so the planted near-dup clusters in
+    documents surface as byte-exact groups the DuckDB twin reproduces
+    from the same construction."""
+    from .operators.multimodal import attach_fake_payload
+
+    docs = load(spark, sf_dir, "documents")
+    # inject byte-exact copies (every doc_id % 10 == 4, re-keyed +100000):
+    # the corpus's planted clusters are NEAR-dups, so the exact gate
+    # needs genuine verbatim copies to have work — same construction in
+    # the oracle, so the group table is pinned, not just plausible
+    dup = docs.filter(F.col("doc_id") % 10 == 4).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    media = attach_fake_payload(docs.unionByName(dup))
+    groups = (
+        media.groupBy(F.hex(F.col("payload")).alias("content_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("rep_id"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.min(F.octet_length("payload")).alias("bytes_each"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+    return (
+        groups.select(
+            "rep_id",
+            "n_copies",
+            "bytes_each",
+            (F.col("total_bytes") - F.col("bytes_each")).alias("bytes_reclaimable"),
+        )
+        .orderBy(F.col("n_copies").desc(), F.col("rep_id"))
+        .limit(20)
+    )
+
+
+MULTIMODAL_EXACT_DEDUP_SQL = """
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 4),
+media AS (
+  SELECT doc_id AS media_id, unhex(md5(text)) AS payload FROM alldocs),
+groups AS (
+  SELECT hex(payload) AS content_key,
+         count(*) AS n_copies,
+         min(media_id) AS rep_id,
+         sum(octet_length(payload)) AS total_bytes,
+         min(octet_length(payload)) AS bytes_each
+  FROM media GROUP BY 1 HAVING count(*) >= 2)
+SELECT rep_id, n_copies::BIGINT AS n_copies,
+       bytes_each::BIGINT AS bytes_each,
+       (total_bytes - bytes_each)::BIGINT AS bytes_reclaimable
+FROM groups ORDER BY n_copies DESC, rep_id LIMIT 20
+"""
+
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8102,6 +8168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_readability": text_readability,
     "events_rfm_segments": events_rfm_segments,
     "sim_knn_classify": sim_knn_classify,
+    "multimodal_exact_dedup": multimodal_exact_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8284,4 +8351,5 @@ ORACLE_SQL: dict[str, str] = {
     "text_readability": TEXT_READABILITY_SQL,
     "events_rfm_segments": EVENTS_RFM_SEGMENTS_SQL,
     "sim_knn_classify": SIM_KNN_CLASSIFY_SQL,
+    "multimodal_exact_dedup": MULTIMODAL_EXACT_DEDUP_SQL,
 }
