@@ -37,6 +37,13 @@ def get_spark(
         # skewed ones — the 100TB-scale safety net for joins/aggs
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescePartitions.parallelismFirst stays at its default
+        # (true): Spark's tuning guide recommends false on real
+        # clusters (respect advisory partition size), but measured
+        # here at local[32] it is a wash overall and costs the
+        # mid-size window/agg stages real parallelism
+        # (rel_percentiles +75% — BENCH A/B, round 4). On a cluster
+        # deployment set it false via extra_conf.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # scan-side pruning (the reference's zonemap/bloom subsystem,

@@ -8154,6 +8154,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_quality_model": pipeline_quality_model,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_pq_topk": sim_pq_topk,
+    # ---- driver-cap boundary: entries below sit beyond the 50-row
+    # window this round. Round-5 rotation queue (the 22 oracle-paired
+    # queries that will still lack a driver verdict after round 4):
+    # events_cumulative_users, events_rolling_actives,
+    # rel_volume_shipping, rel_returned_customers,
+    # rel_disjunctive_filter, pipeline_domain_filter,
+    # events_covisitation, sim_mmr_rerank, events_seasonal_anomaly,
+    # plus the 13 fourth-wave queries below. 22 + 28 retained greens
+    # fill the window exactly.
     # Third wave (round 4; beyond this round's driver cap — rotate in
     # round 5):
     "rel_order_count_distribution": rel_order_count_distribution,
