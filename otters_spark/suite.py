@@ -7868,6 +7868,117 @@ FROM groups ORDER BY n_copies DESC, rep_id LIMIT 20
 
 
 
+def eval_quant_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall curve of the int8-quantized serving tier against exact
+    float cosine: for the 3-query batch, recall@1/5/10 of the lane
+    that scores RECONSTRUCTED vectors (floor(x/scale + 0.5) * scale,
+    the sim_scalar_quant transform) — the acceptance test that decides
+    whether 4x memory compression may serve production traffic, as a
+    curve rather than one operating point. Both lanes rank on
+    6-dp-rounded scores with vec_id tiebreaks (the suite's boundary
+    discipline), and the quantization arithmetic is deterministic
+    per-element math, so the whole curve is DuckDB-checkable. One
+    crossJoin + two windows over k-bounded lists; the per-k expansion
+    explodes a 3-element literal array, never data."""
+    emb = load(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    s = (F.array_max(F.transform(F.col("__v"), F.abs)) / 127.0)
+    base = (
+        emb.select("vec_id", vd.alias("__v"))
+        .withColumn("__s", s)
+        .withColumn(
+            "__recon",
+            F.when(
+                F.col("__s") > 0,
+                F.transform(
+                    F.col("__v"),
+                    lambda x: F.floor(x / F.col("__s") + F.lit(0.5)) * F.col("__s"),
+                ),
+            ).otherwise(F.col("__v")),
+        )
+    )
+    lanes = []
+    for qid, q in enumerate([Q7, Q11, Q13]):
+        qlit = F.array(*[F.lit(float(x)) for x in q])
+        lanes.append(
+            base.select(
+                F.lit(qid).alias("query_id"),
+                "vec_id",
+                F.round(score_expr("__v", qlit, "cosine"), 6).alias("s_exact"),
+                F.round(score_expr("__recon", qlit, "cosine"), 6).alias("s_quant"),
+            )
+        )
+    scored = lanes[0].unionByName(lanes[1]).unionByName(lanes[2])
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("s_exact").desc(), F.col("vec_id")
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("s_quant").desc(), F.col("vec_id")
+    )
+    ranked = (
+        scored.withColumn("rt", F.row_number().over(wt))
+        .withColumn("ra", F.row_number().over(wa))
+        .filter((F.col("rt") <= 10) | (F.col("ra") <= 10))
+    )
+    ks = F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("k")
+    per_k = ranked.select("query_id", "rt", "ra", ks)
+    return (
+        per_k.groupBy("query_id", "k")
+        .agg(
+            F.sum(
+                F.when((F.col("rt") <= F.col("k")) & (F.col("ra") <= F.col("k")), 1).otherwise(0)
+            ).alias("n_hits")
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hits") / F.col("k").cast("double"), 6)
+        )
+        .orderBy("query_id", "k")
+    )
+
+
+def _eval_quant_recall_curve_sql() -> str:
+    lanes = []
+    for qid, q in enumerate([Q7, Q11, Q13]):
+        lanes.append(f"""
+  SELECT {qid} AS query_id, vec_id,
+         round(list_cosine_similarity(v, {_sql_vec(q)}), 6) AS s_exact,
+         round(list_cosine_similarity(recon, {_sql_vec(q)}), 6) AS s_quant
+  FROM base""")
+    union = "\n  UNION ALL\n".join(lanes)
+    return f"""
+WITH base AS (
+  SELECT vec_id, v,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> floor(x / s + 0.5) * s)
+              ELSE v END AS recon
+  FROM (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))),
+scored AS ({union}),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s_exact DESC, vec_id) AS rt,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s_quant DESC, vec_id) AS ra
+  FROM scored),
+per_k AS (
+  SELECT query_id, rt, ra, k
+  FROM ranked CROSS JOIN (SELECT unnest([1, 5, 10]) AS k)
+  WHERE rt <= 10 OR ra <= 10)
+SELECT query_id, k::INTEGER AS k,
+       sum(CASE WHEN rt <= k AND ra <= k THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+       round(sum(CASE WHEN rt <= k AND ra <= k THEN 1 ELSE 0 END)
+             / k::DOUBLE, 6) AS recall
+FROM per_k GROUP BY query_id, k ORDER BY 1, 2
+"""
+
+
+EVAL_QUANT_RECALL_CURVE_SQL = _eval_quant_recall_curve_sql()
+
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8178,6 +8289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rfm_segments": events_rfm_segments,
     "sim_knn_classify": sim_knn_classify,
     "multimodal_exact_dedup": multimodal_exact_dedup,
+    "eval_quant_recall_curve": eval_quant_recall_curve,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8361,4 +8473,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_rfm_segments": EVENTS_RFM_SEGMENTS_SQL,
     "sim_knn_classify": SIM_KNN_CLASSIFY_SQL,
     "multimodal_exact_dedup": MULTIMODAL_EXACT_DEDUP_SQL,
+    "eval_quant_recall_curve": EVAL_QUANT_RECALL_CURVE_SQL,
 }
