@@ -49,6 +49,12 @@ QUERIES = [
     # ANN (embeddings)
     "link_entity_clusters",
     "sim_binary_quant_topk",
+    # fourth wave: corpus-stat scans (one-pass regex/count shapes),
+    # byte-exact multimodal gate, quantized-tier recall curve
+    "text_zipf_slope",
+    "text_readability",
+    "multimodal_exact_dedup",
+    "eval_quant_recall_curve",
 ]
 
 # events-lane probe: the third table family. Replication shifts each
