@@ -7683,19 +7683,34 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_days",
         F.datediff(F.col("__corpus_max"), F.col("__last")).cast("long"),
     )
+    # ntile WITHOUT the global window (plan audit forbids the
+    # all-users single-task sort): exact global row numbers via the
+    # two-phase binned rank (stats.global_row_number), then ntile's
+    # bucket arithmetic in closed form from (row, n) — buckets sized
+    # q+1 for the first n%4, q after, identical to SQL NTILE over the
+    # same total order.
+    from .operators.stats import global_row_number
+
+    def ntile4(row, n):
+        q = F.floor(n / 4)
+        rem = n % 4
+        cut = rem * (q + 1)
+        return (
+            F.when(row <= cut, F.ceil(row / (q + 1)))
+            .otherwise(rem + F.ceil((row - cut) / F.greatest(q, F.lit(1))))
+            .cast("int")
+        )
+
+    cnt = per_u.agg(F.count(F.lit(1)).alias("__n_users"))
+    seg = global_row_number(per_u, "recency_days", "user_id", "__rr")
+    seg = global_row_number(seg, "frequency", "user_id", "__rf", descending=True)
+    seg = global_row_number(seg, "monetary_cents", "user_id", "__rm", descending=True)
+    nu = F.col("__n_users")
     seg = (
-        per_u.withColumn(
-            "r_q",
-            F.ntile(4).over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))),
-        )
-        .withColumn(
-            "f_q",
-            F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), F.col("user_id"))),
-        )
-        .withColumn(
-            "m_q",
-            F.ntile(4).over(Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id"))),
-        )
+        seg.crossJoin(F.broadcast(cnt))
+        .withColumn("r_q", ntile4(F.col("__rr"), nu))
+        .withColumn("f_q", ntile4(F.col("__rf"), nu))
+        .withColumn("m_q", ntile4(F.col("__rm"), nu))
     )
     return (
         seg.groupBy("r_q", "f_q", "m_q")

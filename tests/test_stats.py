@@ -221,3 +221,40 @@ def test_quantile_normalize_global_no_group(spark):
     )
     got = {r["id"]: r["pctl"] for r in quantile_normalize(df, "v").collect()}
     assert got == {0: 0.0, 1: round(1 / 3, 6), 2: round(1 / 3, 6), 3: 1.0}
+
+
+def test_global_row_number_matches_window(spark):
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from otters_spark.operators.stats import global_row_number
+
+    rng = random.Random(7)
+    # duplicate values on purpose: the tiebreak must resolve inside a bin
+    rows = [(i, float(rng.randrange(20))) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    for desc in (False, True):
+        got = global_row_number(df, "v", "id", "rn", descending=desc, n_bins=8)
+        order = F.col("v").desc() if desc else F.col("v").asc()
+        exp = df.withColumn(
+            "rn_exp", F.row_number().over(Window.orderBy(order, F.col("id")))
+        )
+        bad = (
+            got.join(exp, ["id", "v"])
+            .filter(F.col("rn") != F.col("rn_exp"))
+            .count()
+        )
+        assert bad == 0, f"descending={desc}"
+
+
+def test_global_row_number_constant_and_errors(spark):
+    import pytest as _pytest
+    from otters_spark.operators.stats import global_row_number
+
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 5.0)], "id long, v double")
+    got = {r["id"]: r["rn"] for r in global_row_number(df, "v", "id", "rn").collect()}
+    assert got == {1: 1, 2: 2, 3: 3}  # all-equal values: pure tiebreak order
+    with _pytest.raises(ValueError):
+        global_row_number(df.withColumnRenamed("v", "rn"), "id", "id", "rn")

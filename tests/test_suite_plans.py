@@ -43,6 +43,12 @@ GLOBAL_WINDOW_OK = {
     "pipeline_token_budget",
     "pipeline_pack_sequences",
     "pipeline_shuffle_shards",  # bin-priors window over ≤1024 bin rows
+    "text_zipf_slope",  # rank window over the top-200 token table (limit
+    #   200 precedes the window — TakeOrderedAndProject bounds the input)
+    "events_rfm_segments",  # three global_row_number histogram cumsums,
+    #   each over the ≤1024-bin table (stats.global_row_number — the
+    #   shuffle_shards bin-priors shape); the per-user data windows are
+    #   all bin-partitioned
 }
 
 
