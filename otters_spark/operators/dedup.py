@@ -59,6 +59,7 @@ __all__ = [
     "fingerprint_banded_pairs",
     "edit_distance_pairs",
     "frequent_segments",
+    "incremental_components",
     "incremental_dedup",
     "prepare_ingest_corpus",
     "PreparedCorpus",
@@ -1653,6 +1654,86 @@ def incremental_dedup(
     ).select(F.col("new_id").alias(id_col))
     rejected = exact_ids.union(near_ids).distinct()
     return new.join(rejected, id_col, "left_anti")
+
+
+def incremental_components(
+    components: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Maintain a near-dup component table INCREMENTALLY: merge a
+    batch of new pairs into an existing ``(id, component)`` table
+    (the output of :func:`connected_components`) without re-clustering
+    the corpus. Returns the updated ``(id, component)`` covering every
+    existing id plus every id in ``new_pairs`` — EXACTLY equal to
+    ``connected_components(old_pairs UNION new_pairs)`` (property
+    tests pin the equivalence on random graphs).
+
+    The trick is CONTRACTION: each new-pair endpoint maps through its
+    existing label (unknown ids label themselves), so the propagation
+    runs on the COMPONENT GRAPH — nodes are component labels + batch
+    ids, edges are the new pairs relabeled — which is batch-sized,
+    not corpus-sized. Correctness of the min-label convention
+    survives contraction because an existing label IS the minimum id
+    of its cluster: the minimum over merged clusters equals the
+    minimum over their labels and any smaller new id wins in the
+    contracted propagation too.
+
+    100 TB shape: the corpus-sized ``components`` table is touched by
+    exactly ONE keyed join against the relabel map (tiny — only
+    labels the batch actually merged; broadcastable), the two
+    label-lookup joins are keyed on batch ids, and the iterative part
+    (:func:`connected_components`) runs on the contracted graph. This
+    is what makes continuous dedup maintenance affordable: per-batch
+    cost tracks the batch, the full recluster never reruns."""
+    comp = components.select(
+        F.col("id").alias("__cid"), F.col("component").alias("__clab")
+    ).localCheckpoint(eager=False)  # consumed by both lookups + anti-join
+    pairs = new_pairs.select(F.col(id_a).alias("__a"), F.col(id_b).alias("__b"))
+    mapped = (
+        pairs.join(
+            comp.select(F.col("__cid").alias("__a"), F.col("__clab").alias("__la")),
+            "__a",
+            "left",
+        )
+        .join(
+            comp.select(F.col("__cid").alias("__b"), F.col("__clab").alias("__lb")),
+            "__b",
+            "left",
+        )
+        .select(
+            F.coalesce("__la", F.col("__a")).alias("id_a"),
+            F.coalesce("__lb", F.col("__b")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    # CC over the contracted graph: (old label | new id) -> merged label
+    relabel = connected_components(mapped, max_iter=max_iter).select(
+        F.col("id").alias("__old"), F.col("component").alias("__new")
+    ).localCheckpoint(eager=False)  # consumed by the update join + new-row join
+    updated = (
+        components.join(
+            F.broadcast(relabel), components["component"] == F.col("__old"), "left"
+        )
+        .select(
+            "id", F.coalesce("__new", F.col("component")).alias("component")
+        )
+    )
+    batch_ids = (
+        pairs.select(F.col("__a").alias("id"))
+        .unionByName(pairs.select(F.col("__b").alias("id")))
+        .distinct()
+        .join(comp.select(F.col("__cid").alias("id")), "id", "left_anti")
+    )
+    new_rows = (
+        batch_ids.join(
+            F.broadcast(relabel), batch_ids["id"] == F.col("__old"), "left"
+        )
+        .select("id", F.coalesce("__new", F.col("id")).alias("component"))
+    )
+    return updated.unionByName(new_rows)
 
 
 def remove_duplicated_spans(

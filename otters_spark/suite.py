@@ -7994,6 +7994,77 @@ EVAL_QUANT_RECALL_CURVE_SQL = _eval_quant_recall_curve_sql()
 
 
 
+def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance
+    (operators/dedup.py:incremental_components): the corpus's standing
+    component table (built from pairs wholly inside the ~86% corpus
+    slice, doc_id % 7 != 3) absorbs the new batch's pairs through the
+    CONTRACTED component graph — the corpus table is touched by one
+    keyed join, the propagation runs on batch-sized data, the full
+    recluster never reruns. Output is the component-size census, which
+    the oracle reproduces from a recursive-CTE closure over ALL pairs
+    at once — the incremental path must land exactly where the
+    from-scratch clustering does."""
+    from .operators.dedup import (
+        connected_components,
+        incremental_components,
+        jaccard_pairs_exploded,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_exploded(docs, 0.8, block_cols=list(_BLOCKS)).select(
+        "id_a", "id_b"
+    )
+    old_pairs = pairs.filter(
+        (F.col("id_a") % 7 != 3) & (F.col("id_b") % 7 != 3)
+    )
+    new_pairs = pairs.filter(
+        (F.col("id_a") % 7 == 3) | (F.col("id_b") % 7 == 3)
+    )
+    base = connected_components(old_pairs)
+    comps = incremental_components(base, new_pairs)
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        sizes.groupBy("n_members")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum("component").alias("label_sum"),
+        )
+        .orderBy("n_members")
+    )
+
+
+DEDUP_INCREMENTAL_COMPONENTS_SQL = """
+WITH t AS (SELECT doc_id, lang, source,
+                  list_distinct(string_split(text, ' ')) AS w FROM documents),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b
+    ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+  WHERE len(list_intersect(a.w, b.w))::DOUBLE /
+        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+  SELECT * FROM r),
+comp AS (
+  SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src),
+sizes AS (
+  SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
+SELECT n_members::BIGINT AS n_members, count(*)::BIGINT AS n_components,
+       sum(component)::BIGINT AS label_sum
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8305,6 +8376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_classify": sim_knn_classify,
     "multimodal_exact_dedup": multimodal_exact_dedup,
     "eval_quant_recall_curve": eval_quant_recall_curve,
+    "dedup_incremental_components": dedup_incremental_components,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8489,4 +8561,5 @@ ORACLE_SQL: dict[str, str] = {
     "sim_knn_classify": SIM_KNN_CLASSIFY_SQL,
     "multimodal_exact_dedup": MULTIMODAL_EXACT_DEDUP_SQL,
     "eval_quant_recall_curve": EVAL_QUANT_RECALL_CURVE_SQL,
+    "dedup_incremental_components": DEDUP_INCREMENTAL_COMPONENTS_SQL,
 }

@@ -660,3 +660,90 @@ def test_banding_threshold_formula():
     assert banding_threshold(8, 2) < banding_threshold(4, 4) < banding_threshold(2, 8)
     with _pytest.raises(ValueError):
         banding_threshold(0, 4)
+
+
+def _cc_reference(edges):
+    """Plain-Python union-find min-label components."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    import random
+
+    from otters_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = random.Random(99)
+    for trial in range(3):
+        all_pairs = list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(40), rng.randrange(40)) for _ in range(45)
+                )
+                if a != b
+            }
+        )
+        rng.shuffle(all_pairs)
+        cut = len(all_pairs) * 2 // 3
+        old_pairs, new_pairs = all_pairs[:cut], all_pairs[cut:]
+        old_df = spark.createDataFrame(old_pairs, "id_a long, id_b long")
+        new_df = spark.createDataFrame(new_pairs, "id_a long, id_b long")
+        base = connected_components(old_df)
+        got = {
+            r["id"]: r["component"]
+            for r in incremental_components(base, new_df).collect()
+        }
+        exp = _cc_reference(all_pairs)
+        assert got == exp, f"trial {trial}"
+
+
+def test_incremental_components_new_smaller_id_wins(spark):
+    from otters_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    # old cluster {5, 9} labeled 5; the batch links brand-new id 2 to 9
+    # — the merged label must become 2 everywhere (the contraction must
+    # let a NEW minimum beat the old label)
+    base = connected_components(
+        spark.createDataFrame([(5, 9)], "id_a long, id_b long")
+    )
+    out = incremental_components(
+        base, spark.createDataFrame([(2, 9)], "id_a long, id_b long")
+    )
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {2: 2, 5: 2, 9: 2}
+
+
+def test_incremental_components_intra_cluster_pair_is_noop(spark):
+    from otters_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    base = connected_components(
+        spark.createDataFrame([(1, 3), (3, 7)], "id_a long, id_b long")
+    )
+    out = incremental_components(
+        base, spark.createDataFrame([(1, 7)], "id_a long, id_b long")
+    )
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 3: 1, 7: 1}
