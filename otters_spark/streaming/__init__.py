@@ -9,7 +9,11 @@ from .drift import (
     windowed_bin_counts,
     windowed_psi,
 )
-from .ingest import streaming_ingest_gate
+from .ingest import (
+    streaming_component_maintenance,
+    streaming_ingest_gate,
+    streaming_maintained_aggregate,
+)
 from .sketch import (
     run_windowed_distinct_stream,
     windowed_distinct_counts,
@@ -21,7 +25,9 @@ __all__ = [
     "sessionize",
     "stream_events",
     "run_windowed_stream",
+    "streaming_component_maintenance",
     "streaming_ingest_gate",
+    "streaming_maintained_aggregate",
     "windowed_distinct_registers",
     "windowed_distinct_counts",
     "run_windowed_distinct_stream",

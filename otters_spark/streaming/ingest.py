@@ -32,7 +32,11 @@ from pyspark.sql.streaming import DataStreamWriter
 
 from ..operators.dedup import PreparedCorpus, prepare_ingest_corpus
 
-__all__ = ["streaming_ingest_gate", "streaming_maintained_aggregate"]
+__all__ = [
+    "streaming_component_maintenance",
+    "streaming_ingest_gate",
+    "streaming_maintained_aggregate",
+]
 
 
 def streaming_ingest_gate(
@@ -154,3 +158,62 @@ def streaming_maintained_aggregate(
         os.replace(nxt, agg_path)
 
     return stream.writeStream.foreachBatch(_apply).outputMode("append")
+
+
+def streaming_component_maintenance(
+    pair_stream: DataFrame,
+    comp_path: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataStreamWriter:
+    """Configure (not start) a stream writer that MAINTAINS a
+    near-dup component table at ``comp_path`` from a stream of match
+    PAIRS — the streaming face of
+    ``operators.dedup.incremental_components``: each micro-batch of
+    pairs merges into the standing ``(id, component)`` table through
+    the contracted component graph, so per-batch cost tracks the
+    batch and the corpus-wide re-cluster never reruns. After any
+    micro-batch partitioning of the same pairs, the table equals one
+    ``connected_components`` call over all of them (locked in by
+    ``tests/test_streaming_components.py``) — THE streaming dedup
+    state: compose downstream of an ingest gate whose match lane
+    emits (new_id, corpus_id) pairs.
+
+    Same durability contract as ``streaming_maintained_aggregate``:
+    write-to-``.next`` + atomic swap, ``__last_batch_id`` recorded and
+    replayed batches SKIPPED (closes the restart double-apply path;
+    a transactional table format closes the residual crash window
+    between swap and checkpoint commit)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import incremental_components
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pairs = batch_df.select(
+            F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
+        )
+        if os.path.exists(comp_path):
+            old = spark.read.parquet(comp_path)
+            applied = old.select(F.max("__last_batch_id")).collect()[0][0]
+            if applied is not None and batch_id <= applied:
+                return  # replayed batch after restart: already applied
+            old = old.drop("__last_batch_id")
+        else:
+            old = spark.createDataFrame(
+                [], f"`id` {dict(pairs.dtypes)['id_a']}, "
+                    f"`component` {dict(pairs.dtypes)['id_a']}"
+            )
+        new = incremental_components(old, pairs)
+        nxt = comp_path + ".next"
+        new.withColumn("__last_batch_id", F.lit(batch_id)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(nxt)
+        if os.path.exists(comp_path):
+            shutil.rmtree(comp_path)
+        os.replace(nxt, comp_path)
+
+    return pair_stream.writeStream.foreachBatch(_apply).outputMode("append")
