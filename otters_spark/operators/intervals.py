@@ -39,7 +39,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["merge_intervals", "interval_coverage"]
+__all__ = ["merge_intervals", "interval_coverage", "overlap_join"]
 
 
 def merge_intervals(
@@ -98,4 +98,115 @@ def interval_coverage(
         F.sum("n_intervals").alias("n_intervals"),
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("island_end") - F.col("island_start")).alias("covered"),
+    )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    cell: int,
+    start_cols: tuple[str, str] = ("start", "start"),
+    end_cols: tuple[str, str] = ("end", "end"),
+    max_cells_per_interval: int = 4096,
+) -> DataFrame:
+    """Equi-key interval OVERLAP join: every pair (l, r) sharing the
+    key columns whose closed-open spans intersect (``l.start < r.end
+    AND r.start < l.end``), emitted exactly once with the exact
+    integer ``overlap`` extent.
+
+    Spark has no native band/interval join, and the naive formulation
+    — an equi-join on the key with the two range predicates in the
+    ``on`` clause — degrades to per-key all-pairs (and, keyless, to
+    BroadcastNestedLoopJoin): quadratic inside any dense key. The
+    scale formulation is the standard GRID BUCKETING device
+    (genomics/observability interval joins, Spark RAPIDS and
+    GeoSpark's range-join strategy):
+
+    1. each interval is exploded to the grid cells ``floor(start /
+       cell) .. floor((end - 1) / cell)`` it touches — output size
+       ``n · (avg_len / cell + 1)``, tunable via ``cell``;
+    2. the pair candidates come from ONE hash shuffle on ``(keys,
+       cell)`` — co-partitioned equi-join, never a theta join;
+    3. a pair overlapping several shared cells would duplicate, so
+       each pair is CLAIMED by the single cell containing
+       ``max(l.start, r.start)`` (the overlap's left edge): one
+       deterministic emit per pair, no post-hoc ``distinct`` shuffle.
+
+    Cost: candidates per cell are bounded by the per-cell interval
+    density; a skewed-density cell splits under AQE like any hash-join
+    partition. Intervals longer than ``max_cells_per_interval`` cells
+    raise loudly (scan-fused guard, no extra pass) — pick ``cell``
+    near the median interval length so the explode factor stays O(1).
+
+    Endpoints must be integral (epoch micros for timestamps);
+    zero/negative-length or NULL-endpoint intervals are dropped, the
+    :func:`merge_intervals` guard. Output: key columns, then
+    ``start_l/end_l/start_r/end_r`` plus every non-key payload column
+    with an ``_l``/``_r`` suffix, and ``overlap = least(end_l, end_r)
+    - greatest(start_l, start_r)``.
+
+    The reference engine has no join surface at all
+    (``/root/reference/src/meta.rs`` — single-table scans); this is
+    extension surface for the events lane, oracle-checked against the
+    naive range-predicate join in DuckDB.
+    """
+    if cell <= 0:
+        raise ValueError("cell must be a positive integer grid width")
+    keys = list(keys)
+
+    def _gridded(df: DataFrame, start: str, end: str, side: str) -> DataFrame:
+        iv = df.filter(
+            F.col(start).isNotNull()
+            & F.col(end).isNotNull()
+            & (F.col(end) > F.col(start))
+        )
+        c0 = F.floor(F.col(start) / cell).cast("long")
+        c1 = F.floor((F.col(end) - 1) / cell).cast("long")
+        ncells = c1 - c0 + 1
+        guard = F.when(
+            ncells > max_cells_per_interval,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "overlap_join: interval spans more than "
+                        f"{max_cells_per_interval} grid cells (cell={cell}); "
+                        "raise `cell` or `max_cells_per_interval` (interval "
+                        "start="
+                    ),
+                    F.col(start).cast("string"),
+                    F.lit(" end="),
+                    F.col(end).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("long"),
+        ).otherwise(c0)
+        renamed = iv.select(
+            *keys,
+            F.col(start).alias(f"start{side}"),
+            F.col(end).alias(f"end{side}"),
+            *[
+                F.col(c).alias(f"{c}{side}")
+                for c in iv.columns
+                if c not in keys and c not in (start, end)
+            ],
+            F.explode(F.sequence(guard, c1)).alias("__cell"),
+        )
+        return renamed
+
+    gl = _gridded(left, start_cols[0], end_cols[0], "_l")
+    gr = _gridded(right, start_cols[1], end_cols[1], "_r")
+    joined = gl.join(gr, on=[*keys, "__cell"], how="inner")
+    lo = F.greatest(F.col("start_l"), F.col("start_r"))
+    hi = F.least(F.col("end_l"), F.col("end_r"))
+    return (
+        joined.filter(
+            (F.col("start_l") < F.col("end_r"))
+            & (F.col("start_r") < F.col("end_l"))
+            # claim rule: only the cell holding the overlap's left edge
+            # emits the pair — exactly-once without a distinct shuffle
+            & (F.floor(lo / cell).cast("long") == F.col("__cell"))
+        )
+        .drop("__cell")
+        .withColumn("overlap", hi - lo)
     )

@@ -8065,6 +8065,73 @@ FROM sizes GROUP BY 1 ORDER BY 1
 
 
 
+# ---------------------------------------------------------------------
+# Fifth wave (round 4): interval overlap join, CUSUM changepoints,
+# correlation matrix, covariance/PCA, prefix-filter set-similarity,
+# Poisson bootstrap
+# ---------------------------------------------------------------------
+
+
+def events_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed interval overlap join
+    (operators/intervals.py:overlap_join): per user, every (view,
+    purchase) exposure-interval pair that intersects, with the exact
+    integer overlap extent — the attribution shape "purchase made
+    while a view session was still open". Each interval explodes to
+    the 60-minute grid cells it touches; candidates come from ONE
+    hash shuffle on (user, cell); each pair is claimed by the single
+    cell holding the overlap's left edge, so no distinct pass. The
+    naive formulation (equi-key join + two range predicates) is
+    per-key all-pairs — quadratic inside a hot user; the grid bounds
+    candidates by per-cell density instead. Output folded to per-user
+    exact totals (micros longs → exact hash)."""
+    from .operators.intervals import overlap_join
+
+    ev = load_events(spark, sf_dir)
+
+    def side(etype: str) -> DataFrame:
+        return ev.filter(
+            (F.col("event_type") == etype)
+            & F.col("value").isNotNull()
+            & (F.col("value") > 0)
+        ).select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("start"),
+            (
+                F.unix_micros(F.col("ts"))
+                + F.floor(F.col("value") * F.lit(60000000.0)).cast("long")
+            ).alias("end"),
+        )
+
+    pairs = overlap_join(
+        side("view"), side("purchase"), ["user_id"], cell=3_600_000_000
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("overlap").alias("overlap_micros"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_OVERLAP_JOIN_SQL = """
+WITH iv AS (
+  SELECT user_id, event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS e
+  FROM events
+  WHERE value IS NOT NULL AND value > 0 AND ts IS NOT NULL),
+l AS (SELECT * FROM iv WHERE event_type = 'view' AND e > s),
+r AS (SELECT * FROM iv WHERE event_type = 'purchase' AND e > s)
+SELECT l.user_id,
+       count(*)::BIGINT AS n_pairs,
+       sum(least(l.e, r.e) - greatest(l.s, r.s))::BIGINT AS overlap_micros
+FROM l JOIN r ON l.user_id = r.user_id AND l.s < r.e AND r.s < l.e
+GROUP BY l.user_id ORDER BY l.user_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8377,6 +8444,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_exact_dedup": multimodal_exact_dedup,
     "eval_quant_recall_curve": eval_quant_recall_curve,
     "dedup_incremental_components": dedup_incremental_components,
+    # Fifth wave (round 4; beyond this round's driver cap — rotate in
+    # round 5):
+    "events_overlap_join": events_overlap_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8562,4 +8632,5 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_exact_dedup": MULTIMODAL_EXACT_DEDUP_SQL,
     "eval_quant_recall_curve": EVAL_QUANT_RECALL_CURVE_SQL,
     "dedup_incremental_components": DEDUP_INCREMENTAL_COMPONENTS_SQL,
+    "events_overlap_join": EVENTS_OVERLAP_JOIN_SQL,
 }

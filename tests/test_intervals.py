@@ -69,6 +69,68 @@ def test_coverage_matches_pandas_sweep(spark, sf_dir):
         assert got[uid] == (islands, cov), uid
 
 
+def test_overlap_join_matches_naive(spark):
+    """Grid-bucketed overlap_join == the naive range-predicate join,
+    on a deterministic random interval set dense enough that pairs
+    span multiple shared cells (the claim rule's duplicate hazard)."""
+    import random
+
+    from otters_spark.operators.intervals import overlap_join
+
+    rng = random.Random(42)
+    rows = [
+        (k, i, s, s + rng.randint(1, 400))
+        for k in ("a", "b")
+        for i, s in enumerate(rng.randrange(1000) for _ in range(60))
+    ]
+    df = spark.createDataFrame(rows, "k string, rid long, s long, e long")
+    left = df.filter(F.col("rid") % 2 == 0)
+    right = df.filter(F.col("rid") % 2 == 1)
+    got = {
+        (r["k"], r["rid_l"], r["rid_r"]): r["overlap"]
+        for r in overlap_join(
+            left, right, ["k"], cell=100,
+            start_cols=("s", "s"), end_cols=("e", "e"),
+        ).collect()
+    }
+    want = {}
+    pdf = df.toPandas()
+    lp = pdf[pdf.rid % 2 == 0]
+    rp = pdf[pdf.rid % 2 == 1]
+    for _, a in lp.iterrows():
+        for _, b in rp.iterrows():
+            if a.k == b.k and a.s < b.e and b.s < a.e:
+                want[(a.k, a.rid, b.rid)] = min(a.e, b.e) - max(a.s, b.s)
+    assert got == want and len(got) > 50
+
+
+def test_overlap_join_touching_is_not_overlap(spark):
+    from otters_spark.operators.intervals import overlap_join
+
+    left = spark.createDataFrame([("k", 0, 10)], "k string, s long, e long")
+    right = spark.createDataFrame(
+        [("k", 10, 20), ("k", 9, 20), ("x", 0, 100)], "k string, s long, e long"
+    )
+    rows = overlap_join(
+        left, right, ["k"], cell=8, start_cols=("s", "s"), end_cols=("e", "e")
+    ).collect()
+    # closed-open: [0,10) x [10,20) touch -> NOT a pair; [9,20) overlaps 1
+    assert len(rows) == 1 and rows[0]["overlap"] == 1
+
+
+def test_overlap_join_guard_raises_on_monster_interval(spark):
+    from otters_spark.operators.intervals import overlap_join
+
+    left = spark.createDataFrame([("k", 0, 10_000)], "k string, s long, e long")
+    right = spark.createDataFrame([("k", 5, 6)], "k string, s long, e long")
+    with pytest.raises(Exception, match="grid cells"):
+        overlap_join(
+            left, right, ["k"], cell=10,
+            start_cols=("s", "s"), end_cols=("e", "e"),
+            max_cells_per_interval=100,
+        ).collect()
+
+
 def test_ewma_matches_pandas(spark):
     vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
     df = spark.createDataFrame(
