@@ -26,6 +26,7 @@ __all__ = [
     "robust_outliers",
     "quantile_normalize",
     "ewma_smooth",
+    "cusum_scan",
 ]
 
 
@@ -484,6 +485,85 @@ def ewma_smooth(
         ).cast("double"),
     ).otherwise(F.col(out_col))
     return out.withColumn(out_col, guard).drop("__w", "__rn")
+
+
+def cusum_scan(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str | Sequence[str],
+    value_col: str,
+    target_col: str,
+    slack: int | str = 0,
+    threshold: int | str | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint scan per key (Page 1954): flag the
+    point where a series' mean has SHIFTED from ``target_col``, the
+    monitoring primitive behind pipeline drift alarms (ingest volume
+    drops, quality-score regressions, label-balance shifts).
+
+    The textbook form is a reset recurrence —
+    ``S+_i = max(0, S+_{i-1} + (x_i - target - slack))`` — which looks
+    stream-only. It is window-expressible through the running-minimum
+    identity ``S+_i = C_i - min(0, min_{j<=i} C_j)`` where ``C`` is
+    the plain cumulative sum of the deviations: whenever the cumsum
+    dips to a new low the recurrence would have clamped at zero, so
+    subtracting the running floor replays every reset. Two cumulative
+    windows per side over ONE keyed sort — the sessionization plan
+    shape — instead of an iterative per-row pass.
+
+    All arithmetic is INTEGER (``value_col``, ``target_col``,
+    ``slack``, ``threshold`` must be longs in the caller's micro
+    units): the sums are exact, so alarms cannot wobble with partial
+    aggregation order and the output hashes identically cross-engine.
+
+    Returns the input rows plus ``s_pos``/``s_neg`` (the upward and
+    downward CUSUM statistics) and, when ``threshold`` is given,
+    ``alarm_up``/``alarm_down`` flags. Rows with a NULL value, order,
+    or target are dropped (they would poison every later cumsum).
+
+    Scale contract: one shuffle on the keys; per-key state inside the
+    window is two longs. Series length per key is unbounded (no
+    weight-overflow hazard — contrast :func:`ewma_smooth`); for
+    unbounded STREAMS the same identity runs as an O(1)-state
+    ``applyInPandasWithState`` recurrence.
+
+    The reference engine has no time-series surface
+    (``/root/reference/src/meta.rs`` — vector/metadata scans only);
+    extension surface for the events lane, oracle-checked against the
+    identical window algebra in DuckDB.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(keys)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    not_null = F.col(value_col).isNotNull() & F.col(target_col).isNotNull()
+    for oc in order_cols:
+        not_null = not_null & F.col(oc).isNotNull()
+    order = Window.partitionBy(*keys).orderBy(*order_cols)
+    cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    # slack/threshold: int -> fixed, str -> per-key column (allowances
+    # usually scale with the per-key target level)
+    k = F.col(slack) if isinstance(slack, str) else F.lit(slack)
+    dev_up = F.col(value_col) - F.col(target_col) - k
+    dev_dn = -(F.col(value_col) - F.col(target_col) + k)
+    out = (
+        df.filter(not_null)
+        .withColumn("__cp", F.sum(dev_up).over(cum))
+        .withColumn("__cn", F.sum(dev_dn).over(cum))
+        .withColumn(
+            "s_pos", F.col("__cp") - F.least(F.lit(0), F.min("__cp").over(cum))
+        )
+        .withColumn(
+            "s_neg", F.col("__cn") - F.least(F.lit(0), F.min("__cn").over(cum))
+        )
+        .drop("__cp", "__cn")
+    )
+    if threshold is not None:
+        h = F.col(threshold) if isinstance(threshold, str) else F.lit(threshold)
+        out = out.withColumn(
+            "alarm_up", (F.col("s_pos") > h).cast("boolean")
+        ).withColumn("alarm_down", (F.col("s_neg") > h).cast("boolean"))
+    return out
 
 
 def global_row_number(

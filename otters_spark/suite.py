@@ -8116,6 +8116,87 @@ def events_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan (operators/stats.py:cusum_scan): per
+    event type, monitor the DAILY EVENT VOLUME against the type's own
+    mean daily count — the ingest-drop/spike alarm every production
+    corpus pipeline runs. The reset recurrence ``max(0, S+dev)`` is
+    replayed exactly by two cumulative windows (cumsum minus its
+    running floor), so the whole scan is one keyed sort — no iterative
+    pass. Deviations in exact micro-count longs: target = floor-mean
+    via integer division, slack = 5% of target, per-type control limit
+    = 2x target. Hash-exact everywhere (integer algebra only)."""
+    from .operators.stats import cusum_scan
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.filter(F.col("ts").isNotNull()).groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    target = daily.groupBy("event_type").agg(
+        F.expr("sum(n) * 1000000L div count(1)").alias("target_micro")
+    )
+    j = daily.join(F.broadcast(target), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") * F.lit(1_000_000)).alias("n_micro"),
+        "target_micro",
+        F.expr("target_micro div 20").alias("slack_micro"),
+        (F.col("target_micro") * 2).alias("limit_micro"),
+    )
+    up = cusum_scan(
+        j,
+        ["event_type"],
+        "day",
+        "n_micro",
+        "target_micro",
+        slack="slack_micro",
+        threshold="limit_micro",
+    )
+    return up.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "s_pos",
+        "s_neg",
+        "alarm_up",
+        "alarm_down",
+    ).orderBy("event_type", "day")
+
+
+EVENTS_CUSUM_SHIFT_SQL = """
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  count(*)::BIGINT AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT event_type,
+             (sum(n) * 1000000) // count(*) AS target_micro
+      FROM d GROUP BY 1),
+j AS (SELECT d.event_type, d.day, d.n, d.n * 1000000 AS n_micro,
+             t.target_micro, t.target_micro // 20 AS slack_micro,
+             t.target_micro * 2 AS limit_micro
+      FROM d JOIN t USING (event_type)),
+c AS (SELECT *,
+   sum(n_micro - target_micro - slack_micro)
+     OVER (PARTITION BY event_type ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS cp,
+   sum(-(n_micro - target_micro + slack_micro))
+     OVER (PARTITION BY event_type ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS cn
+ FROM j),
+m AS (SELECT *,
+   least(0, min(cp) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING)) AS fp,
+   least(0, min(cn) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING)) AS fn
+ FROM c)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       (cp - fp)::BIGINT AS s_pos, (cn - fn)::BIGINT AS s_neg,
+       (cp - fp) > limit_micro AS alarm_up,
+       (cn - fn) > limit_micro AS alarm_down
+FROM m ORDER BY event_type, day
+"""
+
+
 EVENTS_OVERLAP_JOIN_SQL = """
 WITH iv AS (
   SELECT user_id, event_type, epoch_us(ts) AS s,
@@ -8447,6 +8528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Fifth wave (round 4; beyond this round's driver cap — rotate in
     # round 5):
     "events_overlap_join": events_overlap_join,
+    "events_cusum_shift": events_cusum_shift,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8633,4 +8715,5 @@ ORACLE_SQL: dict[str, str] = {
     "eval_quant_recall_curve": EVAL_QUANT_RECALL_CURVE_SQL,
     "dedup_incremental_components": DEDUP_INCREMENTAL_COMPONENTS_SQL,
     "events_overlap_join": EVENTS_OVERLAP_JOIN_SQL,
+    "events_cusum_shift": EVENTS_CUSUM_SHIFT_SQL,
 }

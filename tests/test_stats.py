@@ -258,3 +258,62 @@ def test_global_row_number_constant_and_errors(spark):
     assert got == {1: 1, 2: 2, 3: 3}  # all-equal values: pure tiebreak order
     with _pytest.raises(ValueError):
         global_row_number(df.withColumnRenamed("v", "rn"), "id", "id", "rn")
+
+
+def test_cusum_matches_reset_recurrence(spark):
+    """The window identity S_i = C_i - min(0, running-min C) must
+    replay the textbook reset recurrence exactly, both sides, on a
+    random integer series with planted up- and down-shifts."""
+    import random
+
+    from otters_spark.operators.stats import cusum_scan
+
+    rng = random.Random(7)
+    series = (
+        [rng.randint(90, 110) for _ in range(40)]
+        + [rng.randint(130, 150) for _ in range(20)]  # up-shift
+        + [rng.randint(50, 70) for _ in range(20)]  # down-shift
+    )
+    target, slack, limit = 100, 5, 60
+    df = spark.createDataFrame(
+        [("k", i, v, target) for i, v in enumerate(series)],
+        "k string, t long, x long, target long",
+    )
+    got = {
+        r["t"]: (r["s_pos"], r["s_neg"], r["alarm_up"], r["alarm_down"])
+        for r in cusum_scan(
+            df, ["k"], "t", "x", "target", slack=slack, threshold=limit
+        ).collect()
+    }
+    sp = sn = 0
+    for i, x in enumerate(series):
+        sp = max(0, sp + (x - target - slack))
+        sn = max(0, sn - (x - target + slack))
+        assert got[i] == (sp, sn, sp > limit, sn > limit), i
+    # the planted shifts must actually fire both alarms
+    assert any(a for _, (_, _, a, _) in got.items())
+    assert any(d for _, (_, _, _, d) in got.items())
+
+
+def test_cusum_per_key_columns_and_null_drop(spark):
+    from otters_spark.operators.stats import cusum_scan
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 10, 5, 1, 3),
+            ("a", 1, None, 5, 1, 3),  # dropped
+            ("a", 2, 4, 5, 1, 3),
+            ("b", 0, 100, 90, 0, 5),
+        ],
+        "k string, t long, x long, target long, slack long, lim long",
+    )
+    out = {
+        (r["k"], r["t"]): (r["s_pos"], r["alarm_up"])
+        for r in cusum_scan(
+            df, ["k"], "t", "x", "target", slack="slack", threshold="lim"
+        ).collect()
+    }
+    assert ("a", 1) not in out
+    assert out[("a", 0)] == (4, True)  # 10-5-1
+    assert out[("a", 2)] == (2, False)  # max(0, 4 + (4-5-1)) = 2
+    assert out[("b", 0)] == (10, True)
