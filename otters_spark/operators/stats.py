@@ -27,6 +27,7 @@ __all__ = [
     "quantile_normalize",
     "ewma_smooth",
     "cusum_scan",
+    "pearson_matrix",
 ]
 
 
@@ -564,6 +565,83 @@ def cusum_scan(
             "alarm_up", (F.col("s_pos") > h).cast("boolean")
         ).withColumn("alarm_down", (F.col("s_neg") > h).cast("boolean"))
     return out
+
+
+def pearson_matrix(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over INTEGER measure
+    columns, melted to ``(col_a, col_b, n, corr)`` rows with
+    ``col_a <= col_b`` — the feature-redundancy screen run before
+    training a quality classifier or picking mixture-weight signals.
+
+    ONE scan, one reduce-to-a-single-row: every pairwise moment
+    (``sum x``, ``sum x^2``, ``sum x*y``) is an exact DECIMAL(38,0)
+    aggregate — integer inputs make the sums order-independent, so
+    the result is deterministic under any partitioning — then the
+    closed form ``(n*sxy - sx*sy) / sqrt((n*sxx - sx^2) *
+    (n*syy - sy^2))`` runs on the 1-row result in double. Contrast
+    ``df.stat.corr``: one job per pair; and MLlib's Statistics.corr:
+    an RDD path that materializes a dense row matrix. A constant
+    column (zero variance) yields NULL corr, SQL-style.
+
+    Complete-case semantics: rows with a NULL in ANY measure are
+    dropped before aggregation (pairwise-complete would silently give
+    each cell a different n — a footgun for downstream use).
+
+    Inputs must already be integral (cents/micro discipline —
+    ``round(x*100).cast('long')`` upstream); per-row products must fit
+    a long (|x·y| < 2^63 — true for any cents-scale measures), while
+    the SUMS get decimal headroom. k columns → k(k+1)/2 moment
+    expressions in a single partial-aggregable projection; the shuffle
+    is k^2 numbers per task, the cheapest possible shape at 100 TB.
+
+    The reference engine has no aggregation surface at all
+    (``/root/reference/src/meta.rs``); extension surface for the
+    relational lane, oracle-checked against the identical integer
+    closed form in DuckDB (NOT its built-in ``corr()``, whose
+    Welford-style accumulation differs in final ulps)."""
+    cols = list(value_cols)
+    if len(cols) < 2:
+        raise ValueError("pearson_matrix needs at least two columns")
+    dec = "decimal(38,0)"
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(c).isNotNull()
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(F.col(a).cast(dec)).alias(f"s_{i}"))
+        for j in range(i, len(cols)):
+            b = cols[j]
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast(dec)).alias(f"p_{i}_{j}")
+            )
+    row = df.filter(cond).agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for j in range(i, len(cols)):
+            b = cols[j]
+            n = F.col("n").cast("double")
+            sx, sy = F.col(f"s_{i}").cast("double"), F.col(f"s_{j}").cast("double")
+            sxy = F.col(f"p_{i}_{j}").cast("double")
+            sxx = F.col(f"p_{i}_{i}").cast("double")
+            syy = F.col(f"p_{j}_{j}").cast("double")
+            num = n * sxy - sx * sy
+            den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            corr = F.when(den > 0, F.round(num / den, round_to))
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("n").cast("long").alias("n"),
+                    corr.alias("corr"),
+                )
+            )
+    return row.select(
+        F.explode(F.array(*pairs)).alias("cell")
+    ).select("cell.*")
 
 
 def global_row_number(

@@ -8116,6 +8116,81 @@ def events_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Pearson correlation matrix
+    (operators/stats.py:pearson_matrix): all pairwise correlations
+    between the four lineitem measures — the feature-redundancy
+    screen. Measures first snapped to exact integer units (quantity,
+    price cents, discount/tax percent points), then every moment is
+    ONE exact decimal aggregate in a single scan (10 cells from one
+    reduce-to-1-row job, vs df.stat.corr's job per pair); the closed
+    form runs on the 1-row result. Cross-engine exact because both
+    engines derive the same doubles from the same exact integer
+    sums — NOT from their differently-accumulated corr() builtins."""
+    from .operators.stats import pearson_matrix
+
+    li = load(spark, sf_dir, "lineitem")
+    measures = li.select(
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_p"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_p"),
+    )
+    return pearson_matrix(
+        measures, ["qty", "price_c", "disc_p", "tax_p"]
+    ).orderBy("col_a", "col_b")
+
+
+REL_CORRELATION_MATRIX_SQL = """
+WITH m AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_p,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_p
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+s AS (
+  SELECT count(*)::DOUBLE AS n, count(*)::BIGINT AS nn,
+         sum(qty)::DOUBLE AS s0, sum(price_c)::DOUBLE AS s1,
+         sum(disc_p)::DOUBLE AS s2, sum(tax_p)::DOUBLE AS s3,
+         sum(qty * qty)::DOUBLE AS p00, sum(qty * price_c)::DOUBLE AS p01,
+         sum(qty * disc_p)::DOUBLE AS p02, sum(qty * tax_p)::DOUBLE AS p03,
+         sum(price_c * price_c)::DOUBLE AS p11,
+         sum(price_c * disc_p)::DOUBLE AS p12,
+         sum(price_c * tax_p)::DOUBLE AS p13,
+         sum(disc_p * disc_p)::DOUBLE AS p22,
+         sum(disc_p * tax_p)::DOUBLE AS p23,
+         sum(tax_p * tax_p)::DOUBLE AS p33
+  FROM m),
+names(i, name) AS (VALUES (0, 'qty'), (1, 'price_c'), (2, 'disc_p'),
+                          (3, 'tax_p')),
+cells AS (
+  SELECT a.name AS col_a, b.name AS col_b, s.nn AS n,
+         CASE a.i * 10 + b.i
+           WHEN  0 THEN p00 WHEN  1 THEN p01 WHEN  2 THEN p02
+           WHEN  3 THEN p03 WHEN 11 THEN p11 WHEN 12 THEN p12
+           WHEN 13 THEN p13 WHEN 22 THEN p22 WHEN 23 THEN p23
+           ELSE p33 END AS sxy,
+         CASE a.i WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+           ELSE s3 END AS sx,
+         CASE b.i WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+           ELSE s3 END AS sy,
+         CASE a.i WHEN 0 THEN p00 WHEN 1 THEN p11 WHEN 2 THEN p22
+           ELSE p33 END AS sxx,
+         CASE b.i WHEN 0 THEN p00 WHEN 1 THEN p11 WHEN 2 THEN p22
+           ELSE p33 END AS syy,
+         n AS nd
+  FROM names a JOIN names b ON a.i <= b.i CROSS JOIN s)
+SELECT col_a, col_b, n,
+       CASE WHEN sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)) > 0
+            THEN round((nd * sxy - sx * sy)
+                       / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
+            END AS corr
+FROM cells ORDER BY col_a, col_b
+"""
+
+
 def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint scan (operators/stats.py:cusum_scan): per
     event type, monitor the DAILY EVENT VOLUME against the type's own
@@ -8529,6 +8604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 5):
     "events_overlap_join": events_overlap_join,
     "events_cusum_shift": events_cusum_shift,
+    "rel_correlation_matrix": rel_correlation_matrix,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8716,4 +8792,5 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_incremental_components": DEDUP_INCREMENTAL_COMPONENTS_SQL,
     "events_overlap_join": EVENTS_OVERLAP_JOIN_SQL,
     "events_cusum_shift": EVENTS_CUSUM_SHIFT_SQL,
+    "rel_correlation_matrix": REL_CORRELATION_MATRIX_SQL,
 }

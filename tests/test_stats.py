@@ -317,3 +317,43 @@ def test_cusum_per_key_columns_and_null_drop(spark):
     assert out[("a", 0)] == (4, True)  # 10-5-1
     assert out[("a", 2)] == (2, False)  # max(0, 4 + (4-5-1)) = 2
     assert out[("b", 0)] == (10, True)
+
+
+def test_pearson_matrix_matches_numpy(spark):
+    """Exact-integer one-pass correlations == numpy corrcoef on the
+    same data, including the constant-column NULL and complete-case
+    row drop."""
+    import numpy as np
+
+    from otters_spark.operators.stats import pearson_matrix
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1000, 200)
+    y = (x * 3 + rng.integers(0, 500, 200)).astype(np.int64)
+    z = rng.integers(-50, 50, 200)
+    rows = [(int(a), int(b), int(c), 7) for a, b, c in zip(x, y, z)]
+    rows.append((None, 1, 1, 7))  # complete-case: dropped everywhere
+    df = spark.createDataFrame(rows, "x long, y long, z long, const long")
+    got = {
+        (r["col_a"], r["col_b"]): (r["n"], r["corr"])
+        for r in pearson_matrix(df, ["x", "y", "z", "const"]).collect()
+    }
+    assert all(n == 200 for n, _ in got.values())
+    m = np.corrcoef(np.vstack([x, y, z]))
+    names = ["x", "y", "z"]
+    for i, a in enumerate(names):
+        for j in range(i, 3):
+            want = round(float(m[i, j]), 6)
+            assert got[(a, names[j])][1] == pytest.approx(want, abs=2e-6)
+    # zero-variance pairs are NULL, diagonal of a varying col is 1
+    assert got[("const", "const")][1] is None
+    assert got[("x", "const")][1] is None
+    assert got[("x", "x")][1] == 1.0
+
+
+def test_pearson_matrix_rejects_single_column(spark):
+    from otters_spark.operators.stats import pearson_matrix
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="two columns"):
+        pearson_matrix(df, ["x"])
