@@ -53,6 +53,9 @@ __all__ = [
     "binary_search",
     "hamming_bits_expr",
     "mmr_rerank",
+    "gram_matrix",
+    "pca_fit",
+    "pca_project",
 ]
 
 
@@ -1084,3 +1087,203 @@ def mmr_rerank(
         F.col("__rel").alias("relevance"),
         "mmr_score",
     ).orderBy("mmr_rank")
+
+
+# --- Gram / covariance matrix + PCA -------------------------------------
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact d×d Gram matrix ``X^T X`` of an embedding column, melted
+    to the upper triangle ``(i, j, n, gram_scaled)`` with ``i <= j``
+    — the one-pass moment aggregation under PCA, whitening, and
+    linear-probe training. At 100 TB this is THE shape for classical
+    linear algebra on a corpus: each Arrow batch contributes a d×d
+    partial via one integer matmul, the shuffle carries d(d+1)/2
+    numbers per task (KBs), and the driver never sees row data.
+
+    Determinism: each VECTOR is snapped to integer units
+    (``floor(v·scale + 0.5)``) inside the kernel, so the batch Gram
+    ``Vq.T @ Vq`` is exact int64 arithmetic and the result is
+    identical under any partitioning — and reproducible in ANSI SQL,
+    which is what makes a cross-engine oracle possible for a
+    matmul-path operator. ``gram_scaled`` is in ``scale^2`` units
+    (divide by ``scale**2`` for the float value). Precision: the
+    element snap is 0.5/scale — at the default 1e6 comparable to
+    float32's own ~1e-7 input quantization. Overflow headroom: a
+    unit-scale product is ≤1e12, so a single partial holds ~9M rows
+    at worst case; the global per-cell sum aggregates as
+    DECIMAL(38,0) before the final long cast.
+
+    NULL/ragged vectors are dropped (they would torpedo the matmul);
+    ``n`` reports the rows actually folded in.
+
+    The reference engine scores vectors row-at-a-time against queries
+    (``/root/reference/src/vec_compute.rs``) and has no matrix
+    surface; extension lane for corpus analytics."""
+    if dim is None:
+        d_probe = df.select(vec_col).first()
+        if d_probe is None or d_probe[0] is None:
+            raise ValueError("gram_matrix: empty input")
+        dim = len(d_probe[0])
+    d = dim
+    tri = [(i, j) for i in range(d) for j in range(i, d)]
+    ii = np.array([t[0] for t in tri])
+    jj = np.array([t[1] for t in tri])
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("n_part", T.LongType()),
+            T.StructField("part", T.LongType()),
+        ]
+    )
+
+    def partial(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = [
+                v
+                for v in pdf[vec_col].to_numpy()
+                if v is not None and len(v) == d
+            ]
+            if not vecs:
+                continue
+            M = np.asarray(np.vstack(vecs), dtype=np.float64)
+            Vq = np.floor(M * scale + 0.5).astype(np.int64)
+            G = Vq.T @ Vq  # int64 matmul: exact
+            yield pd.DataFrame(
+                {
+                    "i": ii,
+                    "j": jj,
+                    "n_part": np.int64(len(vecs)),
+                    "part": G[ii, jj],
+                }
+            )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(partial, out_schema)
+        .groupBy("i", "j")
+        .agg(
+            # every cell folds the same rows: n_part sums to the
+            # global row count within each (i, j) group
+            F.sum("n_part").alias("n"),
+            F.sum(F.col("part").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("gram_scaled"),
+        )
+        .select("i", "j", "n", "gram_scaled")
+    )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 8,
+    dim: int | None = None,
+    scale: int = 1_000_000,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Principal components of an embedding column: returns ``(mean,
+    eigvals, components)`` — mean (d,), eigenvalues of the SAMPLE
+    covariance in descending order (r,), and row-orthonormal
+    components (r, d).
+
+    The corpus-sized work is exactly two bounded aggregations — the
+    :func:`gram_matrix` pass (exact integer X^T X) and a per-dim sum —
+    after which the driver assembles the d×d covariance ``(G - n·μμ^T)
+    / (n-1)`` and solves the EIGENPROBLEM LOCALLY with ``numpy.eigh``.
+    That is the honest 100 TB shape for d ≤ a few thousand: the
+    eigensolve is O(d^3) driver work on KBs of input, while the data
+    pass stays distributed, partial-aggregated, and exact (same
+    architecture as MLlib's RowMatrix.computePrincipalComponents —
+    Gramian on executors, LAPACK on the driver).
+
+    Determinism: the Gram and sums are exact integers, so the
+    covariance fed to LAPACK is bit-identical on every run; eigenvector
+    SIGN is pinned by flipping each component so its
+    largest-magnitude coordinate is positive (eigh's sign is otherwise
+    arbitrary). Repeated eigenvalues (isotropic noise) can still
+    permute within a tie — callers ranking by component index should
+    treat tied eigenvalues as an equivalence class."""
+    gram = gram_matrix(df, vec_col, dim=dim, scale=scale)
+    rows = gram.collect()  # d(d+1)/2 rows — bounded by dim, not corpus
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    d = max(r["j"] for r in rows) + 1
+    n = rows[0]["n"]
+    if n < 2:
+        raise ValueError("pca_fit: need at least 2 vectors")
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        v = r["gram_scaled"] / float(scale) ** 2
+        G[r["i"], r["j"]] = v
+        G[r["j"], r["i"]] = v
+    # per-dim sums: one posexplode aggregate (bounded: d rows out),
+    # snapped to the same integer units as the Gram pass
+
+    mean = np.zeros(d, dtype=np.float64)
+    srows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("v").cast("double") * scale + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("s")
+        )
+        .collect()
+    )
+    for r in srows:
+        mean[r["dim"]] = r["s"] / float(scale) / n
+    cov = (G - n * np.outer(mean, mean)) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:n_components]
+    vals = eigvals[order]
+    comps = eigvecs[:, order].T
+    # pin the arbitrary eigenvector sign
+    for r_i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[r_i])))
+        if comps[r_i, j] < 0:
+            comps[r_i] = -comps[r_i]
+    return mean, vals, comps
+
+
+def pca_project(
+    df: DataFrame,
+    mean: Sequence[float],
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Project embeddings onto fitted principal components: adds
+    ``pc0..pc{r-1}`` columns, ``(v - mean) · component_r`` rounded to
+    ``round_to``. The components enter the plan as LITERAL arrays
+    (r·d doubles — broadcast-free, they ride the serialized plan), and
+    each projection is a codegen zip_with/aggregate dot — one scan, no
+    shuffle, no Python in the corpus path; the 100 TB cost is exactly
+    one projection scan."""
+    comps = np.asarray(components, dtype=np.float64)
+    mean = np.asarray(list(mean), dtype=np.float64)
+    out = df
+    centered = F.zip_with(
+        F.col(vec_col),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x.cast("double") - m,
+    )
+    for r_i in range(comps.shape[0]):
+        caxis = F.array(*[F.lit(float(c)) for c in comps[r_i]])
+        proj = F.aggregate(
+            F.zip_with(centered, caxis, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn(f"pc{r_i}", F.round(proj, round_to))
+    return out

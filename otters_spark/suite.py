@@ -8116,6 +8116,77 @@ def events_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus Gram matrix (operators/similarity.py:gram_matrix):
+    X^T X over the embedding column, upper triangle melted to (i, j,
+    n, gram_scaled). Each Arrow batch contributes a d×d partial via
+    ONE integer matmul on micro-snapped vectors — exact longs, so the
+    result is partition-order-independent and the hash is exact; the
+    shuffle carries d(d+1)/2 numbers per task. The moment pass under
+    PCA/whitening/linear probes — the 100 TB shape for classical
+    linear algebra: distributed exact aggregation, driver-side
+    eigensolve (sim_pca_variance)."""
+    from .operators.similarity import gram_matrix
+
+    emb = load(spark, sf_dir, "embeddings")
+    return gram_matrix(emb, "embedding", dim=64).orderBy("i", "j")
+
+
+SIM_GRAM_MATRIX_SQL = """
+WITH v AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+cells AS (
+  SELECT i.range AS i, j.range AS j, q[i.range + 1] * q[j.range + 1] AS p
+  FROM v, range(64) i, range(64) j
+  WHERE i.range <= j.range)
+SELECT i::INTEGER AS i, j::INTEGER AS j, count(*)::BIGINT AS n,
+       sum(p)::BIGINT AS gram_scaled
+FROM cells GROUP BY i, j ORDER BY i, j
+"""
+
+
+def sim_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the corpus embeddings
+    (operators/similarity.py:pca_fit + pca_project): fit the top-4
+    principal components from the exact integer Gram + mean passes
+    (driver solves the 64×64 eigenproblem — KBs of input; the corpus
+    work is the two distributed aggregates), then verify the model
+    against the data by re-measuring the VARIANCE OF THE PROJECTIONS
+    in a third scan: var(pc_r) must land on eigval_r. Output per
+    component: eigenvalue, explained-variance ratio, and the measured
+    projection variance. Deterministic (exact-integer covariance,
+    pinned eigenvector signs) but not SQL-expressible — the
+    eigensolve is the one genuinely iterative step, so this query is
+    registered rows-only by design."""
+    from .operators.similarity import pca_fit, pca_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    mean, vals, comps = pca_fit(emb, "embedding", n_components=64, dim=64)
+    total = float(vals.sum())  # full trace: honest explained-variance
+    top = 4
+    proj = pca_project(
+        emb, mean, comps[:top], "embedding", "vec_id", round_to=9
+    )
+    measured = proj.agg(
+        *[F.var_samp(f"pc{r}").alias(f"v{r}") for r in range(top)]
+    ).collect()[0]
+    rows = [
+        (
+            r,
+            round(float(vals[r]), 6),
+            round(float(vals[r]) / total, 6) if total > 0 else None,
+            round(float(measured[f"v{r}"]), 6),
+        )
+        for r in range(top)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigval double, var_ratio double, proj_var double"
+    )
+
+
 def rel_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass Pearson correlation matrix
     (operators/stats.py:pearson_matrix): all pairwise correlations
@@ -8605,6 +8676,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_overlap_join": events_overlap_join,
     "events_cusum_shift": events_cusum_shift,
     "rel_correlation_matrix": rel_correlation_matrix,
+    "sim_gram_matrix": sim_gram_matrix,
+    "sim_pca_variance": sim_pca_variance,  # rows-only: driver eigensolve
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8793,4 +8866,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_overlap_join": EVENTS_OVERLAP_JOIN_SQL,
     "events_cusum_shift": EVENTS_CUSUM_SHIFT_SQL,
     "rel_correlation_matrix": REL_CORRELATION_MATRIX_SQL,
+    "sim_gram_matrix": SIM_GRAM_MATRIX_SQL,
 }

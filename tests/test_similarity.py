@@ -463,3 +463,74 @@ def test_mmr_rerank_validates(spark):
         mmr_rerank(df, k=0)
     with pytest.raises(ValueError, match="lam"):
         mmr_rerank(df, k=1, lam=1.5)
+
+
+def test_gram_matrix_exact_vs_numpy(spark):
+    """Integer-snapped Gram == numpy on the SAME quantized vectors,
+    independent of partitioning; NULL/ragged vectors dropped."""
+    import numpy as np
+
+    from otters_spark.operators.similarity import gram_matrix
+
+    rng = np.random.default_rng(11)
+    M = rng.normal(size=(40, 5)).astype(np.float32)
+    rows = [(i, [float(x) for x in M[i]]) for i in range(40)]
+    rows += [(100, None), (101, [1.0, 2.0])]  # dropped
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for nparts in (1, 7):
+        got = {
+            (r["i"], r["j"]): (r["n"], r["gram_scaled"])
+            for r in gram_matrix(
+                df.repartition(nparts), "embedding", dim=5
+            ).collect()
+        }
+        Vq = np.floor(M.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+        G = Vq.T @ Vq
+        assert len(got) == 15
+        for (i, j), (n, g) in got.items():
+            assert n == 40 and g == G[i, j], (i, j, nparts)
+
+
+def test_pca_recovers_planted_direction(spark):
+    """A strongly anisotropic cloud: top component must align with the
+    planted axis, projection variance must land on the eigenvalue, and
+    components must be orthonormal."""
+    import numpy as np
+
+    from otters_spark.operators.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(5)
+    axis = np.array([3.0, 0.0, 4.0]) / 5.0
+    X = (
+        rng.normal(scale=2.0, size=(500, 1)) * axis[None, :]
+        + rng.normal(scale=0.05, size=(500, 3))
+        + np.array([1.0, -2.0, 0.5])  # off-center: exercises centering
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(500)],
+        "vec_id long, embedding array<float>",
+    )
+    mean, vals, comps = pca_fit(df, "embedding", n_components=3, dim=3)
+    assert np.allclose(mean, X.astype(np.float32).mean(axis=0), atol=1e-3)
+    assert abs(abs(float(comps[0] @ axis)) - 1.0) < 1e-3
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+    assert vals[0] > 100 * vals[1]
+    got = (
+        pca_project(df, mean, comps[:1], "embedding", round_to=9)
+        .agg(F.var_samp("pc0"))
+        .collect()[0][0]
+    )
+    assert got == pytest.approx(float(vals[0]), rel=1e-6)
+
+
+def test_pca_fit_empty_and_tiny_inputs_raise(spark):
+    from otters_spark.operators.similarity import gram_matrix, pca_fit
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        gram_matrix(empty, "embedding")
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="at least 2"):
+        pca_fit(one, "embedding", dim=2)
