@@ -48,6 +48,7 @@ __all__ = [
     "duplicate_groups",
     "fingerprint_groups",
     "jaccard_pairs",
+    "prefix_filter_pairs",
     "tfidf_cosine_pairs",
     "minhash_signatures",
     "minhash_pairs",
@@ -226,6 +227,106 @@ def jaccard_pairs_exploded(
             F.col("__c").cast("double")
             / (F.col("__na") + F.col("__nb") - F.col("__c")),
         )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: F.Column | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (Chaudhuri et al.
+    SSJoin '06 / Bayardo AllPairs WWW'07) — the third set-similarity
+    candidate generator beside the exploded postings join
+    (:func:`jaccard_pairs_exploded`) and MinHash banding
+    (:func:`minhash_lsh_candidates`), and the only one that is BOTH
+    exact (zero recall loss, unlike banding) and sub-postings-cost
+    (unlike the full token self-join).
+
+    The pruning lemma: order every token set by one GLOBAL rarity
+    order (ascending document frequency, token tie-break). If
+    ``J(x, y) >= t`` then ``|x ∩ y| >= ceil(t·|x|)``, so the first
+    ``|x| - ceil(t·|x|) + 1`` tokens of x — its *prefix* — must hit y
+    (pigeonhole: missing the whole prefix leaves fewer than ``t·|x|``
+    tokens to intersect). Hence joining PREFIX postings only is
+    complete, and because prefixes hold each doc's RAREST tokens, the
+    candidate cost is Σ df(token)² over rare tokens — orders of
+    magnitude below the full postings join whose cost is dominated by
+    the most common tokens. A size filter (``t·|x| <= |y| <=
+    |x|/t``) prunes further before verification.
+
+    Plan shape (all bucketed, never n²): token-df aggregate →
+    per-doc rank window (bounded by the doc's token count) → prefix
+    postings self-join on the token hash → pair dedup BEFORE the
+    verify (a pair sharing m prefix tokens is claimed once) → exact
+    verify by re-joining the two full token arrays. At 100 TB each
+    stage is one hash shuffle; the verify join ships arrays for
+    candidate pairs only.
+
+    Returns (id_a, id_b, jaccard), identical to
+    :func:`jaccard_pairs`; oracle-checked against the naive
+    formulation."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = tokens_col if tokens_col is not None else distinct_tokens_expr(text_col)
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__w"))
+    sized = base.select("__id", "__w", F.size("__w").alias("__n")).filter(
+        F.col("__n") > 0
+    )
+    posting = sized.select(
+        "__id", "__n", F.explode("__w").alias("__tok")
+    ).select("__id", "__n", F.xxhash64("__tok").alias("__t"), "__tok")
+    # global rarity order: ascending df, token-hash tie-break
+    dfreq = posting.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = posting.join(dfreq, "__t").withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("__id").orderBy("__df", "__t")
+        ),
+    )
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    prefix = ranked.filter(F.col("__rk") <= prefix_len).select(
+        "__id", "__n", "__t"
+    )
+    pa = prefix.select(
+        F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__t"
+    )
+    pb = prefix.select(
+        F.col("__id").alias("id_b"), F.col("__n").alias("__nb"),
+        F.col("__t").alias("__t2"),
+    )
+    cands = (
+        pa.join(
+            pb,
+            (F.col("__t") == F.col("__t2"))
+            & (F.col("id_a") < F.col("id_b"))
+            # size filter: t·|x| <= |y| <= |x|/t, both directions
+            & (F.col("__nb") * F.lit(threshold) <= F.col("__na"))
+            & (F.col("__na") * F.lit(threshold) <= F.col("__nb")),
+        )
+        # dedup BEFORE the verify: a pair sharing m prefix tokens
+        # would be verified m times otherwise
+        .groupBy("id_a", "id_b")
+        .agg(F.first(F.lit(1)))
+        .select("id_a", "id_b")
+        # pin the BOUNDED pair list so the verify joins plan against a
+        # materialized relation instead of re-expanding the whole
+        # rank/postings subtree per branch (measured 11.7s -> 6.2s at
+        # sf0.1); the corpus-sized token table is deliberately NOT
+        # pinned — at 100 TB that's storage pressure, re-scanning is
+        # cheaper
+        .localCheckpoint(eager=False)
+    )
+    wa = sized.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
+    wb = sized.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
+    return (
+        cands.join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn("jaccard", jaccard_expr(F.col("__wa"), F.col("__wb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

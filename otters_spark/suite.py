@@ -8116,6 +8116,45 @@ def events_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact UNBLOCKED Jaccard near-dup pairs via prefix filtering
+    (operators/dedup.py:prefix_filter_pairs): the AllPairs/SSJoin
+    candidate generator — join each doc's rarest-token PREFIX postings
+    only (complete by the pigeonhole lemma, zero recall loss), dedup
+    candidates, verify exactly. No blocking columns needed: where
+    dedup_jaccard_pairs bounds the join with (lang, source) blocks,
+    this bounds it by token rarity — corpus-wide dedup when no natural
+    blocking key exists. The oracle pays the full quadratic
+    list_intersect join for the same answer. Scoped to the doc_id%10
+    slice: the corpus's near-dup cliques make the PAIR LIST itself
+    quadratic in clique size (~3M pairs at sf0.1 unsliced) — any
+    pair-emitting algorithm pays that output; production pipelines
+    route candidates straight into connected_components instead
+    (pipeline_dedup_end_to_end)."""
+    from .operators.dedup import prefix_filter_pairs
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    out = prefix_filter_pairs(docs, 0.8)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_PREFIX_FILTER_PAIRS_SQL = """
+WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+           FROM documents
+           WHERE doc_id % 10 = 0
+             AND len(list_distinct(string_split(text, ' '))) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.w, b.w))::DOUBLE /
+             (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.w, b.w))::DOUBLE /
+      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+ORDER BY 1, 2
+"""
+
+
 def sim_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus Gram matrix (operators/similarity.py:gram_matrix):
     X^T X over the embedding column, upper triangle melted to (i, j,
@@ -8678,6 +8717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_correlation_matrix": rel_correlation_matrix,
     "sim_gram_matrix": sim_gram_matrix,
     "sim_pca_variance": sim_pca_variance,  # rows-only: driver eigensolve
+    "dedup_prefix_filter_pairs": dedup_prefix_filter_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8867,4 +8907,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_cusum_shift": EVENTS_CUSUM_SHIFT_SQL,
     "rel_correlation_matrix": REL_CORRELATION_MATRIX_SQL,
     "sim_gram_matrix": SIM_GRAM_MATRIX_SQL,
+    "dedup_prefix_filter_pairs": DEDUP_PREFIX_FILTER_PAIRS_SQL,
 }

@@ -747,3 +747,53 @@ def test_incremental_components_intra_cluster_pair_is_noop(spark):
     )
     got = {r["id"]: r["component"] for r in out.collect()}
     assert got == {1: 1, 3: 1, 7: 1}
+
+
+def test_prefix_filter_equals_naive_across_thresholds(spark):
+    """Prefix filtering is EXACT (the pigeonhole lemma): for several
+    thresholds, candidates+verify must equal the all-pairs answer on
+    random token sets with planted near-dups and adversarial sizes
+    (singletons, identical docs, disjoint docs)."""
+    import random
+
+    from otters_spark.operators.dedup import prefix_filter_pairs
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    for i in range(50):
+        k = rng.randint(1, 25)
+        rows.append((i, " ".join(rng.sample(vocab, k))))
+    # planted: exact copy, one-token edit, disjoint tail
+    rows.append((100, rows[0][1]))
+    toks = rows[1][1].split()
+    rows.append((101, " ".join(toks[:-1] + ["zzz"]) if len(toks) > 1 else "zzz"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def naive(thr):
+        sets = {i: set(t.split()) for i, t in rows}
+        out = set()
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] and sets[b]:
+                    j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                    if j >= thr:
+                        out.add((a, b, round(j, 9)))
+        return out
+
+    for thr in (0.3, 0.6, 0.8, 1.0):
+        got = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in prefix_filter_pairs(df, thr).collect()
+        }
+        assert got == naive(thr), thr
+
+
+def test_prefix_filter_rejects_bad_threshold(spark):
+    import pytest as _pytest
+
+    from otters_spark.operators.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="threshold"):
+        prefix_filter_pairs(df, 0.0)
