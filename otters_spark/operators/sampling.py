@@ -21,6 +21,8 @@ for one-off statistics; these are for pipeline lineage.
 
 from __future__ import annotations
 
+import math
+
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -41,6 +43,8 @@ __all__ = [
     "dsir_weights",
     "dsir_select",
     "weighted_sample",
+    "poisson_bootstrap_ci",
+    "POISSON1_CDF",
     "shuffle_shards",
     "epoch_mix",
     "write_training_shards",
@@ -622,6 +626,119 @@ def weighted_sample(
         .filter(F.col("__rk") <= n_take)
         .drop("__rk")
     )
+
+
+#: cumulative Poisson(1) CDF, k = 0..7 — the per-row replica counts of
+#: the one-pass bootstrap. Full-precision repr literals so the DuckDB
+#: twin parses the IDENTICAL doubles (the mmr_rerank literal
+#: discipline); tail mass beyond k=8 is ~1.1e-7, folded into k=8.
+POISSON1_CDF: tuple[float, ...] = tuple(
+    math.fsum(math.exp(-1.0) / math.factorial(i) for i in range(k + 1))
+    for k in range(8)
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    group_cols: Sequence[str] = (),
+    n_boot: int = 40,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-pass Poisson bootstrap confidence intervals for a per-group
+    MEAN of an integer measure — uncertainty quantification that works
+    at corpus scale (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012): instead of materializing B
+    resamples, each row draws a Poisson(1) replica count per bootstrap
+    replicate b — the large-n limit of the multinomial resample — so
+    ALL B replicate statistics come from ONE scan: explode b=0..B-1
+    (scan-fused, no shuffle), weight by k, and partial-aggregate
+    ``(sum(k·x), sum(k))`` per (group, b). The shuffle carries
+    |groups|·B rows per task; the CI step sorts B numbers per group.
+
+    Fully deterministic, the suite's sampling discipline: the replica
+    count k is driven by the content-keyed uniform ``u = (md5(id ':'
+    b)+1)/(2^60+1)`` pushed through the exact Poisson(1) CDF cutoffs
+    (:data:`POISSON1_CDF`) — reruns and engines agree bit-for-bit, and
+    replicate means are ratios of exact longs. CI bounds are ORDER
+    STATISTICS of the replicate means (percentile bootstrap): lo =
+    element ``floor(alpha/2·m)+1``, hi = element ``m-floor(alpha/2·m)``
+    of the sorted list (m = replicates with any mass; empty replicas —
+    possible for tiny groups — are excluded, not imputed as 0).
+
+    ``value_col`` must be integral (cents/chars/count discipline —
+    exact sums); a fractional type raises rather than silently losing
+    the exactness contract. With the default B=40 and alpha=0.05 the
+    bounds are the 2nd and 39th order statistics — bump ``n_boot`` for
+    tighter quantile resolution.
+
+    Returns one row per group: ``group_cols..., n, mean, lo, hi``.
+
+    The reference engine has no sampling/statistics surface
+    (``/root/reference/src/meta.rs``); extension lane for corpus
+    reporting, oracle-checked against the identical algebra in
+    DuckDB."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if n_boot < 4:
+        raise ValueError(f"n_boot must be >= 4, got {n_boot}")
+    dtype = dict(df.dtypes).get(value_col)
+    if dtype not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"poisson_bootstrap_ci: {value_col!r} must be integral "
+            f"(got {dtype}) — snap to cents/micro units upstream"
+        )
+    groups = list(group_cols)
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    cdf = F.array(*[F.lit(c) for c in POISSON1_CDF])
+    u = (
+        md5_long_expr(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(":"), F.col("__b").cast("string")
+            )
+        )
+        + 1
+    ).cast("double") / F.lit(_GUMBEL_DEN)
+    reps = (
+        base.withColumn(
+            "__b", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1)))
+        )
+        .withColumn("__k", F.size(F.filter(cdf, lambda c: u > c)))
+        .groupBy(*groups, "__b")
+        .agg(
+            F.sum(F.col("__k") * F.col(value_col)).alias("__num"),
+            F.sum("__k").alias("__den"),
+        )
+        .withColumn(
+            "__mean",
+            F.when(
+                F.col("__den") > 0,
+                F.col("__num").cast("double") / F.col("__den"),
+            ),
+        )
+    )
+    lo_pos = lambda m: F.floor(F.lit(alpha / 2.0) * m).cast("int") + 1  # noqa: E731
+    ci = reps.groupBy(*groups).agg(
+        F.array_sort(F.collect_list("__mean")).alias("__arr")
+    )
+    m = F.size("__arr")
+    ci = ci.select(
+        *groups,
+        F.round(F.element_at("__arr", lo_pos(m)), round_to).alias("lo"),
+        F.round(F.element_at("__arr", m - lo_pos(m) + 1), round_to).alias("hi"),
+    )
+    point = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(value_col).cast("double") / F.count(F.lit(1)), round_to
+        ).alias("mean"),
+    )
+    joined = point.join(ci, groups) if groups else point.crossJoin(ci)
+    return joined.select(*groups, "n", "mean", "lo", "hi")
 
 
 def shuffle_shards(

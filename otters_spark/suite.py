@@ -8116,6 +8116,58 @@ def events_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson bootstrap
+    (operators/sampling.py:poisson_bootstrap_ci): 95% CIs for the
+    mean document length per language — the uncertainty report behind
+    "is this source's quality actually different?" decisions. All 40
+    bootstrap replicates come from ONE scan (per-row deterministic
+    Poisson(1) replica counts via the md5 uniform pushed through
+    exact CDF cutoffs), aggregated map-side; no resample
+    materialization. Replicate means are exact-long ratios and the CI
+    bounds are order statistics, so the whole report hashes
+    identically cross-engine."""
+    from .operators.sampling import poisson_bootstrap_ci
+
+    docs = load(spark, sf_dir, "documents")
+    return poisson_bootstrap_ci(
+        docs, "n_chars", "doc_id", ["lang"], n_boot=40
+    ).orderBy("lang")
+
+
+def _pipeline_bootstrap_ci_sql() -> str:
+    from .operators.sampling import POISSON1_CDF
+
+    cdf = "[" + ", ".join(repr(c) for c in POISSON1_CDF) + "]"
+    return f"""
+WITH b AS (SELECT unnest(range(40)) AS b),
+r AS (
+  SELECT d.lang, d.n_chars, b.b,
+         len(list_filter({cdf}, c ->
+             ((('0x' || substr(md5(d.doc_id::VARCHAR || ':' || b.b::VARCHAR),
+                              1, 15))::BIGINT + 1)
+              / 1152921504606846977.0) > c)) AS k
+  FROM documents d CROSS JOIN b
+  WHERE d.n_chars IS NOT NULL AND d.doc_id IS NOT NULL),
+rep AS (SELECT lang, b, sum(k * n_chars) AS num, sum(k) AS den
+        FROM r GROUP BY 1, 2),
+arr AS (SELECT lang,
+               list_sort(list(num::DOUBLE / den) FILTER (den > 0)) AS a
+        FROM rep GROUP BY 1),
+pt AS (SELECT lang, count(*)::BIGINT AS n,
+              round(sum(n_chars)::DOUBLE / count(*), 6) AS mean
+       FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+       GROUP BY 1)
+SELECT pt.lang, n, mean,
+       round(a[CAST(floor(0.025 * len(a)) AS INT) + 1], 6) AS lo,
+       round(a[len(a) - CAST(floor(0.025 * len(a)) AS INT)], 6) AS hi
+FROM pt JOIN arr USING (lang) ORDER BY lang
+"""
+
+
+PIPELINE_BOOTSTRAP_CI_SQL = _pipeline_bootstrap_ci_sql()
+
+
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact UNBLOCKED Jaccard near-dup pairs via prefix filtering
     (operators/dedup.py:prefix_filter_pairs): the AllPairs/SSJoin
@@ -8718,6 +8770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_gram_matrix": sim_gram_matrix,
     "sim_pca_variance": sim_pca_variance,  # rows-only: driver eigensolve
     "dedup_prefix_filter_pairs": dedup_prefix_filter_pairs,
+    "pipeline_bootstrap_ci": pipeline_bootstrap_ci,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8908,4 +8961,5 @@ ORACLE_SQL: dict[str, str] = {
     "rel_correlation_matrix": REL_CORRELATION_MATRIX_SQL,
     "sim_gram_matrix": SIM_GRAM_MATRIX_SQL,
     "dedup_prefix_filter_pairs": DEDUP_PREFIX_FILTER_PAIRS_SQL,
+    "pipeline_bootstrap_ci": PIPELINE_BOOTSTRAP_CI_SQL,
 }

@@ -551,3 +551,91 @@ def test_weighted_sample_favors_heavy_weights(spark):
     heavy = sum(1 for d in picked if d < 200)
     # E[heavy] ≈ 60 * 10/11 ≈ 54.5; the fixed draw lands near it
     assert heavy >= 45
+
+
+def test_poisson_bootstrap_ci_brackets_truth_and_is_deterministic(spark):
+    """CI must bracket the true mean on a well-behaved sample, shrink
+    with n, and reproduce bit-for-bit across reruns/partitionings."""
+    from otters_spark.operators.sampling import poisson_bootstrap_ci
+
+    rows = [(i, "g", 100 + (i * 37) % 21) for i in range(400)]  # mean ~110
+    df = spark.createDataFrame(rows, "doc_id long, grp string, x long")
+    a = poisson_bootstrap_ci(df, "x", "doc_id", ["grp"], n_boot=40).collect()[0]
+    assert a["lo"] <= a["mean"] <= a["hi"]
+    assert a["n"] == 400
+    true_mean = sum(r[2] for r in rows) / 400
+    assert a["mean"] == pytest.approx(true_mean, abs=1e-6)
+    assert a["hi"] - a["lo"] < 3.0  # sane width for sd~6, n=400
+    b = poisson_bootstrap_ci(
+        df.repartition(13), "x", "doc_id", ["grp"], n_boot=40
+    ).collect()[0]
+    assert (a["lo"], a["hi"], a["mean"]) == (b["lo"], b["hi"], b["mean"])
+
+
+def test_poisson_bootstrap_replica_counts_match_python(spark):
+    """The deterministic Poisson draw: per-(id, b) k must equal the
+    same md5→CDF walk in plain Python."""
+    import hashlib
+
+    from otters_spark.operators.sampling import (
+        POISSON1_CDF,
+        poisson_bootstrap_ci,
+    )
+    from pyspark.sql import functions as F
+    from otters_spark.functions.text import md5_long_expr
+
+    ids = list(range(30))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        (r["doc_id"], r["b"]): r["k"]
+        for r in df.withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(3)))
+        )
+        .withColumn(
+            "u",
+            (
+                md5_long_expr(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                )
+                + 1
+            ).cast("double")
+            / F.lit(float(2**60 + 1)),
+        )
+        .withColumn(
+            "k",
+            F.size(
+                F.filter(
+                    F.array(*[F.lit(c) for c in POISSON1_CDF]),
+                    lambda c: F.col("u") > c,
+                )
+            ),
+        )
+        .collect()
+    }
+    for i in ids:
+        for b in range(4):
+            h = int(hashlib.md5(f"{i}:{b}".encode()).hexdigest()[:15], 16)
+            u = (h + 1) / float(2**60 + 1)
+            k = sum(1 for c in POISSON1_CDF if u > c)
+            assert got[(i, b)] == k, (i, b)
+    # sanity: poisson_bootstrap_ci runs end-to-end ungrouped
+    out = poisson_bootstrap_ci(df.withColumn("x", F.lit(5)), "x", "doc_id")
+    row = out.collect()[0]
+    assert row["mean"] == 5.0 and row["lo"] == 5.0 and row["hi"] == 5.0
+
+
+def test_poisson_bootstrap_rejects_fractional_and_bad_params(spark):
+    from otters_spark.operators.sampling import poisson_bootstrap_ci
+
+    df = spark.createDataFrame([(1, 2.5)], "doc_id long, x double")
+    with pytest.raises(ValueError, match="integral"):
+        poisson_bootstrap_ci(df, "x", "doc_id")
+    good = spark.createDataFrame([(1, 2)], "doc_id long, x long")
+    with pytest.raises(ValueError, match="alpha"):
+        poisson_bootstrap_ci(good, "x", "doc_id", alpha=1.0)
+    with pytest.raises(ValueError, match="n_boot"):
+        poisson_bootstrap_ci(good, "x", "doc_id", n_boot=2)
