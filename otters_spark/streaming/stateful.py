@@ -22,9 +22,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = [
     "running_user_totals",
+    "streaming_cusum",
     "streaming_ewma",
     "streaming_exact_dedup",
     "streaming_transitions",
+    "CUSUM_SCHEMA",
     "EWMA_SCHEMA",
     "RUNNING_TOTALS_SCHEMA",
     "TRANSITIONS_SCHEMA",
@@ -278,6 +280,85 @@ def streaming_ewma(
         step,
         outputStructType=EWMA_SCHEMA,
         stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+CUSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("s_pos", T.LongType()),
+        T.StructField("s_neg", T.LongType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sp", T.LongType()),
+        T.StructField("sn", T.LongType()),
+    ]
+)
+
+
+def streaming_cusum(
+    events: DataFrame,
+    target_micro: int,
+    slack_micro: int = 0,
+    value_col: str = "value",
+) -> DataFrame:
+    """Online two-sided CUSUM per user — the O(1)-state twin of the
+    batch window identity (operators/stats.py:cusum_scan). The batch
+    form replays ``max(0, S + dev)`` through cumulative windows; a
+    stream just RUNS the recurrence: state per key is two longs,
+    bounded by key cardinality, never stream length. All arithmetic
+    in exact integer micros (values snapped on entry), so the
+    streamed statistics land EXACTLY on the batch scan's — pinned
+    equal, not approximately, over a multi-micro-batch replay in
+    tests/test_stateful_streaming.py.
+
+    Ordering contract follows streaming_transitions/streaming_ewma:
+    per-user event-time order within and across micro-batches
+    (concat+sort per batch; cross-batch order is the replay
+    harness's/watermark's contract), NULL ts/value rows dropped
+    before the kernel."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__micros"),
+        F.round(F.col(value_col).cast("double") * 1_000_000)
+        .cast("long")
+        .alias("__x"),
+    ).filter(F.col("__micros").isNotNull() & F.col("__x").isNotNull())
+
+    def step(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        sp, sn = state.get if state.exists else (0, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        rows: list[tuple] = []
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["__micros", "event_id"]
+            )
+            for eid, x in zip(batch["event_id"], batch["__x"]):
+                dev = int(x) - target_micro
+                sp = max(0, sp + dev - slack_micro)
+                sn = max(0, sn - dev - slack_micro)
+                rows.append((key[0], int(eid), sp, sn))
+        state.update((sp, sn))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "event_id", "s_pos", "s_neg"]
+            )
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -254,3 +254,75 @@ def test_streaming_ewma_equal_batch_across_batches(spark, sf_dir, tmp_path):
     assert got.keys() == want.keys()
     for eid in want:
         assert got[eid] == pytest.approx(want[eid], abs=1e-9), eid
+
+
+def test_streaming_cusum_equal_batch_across_batches(spark, sf_dir, tmp_path):
+    """Per-event CUSUM statistics from a 3-micro-batch time-split
+    replay must land EXACTLY on the batch window identity (integer
+    micros — no tolerance), including events whose reset history
+    crosses micro-batch boundaries (the two-long stored state)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from otters_spark.operators.stats import cusum_scan
+    from otters_spark.streaming.stateful import streaming_cusum
+
+    target, slack = 50_000_000, 5_000_000  # value units: micros
+    ev = load_events(spark, sf_dir)
+    evm = ev.withColumn("__m", F.unix_micros(F.col("ts").cast("timestamp")))
+    qs = evm.approxQuantile("__m", [0.33, 0.66], 0.001)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    parts = [
+        evm.filter(F.col("__m") <= qs[0]).drop("__m"),
+        evm.filter((F.col("__m") > qs[0]) & (F.col("__m") <= qs[1])).drop("__m"),
+        evm.filter(F.col("__m") > qs[1]).drop("__m"),
+    ]
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    now = time.time()
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(landing / f"b{i}.parquet"))
+        src = glob.glob(str(landing / f"b{i}.parquet" / "part-*.parquet"))[0]
+        dst = flat / f"{i:02d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(flat))
+    )
+    q = (
+        streaming_cusum(stream, target_micro=target, slack_micro=slack)
+        .writeStream.format("memory")
+        .queryName("t_cusum")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["event_id"]: (r["s_pos"], r["s_neg"])
+        for r in spark.table("t_cusum").collect()
+    }
+    batch_in = (
+        ev.withColumn("__m", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn(
+            "__x", F.round(F.col("value").cast("double") * 1_000_000).cast("long")
+        )
+        .withColumn("__t", F.lit(target))
+        .filter(F.col("__m").isNotNull() & F.col("__x").isNotNull())
+    )
+    want_df = cusum_scan(
+        batch_in, ["user_id"], ["__m", "event_id"], "__x", "__t", slack=slack
+    )
+    want = {
+        r["event_id"]: (r["s_pos"], r["s_neg"]) for r in want_df.collect()
+    }
+    assert got == want and len(got) > 100
