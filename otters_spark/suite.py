@@ -8737,14 +8737,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_pq_topk": sim_pq_topk,
     # ---- driver-cap boundary: entries below sit beyond the 50-row
-    # window this round. Round-5 rotation queue (the 22 oracle-paired
+    # window this round. Round-5 rotation queue (the oracle-paired
     # queries that will still lack a driver verdict after round 4):
     # events_cumulative_users, events_rolling_actives,
     # rel_volume_shipping, rel_returned_customers,
     # rel_disjunctive_filter, pipeline_domain_filter,
     # events_covisitation, sim_mmr_rerank, events_seasonal_anomaly,
-    # plus the 13 fourth-wave queries below. 22 + 28 retained greens
-    # fill the window exactly.
+    # plus the 13 fourth-wave queries below and the 6 oracle-paired
+    # fifth-wave queries at the registry tail (events_overlap_join,
+    # events_cusum_shift, rel_correlation_matrix, sim_gram_matrix,
+    # dedup_prefix_filter_pairs, pipeline_bootstrap_ci) — 28 total;
+    # pair them with 22 retained greens next round.
     # Third wave (round 4; beyond this round's driver cap — rotate in
     # round 5):
     "rel_order_count_distribution": rel_order_count_distribution,
