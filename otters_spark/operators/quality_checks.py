@@ -49,6 +49,7 @@ __all__ = [
     "Unique",
     "ForeignKey",
     "validate",
+    "profile_table",
 ]
 
 
@@ -231,4 +232,141 @@ def validate(df: DataFrame, constraints: Sequence) -> DataFrame:
         .withColumn("total", F.col("total").cast("long"))
         .withColumn("passed", F.col("violations") == 0)
         .orderBy("constraint")
+    )
+
+
+_NUMERIC_DTYPES = (
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact_distinct: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Column-level profile report — the discovery pass run before
+    writing a data contract (:func:`validate`): one row per column
+    with ``dtype, n_rows, n_null, null_frac, n_distinct, min_num,
+    max_num, min_str, max_str, mean``. Numeric columns fill the
+    ``*_num`` extremes and ``mean``; string/timestamp columns fill
+    ``*_str`` (timestamps through a FIXED format — engine default
+    float/timestamp rendering is not cross-engine stable, so floats
+    never go through strings at all).
+
+    ONE aggregate over ONE scan for everything except distinct
+    counts. Distinct is the knob: ``exact_distinct=True`` uses
+    ``count(DISTINCT col)`` — Spark plans k distinct aggregates via
+    an Expand (k× row replication), fine at audit scale and what the
+    DuckDB oracle can reproduce; at 100 TB flip to ``False`` for
+    ``approx_count_distinct`` (HLL sketch, partial-aggregable, no
+    Expand) — the :func:`~otters_spark.operators.stats.group_percentiles`
+    exact/approx discipline.
+
+    ``mean``/``null_frac`` are rounded (accumulation-order budget);
+    counts and extremes are exact. Unsupported dtypes (arrays, maps,
+    structs) raise — profile their exploded form instead."""
+    dtypes = dict(df.dtypes)
+    cols = list(columns) if columns is not None else list(df.columns)
+    for c in cols:
+        if c not in dtypes:
+            raise ValueError(f"profile_table: unknown column {c!r}")
+        base = dtypes[c].split("(")[0]
+        if base not in _NUMERIC_DTYPES and base not in (
+            "string",
+            "timestamp",
+            "timestamp_ntz",
+            "date",
+            "boolean",
+            "decimal",
+        ):
+            raise ValueError(
+                f"profile_table: unsupported dtype {dtypes[c]!r} for "
+                f"column {c!r} — explode nested types first"
+            )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        base = dtypes[c].split("(")[0]
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__d_{i}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__d_{i}"))
+        if base in _NUMERIC_DTYPES or base == "decimal":
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__lo_{i}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__hi_{i}"))
+            aggs.append(
+                F.round(F.avg(F.col(c).cast("double")), round_to).alias(
+                    f"__mean_{i}"
+                )
+            )
+        elif base in ("timestamp", "timestamp_ntz", "date"):
+            fmt = "yyyy-MM-dd" if base == "date" else "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            aggs.append(
+                F.date_format(F.min(F.col(c)), fmt).alias(f"__los_{i}")
+            )
+            aggs.append(
+                F.date_format(F.max(F.col(c)), fmt).alias(f"__his_{i}")
+            )
+        else:  # string / boolean
+            aggs.append(
+                F.min(F.col(c)).cast("string").alias(f"__los_{i}")
+            )
+            aggs.append(
+                F.max(F.col(c)).cast("string").alias(f"__his_{i}")
+            )
+    row = df.agg(*aggs)
+    cells = []
+    for i, c in enumerate(cols):
+        base = dtypes[c].split("(")[0]
+        is_num = base in _NUMERIC_DTYPES or base == "decimal"
+        # normalize the session-dependent ntz flavor: the REPORT is
+        # about the data contract, not the session's parquet mapping
+        label = "timestamp" if base == "timestamp_ntz" else dtypes[c]
+        cells.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(label).alias("dtype"),
+                F.col("__n").cast("long").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{i}")).cast("long").alias("n_null"),
+                F.when(
+                    F.col("__n") > 0,
+                    F.round(
+                        (F.col("__n") - F.col(f"__nn_{i}")).cast("double")
+                        / F.col("__n"),
+                        round_to,
+                    ),
+                ).alias("null_frac"),
+                F.col(f"__d_{i}").cast("long").alias("n_distinct"),
+                (F.col(f"__lo_{i}") if is_num else F.lit(None).cast("double")).alias(
+                    "min_num"
+                ),
+                (F.col(f"__hi_{i}") if is_num else F.lit(None).cast("double")).alias(
+                    "max_num"
+                ),
+                (
+                    F.lit(None).cast("string")
+                    if is_num
+                    else F.col(f"__los_{i}")
+                ).alias("min_str"),
+                (
+                    F.lit(None).cast("string")
+                    if is_num
+                    else F.col(f"__his_{i}")
+                ).alias("max_str"),
+                (
+                    F.col(f"__mean_{i}") if is_num else F.lit(None).cast("double")
+                ).alias("mean"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*cells)).alias("p"))
+        .select("p.*")
+        .orderBy("column")
     )

@@ -8116,6 +8116,68 @@ def events_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of lineitem
+    (operators/quality_checks.py:profile_table): the discovery pass
+    before writing a data contract — per column: dtype, null counts,
+    exact distinct cardinality, typed extremes (numerics as doubles,
+    timestamps through a FIXED format — engine-default float/ts
+    rendering is not cross-engine stable), rounded mean. Everything
+    except distincts is ONE aggregate over ONE scan; the exact
+    multi-column distinct plans via Spark's Expand (documented knob:
+    approx_count_distinct kills the k× replication at 100 TB)."""
+    from .operators.quality_checks import profile_table
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_table(li)
+
+
+def _rel_table_profile_sql() -> str:
+    spec = [
+        ("l_orderkey", "bigint", "num"),
+        ("l_partkey", "bigint", "num"),
+        ("l_suppkey", "bigint", "num"),
+        ("l_linenumber", "int", "num"),
+        ("l_quantity", "double", "num"),
+        ("l_extendedprice", "double", "num"),
+        ("l_discount", "double", "num"),
+        ("l_tax", "double", "num"),
+        ("l_returnflag", "string", "str"),
+        ("l_linestatus", "string", "str"),
+        ("l_shipdate", "timestamp", "ts"),
+    ]
+    parts = []
+    for c, dt, kind in spec:
+        if kind == "num":
+            mn, mx = f"min({c})::DOUBLE", f"max({c})::DOUBLE"
+            ms, xs = "NULL::VARCHAR", "NULL::VARCHAR"
+            mean = f"round(avg({c}::DOUBLE), 6)"
+        elif kind == "ts":
+            mn = mx = "NULL::DOUBLE"
+            ms = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S.%f')"
+            xs = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S.%f')"
+            mean = "NULL::DOUBLE"
+        else:
+            mn = mx = "NULL::DOUBLE"
+            ms, xs = f"min({c})", f"max({c})"
+            mean = "NULL::DOUBLE"
+        parts.append(
+            f"""SELECT '{c}' AS "column", '{dt}' AS dtype,
+       count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       round((count(*) - count({c}))::DOUBLE / count(*), 6) AS null_frac,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num,
+       {ms} AS min_str, {xs} AS max_str,
+       {mean} AS mean
+FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts) + '\nORDER BY "column"'
+
+
+REL_TABLE_PROFILE_SQL = _rel_table_profile_sql()
+
+
 def pipeline_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass Poisson bootstrap
     (operators/sampling.py:poisson_bootstrap_ci): 95% CIs for the
@@ -8774,6 +8836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pca_variance": sim_pca_variance,  # rows-only: driver eigensolve
     "dedup_prefix_filter_pairs": dedup_prefix_filter_pairs,
     "pipeline_bootstrap_ci": pipeline_bootstrap_ci,
+    "rel_table_profile": rel_table_profile,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8965,4 +9028,5 @@ ORACLE_SQL: dict[str, str] = {
     "sim_gram_matrix": SIM_GRAM_MATRIX_SQL,
     "dedup_prefix_filter_pairs": DEDUP_PREFIX_FILTER_PAIRS_SQL,
     "pipeline_bootstrap_ci": PIPELINE_BOOTSTRAP_CI_SQL,
+    "rel_table_profile": REL_TABLE_PROFILE_SQL,
 }

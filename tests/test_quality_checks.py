@@ -140,3 +140,45 @@ def test_fk_single_scan(facts, dims):
     # one pass over the fact side: the total must NOT add a second
     # fact-side scan beyond the join's
     assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 2
+
+
+def test_profile_table_matches_hand_computed(spark):
+    from datetime import datetime
+
+    from otters_spark.operators.quality_checks import profile_table
+
+    rows = [
+        (1, "a", 10.0, datetime(2024, 1, 1, 12, 0, 0)),
+        (2, "b", None, datetime(2024, 1, 3, 0, 0, 0, 500)),
+        (None, "a", 30.5, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, v double, ts timestamp")
+    got = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert got["k"]["n_rows"] == 3 and got["k"]["n_null"] == 1
+    assert got["k"]["n_distinct"] == 2
+    assert got["k"]["min_num"] == 1.0 and got["k"]["max_num"] == 2.0
+    assert got["k"]["min_str"] is None
+    assert got["s"]["n_distinct"] == 2 and got["s"]["min_str"] == "a"
+    assert got["s"]["mean"] is None
+    assert got["v"]["mean"] == pytest.approx((10.0 + 30.5) / 2, abs=1e-6)
+    assert got["v"]["null_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got["ts"]["min_str"] == "2024-01-01 12:00:00.000000"
+    assert got["ts"]["max_str"] == "2024-01-03 00:00:00.000500"
+    assert got["ts"]["dtype"] == "timestamp"
+
+
+def test_profile_table_approx_knob_and_errors(spark):
+    from otters_spark.operators.quality_checks import profile_table
+
+    df = spark.createDataFrame(
+        [(i, [1.0]) for i in range(100)], "k long, arr array<double>"
+    )
+    approx = {
+        r["column"]: r["n_distinct"]
+        for r in profile_table(df, ["k"], exact_distinct=False).collect()
+    }
+    assert abs(approx["k"] - 100) <= 10  # HLL tolerance
+    with pytest.raises(ValueError, match="unsupported dtype"):
+        profile_table(df)
+    with pytest.raises(ValueError, match="unknown column"):
+        profile_table(df, ["nope"])
