@@ -30,6 +30,7 @@ from ..functions.text import tokens_expr, word_ngrams_expr
 
 __all__ = ["fuzzy_join_candidates", "fuzzy_best_match",
     "entity_clusters",
+    "golden_records",
 ]
 
 
@@ -194,3 +195,116 @@ def entity_clusters(
     return ids.join(cc, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("entity_id")
     )
+
+
+def golden_records(
+    records: DataFrame,
+    entities: DataFrame,
+    rules: dict[str, str],
+    id_col: str = "doc_id",
+    entity_col: str = "entity_id",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Survivorship: collapse each resolved entity to ONE golden
+    record — the master-data step after :func:`entity_clusters`.
+    ``rules`` maps column → survivorship rule:
+
+    * ``"most_frequent"`` — the modal value (consensus fields:
+      language, country, category);
+    * ``"longest"`` — the longest string (richest free-text variant);
+    * ``"latest"`` / ``"earliest"`` — by ``ts_col`` (freshest
+      contact info / first-seen provenance);
+    * ``"max"`` / ``"min"`` — numeric extremes;
+    * ``"first_non_null"`` — the value from the smallest record id
+      that has one (stable source-priority stand-in).
+
+    Every rule carries a DETERMINISTIC total tie-break (documented per
+    expression below) so golden records are replay-stable and
+    cross-engine checkable — survivorship that flaps between runs
+    poisons every downstream diff.
+
+    Plan shape: one key join records→entities, then ONE
+    entity-keyed aggregate for all order-based rules (max_by/min_by
+    over tie-broken structs — partial-aggregable, constant state per
+    group). Each ``most_frequent`` column needs its own
+    (entity, value) count first — mode is not algebraic — joined back
+    by entity; those joins are entity-table-sized, not corpus-sized.
+    ``n_members`` is always included.
+
+    The reference engine has no multi-record consolidation surface
+    (``/root/reference/src/meta.rs``); extension lane for the linkage
+    family, oracle-checked against the same arg_min/arg_max algebra
+    in DuckDB."""
+    allowed = {
+        "most_frequent",
+        "longest",
+        "latest",
+        "earliest",
+        "max",
+        "min",
+        "first_non_null",
+    }
+    for c, r in rules.items():
+        if r not in allowed:
+            raise ValueError(f"unknown rule {r!r} for column {c!r}")
+        if c not in records.columns:
+            raise ValueError(f"rule column {c!r} not in records")
+        if r in ("latest", "earliest") and ts_col is None:
+            raise ValueError(f"rule {r!r} for {c!r} needs ts_col")
+    joined = records.join(
+        entities.select(
+            F.col("id").alias(id_col), F.col(entity_col)
+        ),
+        id_col,
+    )
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    freq_cols = []
+    for c, r in rules.items():
+        if r == "most_frequent":
+            freq_cols.append(c)
+        elif r == "longest":
+            # longest value, then smallest lexicographically: exact
+            # inverse ordering via min_by on (-len, value)
+            aggs.append(
+                F.expr(
+                    f"min_by({c}, struct(-length({c}), {c})) "
+                    f"FILTER (WHERE {c} IS NOT NULL)"
+                ).alias(c)
+            )
+        elif r == "latest":
+            aggs.append(
+                F.expr(
+                    f"max_by({c}, struct({ts_col}, {id_col})) "
+                    f"FILTER (WHERE {c} IS NOT NULL AND {ts_col} IS NOT NULL)"
+                ).alias(c)
+            )
+        elif r == "earliest":
+            aggs.append(
+                F.expr(
+                    f"min_by({c}, struct({ts_col}, {id_col})) "
+                    f"FILTER (WHERE {c} IS NOT NULL AND {ts_col} IS NOT NULL)"
+                ).alias(c)
+            )
+        elif r == "max":
+            aggs.append(F.max(c).alias(c))
+        elif r == "min":
+            aggs.append(F.min(c).alias(c))
+        elif r == "first_non_null":
+            aggs.append(
+                F.expr(
+                    f"min_by({c}, {id_col}) FILTER (WHERE {c} IS NOT NULL)"
+                ).alias(c)
+            )
+    out = joined.groupBy(entity_col).agg(*aggs)
+    for c in freq_cols:
+        counts = (
+            joined.filter(F.col(c).isNotNull())
+            .groupBy(entity_col, c)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        # highest count, then smallest value: min_by on (-count, value)
+        mode = counts.groupBy(entity_col).agg(
+            F.expr(f"min_by({c}, struct(-__n, {c}))").alias(c)
+        )
+        out = out.join(mode, entity_col, "left")
+    return out.select(entity_col, "n_members", *list(rules))

@@ -6607,6 +6607,101 @@ FROM comp GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1
 """
 
 
+def link_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (operators/linkage.py:golden_records): collapse
+    each resolved entity (trigram-Jaccard clusters at 0.5, the
+    link_entity_clusters graph) to ONE golden record — canonical text
+    by longest-then-lexicographic, consensus lang/source by
+    mode-then-lexicographic, max n_chars. Every rule carries a total
+    deterministic tie-break, so the consolidation is replay-stable
+    and the whole record hashes cross-engine. One entity-keyed
+    max_by/min_by aggregate + one bounded (entity, value) mode count
+    per consensus column."""
+    from .operators.linkage import entity_clusters, golden_records
+
+    docs = load(spark, sf_dir, "documents")
+    ent = entity_clusters(docs, threshold=0.5)
+    gold = golden_records(
+        docs,
+        ent,
+        {
+            "text": "longest",
+            "lang": "most_frequent",
+            "source": "most_frequent",
+            "n_chars": "max",
+        },
+    )
+    return (
+        gold.filter(F.col("n_members") >= 2)
+        .select(
+            "entity_id",
+            "n_members",
+            F.length("text").alias("text_len"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .orderBy("entity_id")
+    )
+
+
+LINK_GOLDEN_RECORDS_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[(i+1):(i+3)], ' ')
+                        for i in range(len(w) - 2)]) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3),
+e AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM g),
+c AS (SELECT l.doc_id AS a, r.doc_id AS b,
+             count(*) AS c, any_value(l.n) AS nl, any_value(r.n) AS nr
+      FROM e l JOIN e r ON l.gram = r.gram AND l.doc_id < r.doc_id
+      GROUP BY 1, 2),
+p AS (SELECT a, b FROM c WHERE c::DOUBLE / (nl + nr - c) >= 0.5),
+edges AS (SELECT a AS src, b AS dst FROM p
+          UNION SELECT b, a FROM p),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e2.dst FROM r JOIN edges e2 ON r.dst = e2.src)
+  SELECT * FROM r),
+comp AS (SELECT src AS id, least(src, min(dst)) AS component
+         FROM reach GROUP BY src),
+j AS (SELECT d.*, comp.component AS entity_id
+      FROM documents d JOIN comp ON d.doc_id = comp.id),
+base AS (
+  SELECT entity_id, count(*)::BIGINT AS n_members,
+         max(n_chars)::BIGINT AS n_chars
+  FROM j GROUP BY 1),
+tr AS (SELECT entity_id, text,
+              row_number() OVER (PARTITION BY entity_id
+                                 ORDER BY length(text) DESC, text ASC) AS rn
+       FROM j WHERE text IS NOT NULL),
+tm AS (SELECT entity_id, text FROM tr WHERE rn = 1),
+lc AS (SELECT entity_id, lang, count(*) AS n FROM j
+       WHERE lang IS NOT NULL GROUP BY 1, 2),
+lr AS (SELECT entity_id, lang,
+              row_number() OVER (PARTITION BY entity_id
+                                 ORDER BY n DESC, lang ASC) AS rn
+       FROM lc),
+lm AS (SELECT entity_id, lang FROM lr WHERE rn = 1),
+sc AS (SELECT entity_id, source, count(*) AS n FROM j
+       WHERE source IS NOT NULL GROUP BY 1, 2),
+sr AS (SELECT entity_id, source,
+              row_number() OVER (PARTITION BY entity_id
+                                 ORDER BY n DESC, source ASC) AS rn
+       FROM sc),
+sm AS (SELECT entity_id, source FROM sr WHERE rn = 1)
+SELECT base.entity_id, base.n_members,
+       length(tm.text)::INTEGER AS text_len, lm.lang, sm.source,
+       base.n_chars
+FROM base LEFT JOIN tm USING (entity_id) LEFT JOIN lm USING (entity_id)
+  LEFT JOIN sm USING (entity_id)
+WHERE base.n_members >= 2 ORDER BY base.entity_id
+"""
+
+
 def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Growth accounting (operators/behavior.py:cumulative_distinct):
     distinct users to date per day via the first-appearance identity —
@@ -8837,6 +8932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_prefix_filter_pairs": dedup_prefix_filter_pairs,
     "pipeline_bootstrap_ci": pipeline_bootstrap_ci,
     "rel_table_profile": rel_table_profile,
+    "link_golden_records": link_golden_records,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9029,4 +9125,5 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_prefix_filter_pairs": DEDUP_PREFIX_FILTER_PAIRS_SQL,
     "pipeline_bootstrap_ci": PIPELINE_BOOTSTRAP_CI_SQL,
     "rel_table_profile": REL_TABLE_PROFILE_SQL,
+    "link_golden_records": LINK_GOLDEN_RECORDS_SQL,
 }

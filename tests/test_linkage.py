@@ -192,3 +192,70 @@ def test_entity_clusters_rejects_unknown_method(spark):
 
     with _pytest.raises(ValueError, match="method"):
         entity_clusters(df, 0.5, method="fuzzy")
+
+
+def test_golden_records_rules_and_tiebreaks(spark):
+    """Each survivorship rule against a hand-computed consolidation,
+    including the deterministic tie-breaks (mode tie -> smallest
+    value; longest tie -> smallest lexicographically) and
+    latest/earliest by timestamp."""
+    from datetime import datetime
+
+    from otters_spark.operators.linkage import golden_records
+
+    rows = [
+        # entity 1: mode tie de/en -> 'de'; longest tie 'bbbb'/'aaaa' -> 'aaaa'
+        (1, "aaaa", "en", 10, datetime(2024, 1, 1)),
+        (2, "bbbb", "de", 20, datetime(2024, 1, 3)),
+        (3, "cc", "de", 15, datetime(2024, 1, 2)),
+        (4, "dd", "en", None, datetime(2024, 1, 4)),
+        # entity 10: singleton with a NULL text
+        (10, None, "fr", 7, datetime(2024, 2, 1)),
+    ]
+    records = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, score long, ts timestamp"
+    )
+    entities = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10)], "id long, entity_id long"
+    )
+    got = {
+        r["entity_id"]: r.asDict()
+        for r in golden_records(
+            records,
+            entities,
+            {
+                "text": "longest",
+                "lang": "most_frequent",
+                "score": "max",
+                "ts": "latest",
+            },
+            ts_col="ts",
+        ).collect()
+    }
+    e1 = got[1]
+    assert e1["n_members"] == 4
+    assert e1["text"] == "aaaa"  # longest tie -> lexicographically smallest
+    assert e1["lang"] == "de"  # mode tie 2-2 -> smallest value
+    assert e1["score"] == 20
+    assert e1["ts"] == datetime(2024, 1, 4)
+    e10 = got[10]
+    assert e10["text"] is None and e10["lang"] == "fr" and e10["score"] == 7
+
+
+def test_golden_records_first_non_null_and_errors(spark):
+    from otters_spark.operators.linkage import golden_records
+
+    records = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "y")], "doc_id long, v string"
+    )
+    entities = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, entity_id long"
+    )
+    out = golden_records(records, entities, {"v": "first_non_null"}).collect()
+    assert out[0]["v"] == "x"  # smallest id WITH a value, not id 1's NULL
+    with pytest.raises(ValueError, match="unknown rule"):
+        golden_records(records, entities, {"v": "nope"})
+    with pytest.raises(ValueError, match="needs ts_col"):
+        golden_records(records, entities, {"v": "latest"})
+    with pytest.raises(ValueError, match="not in records"):
+        golden_records(records, entities, {"zz": "max"})

@@ -30,6 +30,8 @@ ARROW_OK = {
     "dedup_edit_distance_verified",  # shingle matmul candidate generator
     "sim_pq_topk",  # Arrow-batched PQ encode (einsum argmin kernel)
     "text_compression_ratio",  # zlib kernel (no SQL DEFLATE)
+    "sim_gram_matrix",  # Arrow-batched integer partial-matmul kernel
+    "sim_pca_variance",  # gram kernel + literal-codegen projection
 }
 
 # queries allowed an UNPARTITIONED window: only the two-phase binned
