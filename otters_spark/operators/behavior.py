@@ -26,6 +26,7 @@ __all__ = [
     "path_counts",
     "cumulative_distinct",
     "rolling_active",
+    "multitouch_attribution",
 ]
 
 
@@ -365,4 +366,125 @@ def rolling_active(
         .select(
             F.col("__b").alias(bucket_col), "active_now", "active_window"
         )
+    )
+
+
+def multitouch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    lookback_micros: int,
+    model: str = "time_decay",
+    half_life_micros: int | None = None,
+    cell: int | None = None,
+) -> DataFrame:
+    """Multi-touch attribution: distribute each conversion's credit
+    across the touch events that preceded it within ``lookback``
+    — the step beyond the single-credit as-of join
+    (operators/asof.py), where "the click gets everything" turns into
+    linear / time-decay / position / first / last credit models.
+
+    The touch↔conversion match is a point-in-window join expressed
+    through the GRID interval join (operators/intervals.py:
+    overlap_join): each conversion opens ``[ts - lookback, ts)``,
+    each touch is the degenerate ``[ts, ts+1)``, keys = user — ONE
+    hash shuffle on (user, cell), never a per-user all-pairs range
+    predicate. Models (exact integer credit — every conversion
+    distributes 1,000,000 micro-credits deterministically):
+
+    * ``linear`` — equal split;
+    * ``time_decay`` — HARMONIC decay ``w = h/(h + age)`` (one IEEE
+      division — cross-engine exact, unlike pow-based exponential
+      decay whose libm ulps can flip a rounded weight);
+    * ``position`` — 40/40 to first/last touch, 20 split over the
+      middle (standard U-shape); single-touch gets everything;
+    * ``first_touch`` / ``last_touch`` — all credit to one touch
+      (event-time order, event_id tie-break).
+
+    Weights are micro-snapped longs and each touch's credit is
+    ``w·1e6 div Σw`` — integer division, so per-channel totals are
+    exact sums and the report hashes identically cross-engine.
+    Returns per touch channel: ``touches``, ``conversions`` (distinct
+    conversions the channel contributed to), ``credit_micro``.
+
+    The reference engine has no join surface at all
+    (``/root/reference/src/meta.rs``); events-lane extension."""
+    from pyspark.sql.window import Window
+
+    from .intervals import overlap_join
+
+    if model not in ("linear", "time_decay", "position", "first_touch", "last_touch"):
+        raise ValueError(f"unknown attribution model {model!r}")
+    if model == "time_decay" and not half_life_micros:
+        raise ValueError("time_decay needs half_life_micros")
+    if lookback_micros <= 0:
+        raise ValueError("lookback_micros must be positive")
+    base = events.filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("__m"),
+    )
+    conv = base.filter(F.col("event_type") == conversion_type).select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        (F.col("__m") - lookback_micros).alias("start"),
+        F.col("__m").alias("end"),
+    )
+    touch = base.filter(F.col("event_type").isin(list(touch_types))).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("__m").alias("start"),
+        (F.col("__m") + 1).alias("end"),
+    )
+    grid = cell if cell is not None else max(1, lookback_micros // 4)
+    pairs = overlap_join(conv, touch, ["user_id"], cell=grid).select(
+        "user_id",
+        F.col("conv_id_l").alias("conv_id"),
+        F.col("touch_id_r").alias("touch_id"),
+        F.col("channel_r").alias("channel"),
+        # age = conversion ts - touch ts, in (0, lookback] micros
+        (F.col("end_l") - F.col("start_r")).alias("__age"),
+    )
+    w_conv = Window.partitionBy("conv_id")
+    order = Window.partitionBy("conv_id").orderBy(
+        F.col("__age").desc(), F.col("touch_id").asc()
+    )  # oldest touch first; ties by id
+    n = F.count(F.lit(1)).over(w_conv)
+    rk = F.row_number().over(order)
+    if model == "linear":
+        wq = F.lit(1_000_000)
+    elif model == "time_decay":
+        wq = F.round(
+            F.lit(1_000_000.0)
+            * F.lit(float(half_life_micros))
+            / (F.lit(float(half_life_micros)) + F.col("__age").cast("double"))
+        ).cast("long")
+    elif model == "position":
+        wq = (
+            F.when(n == 1, F.lit(1_000_000))
+            .when((rk == 1) | (rk == n), F.lit(400_000))
+            .otherwise((F.lit(200_000) / (n - 2)).cast("long"))
+        )
+    elif model == "first_touch":
+        wq = F.when(rk == 1, F.lit(1_000_000)).otherwise(F.lit(0))
+    else:  # last_touch
+        wq = F.when(rk == n, F.lit(1_000_000)).otherwise(F.lit(0))
+    # Σw via window (bounded by the conversion's touch count)
+    weighted = (
+        pairs.withColumn("__wq", wq)
+        .withColumn("__sw", F.sum(wq).over(w_conv))
+        .withColumn(
+            "__credit", F.expr("__wq * 1000000L div __sw").cast("long")
+        )
+    )
+    return (
+        weighted.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("touches"),
+            F.countDistinct("conv_id").alias("conversions"),
+            F.sum("__credit").alias("credit_micro"),
+        )
+        .orderBy("channel")
     )

@@ -6702,6 +6702,58 @@ WHERE base.n_members >= 2 ORDER BY base.entity_id
 """
 
 
+def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution
+    (operators/behavior.py:multitouch_attribution): each purchase
+    distributes exactly 1,000,000 micro-credits over the view/click
+    touches in its trailing 7-day window, harmonic time-decay
+    (h/(h+age), half-life 1 day — one IEEE division, no libm pow).
+    The match is the GRID interval join (conversion = 7-day window,
+    touch = point), ONE (user, cell) hash shuffle; credits are
+    integer-divided, so channel totals are exact longs. The oracle
+    pays the naive range-predicate join for the same credits."""
+    from .operators.behavior import multitouch_attribution
+
+    ev = load_events(spark, sf_dir)
+    day = 86_400_000_000
+    return multitouch_attribution(
+        ev,
+        "purchase",
+        ["view", "click"],
+        lookback_micros=7 * day,
+        model="time_decay",
+        half_life_micros=day,
+    )
+
+
+EVENTS_ATTRIBUTION_MULTITOUCH_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS m
+  FROM events WHERE ts IS NOT NULL),
+conv AS (SELECT user_id, event_id AS conv_id, m AS cm FROM base
+         WHERE event_type = 'purchase'),
+touch AS (SELECT user_id, event_id AS touch_id, event_type AS channel,
+                 m AS tm
+          FROM base WHERE event_type IN ('view', 'click')),
+pairs AS (
+  SELECT t.channel, c.conv_id, t.touch_id, c.cm - t.tm AS age
+  FROM conv c JOIN touch t
+    ON c.user_id = t.user_id AND t.tm >= c.cm - 604800000000
+   AND t.tm < c.cm),
+w AS (SELECT *,
+        CAST(round(1.0e6 * 8.64e10
+                   / (8.64e10 + age::DOUBLE)) AS BIGINT) AS wq
+      FROM pairs),
+cr AS (SELECT channel, conv_id,
+              wq * 1000000 // sum(wq) OVER (PARTITION BY conv_id) AS credit
+       FROM w)
+SELECT channel, count(*)::BIGINT AS touches,
+       count(DISTINCT conv_id)::BIGINT AS conversions,
+       sum(credit)::BIGINT AS credit_micro
+FROM cr GROUP BY channel ORDER BY channel
+"""
+
+
 def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Growth accounting (operators/behavior.py:cumulative_distinct):
     distinct users to date per day via the first-appearance identity —
@@ -8933,6 +8985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_bootstrap_ci": pipeline_bootstrap_ci,
     "rel_table_profile": rel_table_profile,
     "link_golden_records": link_golden_records,
+    "events_attribution_multitouch": events_attribution_multitouch,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9126,4 +9179,5 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_bootstrap_ci": PIPELINE_BOOTSTRAP_CI_SQL,
     "rel_table_profile": REL_TABLE_PROFILE_SQL,
     "link_golden_records": LINK_GOLDEN_RECORDS_SQL,
+    "events_attribution_multitouch": EVENTS_ATTRIBUTION_MULTITOUCH_SQL,
 }

@@ -226,3 +226,89 @@ def test_rolling_active_matches_bruteforce(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="window"):
         rolling_active(ev, "user_id", "d", window=0)
+
+
+def test_multitouch_attribution_models_vs_hand_walk(spark):
+    """All five credit models against a hand-computed journey: user 1
+    has touches at t=10, 20, 30 (view, click, view) converting at
+    t=35; user 2 has one touch; a touch OUTSIDE the lookback and a
+    touch AFTER the conversion must not receive credit."""
+    from datetime import datetime, timedelta
+
+    from otters_spark.operators.behavior import multitouch_attribution
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, uid, etype, sec):
+        return (eid, uid, etype, t0 + timedelta(seconds=sec))
+
+    rows = [
+        ev(1, 1, "view", 10),
+        ev(2, 1, "click", 20),
+        ev(3, 1, "view", 30),
+        ev(4, 1, "purchase", 35),
+        ev(5, 1, "view", 36),        # after conversion: no credit
+        ev(6, 2, "click", 100),
+        ev(7, 2, "purchase", 101),
+        ev(8, 3, "view", 0),
+        ev(9, 3, "purchase", 1000),  # touch outside 60s lookback
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    lookback = 60 * 1_000_000
+    half = 10 * 1_000_000
+
+    def run(model):
+        return {
+            r["channel"]: (r["touches"], r["conversions"], r["credit_micro"])
+            for r in multitouch_attribution(
+                events,
+                "purchase",
+                ["view", "click"],
+                lookback_micros=lookback,
+                model=model,
+                half_life_micros=half,
+            ).collect()
+        }
+
+    lin = run("linear")
+    # user1: 3 touches get 333333 each; user2: click gets 1000000
+    assert lin["view"] == (2, 1, 2 * 333_333)
+    assert lin["click"] == (2, 2, 333_333 + 1_000_000)
+
+    first = run("first_touch")
+    assert first["view"][2] == 1_000_000  # t=10 view
+    assert first["click"][2] == 1_000_000  # user2's only touch
+
+    last = run("last_touch")
+    assert last["view"][2] == 1_000_000  # t=30 view
+    assert last["click"][2] == 1_000_000
+
+    dec = run("time_decay")
+    # ages: 25s, 15s, 5s; w = round(1e6 * 10/(10+age_s))
+    w = [round(1e6 * 10 / (10 + a)) for a in (25, 15, 5)]
+    s = sum(w)
+    exp_view = w[0] * 1_000_000 // s + w[2] * 1_000_000 // s
+    exp_click = w[1] * 1_000_000 // s + 1_000_000
+    assert dec["view"][2] == exp_view
+    assert dec["click"][2] == exp_click
+
+    pos = run("position")
+    # U-shape: first 400k, last 400k, middle 200k; user2 single 1e6
+    assert pos["view"][2] == 800_000
+    assert pos["click"][2] == 200_000 + 1_000_000
+
+
+def test_multitouch_attribution_rejects_bad_params(spark):
+    from otters_spark.operators.behavior import multitouch_attribution
+
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="unknown attribution model"):
+        multitouch_attribution(df, "p", ["v"], 10, model="quadratic")
+    with pytest.raises(ValueError, match="half_life"):
+        multitouch_attribution(df, "p", ["v"], 10, model="time_decay")
+    with pytest.raises(ValueError, match="lookback"):
+        multitouch_attribution(df, "p", ["v"], 0, model="linear")
