@@ -21,8 +21,11 @@ import math
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
+    "acf",
     "global_row_number",
     "group_percentiles",
+    "group_trend",
+    "mann_whitney",
     "robust_outliers",
     "quantile_normalize",
     "ewma_smooth",
@@ -718,3 +721,278 @@ def global_row_number(
         .withColumn(out_col, F.col("__off") + F.row_number().over(wbin))
     )
     return ranked.select(*df.columns, out_col)
+
+def acf(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    lags: Sequence[int],
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key autocorrelation function over a REGULAR integer-indexed
+    series (day number, hour bucket, ...): Pearson correlation between
+    the series and its lag-L shift, for each requested lag — the
+    seasonality/momentum screen run before picking an anomaly window
+    or an EWMA half-life.
+
+    Plan shape: ONE bounded window per key (ordered by ``order_col``;
+    series length per key is calendar-bounded — days/hours — never
+    corpus-sized), all lag columns from that single window spec, one
+    explode to ``(key, lag, y, y_lag)`` rows, one aggregation. Moments
+    are exact DECIMAL(38,0) sums over integer inputs (micros
+    discipline), so the correlation is deterministic under any
+    partitioning and reproducible cross-engine — the same closed form
+    as ``pearson_matrix``; never ``corr()``, whose Welford accumulation
+    differs in final ulps between engines.
+
+    Pairs where the lag falls off the front of the series are dropped
+    (n shrinks by L per key, standard "short" ACF without circular
+    wrap). ``value_col`` must be integral; gaps in ``order_col`` are
+    the caller's contract (lag = ROW shift — densify upstream with
+    gap_fill if the calendar has holes).
+
+    The reference engine has no aggregation surface
+    (``/root/reference/src/meta.rs``); extension surface for the
+    time-series lane, oracle-checked against the identical integer
+    closed form in DuckDB."""
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    lag_list = sorted(set(int(x) for x in lags))
+    if not lag_list or lag_list[0] < 1:
+        raise ValueError("lags must be positive integers")
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    # lag columns first (generators can't host window expressions);
+    # every lag shares ONE window spec, so this is a single Window node
+    lagged = df.select(
+        *keys,
+        F.col(value_col).cast("long").alias("__y"),
+        *[
+            F.lag(value_col, lg).over(w).cast("long").alias(f"__yl_{lg}")
+            for lg in lag_list
+        ],
+    )
+    structs = [
+        F.struct(
+            F.lit(lg).alias("lag"),
+            F.col("__y"),
+            F.col(f"__yl_{lg}").alias("__yl"),
+        )
+        for lg in lag_list
+    ]
+    dec = "decimal(38,0)"
+    pairs = (
+        lagged.select(*keys, F.explode(F.array(*structs)).alias("p"))
+        .select(*keys, "p.lag", "p.__y", "p.__yl")
+        .filter(F.col("__yl").isNotNull())
+    )
+    m = pairs.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__y").cast(dec)).alias("sx"),
+        F.sum(F.col("__yl").cast(dec)).alias("sy"),
+        # cast BEFORE multiplying: long*long overflow wraps silently in
+        # non-ANSI mode, and daily/monthly micro sums square past 2^63
+        F.sum(F.col("__y").cast(dec) * F.col("__y").cast(dec)).alias("sxx"),
+        F.sum(F.col("__yl").cast(dec) * F.col("__yl").cast(dec)).alias("syy"),
+        F.sum(F.col("__y").cast(dec) * F.col("__yl").cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        *keys,
+        "lag",
+        F.col("n").cast("long").alias("n"),
+        F.when(den > 0, F.round(num / den, round_to)).alias("acf"),
+    )
+
+
+def group_trend(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line ``y = intercept +
+    slope * x`` with goodness-of-fit — slope of daily revenue per
+    nation, token-count drift per source, any "is this lane growing"
+    question — from ONE algebraic aggregation.
+
+    Exact DECIMAL(38,0) moments over integer inputs (x = day/bucket
+    index, y = micros), closed forms on the per-group moment row:
+    ``slope = (n*sxy - sx*sy) / (n*sxx - sx^2)``, ``intercept =
+    (sy - slope*sx) / n``, ``r2 = (n*sxy - sx*sy)^2 / ((n*sxx - sx^2)
+    * (n*syy - sy^2))``. Never MLlib LinearRegression here: that is an
+    iterative driver-coordinated fit; a 2-parameter OLS is a
+    scan-speed aggregate. Zero-variance x (or a single point) yields
+    NULL slope; zero-variance y yields r2 = NULL with slope 0 — the
+    SQL-honest answers.
+
+    Shuffle is 6 numbers per group per task (map-side combined) — the
+    cheapest shape at 100 TB. NULL x or y drops the row (complete-case,
+    same policy as pearson_matrix). Extension surface (reference has
+    no aggregation: ``/root/reference/src/meta.rs``), oracle-checked
+    against the identical integer closed form in DuckDB."""
+    keys = list(key_cols)
+    dec = "decimal(38,0)"
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    m = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        # decimal BEFORE the product — see acf's overflow note
+        F.sum(x.cast(dec) * x.cast(dec)).alias("sxx"),
+        F.sum(y.cast(dec) * y.cast(dec)).alias("syy"),
+        F.sum(x.cast(dec) * y.cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = F.when(denx > 0, num / denx)
+    return m.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, round_to).alias("slope"),
+        F.when(denx > 0, F.round((sy - slope * sx) / n, round_to)).alias(
+            "intercept"
+        ),
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.round((num * num) / (denx * deny), round_to),
+        ).alias("r2"),
+    )
+
+
+def mann_whitney(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_bins: int = 1024,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two groups — the
+    distribution-free A/B comparison (did the treatment shift session
+    values?) that doesn't assume normality the way a t-test does.
+
+    The classic formulation needs every row's tie-averaged rank over
+    the pooled values — a corpus-wide total order. A naive
+    ``Window.orderBy`` with no partition funnels 100 TB through ONE
+    task (forbidden suite-wide by the plan audit), so ranks come from
+    the two-phase binned device (``global_row_number``'s shape) run on
+    the VALUE-LEVEL table: aggregate to one row per distinct value
+    (count + per-group count), bin by value range, cumulative bin
+    offsets over the n_bins-BOUNDED histogram window, within-bin
+    running sums ordered by value. Ranks stay tie-exact because a
+    value's rows never straddle bins (bucket is a function of the
+    value alone).
+
+    Integer-exact core: doubled average rank ``rank2(v) = 2*cum_before
+    + cnt + 1`` is always an integer; ``R2_a = sum(n_a(v) * rank2(v))``
+    and ``U2_a = R2_a - n_a*(n_a+1)`` are exact longs, so the U
+    statistic is bit-identical cross-engine. The normal approximation
+    ``z = (U_a - n_a*n_b/2) / sigma`` uses the tie-corrected variance
+    ``n_a*n_b/12 * ((n+1) - sum(t^3 - t)/(n*(n-1)))`` (no continuity
+    correction — documented, matched in the oracle) and is rounded;
+    ``auc = U_a / (n_a*n_b)`` is the common-language effect size (the
+    probability a random A value exceeds a random B value, ties at
+    half weight).
+
+    Returns ONE row: ``n_a, n_b, u2_a, auc, z``. Extension surface
+    (reference has no aggregation: ``/root/reference/src/meta.rs``)."""
+    from pyspark.sql.window import Window
+
+    two = df.filter(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    )
+    per_value = two.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(
+            F.when(F.col(group_col) == group_a, 1).otherwise(0)
+        ).alias("__na"),
+    )
+    # two-phase binned cumulative count over the distinct-value table
+    # (same device as global_row_number; the histogram window is
+    # n_bins-bounded, the within-bin window holds ~distinct/n_bins rows)
+    per_value = per_value.localCheckpoint(eager=False)
+    stats = per_value.agg(
+        F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
+    )
+    width = F.col("__mx") - F.col("__mn")
+    bucket = F.when(width <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col("__v") - F.col("__mn")) / width * n_bins),
+        )
+    )
+    m = per_value.crossJoin(F.broadcast(stats)).withColumn(
+        "__b", bucket.cast("long")
+    )
+    hist = m.groupBy("__b").agg(F.sum("__cnt").alias("__bc"))
+    wcum = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hist = hist.select(
+        "__b", F.coalesce(F.sum("__bc").over(wcum), F.lit(0)).alias("__off")
+    )
+    wbin = (
+        Window.partitionBy("__b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        m.join(hist, "__b")
+        .withColumn(
+            "__before",
+            F.col("__off") + F.coalesce(F.sum("__cnt").over(wbin), F.lit(0)),
+        )
+        .withColumn("__rank2", 2 * F.col("__before") + F.col("__cnt") + 1)
+    )
+    dec = "decimal(38,0)"
+    row = ranked.agg(
+        F.sum("__na").alias("__n_a"),
+        F.sum(F.col("__cnt") - F.col("__na")).alias("__n_b"),
+        F.sum(F.col("__na") * F.col("__rank2")).alias("__r2a"),
+        F.sum(
+            (
+                F.col("__cnt").cast(dec)
+                * F.col("__cnt").cast(dec)
+                * F.col("__cnt").cast(dec)
+                - F.col("__cnt").cast(dec)
+            )
+        ).alias("__ties"),
+    )
+    n_a = F.col("__n_a").cast("double")
+    n_b = F.col("__n_b").cast("double")
+    nn = n_a + n_b
+    u2 = F.col("__r2a") - F.col("__n_a") * (F.col("__n_a") + 1)
+    u = u2.cast("double") / 2.0
+    mu = n_a * n_b / 2.0
+    var = (
+        n_a
+        * n_b
+        / 12.0
+        * ((nn + 1) - F.col("__ties").cast("double") / (nn * (nn - 1)))
+    )
+    return row.select(
+        F.col("__n_a").cast("long").alias("n_a"),
+        F.col("__n_b").cast("long").alias("n_b"),
+        u2.cast("long").alias("u2_a"),
+        F.round(u / (n_a * n_b), round_to).alias("auc"),
+        F.when(var > 0, F.round((u - mu) / F.sqrt(var), round_to)).alias(
+            "z"
+        ),
+    )

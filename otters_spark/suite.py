@@ -8660,6 +8660,702 @@ GROUP BY l.user_id ORDER BY l.user_id
 
 
 # =====================================================================
+# Sixth wave: the remaining TPC-H decision-support shapes (Q2, Q4, Q6,
+# Q9, Q11, Q12, Q14, Q16, Q20 — adapted to this star schema: no
+# partsupp table, no commit/receipt dates, so supply cost derives from
+# lineitem and lateness from shipdate vs orderdate; every adaptation
+# keeps the ORIGINAL query's plan-shape challenge), plus the
+# time-series statistics lane (ACF, OLS trend, Mann-Whitney rank-sum).
+# =====================================================================
+
+
+def rel_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every STANDARD part
+    in a size band, the EUROPE supplier(s) offering it at the lowest
+    observed price. The original's correlated ``ps_supplycost = (SELECT
+    min ...)`` decorrelates into a per-part min aggregate joined back —
+    the Catalyst-friendly form; supply price per (part, supplier) is
+    the min line total seen in lineitem (no partsupp table — exact
+    integer cents, no division). Region/nation dims broadcast; the
+    min-join's right side is per-part (bounded by |part|), also
+    broadcast-able at any SF where part stays dimension-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dim = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    eu = s.join(
+        F.broadcast(dim), s["s_nationkey"] == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    offers = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_name")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(eu, li["l_suppkey"] == F.col("s_suppkey"))
+        .withColumn(
+            "__c", F.round(F.col("l_extendedprice") * 100).cast("long")
+        )
+        .groupBy(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name"
+        )
+        .agg(F.min("__c").alias("supply_cents"))
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("supply_cents").alias("__min_c")
+    )
+    out = offers.join(
+        F.broadcast(best),
+        (offers["p_partkey"] == best["__pk"])
+        & (offers["supply_cents"] == best["__min_c"]),
+    )
+    return (
+        out.select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "supply_cents",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+REL_MIN_COST_SUPPLIER_SQL = """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+offers AS (
+  SELECT p.p_partkey, p.p_name, e.s_suppkey, e.s_name, e.s_acctbal,
+         e.n_name,
+         min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS supply_cents
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN eu e ON e.s_suppkey = l.l_suppkey
+  WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+  GROUP BY p.p_partkey, p.p_name, e.s_suppkey, e.s_name, e.s_acctbal,
+           e.n_name),
+best AS (
+  SELECT p_partkey, min(supply_cents) AS min_c FROM offers GROUP BY 1)
+SELECT round(o.s_acctbal, 2) AS s_acctbal, o.s_name, o.n_name,
+       o.p_partkey, o.p_name, o.supply_cents
+FROM offers o
+JOIN best b ON o.p_partkey = b.p_partkey AND o.supply_cents = b.min_c
+ORDER BY s_acctbal DESC, o.n_name, o.s_name, o.p_partkey
+LIMIT 100
+"""
+
+
+def rel_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders placed in
+    1996-Q3 with at least one line shipped more than 45 days after the
+    order date, counted per priority. The EXISTS subquery becomes a
+    LEFT SEMI join with the lateness predicate as a join condition —
+    the fact side carries each order ONCE regardless of how many late
+    lines it has (a plain inner join would need a distinct), and the
+    quarter filter prunes the orders scan before the shuffle. (No
+    commit/receipt dates in this schema — lateness is shipdate vs
+    orderdate + 45 days.)"""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 45 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+REL_LATE_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): revenue that would
+    vanish if small-quantity, mid-discount 1996 shipments lost their
+    discount. Pure scan-aggregate — every predicate (date range,
+    discount band, quantity cap) pushes to the Parquet scan, no join,
+    no shuffle beyond the final 1-row combine; the simplest query in
+    the TPC-H set and the purest pushdown/codegen benchmark. Revenue
+    in exact integer micro-units (cents x discount-percent), so the
+    sum is bit-identical cross-engine."""
+    li = load(spark, sf_dir, "lineitem")
+    kept = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    micros = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        F.col("l_discount") * 100
+    ).cast("long")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(micros).alias("forecast_micros"),
+    )
+
+
+REL_FORECAST_REVENUE_SQL = """
+SELECT count(*)::BIGINT AS n_lines,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT))::BIGINT
+         AS forecast_micros
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def rel_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit on 'bolt' parts by
+    supplier nation and ship year. No partsupp supply cost in this
+    schema — unit cost is modeled as 50% of p_retailprice, keeping
+    Q9's defining feature: a per-line amount combining columns from
+    THREE tables (lineitem price/discount, part cost, supplier
+    nation), exact integer cent-percent units end to end. Part and
+    nation dims broadcast; the (nation, year) aggregate is map-side
+    combined to 25 x years rows."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    amount = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    ) - F.round(F.col("p_retailprice") * 100).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long") * F.lit(50)
+    j = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(
+            s.select("s_suppkey", "s_nationkey"),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        j.withColumn("__a", amount)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            F.sum("__a").alias("profit_micros"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+REL_PRODUCT_TYPE_PROFIT_SQL = """
+SELECT n_name AS nation,
+       CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           - CAST(round(p_retailprice * 100) AS BIGINT)
+             * CAST(l_quantity AS BIGINT) * 50)::BIGINT AS profit_micros,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def rel_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    ASIA-supplied value exceeds 1.5x the mean part value (the
+    original's fixed fraction-of-total doesn't survive SF changes —
+    |part| grows with SF, so a mean-relative cut is the
+    scale-invariant reading). The scalar HAVING subquery (numbers
+    computed over the SAME fact slice) becomes aggregate-to-one-row +
+    crossJoin(broadcast) — never a recompute of the slice, and never
+    a driver collect. The threshold compare is EXACT:
+    ``2 * value * n_parts > 3 * total`` in longs (3/2 is an integer
+    ratio — no float boundary to flip cross-engine). Per-part values are one map-side-combined
+    aggregate; the scoped supplier list broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    scoped = s.join(
+        F.broadcast(
+            n.join(
+                F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+            ).select("n_nationkey")
+        ),
+        s["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(scoped), li["l_suppkey"] == F.col("s_suppkey"))
+        .withColumn(
+            "__c", F.round(F.col("l_extendedprice") * 100).cast("long")
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("__c").alias("value_cents"))
+        # feeds both the total and the filter branch — pin it (lazy)
+        .localCheckpoint(eager=False)
+    )
+    total = per_part.agg(
+        F.sum("value_cents").alias("__total"),
+        F.count(F.lit(1)).alias("__nparts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            2 * F.col("value_cents") * F.col("__nparts")
+            > 3 * F.col("__total")
+        )
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+        .orderBy(F.col("value_cents").desc(), "p_partkey")
+    )
+
+
+REL_IMPORTANT_PARTS_SQL = """
+WITH scoped AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+per_part AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+           AS value_cents
+  FROM lineitem JOIN scoped ON l_suppkey = s_suppkey
+  GROUP BY 1)
+SELECT p_partkey, value_cents
+FROM per_part
+WHERE 2 * value_cents * (SELECT count(*) FROM per_part)
+      > 3 * (SELECT sum(value_cents) FROM per_part)
+ORDER BY value_cents DESC, p_partkey
+"""
+
+
+def rel_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode / priority pivot): 1996 lines
+    bucketed LATE vs ONTIME (shipped >60 days after order date — no
+    shipmode or receipt date in this schema), with urgent-vs-other
+    order counts pivoted into columns per bucket. One fact-fact hash
+    join (lineitem x orders on orderkey) and a 2-row CASE-SUM
+    aggregate — Q12's defining shape: the pivot happens IN the
+    aggregate, not as a separate operator."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    bucket = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.lit("LATE"),
+    ).otherwise(F.lit("ONTIME"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+REL_LATE_LINE_PRIORITY_SQL = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+            THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_priority_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY ship_bucket
+"""
+
+
+def rel_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of September-1996
+    revenue earned by PROMO-type parts. Conditional aggregation over
+    one broadcast part join, one output row; numerator and denominator
+    are exact integer micro-units, so the percentage divides two exact
+    longs — the same double in both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_type")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+        ).alias("promo_micros"),
+        F.sum(rev).alias("total_micros"),
+    )
+    return agg.select(
+        "promo_micros",
+        "total_micros",
+        F.round(
+            F.lit(100.0) * F.col("promo_micros") / F.col("total_micros"), 4
+        ).alias("promo_pct"),
+    )
+
+
+REL_PROMO_REVENUE_SQL = """
+WITH a AS (
+  SELECT
+    sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             ELSE 0 END)::BIGINT AS promo_micros,
+    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+      AS total_micros
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l_shipdate < TIMESTAMP '1996-10-01')
+SELECT promo_micros, total_micros,
+       round(100.0 * promo_micros / total_micros, 4) AS promo_pct
+FROM a
+"""
+
+
+def rel_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    distinct suppliers ship each (brand, type) for an IN-list of
+    sizes, excluding one brand, one type, and suppliers on a
+    complaint list (negative account balance — the NOT IN subquery,
+    which Spark plans as a broadcast anti-join over the tiny excluded
+    set). Relationships derive from distinct lineitem
+    (partkey, suppkey) pairs — the DISTINCT runs AFTER the part
+    filter prunes the fact scan, and the count-distinct aggregate
+    expands per (brand, type) group."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#23")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select("l_suppkey", "p_brand", "p_type")
+        .distinct()
+    )
+    kept = pairs.join(
+        F.broadcast(bad), pairs["l_suppkey"] == bad["s_suppkey"], "left_anti"
+    )
+    return (
+        kept.groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+REL_SUPPLIER_PART_COUNTS_SQL = """
+SELECT p_brand, p_type,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+  AND p_size IN (5, 10, 15, 20, 25, 30)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+"""
+
+
+def rel_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): AMERICA suppliers
+    whose 1996 shipments of 'small…' parts exceeded a quarter of
+    their all-time volume of those parts (1.7x the uniform 1/7-years
+    share — a one-year spike) — the original's nested correlated
+    ``ps_availqty > 0.5 * (SELECT sum(l_quantity) ...)`` collapses
+    into ONE conditional aggregate per supplier (1996 quantity and
+    total quantity from the same pass) with the comparison in exact
+    longs (``4 * qty_1996 > qty_all``; quantities are integral). The
+    IN-subquery membership becomes an inner join against the unique
+    per-supplier aggregate; part and nation/region dims broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    qty = F.col("l_quantity").cast("long")
+    in96 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    per_supp = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in96, qty).otherwise(F.lit(0))).alias("qty_1996"),
+            F.sum(qty).alias("qty_all"),
+        )
+        .filter(F.lit(4) * F.col("qty_1996") > F.col("qty_all"))
+    )
+    dim = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    return (
+        s.join(F.broadcast(dim), s["s_nationkey"] == F.col("n_nationkey"))
+        .join(per_supp, s["s_suppkey"] == per_supp["l_suppkey"])
+        .select("s_name", "n_name", "qty_1996", "qty_all")
+        .orderBy("s_name")
+    )
+
+
+REL_PROMOTABLE_SUPPLIERS_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END)::BIGINT
+           AS qty_1996,
+         sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty_all
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY 1
+  HAVING 4 * sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-01-01'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+         > sum(CAST(l_quantity AS BIGINT)))
+SELECT s_name, n_name, qty_1996, qty_all
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN per_supp ON l_suppkey = s_suppkey
+WHERE r_name = 'AMERICA'
+ORDER BY s_name
+"""
+
+
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily event-value totals per event type at
+    lags 1/2/3/7 (``operators/stats.py:acf``) — the
+    momentum/weekly-seasonality screen. Daily totals are exact micros
+    longs; the per-key window is calendar-bounded (30 days); moments
+    are exact decimals with the closed-form correlation mirrored
+    double-op-for-double-op in the oracle."""
+    from .operators.stats import acf
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("__d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+            "__micros"
+        )
+    )
+    series = daily.select(
+        "event_type",
+        F.datediff(F.col("__d"), F.lit("2024-01-01").cast("date")).alias(
+            "__t"
+        ),
+        "__micros",
+    )
+    return acf(series, ["event_type"], "__t", "__micros", [1, 2, 3, 7]).orderBy(
+        "event_type", "lag"
+    )
+
+
+EVENTS_ACF_DAILY_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+         sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+numbered AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn
+  FROM daily),
+pairs AS (
+  SELECT a.event_type, l.lag, a.y AS y, b.y AS yl
+  FROM numbered a
+  CROSS JOIN (VALUES (1), (2), (3), (7)) l(lag)
+  JOIN numbered b
+    ON b.event_type = a.event_type AND b.rn = a.rn - l.lag),
+m AS (
+  SELECT event_type, lag,
+         count(*)::BIGINT AS nn, count(*)::DOUBLE AS n,
+         sum(y)::DOUBLE AS sx, sum(yl)::DOUBLE AS sy,
+         sum(CAST(y AS HUGEINT) * y)::DOUBLE AS sxx,
+         sum(CAST(yl AS HUGEINT) * yl)::DOUBLE AS syy,
+         sum(CAST(y AS HUGEINT) * yl)::DOUBLE AS sxy
+  FROM pairs GROUP BY 1, 2)
+SELECT event_type, CAST(lag AS INT) AS lag, nn AS n,
+       CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+            END AS acf
+FROM m ORDER BY event_type, lag
+"""
+
+
+def rel_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS trend of monthly revenue
+    (``operators/stats.py:group_trend``): is each lane growing, and
+    how linearly? Monthly cents are exact longs; slope/intercept/r2
+    come from one algebraic decimal-moment aggregate with the double
+    closed form mirrored in the oracle."""
+    from .operators.stats import group_trend
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    monthly = li.groupBy(
+        "l_returnflag",
+        (
+            (F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1
+        ).alias("__m"),
+    ).agg(F.sum(rev).alias("__rev"))
+    return group_trend(monthly, ["l_returnflag"], "__m", "__rev").orderBy(
+        "l_returnflag"
+    )
+
+
+REL_REVENUE_TREND_SQL = """
+WITH monthly AS (
+  SELECT l_returnflag,
+         (year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS x,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT))::BIGINT AS y
+  FROM lineitem GROUP BY 1, 2),
+m AS (
+  SELECT l_returnflag,
+         count(*)::BIGINT AS nn, count(*)::DOUBLE AS n,
+         sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+         sum(CAST(x AS HUGEINT) * x)::DOUBLE AS sxx,
+         sum(CAST(y AS HUGEINT) * y)::DOUBLE AS syy,
+         sum(CAST(x AS HUGEINT) * y)::DOUBLE AS sxy
+  FROM monthly GROUP BY 1)
+SELECT l_returnflag, nn AS n,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+            END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                       / n, 6)
+            END AS intercept,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+            END AS r2
+FROM m ORDER BY l_returnflag
+"""
+
+
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do purchase events carry a
+    different value distribution than view events?
+    (``operators/stats.py:mann_whitney``). The pooled tie-averaged
+    ranks come from the two-phase binned device (no unpartitioned
+    window); the doubled U statistic is an exact long, cross-checked
+    bit-for-bit; auc/z mirror the double arithmetic in the oracle."""
+    from .operators.stats import mann_whitney
+
+    ev = load_events(spark, sf_dir)
+    return mann_whitney(ev, "event_type", "value", "purchase", "view")
+
+
+EVENTS_MANN_WHITNEY_SQL = """
+WITH two AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+pv AS (
+  SELECT v, count(*)::BIGINT AS cnt,
+         sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS na
+  FROM two GROUP BY v),
+ranked AS (
+  SELECT *,
+         coalesce(sum(cnt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM pv),
+agg AS (
+  SELECT sum(na)::BIGINT AS n_a,
+         sum(cnt - na)::BIGINT AS n_b,
+         sum(na * (2 * bef + cnt + 1))::BIGINT AS r2a,
+         sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)::DOUBLE AS ties
+  FROM ranked)
+SELECT n_a, n_b,
+       (r2a - n_a * (n_a + 1))::BIGINT AS u2_a,
+       round(((r2a - n_a * (n_a + 1))::DOUBLE / 2.0)
+             / (n_a::DOUBLE * n_b::DOUBLE), 6) AS auc,
+       CASE WHEN n_a::DOUBLE * n_b::DOUBLE / 12.0
+                 * ((n_a::DOUBLE + n_b::DOUBLE + 1)
+                    - ties / ((n_a::DOUBLE + n_b::DOUBLE)
+                              * (n_a::DOUBLE + n_b::DOUBLE - 1))) > 0
+            THEN round(((r2a - n_a * (n_a + 1))::DOUBLE / 2.0
+                        - n_a::DOUBLE * n_b::DOUBLE / 2.0)
+                       / sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+                              * ((n_a::DOUBLE + n_b::DOUBLE + 1)
+                                 - ties / ((n_a::DOUBLE + n_b::DOUBLE)
+                                           * (n_a::DOUBLE + n_b::DOUBLE
+                                              - 1)))), 6)
+            END AS z
+FROM agg
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -8986,6 +9682,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_table_profile": rel_table_profile,
     "link_golden_records": link_golden_records,
     "events_attribution_multitouch": events_attribution_multitouch,
+    # Sixth wave (round 4): the remaining TPC-H shapes — the suite now
+    # carries all 22 — plus the time-series statistics lane. Beyond
+    # this round's driver cap; rotate in round 5:
+    "rel_min_cost_supplier": rel_min_cost_supplier,
+    "rel_late_order_priority": rel_late_order_priority,
+    "rel_forecast_revenue": rel_forecast_revenue,
+    "rel_product_type_profit": rel_product_type_profit,
+    "rel_important_parts": rel_important_parts,
+    "rel_late_line_priority": rel_late_line_priority,
+    "rel_promo_revenue": rel_promo_revenue,
+    "rel_supplier_part_counts": rel_supplier_part_counts,
+    "rel_promotable_suppliers": rel_promotable_suppliers,
+    "events_acf_daily": events_acf_daily,
+    "rel_revenue_trend": rel_revenue_trend,
+    "events_mann_whitney": events_mann_whitney,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9180,4 +9891,16 @@ ORACLE_SQL: dict[str, str] = {
     "rel_table_profile": REL_TABLE_PROFILE_SQL,
     "link_golden_records": LINK_GOLDEN_RECORDS_SQL,
     "events_attribution_multitouch": EVENTS_ATTRIBUTION_MULTITOUCH_SQL,
+    "rel_min_cost_supplier": REL_MIN_COST_SUPPLIER_SQL,
+    "rel_late_order_priority": REL_LATE_ORDER_PRIORITY_SQL,
+    "rel_forecast_revenue": REL_FORECAST_REVENUE_SQL,
+    "rel_product_type_profit": REL_PRODUCT_TYPE_PROFIT_SQL,
+    "rel_important_parts": REL_IMPORTANT_PARTS_SQL,
+    "rel_late_line_priority": REL_LATE_LINE_PRIORITY_SQL,
+    "rel_promo_revenue": REL_PROMO_REVENUE_SQL,
+    "rel_supplier_part_counts": REL_SUPPLIER_PART_COUNTS_SQL,
+    "rel_promotable_suppliers": REL_PROMOTABLE_SUPPLIERS_SQL,
+    "events_acf_daily": EVENTS_ACF_DAILY_SQL,
+    "rel_revenue_trend": REL_REVENUE_TREND_SQL,
+    "events_mann_whitney": EVENTS_MANN_WHITNEY_SQL,
 }

@@ -357,3 +357,162 @@ def test_pearson_matrix_rejects_single_column(spark):
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError, match="two columns"):
         pearson_matrix(df, ["x"])
+
+
+# ---------------------------------------------------------------------
+# acf / group_trend / mann_whitney vs driver-side NumPy references
+# ---------------------------------------------------------------------
+
+def _np_pearson(x, y):
+    import numpy as np
+
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    n = len(x)
+    num = n * (x * y).sum() - x.sum() * y.sum()
+    den = (
+        (n * (x * x).sum() - x.sum() ** 2)
+        * (n * (y * y).sum() - y.sum() ** 2)
+    ) ** 0.5
+    return num / den if den > 0 else None
+
+
+def test_acf_matches_numpy_reference(spark):
+    from otters_spark.operators.stats import acf
+
+    series = {
+        "a": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7],
+        "b": [10, 20, 10, 20, 10, 20, 10, 20, 10, 20],
+    }
+    rows = [
+        (k, i, v) for k, vs in series.items() for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, y long")
+    got = {
+        (r["k"], r["lag"]): (r["n"], r["acf"])
+        for r in acf(df, ["k"], "t", "y", [1, 2, 3]).collect()
+    }
+    for k, vs in series.items():
+        for lag in (1, 2, 3):
+            xs, ys = vs[lag:], vs[:-lag]
+            want = _np_pearson(xs, ys)
+            n, a = got[(k, lag)]
+            assert n == len(xs)
+            if want is None:
+                assert a is None
+            else:
+                assert a == pytest.approx(round(want, 6), abs=1e-6)
+    # the alternating series has perfect negative lag-1 / positive
+    # lag-2 autocorrelation — sanity-pin the sign structure
+    assert got[("b", 1)][1] == pytest.approx(-1.0)
+    assert got[("b", 2)][1] == pytest.approx(1.0)
+
+
+def test_acf_rejects_bad_lags(spark):
+    from otters_spark.operators.stats import acf
+
+    df = spark.createDataFrame([("a", 1, 1)], "k string, t int, y long")
+    with pytest.raises(ValueError):
+        acf(df, ["k"], "t", "y", [0, 1])
+    with pytest.raises(ValueError):
+        acf(df, ["k"], "t", "y", [])
+
+
+def test_group_trend_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from otters_spark.operators.stats import group_trend
+
+    rng_rows = []
+    # deterministic pseudo-data: y = 7x + 100 + (x^2 % 13) noise
+    for g, (a, b) in {"up": (7, 100), "down": (-3, 50)}.items():
+        for x in range(20):
+            rng_rows.append((g, x, a * x + b + (x * x) % 13))
+    df = spark.createDataFrame(rng_rows, "g string, x long, y long")
+    got = {r["g"]: r for r in group_trend(df, ["g"], "x", "y").collect()}
+    for g in ("up", "down"):
+        xs = np.array([r[1] for r in rng_rows if r[0] == g], dtype=float)
+        ys = np.array([r[2] for r in rng_rows if r[0] == g], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert got[g]["n"] == 20
+        assert got[g]["slope"] == pytest.approx(round(slope, 6), abs=1e-6)
+        assert got[g]["intercept"] == pytest.approx(
+            round(intercept, 6), abs=1e-6
+        )
+        assert got[g]["r2"] == pytest.approx(round(r * r, 6), abs=1e-6)
+
+
+def test_group_trend_degenerate_groups(spark):
+    from otters_spark.operators.stats import group_trend
+
+    df = spark.createDataFrame(
+        [("one_point", 1, 5), ("flat_y", 1, 7), ("flat_y", 2, 7),
+         ("flat_x", 3, 1), ("flat_x", 3, 9)],
+        "g string, x long, y long",
+    )
+    got = {r["g"]: r for r in group_trend(df, ["g"], "x", "y").collect()}
+    assert got["one_point"]["slope"] is None
+    assert got["flat_x"]["slope"] is None  # zero x-variance
+    # zero y-variance: slope 0, r2 NULL (0/0)
+    assert got["flat_y"]["slope"] == 0.0
+    assert got["flat_y"]["r2"] is None
+
+
+def _mw_reference(a_vals, b_vals):
+    """Plain-Python tie-averaged Mann-Whitney (the textbook form)."""
+    pooled = sorted([(v, "a") for v in a_vals] + [(v, "b") for v in b_vals])
+    ranks = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # average of ranks i+1 .. j
+        ranks[pooled[i][0]] = avg
+        i = j
+    r_a = sum(ranks[v] for v in a_vals)
+    n_a, n_b = len(a_vals), len(b_vals)
+    u_a = r_a - n_a * (n_a + 1) / 2.0
+    n = n_a + n_b
+    from collections import Counter
+
+    ties = sum(c**3 - c for c in Counter(v for v, _ in pooled).values())
+    var = n_a * n_b / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u_a - n_a * n_b / 2.0) / var**0.5 if var > 0 else None
+    return u_a, u_a / (n_a * n_b), z
+
+
+def test_mann_whitney_matches_reference_with_ties(spark):
+    from otters_spark.operators.stats import mann_whitney
+
+    a = [1.0, 2.0, 2.0, 3.5, 9.0, 4.0, 4.0, 4.0, 0.5]
+    b = [2.0, 5.0, 6.0, 4.0, 7.5, 8.0, 1.5]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mann_whitney(df, "g", "v", "a", "b", n_bins=4).collect()[0]
+    u_a, auc, z = _mw_reference(a, b)
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["u2_a"] == int(round(2 * u_a))
+    assert got["auc"] == pytest.approx(round(auc, 6), abs=1e-6)
+    assert got["z"] == pytest.approx(round(z, 6), abs=1e-6)
+
+
+def test_mann_whitney_extreme_shift_and_identical(spark):
+    from otters_spark.operators.stats import mann_whitney
+
+    # complete separation: every a > every b -> U = n_a*n_b, auc = 1
+    rows = [("a", float(100 + i)) for i in range(10)] + [
+        ("b", float(i)) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mann_whitney(df, "g", "v", "a", "b").collect()[0]
+    assert got["u2_a"] == 2 * 10 * 8
+    assert got["auc"] == 1.0
+    # all values identical -> zero variance -> z NULL, auc 0.5
+    df2 = spark.createDataFrame(
+        [("a", 1.0)] * 5 + [("b", 1.0)] * 5, "g string, v double"
+    )
+    got2 = mann_whitney(df2, "g", "v", "a", "b").collect()[0]
+    assert got2["auc"] == 0.5
+    assert got2["z"] is None
