@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "acf",
+    "chi_square",
     "global_row_number",
     "group_percentiles",
     "group_trend",
@@ -995,4 +996,83 @@ def mann_whitney(
         F.when(var > 0, F.round((u - mu) / F.sqrt(var), round_to)).alias(
             "z"
         ),
+    )
+
+def chi_square(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chi-squared test of independence between two categorical
+    columns, plus Cramér's V effect size — the categorical sibling of
+    :func:`mann_whitney` (is event type independent of weekday? is
+    source correlated with language?).
+
+    One corpus scan builds the contingency cells; margins and the
+    total derive from the CELL table (|A| x |B| rows — never a second
+    corpus pass). Zero cells still contribute their expected count, so
+    the observed table is completed by cross-joining the two margin
+    vectors (bounded by the category cardinalities) and left-joining
+    the cells. Counts are exact longs; the statistic mirrors its
+    double arithmetic op-for-op in the oracle:
+    ``chi2 = sum((obs - exp)^2 / exp)`` with
+    ``exp = row_total * col_total / n``, ``dof = (|A|-1)(|B|-1)``,
+    ``V = sqrt(chi2 / (n * min(|A|-1, |B|-1)))``.
+
+    High-cardinality columns are the caller's contract (the cell table
+    is |A| x |B|): bucket first — a chi-squared test over million-way
+    categories is statistically meaningless anyway. Returns ONE row:
+    ``n, n_a, n_b, dof, chi2, cramers_v``. Extension surface
+    (reference has no aggregation: ``/root/reference/src/meta.rs``)."""
+    base = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    cells = (
+        base.groupBy(
+            F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).alias("__obs"))
+        # feeds margins AND the completed table — pin it (lazy)
+        .localCheckpoint(eager=False)
+    )
+    row_m = cells.groupBy("__a").agg(F.sum("__obs").alias("__ra"))
+    col_m = cells.groupBy("__b").agg(F.sum("__obs").alias("__cb"))
+    grid = row_m.crossJoin(col_m).join(cells, ["__a", "__b"], "left")
+    total = cells.agg(
+        F.sum("__obs").alias("__n"),
+        F.countDistinct("__a").alias("__ka"),
+        F.countDistinct("__b").alias("__kb"),
+    )
+    exp = (
+        F.col("__ra").cast("double")
+        * F.col("__cb").cast("double")
+        / F.col("__n").cast("double")
+    )
+    obs = F.coalesce(F.col("__obs"), F.lit(0)).cast("double")
+    term = (obs - exp) * (obs - exp) / exp
+    stat = (
+        grid.crossJoin(F.broadcast(total))
+        .agg(
+            F.sum(term).alias("__chi2"),
+            F.first("__n").alias("n"),
+            F.first("__ka").alias("n_a"),
+            F.first("__kb").alias("n_b"),
+        )
+    )
+    mindim = F.least(F.col("n_a") - 1, F.col("n_b") - 1)
+    return stat.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long").alias("dof"),
+        F.round("__chi2", round_to).alias("chi2"),
+        F.when(
+            mindim > 0,
+            F.round(
+                F.sqrt(
+                    F.col("__chi2")
+                    / (F.col("n").cast("double") * mindim.cast("double"))
+                ),
+                round_to,
+            ),
+        ).alias("cramers_v"),
     )

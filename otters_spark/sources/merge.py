@@ -27,7 +27,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["merge_upsert", "scd2_merge", "scd2_as_of", "snapshot_diff", "change_feed", "apply_agg_delta"]
+__all__ = ["merge_upsert", "scd2_merge", "scd2_as_of", "snapshot_diff", "change_feed", "apply_agg_delta", "join_change_feed"]
 
 
 def merge_upsert(
@@ -294,3 +294,47 @@ def apply_agg_delta(
     return j.select(*out_keys, *new_cols, new_n).filter(
         F.col(count_col) > 0
     )
+
+
+def join_change_feed(
+    r_feed: DataFrame,
+    s_feed: DataFrame,
+    r_old: DataFrame,
+    s_new: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Signed change feed of a JOIN view — the delta-join identity that
+    extends :func:`apply_agg_delta`'s maintenance story past single
+    tables:  ``Δ(R ⋈ S) = ΔR ⋈ S_new  +  R_old ⋈ ΔS``  (counting
+    semiring; signs multiply, and the full-side rows carry +1). Feed
+    the result straight into :func:`apply_agg_delta` to maintain an
+    aggregate OVER a join without re-joining the corpus.
+
+    Why this 2-term form: expanding ``R_new ⋈ S_new − R_old ⋈ S_old``
+    with ``R_new = R_old + ΔR`` gives ``R_old ⋈ (S_new − S_old) +
+    ΔR ⋈ S_new`` — exact for adds, deletes, updates on EITHER or BOTH
+    sides, including correlated churn (a row changing on both sides at
+    once), with no ΔR ⋈ ΔS correction term to forget.
+
+    Scale shape: both terms are change-sized on one side — ΔR hashes
+    against S_new, ΔS against R_old; neither re-joins R×S. The feeds
+    come from :func:`change_feed` (so they carry ``__sign``); non-key
+    columns must be disjoint across sides (standard join hygiene).
+
+    The reference engine has no join surface (`/root/reference/src/`);
+    extension lane, oracle-proved by aggregating the rebuilt v2 join."""
+    keys = list(on)
+    r_other = [c for c in r_feed.columns if c not in keys + ["__sign"]]
+    s_other = [c for c in s_feed.columns if c not in keys + ["__sign"]]
+    clash = set(r_other) & set(s_other)
+    if clash:
+        raise ValueError(f"non-key columns collide across sides: {sorted(clash)}")
+    term1 = r_feed.join(
+        s_new.select(*keys, *s_other), keys
+    ).select(*keys, *r_other, *s_other, F.col("__sign"))
+    term2 = (
+        r_old.select(*keys, *r_other)
+        .join(s_feed, keys)
+        .select(*keys, *r_other, *s_other, F.col("__sign"))
+    )
+    return term1.unionByName(term2)

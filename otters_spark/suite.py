@@ -9355,6 +9355,168 @@ FROM agg
 """
 
 
+def rel_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance
+    (sources/merge.py:join_change_feed): per-segment revenue over
+    customer ⨝ orders maintained across simultaneous churn on BOTH
+    sides (orders deleted/added/re-priced AND customers deleted/added/
+    re-segmented — including a dangling new order whose customer was
+    deleted, and segment moves that shift revenue between groups).
+    The delta-join identity ``Δ(R ⨝ S) = ΔR ⨝ S_new + R_old ⨝ ΔS``
+    produces a change-sized feed that apply_agg_delta folds into v1's
+    aggregate — the corpus is never re-joined. The oracle aggregates
+    the REBUILT v2 join directly, so a green row proves maintained ==
+    rebuilt. Money in exact integer cents; n_feed_rows shows the
+    efficiency claim."""
+    from .sources.merge import apply_agg_delta, change_feed, join_change_feed
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    ob = orders.select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    o1 = ob.filter(F.col("ok") % 11 != 3)
+    o2 = ob.filter(F.col("ok") % 11 != 7).withColumn(
+        "cents",
+        F.when(F.col("ok") % 5 == 0, F.col("cents") + 10000).otherwise(
+            F.col("cents")
+        ),
+    )
+    cb = cust.select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("seg")
+    )
+    c1 = cb.filter(F.col("ck") % 13 != 5)
+    c2 = cb.filter(F.col("ck") % 13 != 9).withColumn(
+        "seg",
+        F.when(F.col("ck") % 17 == 0, F.lit("MACHINERY")).otherwise(
+            F.col("seg")
+        ),
+    )
+    agg1 = o1.join(c1, "ck").groupBy("seg").agg(
+        F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n")
+    )
+    feed = join_change_feed(
+        change_feed(o1, o2, ["ok"], ["ck", "cents"]),
+        change_feed(c1, c2, ["ck"], ["seg"]),
+        r_old=o1,
+        s_new=c2,
+        on=["ck"],
+    ).localCheckpoint(eager=False)  # consumed by the delta AND the count
+    agg2 = apply_agg_delta(agg1, feed, ["seg"], ["cents"], count_col="n")
+    touched = feed.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_feed_rows")
+    )
+    return (
+        agg2.join(touched, "seg", "left")
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            "n",
+            F.col("cents").alias("revenue_cents"),
+            F.coalesce("n_feed_rows", F.lit(0)).alias("n_feed_rows"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+REL_INCREMENTAL_JOIN_SQL = """
+WITH ob AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders),
+o1 AS (SELECT * FROM ob WHERE ok % 11 <> 3),
+o2 AS (SELECT ok, ck,
+              CASE WHEN ok % 5 = 0 THEN cents + 10000 ELSE cents END AS cents
+       FROM ob WHERE ok % 11 <> 7),
+cb AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer),
+c1 AS (SELECT * FROM cb WHERE ck % 13 <> 5),
+c2 AS (SELECT ck,
+              CASE WHEN ck % 17 = 0 THEN 'MACHINERY' ELSE seg END AS seg
+       FROM cb WHERE ck % 13 <> 9),
+agg AS (
+  SELECT seg, count(*)::BIGINT AS n, sum(cents)::BIGINT AS revenue_cents
+  FROM o2 JOIN c2 USING (ck) GROUP BY 1),
+oj AS (SELECT o1.ok AS ok1, o2.ok AS ok2, o1.ck AS ck1, o2.ck AS ck2,
+              o1.cents AS cents1, o2.cents AS cents2
+       FROM o1 FULL OUTER JOIN o2 ON o1.ok = o2.ok),
+of AS (
+  SELECT ck1 AS ck FROM oj
+  WHERE ok1 IS NOT NULL
+    AND (ok2 IS NULL OR cents1 <> cents2 OR ck1 <> ck2)
+  UNION ALL
+  SELECT ck2 AS ck FROM oj
+  WHERE ok2 IS NOT NULL
+    AND (ok1 IS NULL OR cents1 <> cents2 OR ck1 <> ck2)),
+cj AS (SELECT c1.ck AS ck1, c2.ck AS ck2, c1.seg AS seg1, c2.seg AS seg2
+       FROM c1 FULL OUTER JOIN c2 ON c1.ck = c2.ck),
+cf AS (
+  SELECT ck1 AS ck, seg1 AS seg FROM cj
+  WHERE ck1 IS NOT NULL AND (ck2 IS NULL OR seg1 <> seg2)
+  UNION ALL
+  SELECT ck2 AS ck, seg2 AS seg FROM cj
+  WHERE ck2 IS NOT NULL AND (ck1 IS NULL OR seg1 <> seg2)),
+feed AS (
+  SELECT c2.seg FROM of JOIN c2 USING (ck)
+  UNION ALL
+  SELECT cf.seg FROM o1 JOIN cf USING (ck)),
+touched AS (SELECT seg, count(*)::BIGINT AS n_feed_rows
+            FROM feed GROUP BY 1)
+SELECT agg.seg AS c_mktsegment, n, revenue_cents,
+       coalesce(n_feed_rows, 0)::BIGINT AS n_feed_rows
+FROM agg LEFT JOIN touched ON touched.seg = agg.seg
+ORDER BY 1
+"""
+
+
+def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test (operators/stats.py:chi_square):
+    is event type independent of the day of week? Contingency cells
+    from ONE scan (the margins derive from the |A| x |B| cell table,
+    zero cells completed by the margin cross join); counts exact
+    longs, the statistic's double arithmetic mirrored op-for-op in
+    the oracle."""
+    from .operators.stats import chi_square
+
+    ev = load_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    pairs = ev.select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    return chi_square(pairs, "event_type", "dow")
+
+
+EVENTS_CHI_SQUARE_SQL = """
+WITH base AS (
+  SELECT event_type AS a, dayofweek(ts) + 1 AS b
+  FROM events WHERE ts IS NOT NULL),
+cells AS (SELECT a, b, count(*)::BIGINT AS obs FROM base GROUP BY 1, 2),
+rm AS (SELECT a, sum(obs)::BIGINT AS ra FROM cells GROUP BY 1),
+cm AS (SELECT b, sum(obs)::BIGINT AS cb FROM cells GROUP BY 1),
+tot AS (SELECT sum(obs)::BIGINT AS n,
+               count(DISTINCT a)::BIGINT AS ka,
+               count(DISTINCT b)::BIGINT AS kb
+        FROM cells),
+grid AS (
+  SELECT rm.a, cm.b, ra, cb, coalesce(obs, 0)::BIGINT AS obs
+  FROM rm CROSS JOIN cm
+  LEFT JOIN cells ON cells.a = rm.a AND cells.b = cm.b),
+stat AS (
+  SELECT sum((obs::DOUBLE - ra::DOUBLE * cb::DOUBLE / n::DOUBLE)
+             * (obs::DOUBLE - ra::DOUBLE * cb::DOUBLE / n::DOUBLE)
+             / (ra::DOUBLE * cb::DOUBLE / n::DOUBLE)) AS chi2,
+         any_value(n) AS n, any_value(ka) AS ka, any_value(kb) AS kb
+  FROM grid CROSS JOIN tot)
+SELECT n, ka AS n_a, kb AS n_b,
+       ((ka - 1) * (kb - 1))::BIGINT AS dof,
+       round(chi2, 6) AS chi2,
+       CASE WHEN least(ka - 1, kb - 1) > 0
+            THEN round(sqrt(chi2 / (n::DOUBLE
+                                    * least(ka - 1, kb - 1)::DOUBLE)), 6)
+            END AS cramers_v
+FROM stat
+"""
+
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9697,6 +9859,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_acf_daily": events_acf_daily,
     "rel_revenue_trend": rel_revenue_trend,
     "events_mann_whitney": events_mann_whitney,
+    "rel_incremental_join": rel_incremental_join,
+    "events_chi_square": events_chi_square,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9903,4 +10067,6 @@ ORACLE_SQL: dict[str, str] = {
     "events_acf_daily": EVENTS_ACF_DAILY_SQL,
     "rel_revenue_trend": REL_REVENUE_TREND_SQL,
     "events_mann_whitney": EVENTS_MANN_WHITNEY_SQL,
+    "rel_incremental_join": REL_INCREMENTAL_JOIN_SQL,
+    "events_chi_square": EVENTS_CHI_SQUARE_SQL,
 }

@@ -258,3 +258,75 @@ def test_change_feed_validates_columns(spark):
         change_feed(old, new, ["k"], ["prce"])
     with _pytest.raises(ValueError, match="non-empty"):
         change_feed(old, new, [], ["x"])
+
+
+# ---------------------------------------------------------------------
+# join_change_feed: maintained aggregate over a join == rebuilt
+# ---------------------------------------------------------------------
+
+def test_join_change_feed_maintains_join_aggregate(spark):
+    from otters_spark.sources.merge import (
+        apply_agg_delta,
+        change_feed,
+        join_change_feed,
+    )
+
+    # R = orders (keyed by ok, join col ck), S = customers (keyed ck)
+    r1 = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 200), (3, 20, 300), (4, 30, 400),
+         (5, 20, 500)],
+        "ok long, ck long, cents long",
+    )
+    # v2: order 2 deleted, 6 added, 5 re-priced, 4 moved to customer 10
+    r2 = spark.createDataFrame(
+        [(1, 10, 100), (3, 20, 300), (4, 10, 400), (5, 20, 999),
+         (6, 30, 600)],
+        "ok long, ck long, cents long",
+    )
+    s1 = spark.createDataFrame(
+        [(10, "A"), (20, "B"), (30, "C")], "ck long, seg string"
+    )
+    # v2: customer 20 moves segment B->A, 40 appears (no orders yet),
+    # 30 deleted WITH its order 6 still arriving -> dangling s-side key
+    s2 = spark.createDataFrame(
+        [(10, "A"), (20, "A"), (40, "D")], "ck long, seg string"
+    )
+
+    def rebuilt(r, s):
+        return (
+            r.join(s, "ck")
+            .groupBy("seg")
+            .agg(F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n"))
+        )
+
+    agg1 = rebuilt(r1, s1)
+    feed = join_change_feed(
+        change_feed(r1, r2, ["ok"], ["ck", "cents"]),
+        change_feed(s1, s2, ["ck"], ["seg"]),
+        r_old=r1,
+        s_new=s2,
+        on=["ck"],
+    )
+    maintained = {
+        (r["seg"]): (r["cents"], r["n"])
+        for r in apply_agg_delta(agg1, feed, ["seg"], ["cents"]).collect()
+    }
+    want = {
+        (r["seg"]): (r["cents"], r["n"]) for r in rebuilt(r2, s2).collect()
+    }
+    assert maintained == want
+
+
+def test_join_change_feed_rejects_column_clash(spark):
+    from otters_spark.sources.merge import change_feed, join_change_feed
+
+    r = spark.createDataFrame([(1, 10, 5)], "ok long, ck long, x long")
+    s = spark.createDataFrame([(10, 7)], "ck long, x long")
+    with pytest.raises(ValueError, match="collide"):
+        join_change_feed(
+            change_feed(r, r, ["ok"], ["ck", "x"]),
+            change_feed(s, s, ["ck"], ["x"]),
+            r_old=r,
+            s_new=s,
+            on=["ck"],
+        )

@@ -516,3 +516,55 @@ def test_mann_whitney_extreme_shift_and_identical(spark):
     got2 = mann_whitney(df2, "g", "v", "a", "b").collect()[0]
     assert got2["auc"] == 0.5
     assert got2["z"] is None
+
+
+def test_chi_square_matches_reference(spark):
+    from otters_spark.operators.stats import chi_square
+
+    # 2x3 with a zero cell: obs[(x1, yc)] = 0
+    rows = (
+        [("x1", "ya")] * 20 + [("x1", "yb")] * 5
+        + [("x2", "ya")] * 10 + [("x2", "yb")] * 15 + [("x2", "yc")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = chi_square(df, "a", "b").collect()[0]
+    # driver-side reference
+    from collections import Counter
+
+    obs = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    chi2 = sum(
+        (obs.get((a, b), 0) - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n)
+        for a in ra for b in cb
+    )
+    v = (chi2 / (n * (min(len(ra), len(cb)) - 1))) ** 0.5
+    assert got["n"] == n and got["dof"] == (2 - 1) * (3 - 1)
+    assert got["n_a"] == 2 and got["n_b"] == 3
+    assert got["chi2"] == pytest.approx(round(chi2, 6), abs=1e-6)
+    assert got["cramers_v"] == pytest.approx(round(v, 6), abs=1e-6)
+
+
+def test_chi_square_independent_is_zero(spark):
+    from otters_spark.operators.stats import chi_square
+
+    # perfectly proportional table -> chi2 exactly 0
+    rows = []
+    for a, mult in (("g1", 1), ("g2", 3)):
+        rows += [(a, "u")] * (10 * mult) + [(a, "v")] * (20 * mult)
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = chi_square(df, "a", "b").collect()[0]
+    assert got["chi2"] == 0.0
+    assert got["cramers_v"] == 0.0
+
+
+def test_chi_square_degenerate_single_category(spark):
+    from otters_spark.operators.stats import chi_square
+
+    df = spark.createDataFrame(
+        [("only", "u")] * 5 + [("only", "v")] * 5, "a string, b string"
+    )
+    got = chi_square(df, "a", "b").collect()[0]
+    assert got["dof"] == 0
+    assert got["cramers_v"] is None
