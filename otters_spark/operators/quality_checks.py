@@ -35,6 +35,8 @@ for the curation lane.
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 from functools import reduce
 from typing import Sequence
@@ -50,6 +52,8 @@ __all__ = [
     "ForeignKey",
     "validate",
     "profile_table",
+    "k_anonymity",
+    "benford_audit",
 ]
 
 
@@ -370,3 +374,125 @@ def profile_table(
         .select("p.*")
         .orderBy("column")
     )
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns — the
+    re-identification screen run before releasing or training on
+    tabular data: every row must share its quasi-identifier
+    combination with at least ``k-1`` others, or it is singled out.
+
+    ONE aggregation to the quasi-identifier cell table (bounded by the
+    product of the quasi cardinalities, and in practice by the data),
+    then one aggregate over the CELLS — the corpus is scanned once and
+    never again. NULL quasi values form their own cell (groupBy
+    semantics): NULL is itself an identifying pattern, so dropping
+    those rows would understate risk.
+
+    Returns ONE row: ``n_rows, n_groups, min_group_size,
+    n_violating_groups`` (cells with fewer than k rows),
+    ``n_at_risk_rows`` (rows inside those cells), and ``risk_frac``
+    (at-risk share, rounded). The pass criterion is
+    ``n_violating_groups == 0``; the suppression/generalization FIX is
+    the caller's policy (coarsen the quasi columns and re-audit).
+    Extension surface — the reference has no governance lane
+    (``/root/reference/src/``)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qs = list(quasi_cols)
+    if not qs:
+        raise ValueError("quasi_cols must be non-empty")
+    cells = df.groupBy(*qs).agg(F.count(F.lit(1)).alias("__sz"))
+    viol = F.col("__sz") < k
+    out = cells.agg(
+        F.sum("__sz").alias("__n"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("__sz").alias("min_group_size"),
+        F.sum(F.when(viol, 1).otherwise(0)).alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("__sz")).otherwise(F.lit(0))).alias(
+            "n_at_risk_rows"
+        ),
+    )
+    return out.select(
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("min_group_size").cast("long").alias("min_group_size"),
+        F.col("n_violating_groups").cast("long").alias("n_violating_groups"),
+        F.col("n_at_risk_rows").cast("long").alias("n_at_risk_rows"),
+        F.round(
+            F.col("n_at_risk_rows").cast("double")
+            / F.col("__n").cast("double"),
+            round_to,
+        ).alias("risk_frac"),
+    )
+
+# Benford first-digit expectations log10(1 + 1/d), computed ONCE in
+# Python and embedded as plan literals — never engine libm at query
+# time, so both engines compare against bit-identical constants
+BENFORD_EXPECTED = tuple(math.log10(1.0 + 1.0 / d) for d in range(1, 10))
+
+
+def benford_audit(
+    df: DataFrame,
+    amount_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive INTEGER amount
+    column (cents/micros discipline) — the classic fabricated-numbers
+    screen for financial and metering data: natural multiplicative
+    amounts put digit d first with probability log10(1 + 1/d);
+    uniform-ish fabricated data lands near 1/9 per digit.
+
+    First digits come from the integer's decimal string (``substring``
+    of ``cast(string)``) — NEVER ``floor(log10(x))``, whose libm
+    rounding at power-of-ten boundaries can disagree across engines.
+    One scan to 9 cells; every digit 1-9 is emitted even at count 0
+    (a completed digit spine), with the expected fractions as
+    Python-computed literals shared verbatim with the oracle.
+
+    Returns 9 rows: ``digit, n_obs, obs_frac, exp_frac, abs_dev``.
+    Non-positive amounts are excluded (Benford is defined on positive
+    magnitudes). Extension surface — governance lane."""
+    pos = df.filter(F.col(amount_col) > 0)
+    first = F.substring(F.col(amount_col).cast("string"), 1, 1).cast("int")
+    cells = (
+        pos.groupBy(first.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        # the ONLY corpus scan; the total derives from these <=9 cells
+        # (pinned: they feed both the total and the spine join)
+        .localCheckpoint(eager=False)
+    )
+    spine = (
+        cells.agg(F.sum("n_obs").alias("__n"))
+        .select(
+            "__n",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("digit"),
+                        F.lit(BENFORD_EXPECTED[d - 1]).alias("exp_frac"),
+                    )
+                    for d in range(1, 10)
+                ])
+            ).alias("s"),
+        )
+        .select("__n", "s.digit", "s.exp_frac")
+    )
+    j = spine.join(cells, "digit", "left")
+    obs_frac = (
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+        / F.col("__n").cast("double")
+    )
+    return j.select(
+        "digit",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+        F.round(obs_frac, round_to).alias("obs_frac"),
+        F.round(F.col("exp_frac"), round_to).alias("exp_frac"),
+        F.round(F.abs(obs_frac - F.col("exp_frac")), round_to).alias(
+            "abs_dev"
+        ),
+    ).orderBy("digit")

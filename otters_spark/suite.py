@@ -9517,6 +9517,68 @@ FROM stat
 
 
 
+def rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/quality_checks.py:k_anonymity) of
+    the customer table under (mktsegment, nationkey) quasi-identifiers
+    at k=5 — the re-identification screen run before a table leaves
+    governance. One aggregation to the quasi cells, one aggregate over
+    the cells; NULL quasi values form their own cell by design."""
+    from .operators.quality_checks import k_anonymity
+
+    cust = load(spark, sf_dir, "customer")
+    return k_anonymity(cust, ["c_mktsegment", "c_nationkey"], k=5)
+
+
+REL_K_ANONYMITY_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment, c_nationkey, count(*)::BIGINT AS sz
+  FROM customer GROUP BY 1, 2)
+SELECT sum(sz)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+       min(sz)::BIGINT AS min_group_size,
+       sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT
+         AS n_violating_groups,
+       sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT AS n_at_risk_rows,
+       round(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::DOUBLE
+             / sum(sz)::DOUBLE, 6) AS risk_frac
+FROM cells
+"""
+
+
+def rel_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit
+    (operators/quality_checks.py:benford_audit) of order totals in
+    integer cents: one scan to 9 digit cells (first digit via the
+    integer's decimal STRING — never floor(log10), whose libm rounding
+    at power-of-ten boundaries is not cross-engine stable), a
+    completed 1-9 spine, and Python-computed expected fractions shared
+    as literals with the oracle."""
+    from .operators.quality_checks import benford_audit
+
+    o = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return benford_audit(o, "cents")
+
+
+REL_BENFORD_AUDIT_SQL = """
+WITH amounts AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+cells AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*)::BIGINT AS n_obs
+  FROM amounts WHERE cents > 0 GROUP BY 1),
+tot AS (SELECT sum(n_obs)::BIGINT AS n FROM cells),
+spine(digit, exp_frac) AS (VALUES (1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514))
+SELECT s.digit, coalesce(n_obs, 0)::BIGINT AS n_obs,
+       round(coalesce(n_obs, 0)::DOUBLE / n::DOUBLE, 6) AS obs_frac,
+       round(exp_frac, 6) AS exp_frac,
+       round(abs(coalesce(n_obs, 0)::DOUBLE / n::DOUBLE - exp_frac), 6)
+         AS abs_dev
+FROM spine s CROSS JOIN tot LEFT JOIN cells ON cells.digit = s.digit
+ORDER BY s.digit
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9861,6 +9923,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_mann_whitney": events_mann_whitney,
     "rel_incremental_join": rel_incremental_join,
     "events_chi_square": events_chi_square,
+    "rel_k_anonymity": rel_k_anonymity,
+    "rel_benford_audit": rel_benford_audit,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10069,4 +10133,6 @@ ORACLE_SQL: dict[str, str] = {
     "events_mann_whitney": EVENTS_MANN_WHITNEY_SQL,
     "rel_incremental_join": REL_INCREMENTAL_JOIN_SQL,
     "events_chi_square": EVENTS_CHI_SQUARE_SQL,
+    "rel_k_anonymity": REL_K_ANONYMITY_SQL,
+    "rel_benford_audit": REL_BENFORD_AUDIT_SQL,
 }

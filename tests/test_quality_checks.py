@@ -182,3 +182,59 @@ def test_profile_table_approx_knob_and_errors(spark):
         profile_table(df)
     with pytest.raises(ValueError, match="unknown column"):
         profile_table(df, ["nope"])
+
+
+# ---------------------------------------------------------------------
+# k_anonymity / benford_audit
+# ---------------------------------------------------------------------
+
+def test_k_anonymity_counts_violations(spark):
+    from otters_spark.operators.quality_checks import k_anonymity
+
+    rows = (
+        [("a", 1)] * 5          # safe cell (size 5)
+        + [("a", 2)] * 2        # violating (size 2)
+        + [("b", 1)] * 1        # violating (size 1)
+        + [(None, 1)] * 3       # NULL quasi forms its own cell (size 3)
+    )
+    df = spark.createDataFrame(rows, "seg string, nat int")
+    got = k_anonymity(df, ["seg", "nat"], k=3).collect()[0]
+    assert got["n_rows"] == 11
+    assert got["n_groups"] == 4
+    assert got["min_group_size"] == 1
+    assert got["n_violating_groups"] == 2
+    assert got["n_at_risk_rows"] == 3
+    assert got["risk_frac"] == round(3 / 11, 6)
+
+
+def test_k_anonymity_k1_never_violates(spark):
+    from otters_spark.operators.quality_checks import k_anonymity
+
+    df = spark.createDataFrame([("a",), ("b",)], "seg string")
+    got = k_anonymity(df, ["seg"], k=1).collect()[0]
+    assert got["n_violating_groups"] == 0
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], k=2)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["seg"], k=0)
+
+
+def test_benford_audit_digits_and_spine(spark):
+    import math
+
+    from otters_spark.operators.quality_checks import benford_audit
+
+    # amounts with first digits 1,1,1,2,9; zero/negative excluded;
+    # digits 3-8 must still appear at count 0
+    df = spark.createDataFrame(
+        [(100,), (1999,), (12,), (25,), (900,), (0,), (-7,)],
+        "cents long",
+    )
+    out = {r["digit"]: r for r in benford_audit(df, "cents").collect()}
+    assert sorted(out) == list(range(1, 10))
+    assert out[1]["n_obs"] == 3 and out[2]["n_obs"] == 1 and out[9]["n_obs"] == 1
+    assert out[5]["n_obs"] == 0 and out[5]["obs_frac"] == 0.0
+    for d in range(1, 10):
+        assert out[d]["exp_frac"] == round(math.log10(1 + 1 / d), 6)
+    assert out[1]["obs_frac"] == round(3 / 5, 6)
+    assert out[1]["abs_dev"] == round(abs(3 / 5 - math.log10(2)), 6)
