@@ -79,6 +79,28 @@ EVENTS_QUERIES = [
     "events_ewma_daily",
     "events_cumulative_users",
     "events_rolling_actives",
+    # sixth/seventh wave: ACF (series grows 30 -> 300 points/key),
+    # Mann-Whitney (distinct-value table grows 10x, binned device),
+    # chi-squared (cells stay |types| x 7)
+    "events_acf_daily",
+    "events_mann_whitney",
+    "events_chi_square",
+]
+
+# fact-lane probe: orders + lineitem replicated with shifted order
+# keys; part/supplier/customer and the nation/region dims stay
+# UNREPLICATED (the star-schema growth shape: facts grow, dims don't).
+# Per-part / per-supplier / per-month groups get replicas-fold fatter
+# — exactly what stresses the decorrelated-aggregate joins.
+REL_QUERIES = [
+    "rel_forecast_revenue",      # pure pushdown scan-agg
+    "rel_product_type_profit",   # 4-way join, broadcast dims
+    "rel_important_parts",       # agg + one-row-broadcast threshold
+    "rel_supplier_part_counts",  # distinct pairs + anti-join
+    "rel_promotable_suppliers",  # conditional agg, HAVING in longs
+    "rel_revenue_trend",         # monthly rollup -> moment aggregate
+    "rel_incremental_join",      # both-side CDC churn, delta-join
+    "rel_benford_audit",         # 1 scan -> 9 cells
 ]
 
 
@@ -152,7 +174,36 @@ def main() -> int:
         f"{tmp}/customer.parquet",
     )
 
-    for q in QUERIES + EVENTS_QUERIES:
+    # orders/lineitem replicate with shifted order keys; every other
+    # table links in unreplicated (dimension discipline)
+    orders = spark.read.parquet(f"{base_dir}/orders.parquet")
+    bago = None
+    for k in range(replicas):
+        rep = orders.select(
+            (F.col("o_orderkey") + k * 100_000_000).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority",
+        )
+        bago = rep if bago is None else bago.unionByName(rep)
+    bago.write.parquet(f"{tmp}/orders.parquet")
+    li = spark.read.parquet(f"{base_dir}/lineitem.parquet")
+    bagl = None
+    for k in range(replicas):
+        rep = li.select(
+            (F.col("l_orderkey") + k * 100_000_000).alias("l_orderkey"),
+            "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate",
+        )
+        bagl = rep if bagl is None else bagl.unionByName(rep)
+    bagl.write.parquet(f"{tmp}/lineitem.parquet")
+    for dim in ("part", "supplier", "nation", "region"):
+        os.symlink(
+            os.path.abspath(f"{base_dir}/{dim}.parquet"),
+            f"{tmp}/{dim}.parquet",
+        )
+
+    for q in QUERIES + EVENTS_QUERIES + REL_QUERIES:
         t = time.time()
         r1 = suite.QUERIES[q](spark, base_dir).count()
         t1 = time.time() - t
