@@ -33,9 +33,11 @@ from pyspark.sql.streaming import DataStreamWriter
 from ..operators.dedup import PreparedCorpus, prepare_ingest_corpus
 
 __all__ = [
+    "maintained_join_view",
     "streaming_component_maintenance",
     "streaming_ingest_gate",
     "streaming_maintained_aggregate",
+    "streaming_maintained_join",
 ]
 
 
@@ -217,3 +219,60 @@ def streaming_component_maintenance(
         os.replace(nxt, comp_path)
 
     return pair_stream.writeStream.foreachBatch(_apply).outputMode("append")
+
+def streaming_maintained_join(
+    stream: DataFrame,
+    partial_path: str,
+    on: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n",
+) -> "DataStreamWriter":
+    """Configure (not start) a writer that maintains the STREAM-side
+    PARTIAL aggregate of a join view — the streaming face of
+    ``sources.merge.join_change_feed`` for the star-schema case where
+    facts stream in and the dimension churns independently.
+
+    Design choice, stated up front: the maintained state is
+    ``P(join_key -> sums, n)`` — facts PRE-AGGREGATED to the join key,
+    change-sized to maintain (each micro-batch is a +1 feed into
+    :func:`~otters_spark.sources.merge.apply_agg_delta`) and
+    key-bounded to store. The final view is derived per read by
+    :func:`maintained_join_view` as ``P ⨝ dim → aggregate`` — a
+    PARTIAL-sized join, never a re-scan of stream history — so
+    dimension churn (re-segmented customers, renamed categories) is
+    picked up on the next read WITHOUT replaying facts: the R_old ⨝ ΔS
+    term of the delta-join identity degenerates to "re-join the
+    partials", exactly because P already collapsed R onto the join
+    key. A maintained view that instead froze dim attributes into the
+    state would silently serve stale joins forever.
+
+    Same exactly-once posture as streaming_maintained_aggregate:
+    ``last_batch_id`` recorded, replayed batches skipped."""
+    keys = list(on)
+    return streaming_maintained_aggregate(
+        stream, partial_path, keys, list(sum_cols), count_col=count_col
+    )
+
+
+def maintained_join_view(
+    spark: "SparkSession",
+    partial_path: str,
+    dim: DataFrame,
+    on: Sequence[str],
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Derive the final join view from :func:`streaming_maintained_join`
+    partials: ``P ⨝ dim`` (inner — facts whose dimension row vanished
+    drop out, matching a batch rebuild over the current dim), then
+    re-aggregate the partial sums/counts to ``group_cols``. Cost is
+    |P| x broadcast(dim attrs), independent of stream history."""
+    from pyspark.sql import functions as F
+
+    p = spark.read.parquet(partial_path).drop("__last_batch_id")
+    j = p.join(F.broadcast(dim), list(on))
+    return j.groupBy(*group_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.sum(count_col).alias(count_col),
+    )

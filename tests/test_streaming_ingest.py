@@ -121,3 +121,82 @@ def test_streaming_maintained_aggregate_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_maintained_join_tracks_dim_churn(spark, sf_dir, tmp_path):
+    """Facts replay as 3 micro-batches into join-key partials; the dim
+    is EDITED after the stream finishes (segment move + customer
+    delete). The derived view must equal a batch rebuild over ALL
+    facts x the CURRENT dim — proving dimension churn needs no fact
+    replay — and integer cents make the equality exact."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from otters_spark.streaming.ingest import (
+        maintained_join_view,
+        streaming_maintained_join,
+    )
+    from otters_spark.suite import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    thirds = orders.randomSplit([1.0, 1.0, 1.0], seed=11)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    now = time.time()
+    for i, part in enumerate(thirds):
+        d = tmp_path / f"b{i}"
+        part.coalesce(1).write.parquet(str(d))
+        dst = flat / f"{i:02d}.parquet"
+        shutil.copy(glob.glob(str(d / "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(flat))
+    )
+    ppath = str(tmp_path / "partials")
+    q = (
+        streaming_maintained_join(stream, ppath, ["ck"], ["cents"])
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # dim churn AFTER the stream: move every 17th customer's segment,
+    # delete every 13th
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    dim2 = cust.filter(F.col("ck") % 13 != 0).withColumn(
+        "seg",
+        F.when(F.col("ck") % 17 == 0, F.lit("MACHINERY")).otherwise(
+            F.col("seg")
+        ),
+    )
+    got = {
+        r["seg"]: (r["cents"], r["n"])
+        for r in maintained_join_view(
+            spark, ppath, dim2, ["ck"], ["seg"], ["cents"]
+        ).collect()
+    }
+    want = {
+        r["seg"]: (r["cents"], r["n"])
+        for r in orders.join(dim2, "ck")
+        .groupBy("seg")
+        .agg(F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
