@@ -3,9 +3,11 @@
 "keep yesterday's answers fresh without re-reading the corpus" lane:
 
     snapshot v1 -> signed change feed -> incrementally maintained
-    aggregate (proved equal to a rebuild) -> AMS join-size estimate
-    read BEFORE paying the key shuffle -> exposure-interval coverage
-    and EWMA-smoothed daily trends off the events stream.
+    aggregate (proved equal to a rebuild) -> maintained JOIN view
+    under both-side churn (delta-join identity) -> AMS join-size
+    estimate read BEFORE paying the key shuffle -> exposure-interval
+    coverage and EWMA-smoothed daily trends -> OLS revenue trend and
+    Benford first-digit audit as the closing health report.
 
 Run:  python examples/warehouse_pipeline.py [sf_dir]
 """
@@ -23,7 +25,13 @@ import otters_spark as ot
 from otters_spark.operators.intervals import interval_coverage
 from otters_spark.operators.sketches import ams_f2_estimate, ams_sketch
 from otters_spark.operators.stats import ewma_smooth
-from otters_spark.sources.merge import apply_agg_delta, change_feed
+from otters_spark.operators.quality_checks import benford_audit
+from otters_spark.operators.stats import group_trend
+from otters_spark.sources.merge import (
+    apply_agg_delta,
+    change_feed,
+    join_change_feed,
+)
 from otters_spark.suite import load, load_events
 
 
@@ -100,6 +108,67 @@ def main() -> int:
     sm.filter(F.col("event_type") == "click").orderBy(F.desc("day")).select(
         "day", F.round("day_avg", 2).alias("raw"), F.round("ewma", 2).alias("smooth")
     ).show(5)
+
+    # maintained JOIN view: per-segment revenue under simultaneous
+    # order churn (re-price) and customer churn (segment move) — the
+    # delta feed touches only changed rows, never the corpus
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("seg")
+    )
+    ob = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    o2 = ob.withColumn(
+        "cents",
+        F.when(F.col("ok") % 5 == 0, F.col("cents") + 10000).otherwise(
+            F.col("cents")
+        ),
+    )
+    c2 = cust.withColumn(
+        "seg",
+        F.when(F.col("ck") % 17 == 0, F.lit("MACHINERY")).otherwise(
+            F.col("seg")
+        ),
+    )
+    agg1 = ob.join(cust, "ck").groupBy("seg").agg(
+        F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n")
+    )
+    feed = join_change_feed(
+        change_feed(ob, o2, ["ok"], ["ck", "cents"]),
+        change_feed(cust, c2, ["ck"], ["seg"]),
+        r_old=ob,
+        s_new=c2,
+        on=["ck"],
+    )
+    maintained = apply_agg_delta(agg1, feed, ["seg"], ["cents"], count_col="n")
+    print("maintained join view (per-segment revenue after churn):")
+    maintained.orderBy("seg").show()
+
+    # closing health report: monthly revenue trend per return flag +
+    # Benford first-digit audit of order totals
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_returnflag",
+        ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1).alias("m"),
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).alias("rev")
+    )
+    print("revenue trend per return flag (slope in cents/month):")
+    group_trend(monthly, ["l_returnflag"], "m", "rev").orderBy(
+        "l_returnflag"
+    ).show()
+    print("Benford first-digit audit of order totals:")
+    benford_audit(
+        load(spark, sf_dir, "orders").select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        ),
+        "cents",
+    ).show()
     return 0
 
 

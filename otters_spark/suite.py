@@ -9872,11 +9872,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rel_volume_shipping, rel_returned_customers,
     # rel_disjunctive_filter, pipeline_domain_filter,
     # events_covisitation, sim_mmr_rerank, events_seasonal_anomaly,
-    # plus the 13 fourth-wave queries below and the 6 oracle-paired
-    # fifth-wave queries at the registry tail (events_overlap_join,
-    # events_cusum_shift, rel_correlation_matrix, sim_gram_matrix,
-    # dedup_prefix_filter_pairs, pipeline_bootstrap_ci) — 28 total;
-    # pair them with 22 retained greens next round.
+    # plus the 13 fourth-wave queries below, the 9 oracle-paired
+    # fifth-wave queries (events_overlap_join, events_cusum_shift,
+    # rel_correlation_matrix, sim_gram_matrix,
+    # dedup_prefix_filter_pairs, pipeline_bootstrap_ci,
+    # rel_table_profile, link_golden_records,
+    # events_attribution_multitouch) and the 16 sixth-to-eighth-wave
+    # queries at the registry tail (the nine TPC-H completions,
+    # events_acf_daily, rel_revenue_trend, events_mann_whitney,
+    # rel_incremental_join, events_chi_square, rel_k_anonymity,
+    # rel_benford_audit) — 47 total: nearly a full window; round 5
+    # should run them as the window with only the flagship +
+    # production-dedup + eval continuity keeps retained.
     # Third wave (round 4; beyond this round's driver cap — rotate in
     # round 5):
     "rel_order_count_distribution": rel_order_count_distribution,
