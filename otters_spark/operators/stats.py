@@ -29,6 +29,7 @@ __all__ = [
     "mann_whitney",
     "robust_outliers",
     "quantile_normalize",
+    "woe_iv",
     "ewma_smooth",
     "cusum_scan",
     "pearson_matrix",
@@ -1075,4 +1076,67 @@ def chi_square(
                 round_to,
             ),
         ).alias("cramers_v"),
+    )
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weight-of-evidence / information-value screen of a categorical
+    (or pre-bucketed) feature against a binary label — the classic
+    "does this feature separate the classes, and how monotonically"
+    audit run before adding a signal to a quality classifier or a
+    mixture-weight model.
+
+    One scan to the (bucket, label) cells; positives/negatives totals
+    derive from the BUCKET table (never a second pass). Per bucket:
+    ``woe = ln((pos_b/pos) / (neg_b/neg))`` and the IV contribution
+    ``iv_term = (pos_b/pos - neg_b/neg) * woe``. Buckets with zero
+    positives OR zero negatives get NULL woe/iv_term (the honest
+    answer — infinite evidence is a data problem, and Laplace
+    smoothing silently changes everyone else's denominators;
+    pre-bucket rare categories instead). Total IV = sum of non-NULL
+    iv_terms, the caller's one-line aggregate.
+
+    Counts are exact longs; the ratios/ln run in double, mirrored
+    op-for-op in the oracle. High-cardinality features are the
+    caller's contract (bucket first) — same posture as
+    :func:`chi_square`. Extension surface (reference has no
+    aggregation: ``/root/reference/src/meta.rs``)."""
+    base = df.filter(
+        F.col(feature_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    cells = (
+        base.groupBy(F.col(feature_col).alias("bucket"))
+        .agg(
+            F.sum(
+                F.when(F.col(label_col).cast("int") == 1, 1).otherwise(0)
+            ).alias("n_pos"),
+            F.sum(
+                F.when(F.col(label_col).cast("int") == 1, 0).otherwise(1)
+            ).alias("n_neg"),
+        )
+        # feeds the totals AND the per-bucket output — pin it (lazy)
+        .localCheckpoint(eager=False)
+    )
+    tot = cells.agg(
+        F.sum("n_pos").alias("__pos"), F.sum("n_neg").alias("__neg")
+    )
+    pr = F.col("n_pos").cast("double") / F.col("__pos").cast("double")
+    nr = F.col("n_neg").cast("double") / F.col("__neg").cast("double")
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    woe = F.log(pr / nr)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            F.when(ok, F.round(woe, round_to)).alias("woe"),
+            F.when(ok, F.round((pr - nr) * woe, round_to)).alias("iv_term"),
+        )
+        .orderBy("bucket")
     )

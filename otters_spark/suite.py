@@ -9579,6 +9579,48 @@ ORDER BY s.digit
 """
 
 
+def events_woe_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE / information-value screen (operators/stats.py:woe_iv):
+    does hour-of-day separate purchases from everything else? One scan
+    to 24 (hour, label) cells; totals derive from the cells;
+    zero-class buckets honestly NULL. The per-bucket IV terms sum to
+    the feature's IV in one caller-side aggregate."""
+    from .operators.stats import woe_iv
+
+    ev = load_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    pairs = ev.select(
+        F.hour("ts").alias("hod"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("is_purchase"),
+    )
+    return woe_iv(pairs, "hod", "is_purchase")
+
+
+EVENTS_WOE_HOUR_SQL = """
+WITH base AS (
+  SELECT CAST(hour(ts) AS INT) AS bucket,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE ts IS NOT NULL),
+cells AS (
+  SELECT bucket, sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT AS n_neg
+  FROM base GROUP BY 1),
+tot AS (SELECT sum(n_pos)::BIGINT AS pos, sum(n_neg)::BIGINT AS neg
+        FROM cells)
+SELECT bucket, (n_pos + n_neg)::BIGINT AS n, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(ln((n_pos::DOUBLE / pos::DOUBLE)
+                          / (n_neg::DOUBLE / neg::DOUBLE)), 6) END AS woe,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round((n_pos::DOUBLE / pos::DOUBLE
+                        - n_neg::DOUBLE / neg::DOUBLE)
+                       * ln((n_pos::DOUBLE / pos::DOUBLE)
+                            / (n_neg::DOUBLE / neg::DOUBLE)), 6)
+            END AS iv_term
+FROM cells CROSS JOIN tot ORDER BY bucket
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9881,7 +9923,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # queries at the registry tail (the nine TPC-H completions,
     # events_acf_daily, rel_revenue_trend, events_mann_whitney,
     # rel_incremental_join, events_chi_square, rel_k_anonymity,
-    # rel_benford_audit) — 47 total: nearly a full window; round 5
+    # rel_benford_audit, events_woe_hour) — 48 total: nearly a full window; round 5
     # should run them as the window with only the flagship +
     # production-dedup + eval continuity keeps retained.
     # Third wave (round 4; beyond this round's driver cap — rotate in
@@ -9932,6 +9974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_chi_square": events_chi_square,
     "rel_k_anonymity": rel_k_anonymity,
     "rel_benford_audit": rel_benford_audit,
+    "events_woe_hour": events_woe_hour,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10142,4 +10185,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_chi_square": EVENTS_CHI_SQUARE_SQL,
     "rel_k_anonymity": REL_K_ANONYMITY_SQL,
     "rel_benford_audit": REL_BENFORD_AUDIT_SQL,
+    "events_woe_hour": EVENTS_WOE_HOUR_SQL,
 }

@@ -568,3 +568,32 @@ def test_chi_square_degenerate_single_category(spark):
     got = chi_square(df, "a", "b").collect()[0]
     assert got["dof"] == 0
     assert got["cramers_v"] is None
+
+
+def test_woe_iv_matches_reference(spark):
+    import math
+
+    from otters_spark.operators.stats import woe_iv
+
+    # bucket 'lo' is negative-heavy, 'hi' positive-heavy, 'mid' even,
+    # 'pure' has zero negatives -> NULL woe
+    rows = (
+        [("lo", 0)] * 30 + [("lo", 1)] * 5
+        + [("mid", 0)] * 20 + [("mid", 1)] * 20
+        + [("hi", 0)] * 5 + [("hi", 1)] * 30
+        + [("pure", 1)] * 4
+    )
+    df = spark.createDataFrame(rows, "f string, y int")
+    got = {r["bucket"]: r for r in woe_iv(df, "f", "y").collect()}
+    pos = sum(1 for _, y in rows if y == 1)
+    neg = len(rows) - pos
+    for b in ("lo", "mid", "hi"):
+        np_ = sum(1 for f, y in rows if f == b and y == 1)
+        nn = sum(1 for f, y in rows if f == b and y == 0)
+        woe = math.log((np_ / pos) / (nn / neg))
+        iv = (np_ / pos - nn / neg) * woe
+        assert got[b]["n_pos"] == np_ and got[b]["n_neg"] == nn
+        assert got[b]["woe"] == pytest.approx(round(woe, 6), abs=1e-6)
+        assert got[b]["iv_term"] == pytest.approx(round(iv, 6), abs=1e-6)
+    assert got["pure"]["woe"] is None and got["pure"]["iv_term"] is None
+    assert got["hi"]["woe"] > 0 > got["lo"]["woe"]
