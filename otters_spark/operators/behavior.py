@@ -22,6 +22,7 @@ __all__ = [
     "funnel_stages",
     "funnel_counts",
     "cohort_retention",
+    "cohort_ltv",
     "transition_matrix",
     "path_counts",
     "cumulative_distinct",
@@ -488,3 +489,54 @@ def multitouch_attribution(
         )
         .orderBy("channel")
     )
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_age_days: int = 7,
+) -> DataFrame:
+    """Cohort lifetime-value curve — :func:`cohort_retention`'s revenue
+    sibling: users cohorted by first-activity day; for each day-offset
+    ``age`` within the horizon, that cohort's revenue on the day and
+    CUMULATIVE revenue to date (the LTV curve unit economics reads).
+
+    Shape: per-user first-day min-aggregate, a user-keyed join back to
+    the stream, one (cohort, age) revenue aggregate in exact integer
+    micros, then the running sum over a window partitioned by cohort
+    and ordered by age — the window holds at most ``max_age_days + 1``
+    rows per cohort, calendar-bounded by construction. Ages with zero
+    revenue emit no row (the aggregate never saw them); the cumulative
+    curve carries across the gap, and the oracle windows over the same
+    present rows, so the two engines agree exactly."""
+    from pyspark.sql.window import Window
+
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.to_date(ts_col).alias("__d"),
+        F.round(F.col(value_col) * 1_000_000).cast("long").alias("__micros"),
+    )
+    first = base.groupBy("__u").agg(F.min("__d").alias("__cohort"))
+    aged = (
+        base.join(first, "__u")
+        .withColumn("__age", F.datediff(F.col("__d"), F.col("__cohort")))
+        .filter(F.col("__age") <= max_age_days)
+    )
+    daily = aged.groupBy(
+        F.date_format("__cohort", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("__age").alias("age"),
+    ).agg(
+        F.sum("__micros").alias("rev_micros"),
+        F.countDistinct("__u").alias("n_active_users"),
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.withColumn(
+        "cum_micros", F.sum("rev_micros").over(w)
+    ).orderBy("cohort_day", "age")

@@ -9621,6 +9621,77 @@ FROM cells CROSS JOIN tot ORDER BY bucket
 """
 
 
+def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis (operators/skew.py:skew_report) of the
+    event stream's user_id — the report read BEFORE shuffling on the
+    key: hottest-key share (the number AQE's skew threshold reasons
+    about), top-10 concentration via TakeOrderedAndProject (never a
+    global sort), Shannon entropy of the key histogram as one
+    algebraic aggregate over the per-key count table."""
+    from .operators.skew import skew_report
+
+    ev = load_events(spark, sf_dir)
+    return skew_report(ev, ["user_id"], top_k=10)
+
+
+EVENTS_SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1),
+topk AS (
+  SELECT sum(c)::BIGINT AS topk_sum, max(c)::BIGINT AS max_c
+  FROM (SELECT c FROM counts ORDER BY c DESC, user_id ASC LIMIT 10)),
+base AS (
+  SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+         ln(sum(c)::DOUBLE)
+           - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE AS ent
+  FROM counts)
+SELECT n_rows, n_keys, max_c AS max_count,
+       round(max_c::DOUBLE / n_rows::DOUBLE, 6) AS p_top1,
+       round(topk_sum::DOUBLE / n_rows::DOUBLE, 6) AS p_topk,
+       round(ent, 6) AS entropy,
+       CASE WHEN n_keys > 1
+            THEN round(ent / ln(n_keys::DOUBLE), 6) END AS norm_entropy
+FROM base CROSS JOIN topk
+"""
+
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve (operators/behavior.py:cohort_ltv): revenue
+    per first-activity-day cohort by day-offset age, with the running
+    cumulative — retention's unit-economics sibling. Exact integer
+    micros; the cumulative window holds <= horizon+1 rows per cohort;
+    zero-revenue ages emit no row and the oracle windows over the
+    same present rows."""
+    from .operators.behavior import cohort_ltv
+
+    ev = load_events(spark, sf_dir)
+    return cohort_ltv(ev, max_age_days=7)
+
+
+EVENTS_COHORT_LTV_SQL = """
+WITH base AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS d,
+         CAST(round(value * 1000000) AS BIGINT) AS micros
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+f AS (SELECT u, min(d) AS cohort FROM base GROUP BY 1),
+aged AS (
+  SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+         CAST(date_diff('day', cohort, d) AS INT) AS age, micros, b.u
+  FROM base b JOIN f ON b.u = f.u
+  WHERE date_diff('day', cohort, d) <= 7),
+daily AS (
+  SELECT cohort_day, age, sum(micros)::BIGINT AS rev_micros,
+         count(DISTINCT u)::BIGINT AS n_active_users
+  FROM aged GROUP BY 1, 2)
+SELECT cohort_day, age, rev_micros, n_active_users,
+       CAST(sum(rev_micros) OVER (
+         PARTITION BY cohort_day ORDER BY age
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_micros
+FROM daily ORDER BY cohort_day, age
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9923,7 +9994,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # queries at the registry tail (the nine TPC-H completions,
     # events_acf_daily, rel_revenue_trend, events_mann_whitney,
     # rel_incremental_join, events_chi_square, rel_k_anonymity,
-    # rel_benford_audit, events_woe_hour) — 48 total: nearly a full window; round 5
+    # rel_benford_audit, events_woe_hour, events_skew_report,
+    # events_cohort_ltv) — 50 total: a full window; round 5
     # should run them as the window with only the flagship +
     # production-dedup + eval continuity keeps retained.
     # Third wave (round 4; beyond this round's driver cap — rotate in
@@ -9975,6 +10047,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_k_anonymity": rel_k_anonymity,
     "rel_benford_audit": rel_benford_audit,
     "events_woe_hour": events_woe_hour,
+    "events_skew_report": events_skew_report,
+    "events_cohort_ltv": events_cohort_ltv,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10186,4 +10260,6 @@ ORACLE_SQL: dict[str, str] = {
     "rel_k_anonymity": REL_K_ANONYMITY_SQL,
     "rel_benford_audit": REL_BENFORD_AUDIT_SQL,
     "events_woe_hour": EVENTS_WOE_HOUR_SQL,
+    "events_skew_report": EVENTS_SKEW_REPORT_SQL,
+    "events_cohort_ltv": EVENTS_COHORT_LTV_SQL,
 }

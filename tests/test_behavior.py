@@ -312,3 +312,35 @@ def test_multitouch_attribution_rejects_bad_params(spark):
         multitouch_attribution(df, "p", ["v"], 10, model="time_decay")
     with pytest.raises(ValueError, match="lookback"):
         multitouch_attribution(df, "p", ["v"], 0, model="linear")
+
+
+def test_cohort_ltv_matches_hand_computation(spark):
+    from otters_spark.operators.behavior import cohort_ltv
+
+    rows = [
+        # user 1: first day 2024-01-01, buys 1.5 on day 0, 2.0 on day 2
+        (1, "2024-01-01 10:00:00", 1.5),
+        (1, "2024-01-03 09:00:00", 2.0),
+        # user 2: same cohort, 0.5 on day 0; beyond horizon on day 9
+        (2, "2024-01-01 12:00:00", 0.5),
+        (2, "2024-01-10 12:00:00", 99.0),
+        # user 3: later cohort 2024-01-02, 4.25 on day 1
+        (3, "2024-01-02 08:00:00", 0.0),
+        (3, "2024-01-03 08:00:00", 4.25),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    df = df.withColumn("ts", df["ts"].cast("timestamp"))
+    got = {
+        (r["cohort_day"], r["age"]): (
+            r["rev_micros"], r["cum_micros"], r["n_active_users"]
+        )
+        for r in cohort_ltv(df, max_age_days=7).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2_000_000, 2_000_000, 2)
+    # day-1 gap for cohort 01-01: no row, cumulative carries to age 2
+    assert ("2024-01-01", 1) not in got
+    assert got[("2024-01-01", 2)] == (2_000_000, 4_000_000, 1)
+    assert got[("2024-01-02", 0)] == (0, 0, 1)
+    assert got[("2024-01-02", 1)] == (4_250_000, 4_250_000, 1)
+    # the day-9 purchase fell outside the horizon
+    assert all(age <= 7 for _, age in got)

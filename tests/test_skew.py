@@ -56,3 +56,39 @@ def test_salted_join_rejects_outer(spark, sf_dir, li):
         salted_join(li2, part, "p_partkey", how="full_outer")
     with pytest.raises(ValueError):
         salted_join(li2, part, "p_partkey", how="right")
+
+
+def test_skew_report_matches_hand_computation(spark):
+    import math
+
+    from otters_spark.operators.skew import skew_report
+
+    # key 'hot' owns 16 of 24 rows; 4 cold keys own 2 each
+    rows = [("hot",)] * 16 + [(k,) for k in "abcd" for _ in range(2)]
+    df = spark.createDataFrame(rows, "k string")
+    got = skew_report(df, ["k"], top_k=3).collect()[0]
+    counts = [16, 2, 2, 2, 2]
+    n = sum(counts)
+    ent = math.log(n) - sum(c * math.log(c) for c in counts) / n
+    assert got["n_rows"] == n and got["n_keys"] == 5
+    assert got["max_count"] == 16
+    assert got["p_top1"] == round(16 / n, 6)
+    assert got["p_topk"] == round(20 / n, 6)  # 16 + 2 + 2
+    assert got["entropy"] == pytest.approx(round(ent, 6), abs=1e-6)
+    assert got["norm_entropy"] == pytest.approx(
+        round(ent / math.log(5), 6), abs=1e-6
+    )
+
+
+def test_skew_report_uniform_and_degenerate(spark):
+    from otters_spark.operators.skew import skew_report
+
+    uni = spark.createDataFrame([(i % 8,) for i in range(64)], "k int")
+    got = skew_report(uni, ["k"]).collect()[0]
+    assert got["norm_entropy"] == 1.0  # uniform keys
+    one = spark.createDataFrame([(1,)] * 5, "k int")
+    got1 = skew_report(one, ["k"]).collect()[0]
+    assert got1["n_keys"] == 1 and got1["p_top1"] == 1.0
+    assert got1["norm_entropy"] is None  # ln(1) division guarded
+    with pytest.raises(ValueError):
+        skew_report(uni, [])
