@@ -43,11 +43,21 @@ def main() -> int:
         pass
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # wall budget: min-of-2 reps doubles wall time, and at 212 queries
+    # that brushes against per-round recorder timeouts. Past the budget
+    # the remaining queries drop to one rep — their numbers then
+    # include codegen warmup (slightly pessimistic, never wrong), and
+    # the suite always finishes inside the recorder's window.
+    wall_budget = float(os.environ.get("SPARK_GRAFT_BENCH_WALL_BUDGET", "420"))
+    bench_start = time.perf_counter()
     times: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
         best = None
-        for _ in range(reps):
+        eff_reps = (
+            reps if time.perf_counter() - bench_start < wall_budget else 1
+        )
+        for _ in range(eff_reps):
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
