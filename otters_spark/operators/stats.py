@@ -32,6 +32,7 @@ __all__ = [
     "woe_iv",
     "ewma_smooth",
     "cusum_scan",
+    "forecast_eval",
     "pearson_matrix",
 ]
 
@@ -1139,4 +1140,104 @@ def woe_iv(
             F.when(ok, F.round((pr - nr) * woe, round_to)).alias("iv_term"),
         )
         .orderBy("bucket")
+    )
+
+def forecast_eval(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    season: int,
+    round_to: int = 6,
+    round_to_abs: int = 2,
+) -> DataFrame:
+    """Seasonal-naive forecast evaluation per key — the baseline every
+    fancier forecaster must beat, and the standard scale for judging
+    one: forecast ``y_hat[t] = y[t - season]`` (row lag over the
+    ordered series), scored with MAE, RMSE, sMAPE, and MASE (MAE over
+    the mean absolute one-step naive difference — Hyndman's
+    scale-free form, so keys with different volumes compare).
+
+    ONE per-key window produces both lags (season and 1), one
+    aggregate produces every metric; the window is calendar-bounded
+    (the series is daily/hourly buckets, never corpus rows). Values
+    must be integral (micros discipline): errors are exact longs,
+    squared errors exact decimals, and only the final means/ratios run
+    in double — mirrored op-for-op in the oracle. sMAPE uses the
+    2|e|/(|y|+|yhat|) form with both-zero rows contributing 0 (the
+    convention that keeps a flat-zero series at sMAPE 0, not NULL).
+    MASE is NULL for a constant series (zero naive scale).
+
+    Returns one row per key: ``n_eval, mae, rmse, smape, mase``.
+    The VALUE-SCALE metrics (mae, rmse — micros magnitude) round to
+    ``round_to_abs`` (default 2): rounding a ~1e9 double to 6 dp needs
+    a x1e6 scaling past exact-double territory, and the two engines'
+    rounding kernels then disagree in the last ulp (observed at
+    sf0.1). The RATIO metrics (smape, mase — O(1)) keep ``round_to``.
+    Extension surface (reference has no aggregation:
+    ``/root/reference/src/meta.rs``)."""
+    from pyspark.sql.window import Window
+
+    if season < 1:
+        raise ValueError("season must be >= 1")
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    y = F.col(value_col).cast("long")
+    lagged = df.select(
+        *keys,
+        y.alias("__y"),
+        F.lag(value_col, season).over(w).cast("long").alias("__yhat"),
+        F.lag(value_col, 1).over(w).cast("long").alias("__yprev"),
+    )
+    dec = "decimal(38,0)"
+    e = F.col("__y") - F.col("__yhat")
+    both_zero = (F.col("__y") == 0) & (F.col("__yhat") == 0)
+    smape_term = F.when(both_zero, F.lit(0.0)).otherwise(
+        2.0
+        * F.abs(e).cast("double")
+        / (F.abs(F.col("__y")) + F.abs(F.col("__yhat"))).cast("double")
+    )
+    agg = lagged.groupBy(*keys).agg(
+        F.count("__yhat").alias("n_eval"),
+        F.sum(F.when(F.col("__yhat").isNotNull(), F.abs(e))).alias("__sae"),
+        F.sum(
+            F.when(
+                F.col("__yhat").isNotNull(),
+                e.cast(dec) * e.cast(dec),
+            )
+        ).alias("__sse"),
+        F.sum(
+            F.when(F.col("__yhat").isNotNull(), smape_term)
+        ).alias("__ssmape"),
+        F.count("__yprev").alias("__n1"),
+        F.sum(
+            F.when(
+                F.col("__yprev").isNotNull(),
+                F.abs(F.col("__y") - F.col("__yprev")),
+            )
+        ).alias("__sad1"),
+    )
+    n = F.col("n_eval").cast("double")
+    mae = F.col("__sae").cast("double") / n
+    scale = F.col("__sad1").cast("double") / F.col("__n1").cast("double")
+    return agg.select(
+        *keys,
+        F.col("n_eval").cast("long").alias("n_eval"),
+        F.when(F.col("n_eval") > 0, F.round(mae, round_to_abs)).alias(
+            "mae"
+        ),
+        F.when(
+            F.col("n_eval") > 0,
+            F.round(
+                F.sqrt(F.col("__sse").cast("double") / n), round_to_abs
+            ),
+        ).alias("rmse"),
+        F.when(
+            F.col("n_eval") > 0,
+            F.round(F.col("__ssmape") / n, round_to),
+        ).alias("smape"),
+        F.when(
+            (F.col("n_eval") > 0) & (F.col("__n1") > 0) & (F.col("__sad1") > 0),
+            F.round(mae / scale, round_to),
+        ).alias("mase"),
     )

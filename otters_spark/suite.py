@@ -9692,6 +9692,81 @@ FROM daily ORDER BY cohort_day, age
 """
 
 
+def events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation
+    (operators/stats.py:forecast_eval): score the season=7 naive
+    forecast of daily event-value totals per type with MAE / RMSE /
+    sMAPE / MASE — the baseline scorecard any forecasting lane must
+    beat. One calendar-bounded window yields both lags; exact-micros
+    errors; the metric doubles mirror the oracle op-for-op."""
+    from .operators.stats import forecast_eval
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "__t"
+        ),
+    ).agg(
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+            "__micros"
+        )
+    )
+    return forecast_eval(
+        daily, ["event_type"], "__t", "__micros", season=7
+    ).orderBy("event_type")
+
+
+EVENTS_FORECAST_EVAL_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+         sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+numbered AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn
+  FROM daily),
+l AS (
+  SELECT a.event_type, a.y, b.y AS yhat, c.y AS yprev
+  FROM numbered a
+  LEFT JOIN numbered b
+    ON b.event_type = a.event_type AND b.rn = a.rn - 7
+  LEFT JOIN numbered c
+    ON c.event_type = a.event_type AND c.rn = a.rn - 1),
+agg AS (
+  SELECT event_type,
+         count(yhat)::BIGINT AS n_eval,
+         sum(CASE WHEN yhat IS NOT NULL THEN abs(y - yhat) END)::BIGINT
+           AS sae,
+         sum(CASE WHEN yhat IS NOT NULL
+                  THEN CAST(y - yhat AS HUGEINT) * (y - yhat) END)::DOUBLE
+           AS sse,
+         sum(CASE WHEN yhat IS NOT NULL THEN
+               CASE WHEN y = 0 AND yhat = 0 THEN 0.0
+                    ELSE 2.0 * abs(y - yhat)::DOUBLE
+                         / (abs(y) + abs(yhat))::DOUBLE END END) AS ssmape,
+         count(yprev)::BIGINT AS n1,
+         sum(CASE WHEN yprev IS NOT NULL THEN abs(y - yprev) END)::BIGINT
+           AS sad1
+  FROM l GROUP BY 1)
+SELECT event_type, n_eval,
+       CASE WHEN n_eval > 0
+            THEN round(sae::DOUBLE / n_eval::DOUBLE, 2) END AS mae,
+       CASE WHEN n_eval > 0
+            THEN round(sqrt(sse / n_eval::DOUBLE), 2) END AS rmse,
+       CASE WHEN n_eval > 0
+            THEN round(ssmape / n_eval::DOUBLE, 6) END AS smape,
+       CASE WHEN n_eval > 0 AND n1 > 0 AND sad1 > 0
+            THEN round((sae::DOUBLE / n_eval::DOUBLE)
+                       / (sad1::DOUBLE / n1::DOUBLE), 6) END AS mase
+FROM agg ORDER BY event_type
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9995,7 +10070,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # events_acf_daily, rel_revenue_trend, events_mann_whitney,
     # rel_incremental_join, events_chi_square, rel_k_anonymity,
     # rel_benford_audit, events_woe_hour, events_skew_report,
-    # events_cohort_ltv) — 50 total: a full window; round 5
+    # events_cohort_ltv, events_forecast_eval) — 51 total: a full
+    # window plus one; round 5
     # should run them as the window with only the flagship +
     # production-dedup + eval continuity keeps retained.
     # Third wave (round 4; beyond this round's driver cap — rotate in
@@ -10049,6 +10125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_woe_hour": events_woe_hour,
     "events_skew_report": events_skew_report,
     "events_cohort_ltv": events_cohort_ltv,
+    "events_forecast_eval": events_forecast_eval,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10262,4 +10339,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_woe_hour": EVENTS_WOE_HOUR_SQL,
     "events_skew_report": EVENTS_SKEW_REPORT_SQL,
     "events_cohort_ltv": EVENTS_COHORT_LTV_SQL,
+    "events_forecast_eval": EVENTS_FORECAST_EVAL_SQL,
 }

@@ -597,3 +597,53 @@ def test_woe_iv_matches_reference(spark):
         assert got[b]["iv_term"] == pytest.approx(round(iv, 6), abs=1e-6)
     assert got["pure"]["woe"] is None and got["pure"]["iv_term"] is None
     assert got["hi"]["woe"] > 0 > got["lo"]["woe"]
+
+
+def test_forecast_eval_matches_hand_computation(spark):
+    import math
+
+    from otters_spark.operators.stats import forecast_eval
+
+    series = [10, 12, 9, 14, 11, 13, 8, 15]  # season=3
+    rows = [("k", t, v) for t, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "k string, t int, y long")
+    got = forecast_eval(df, ["k"], "t", "y", season=3).collect()[0]
+    pairs = [(series[t], series[t - 3]) for t in range(3, len(series))]
+    errs = [y - yh for y, yh in pairs]
+    mae = sum(abs(e) for e in errs) / len(errs)
+    rmse = math.sqrt(sum(e * e for e in errs) / len(errs))
+    smape = sum(
+        2 * abs(y - yh) / (abs(y) + abs(yh)) for y, yh in pairs
+    ) / len(pairs)
+    d1 = [abs(series[t] - series[t - 1]) for t in range(1, len(series))]
+    mase = mae / (sum(d1) / len(d1))
+    assert got["n_eval"] == len(pairs)
+    assert got["mae"] == pytest.approx(round(mae, 2), abs=1e-6)
+    assert got["rmse"] == pytest.approx(round(rmse, 2), abs=1e-6)
+    assert got["smape"] == pytest.approx(round(smape, 6), abs=1e-6)
+    assert got["mase"] == pytest.approx(round(mase, 6), abs=1e-6)
+
+
+def test_forecast_eval_degenerate_series(spark):
+    from otters_spark.operators.stats import forecast_eval
+
+    # constant series: perfect forecast, zero naive scale -> MASE NULL
+    const = spark.createDataFrame(
+        [("c", t, 7) for t in range(6)], "k string, t int, y long"
+    )
+    g = forecast_eval(const, ["k"], "t", "y", season=2).collect()[0]
+    assert g["mae"] == 0.0 and g["rmse"] == 0.0 and g["mase"] is None
+    # all-zero series: sMAPE 0 by the both-zero convention
+    zeros = spark.createDataFrame(
+        [("z", t, 0) for t in range(5)], "k string, t int, y long"
+    )
+    gz = forecast_eval(zeros, ["k"], "t", "y", season=1).collect()[0]
+    assert gz["smape"] == 0.0
+    # series shorter than the season: no evaluable rows
+    short = spark.createDataFrame(
+        [("s", 0, 1), ("s", 1, 2)], "k string, t int, y long"
+    )
+    gs = forecast_eval(short, ["k"], "t", "y", season=5).collect()[0]
+    assert gs["n_eval"] == 0 and gs["mae"] is None
+    with pytest.raises(ValueError):
+        forecast_eval(short, ["k"], "t", "y", season=0)
