@@ -10,10 +10,13 @@ from .drift import (
     windowed_psi,
 )
 from .ingest import (
+    maintained_join_view,
     streaming_component_maintenance,
     streaming_ingest_gate,
     streaming_maintained_aggregate,
+    streaming_maintained_join,
 )
+from .lag import lag_report, streaming_lag_monitor
 from .sketch import (
     run_windowed_distinct_stream,
     windowed_distinct_counts,
@@ -25,9 +28,13 @@ __all__ = [
     "sessionize",
     "stream_events",
     "run_windowed_stream",
+    "lag_report",
+    "maintained_join_view",
     "streaming_component_maintenance",
     "streaming_ingest_gate",
+    "streaming_lag_monitor",
     "streaming_maintained_aggregate",
+    "streaming_maintained_join",
     "windowed_distinct_registers",
     "windowed_distinct_counts",
     "run_windowed_distinct_stream",
