@@ -9767,6 +9767,77 @@ FROM agg ORDER BY event_type
 """
 
 
+def pipeline_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-curriculum bucketing — the composition the curation
+    lane runs before difficulty-ordered training: score every doc's
+    cross-entropy under the corpus-trained bigram LM
+    (text_analysis.bigram_logprob), rank corpus-wide WITHOUT a global
+    window (stats.global_row_number's two-phase binned device), and
+    cut exact quartile buckets with per-bucket stats. Ranking uses the
+    6-dp-ROUNDED score with doc_id tie-break (the pmi/bm25 k-boundary
+    lesson); the bucket cut ``floor(4*(rank-1)/n)`` divides exact
+    integers, so bucket membership is engine-stable."""
+    from .operators.stats import global_row_number
+    from .operators.text_analysis import bigram_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    scored = (
+        bigram_logprob(docs, k=0.5)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("avg_neg_logprob", 6).alias("__s"),
+        )
+        # feeds the rank device AND the total count — pin it (lazy)
+        .localCheckpoint(eager=False)
+    )
+    ranked = global_row_number(scored, "__s", "doc_id", out_col="__r")
+    total = scored.agg(F.count(F.lit(1)).alias("__n"))
+    out = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "bucket",
+        F.floor(F.lit(4) * (F.col("__r") - 1) / F.col("__n")).cast("int"),
+    )
+    return (
+        out.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("__s").alias("min_score"),
+            F.max("__s").alias("max_score"),
+            F.sum("n_bigrams").alias("sum_bigrams"),
+        )
+        .orderBy("bucket")
+    )
+
+
+PIPELINE_CURRICULUM_BUCKETS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, w[i] AS p, w[i+1] AS c
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2),
+tf AS (SELECT doc_id, p, c, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+bgc AS (SELECT p, c, sum(n) AS cbg FROM tf GROUP BY 1, 2),
+ctx AS (SELECT p, sum(cbg) AS cp FROM bgc GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT t) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+scored AS (
+  SELECT doc_id, CAST(sum(n) AS INTEGER) AS n_bigrams,
+         round(-sum(n * ln((cbg + 0.5) / (cp + 0.5 * v))) / sum(n), 6) AS s
+  FROM tf JOIN bgc USING (p, c) JOIN ctx USING (p), v
+  GROUP BY doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY s, doc_id) AS r,
+         count(*) OVER () AS n
+  FROM scored)
+SELECT CAST(floor(4 * (r - 1) / n) AS INT) AS bucket,
+       count(*)::BIGINT AS n_docs,
+       min(s) AS min_score, max(s) AS max_score,
+       sum(n_bigrams)::BIGINT AS sum_bigrams
+FROM ranked GROUP BY 1 ORDER BY bucket
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10070,7 +10141,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # events_acf_daily, rel_revenue_trend, events_mann_whitney,
     # rel_incremental_join, events_chi_square, rel_k_anonymity,
     # rel_benford_audit, events_woe_hour, events_skew_report,
-    # events_cohort_ltv, events_forecast_eval) — 51 total: a full
+    # events_cohort_ltv, events_forecast_eval,
+    # pipeline_curriculum_buckets) — 52 total: a full
     # window plus one; round 5
     # should run them as the window with only the flagship +
     # production-dedup + eval continuity keeps retained.
@@ -10126,6 +10198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_skew_report": events_skew_report,
     "events_cohort_ltv": events_cohort_ltv,
     "events_forecast_eval": events_forecast_eval,
+    "pipeline_curriculum_buckets": pipeline_curriculum_buckets,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10340,4 +10413,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_skew_report": EVENTS_SKEW_REPORT_SQL,
     "events_cohort_ltv": EVENTS_COHORT_LTV_SQL,
     "events_forecast_eval": EVENTS_FORECAST_EVAL_SQL,
+    "pipeline_curriculum_buckets": PIPELINE_CURRICULUM_BUCKETS_SQL,
 }

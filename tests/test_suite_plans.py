@@ -51,6 +51,8 @@ GLOBAL_WINDOW_OK = {
     #   each over the ≤1024-bin table (stats.global_row_number — the
     #   shuffle_shards bin-priors shape); the per-user data windows are
     #   all bin-partitioned
+    "pipeline_curriculum_buckets",  # global_row_number's <=1024-bin
+    #   histogram cumsum on the per-doc score table
     "events_mann_whitney",  # stats.mann_whitney: the pooled-rank cumsum
     #   runs over the ≤1024-bin histogram; the within-bin running sum is
     #   bin-partitioned (the global_row_number device on the
