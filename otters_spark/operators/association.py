@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["frequent_pairs"]
+__all__ = ["frequent_pairs", "item_neighbors"]
 
 
 def frequent_pairs(
@@ -85,5 +85,62 @@ def frequent_pairs(
                 * F.col("__n_baskets")
                 / (F.col("n_a") * F.col("n_b"))
             ).alias("lift"),
+        )
+    )
+
+def item_neighbors(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 3,
+    min_pair_count: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Item-item collaborative-filtering neighbors — the "customers
+    also bought" table: for every item, its top-k most-similar items
+    by binary-incidence cosine ``n_ab / sqrt(n_a * n_b)`` over shared
+    baskets.
+
+    Built on :func:`frequent_pairs` (basket-bounded pair emission,
+    broadcast margins), symmetrized so both directions rank, then one
+    per-item window over that item's CANDIDATE list — bounded by the
+    item's co-occurring items, never the catalog. The ranking uses the
+    ROUNDED cosine with the neighbor id as tie-break (the suite's
+    k-boundary discipline), so the cut is engine-stable. Counts exact;
+    only the final cosine divides."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql.window import Window
+
+    pairs = frequent_pairs(
+        df, basket_col, item_col, min_pair_count=min_pair_count
+    ).select("item_a", "item_b", "n_ab", "n_a", "n_b")
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_ab",
+            F.col("n_b").alias("n_a"),
+            F.col("n_a").alias("n_b"),
+        )
+    )
+    cos = F.round(
+        F.col("n_ab").cast("double")
+        / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        round_to,
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("cosine").desc(), F.col("item_b").asc()
+    )
+    return (
+        sym.withColumn("cosine", cos)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select(
+            F.col("item_a").alias("item"),
+            F.col("item_b").alias("neighbor"),
+            "n_ab",
+            "cosine",
+            F.col("__r").alias("rank"),
         )
     )

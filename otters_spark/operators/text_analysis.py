@@ -37,6 +37,7 @@ __all__ = [
     "bm25_topk",
     "compression_ratio",
     "ngram_novelty",
+    "vocab_growth",
 ]
 
 #: small deterministic stopword lists per language for the n-gram
@@ -961,4 +962,69 @@ def ngram_novelty(
                 F.col("n_novel").cast("double") / F.col("n_ngrams"), 6
             ).alias("novelty"),
         )
+    )
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct tokens
+    vs cumulative token count as the corpus grows in ``id_col`` order
+    — the statistic that predicts tokenizer-vocab coverage and
+    dedup-index sizing as a crawl scales (V ≈ K·N^beta; regress
+    ln V on ln N over these points to read beta off the curve).
+
+    Scale shape: docs bucket into ``n_buckets`` id-range slices with
+    EXACT integer arithmetic (``(id - min) * n DIV (span)`` — never a
+    float floor, whose boundary rounding can differ cross-engine);
+    per-bucket token totals are one aggregate; each token contributes
+    its NEW-vocabulary unit at the bucket of its FIRST document (a
+    min-aggregate per token — the events_cumulative_users
+    first-appearance device); the cumulative sums run over the
+    ≤n_buckets bucket rows, the sanctioned bounded window. Every
+    output is an exact long.
+
+    Returns one row per non-empty bucket: ``bucket, n_tokens,
+    new_vocab, cum_tokens, cum_vocab``."""
+    from pyspark.sql.window import Window
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+        # feeds the per-bucket totals AND the first-appearance pass
+        .localCheckpoint(eager=False)
+    )
+    bounds = df.agg(
+        F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx")
+    )
+    bucket = F.expr(
+        f"(__id - __mn) * {int(n_buckets)} DIV (__mx - __mn + 1)"
+    ).cast("long")
+    with_b = toks.crossJoin(F.broadcast(bounds)).withColumn("__b", bucket)
+    per_bucket = with_b.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    firsts = (
+        with_b.groupBy("__t")
+        .agg(F.min("__b").alias("__fb"))
+        .groupBy(F.col("__fb").alias("__b"))
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
+    )
+    j = per_bucket.join(firsts, "__b", "left").select(
+        F.col("__b").alias("bucket"),
+        "n_tokens",
+        F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        j.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("cum_vocab", F.sum("new_vocab").over(w))
+        .orderBy("bucket")
     )

@@ -9838,6 +9838,120 @@ FROM ranked GROUP BY 1 ORDER BY bucket
 """
 
 
+def events_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item CF neighbors (operators/association.py:
+    item_neighbors): top-3 "viewed together" items per item by
+    binary-incidence cosine over the covisitation session baskets —
+    the recommender table co-visitation counts feed. Candidate lists
+    are pair-bounded; the per-item rank window sees only that item's
+    co-occurring items; rounded-cosine ordering with neighbor
+    tie-break keeps the k-cut engine-stable."""
+    from .operators.association import item_neighbors
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = (
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) >= 1_800_000_000)
+    ).cast("long")
+    sid = F.sum(new_s).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    items = ev.select(
+        F.concat_ws(
+            "#", F.col("user_id").cast("string"), sid.cast("string")
+        ).alias("basket"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    return item_neighbors(items, "basket", "item", k=3).orderBy(
+        "item", "rank"
+    )
+
+
+EVENTS_ITEM_NEIGHBORS_SQL = """
+WITH l AS (
+  SELECT user_id, event_id, ts, props,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+g AS (
+  SELECT user_id, event_id, ts, props,
+         CASE WHEN prev IS NULL
+                OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM l),
+s AS (
+  SELECT user_id, props,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+items AS (
+  SELECT DISTINCT user_id::VARCHAR || '#' || sid::VARCHAR AS b,
+         CAST(props->>'k' AS BIGINT) AS i
+  FROM s WHERE props->>'k' IS NOT NULL),
+pairs AS (
+  SELECT a.i AS item_a, bb.i AS item_b, count(*)::BIGINT AS n_ab
+  FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+m AS (SELECT i, count(*)::BIGINT AS n FROM items GROUP BY 1),
+sym AS (
+  SELECT item_a, item_b, n_ab FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, n_ab FROM pairs),
+scored AS (
+  SELECT sym.item_a AS item, sym.item_b AS neighbor, n_ab,
+         round(n_ab::DOUBLE / sqrt(ma.n::DOUBLE * mb.n::DOUBLE), 6)
+           AS cosine
+  FROM sym JOIN m ma ON ma.i = sym.item_a JOIN m mb ON mb.i = sym.item_b),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY item
+              ORDER BY cosine DESC, neighbor ASC) AS rank
+  FROM scored)
+SELECT item, neighbor, n_ab, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY item, rank
+"""
+
+
+def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve
+    (operators/text_analysis.py:vocab_growth): cumulative distinct
+    tokens vs cumulative token count across 16 doc-id slices of the
+    corpus — the statistic behind tokenizer-vocab and dedup-index
+    sizing. Exact integer bucketing (DIV, never a float floor) and
+    exact long outputs end to end."""
+    from .operators.text_analysis import vocab_growth
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_growth(docs, n_buckets=16)
+
+
+TEXT_HEAPS_CURVE_SQL = """
+WITH bounds AS (
+  SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+toks AS (
+  SELECT (doc_id - mn) * 16 // (mx - mn + 1) AS b,
+         unnest(string_split(text, ' ')) AS t
+  FROM documents, bounds),
+tok AS (SELECT b, t FROM toks WHERE t <> ''),
+per_bucket AS (SELECT b, count(*)::BIGINT AS n_tokens FROM tok GROUP BY 1),
+firsts AS (
+  SELECT fb AS b, count(*)::BIGINT AS new_vocab
+  FROM (SELECT t, min(b) AS fb FROM tok GROUP BY 1) GROUP BY 1)
+SELECT p.b AS bucket, n_tokens,
+       coalesce(new_vocab, 0)::BIGINT AS new_vocab,
+       CAST(sum(n_tokens) OVER (ORDER BY p.b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       CAST(sum(coalesce(new_vocab, 0)) OVER (ORDER BY p.b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM per_bucket p LEFT JOIN firsts f ON f.b = p.b
+ORDER BY bucket
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10142,7 +10256,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rel_incremental_join, events_chi_square, rel_k_anonymity,
     # rel_benford_audit, events_woe_hour, events_skew_report,
     # events_cohort_ltv, events_forecast_eval,
-    # pipeline_curriculum_buckets) — 52 total: a full
+    # pipeline_curriculum_buckets, events_item_neighbors,
+    # text_heaps_curve) — 54 total: a full
     # window plus one; round 5
     # should run them as the window with only the flagship +
     # production-dedup + eval continuity keeps retained.
@@ -10199,6 +10314,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cohort_ltv": events_cohort_ltv,
     "events_forecast_eval": events_forecast_eval,
     "pipeline_curriculum_buckets": pipeline_curriculum_buckets,
+    "events_item_neighbors": events_item_neighbors,
+    "text_heaps_curve": text_heaps_curve,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10414,4 +10531,6 @@ ORACLE_SQL: dict[str, str] = {
     "events_cohort_ltv": EVENTS_COHORT_LTV_SQL,
     "events_forecast_eval": EVENTS_FORECAST_EVAL_SQL,
     "pipeline_curriculum_buckets": PIPELINE_CURRICULUM_BUCKETS_SQL,
+    "events_item_neighbors": EVENTS_ITEM_NEIGHBORS_SQL,
+    "text_heaps_curve": TEXT_HEAPS_CURVE_SQL,
 }

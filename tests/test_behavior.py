@@ -344,3 +344,33 @@ def test_cohort_ltv_matches_hand_computation(spark):
     assert got[("2024-01-02", 1)] == (4_250_000, 4_250_000, 1)
     # the day-9 purchase fell outside the horizon
     assert all(age <= 7 for _, age in got)
+
+
+def test_item_neighbors_cosine_and_rank(spark):
+    from otters_spark.operators.association import item_neighbors
+
+    # baskets: {1,2,3} x2, {1,2} x1, {2,3} x1, {4} alone
+    baskets = [
+        ("b1", 1), ("b1", 2), ("b1", 3),
+        ("b2", 1), ("b2", 2), ("b2", 3),
+        ("b3", 1), ("b3", 2),
+        ("b4", 2), ("b4", 3),
+        ("b5", 4),
+    ]
+    df = spark.createDataFrame(baskets, "basket string, item long")
+    got = {
+        (r["item"], r["rank"]): (r["neighbor"], r["n_ab"], r["cosine"])
+        for r in item_neighbors(df, "basket", "item", k=2).collect()
+    }
+    # margins: n1=3, n2=4, n3=3; pairs: (1,2)=3, (1,3)=2, (2,3)=3
+    import math
+
+    assert got[(1, 1)] == (2, 3, round(3 / math.sqrt(3 * 4), 6))
+    assert got[(1, 2)] == (3, 2, round(2 / math.sqrt(3 * 3), 6))
+    assert got[(2, 1)][0] in (1, 3)  # cosine ties broken by neighbor id
+    c21 = 3 / math.sqrt(4 * 3)
+    assert got[(2, 1)] == (1, 3, round(c21, 6))
+    # item 4 never co-occurs -> absent entirely
+    assert not any(i == 4 for i, _ in got)
+    with pytest.raises(ValueError):
+        item_neighbors(df, "basket", "item", k=0)

@@ -51,6 +51,7 @@ GLOBAL_WINDOW_OK = {
     #   each over the ≤1024-bin table (stats.global_row_number — the
     #   shuffle_shards bin-priors shape); the per-user data windows are
     #   all bin-partitioned
+    "text_heaps_curve",  # cumulative window over <=16 bucket rows
     "pipeline_curriculum_buckets",  # global_row_number's <=1024-bin
     #   histogram cumsum on the per-doc score table
     "events_mann_whitney",  # stats.mann_whitney: the pooled-rank cumsum

@@ -508,3 +508,32 @@ def test_bigram_logprob_cross_domain_backoff(spark):
     # the->mat, 3x each); (cat,sat) seen 3x under 'cat' (cp=3); V=5
     want1 = round(-(math.log(3.5 / 8.5) + math.log(3.5 / 5.5)) / 2, 6)
     assert got[1] == want1
+
+
+def test_vocab_growth_curve_matches_python(spark):
+    from otters_spark.operators.text_analysis import vocab_growth
+
+    docs = [
+        (0, "a b a"),
+        (1, "b c"),
+        (2, "c d a"),
+        (3, "e"),
+        (7, "a e f f"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["bucket"]: (
+            r["n_tokens"], r["new_vocab"], r["cum_tokens"], r["cum_vocab"]
+        )
+        for r in vocab_growth(df, n_buckets=4).collect()
+    }
+    # ids 0..7 -> bucket = (id-0)*4 DIV 8: 0,0,1,1,3
+    # bucket0: docs 0,1 -> 5 tokens, first-seen {a,b,c} = 3
+    # bucket1: docs 2,3 -> 4 tokens, first-seen {d,e} = 2
+    # bucket3: doc 7 -> 4 tokens, first-seen {f} = 1
+    assert got[0] == (5, 3, 5, 3)
+    assert got[1] == (4, 2, 9, 5)
+    assert got[3] == (4, 1, 13, 6)
+    assert 2 not in got  # empty bucket emits no row
+    with pytest.raises(ValueError):
+        vocab_growth(df, n_buckets=1)
