@@ -53,6 +53,8 @@ QUERIES = [
     # byte-exact multimodal gate, quantized-tier recall curve
     "text_zipf_slope",
     "text_readability",
+    "text_heaps_curve",
+    "pipeline_curriculum_buckets",
     "multimodal_exact_dedup",
     "eval_quant_recall_curve",
 ]
@@ -85,6 +87,13 @@ EVENTS_QUERIES = [
     "events_acf_daily",
     "events_mann_whitney",
     "events_chi_square",
+    # later waves: WOE cells, cohort LTV, forecast scorecard, skew
+    # report, item-item CF over session baskets
+    "events_woe_hour",
+    "events_cohort_ltv",
+    "events_forecast_eval",
+    "events_skew_report",
+    "events_item_neighbors",
 ]
 
 # fact-lane probe: orders + lineitem replicated with shifted order
