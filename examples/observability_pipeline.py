@@ -8,7 +8,9 @@ Demonstrates the session-6 lanes end to end on the test corpus:
 3. a Bloom filter over benchmark n-grams probed by the corpus
    (the decontamination prefilter that outlives broadcast limits);
 4. a Z-order store write and the row-group spans that make
-   two-column pruning work.
+   two-column pruning work;
+5. the pre-shuffle key-skew diagnosis and the seasonal-naive
+   forecast scorecard over the event stream (the round-4 lanes).
 
 Run: python examples/observability_pipeline.py [sf_dir]
 """
@@ -79,6 +81,23 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         "overwrite"
     ).parquet(out)
     print(f"-- z-ordered store written to {out} --")
+
+    # 5. shuffle-skew diagnosis + forecast scorecard over events
+    from otters_spark.operators.skew import skew_report
+    from otters_spark.operators.stats import forecast_eval
+    from otters_spark.suite import load_events
+
+    ev = load_events(spark, sf_dir)
+    print("-- user_id key-skew report (read BEFORE shuffling on it) --")
+    skew_report(ev, ["user_id"], top_k=10).show(truncate=False)
+    daily = ev.filter(F.col("value").isNotNull()).groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "t"
+        ),
+    ).agg(F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("y"))
+    print("-- season=7 naive forecast scorecard (beat this or go home) --")
+    forecast_eval(daily, ["event_type"], "t", "y", season=7).show()
     spark.stop()
 
 
