@@ -990,14 +990,16 @@ def mann_whitney(
         / 12.0
         * ((nn + 1) - F.col("__ties").cast("double") / (nn * (nn - 1)))
     )
+    both = (n_a > 0) & (n_b > 0)
     return row.select(
         F.col("__n_a").cast("long").alias("n_a"),
         F.col("__n_b").cast("long").alias("n_b"),
         u2.cast("long").alias("u2_a"),
-        F.round(u / (n_a * n_b), round_to).alias("auc"),
-        F.when(var > 0, F.round((u - mu) / F.sqrt(var), round_to)).alias(
-            "z"
-        ),
+        # guard the empty-group case: 0/0 is NaN, not NULL — a lane
+        # filtering to a mistyped label should read as "no test ran"
+        F.when(both, F.round(u / (n_a * n_b), round_to)).alias("auc"),
+        F.when(both & (var > 0), F.round((u - mu) / F.sqrt(var), round_to))
+        .alias("z"),
     )
 
 def chi_square(

@@ -324,6 +324,9 @@ def join_change_feed(
     The reference engine has no join surface (`/root/reference/src/`);
     extension lane, oracle-proved by aggregating the rebuilt v2 join."""
     keys = list(on)
+    if not keys:
+        raise ValueError("on must be non-empty (an empty key list would "
+                         "silently cross-join the sides)")
     r_other = [c for c in r_feed.columns if c not in keys + ["__sign"]]
     s_other = [c for c in s_feed.columns if c not in keys + ["__sign"]]
     clash = set(r_other) & set(s_other)

@@ -330,3 +330,17 @@ def test_join_change_feed_rejects_column_clash(spark):
             s_new=s,
             on=["ck"],
         )
+
+
+def test_join_change_feed_rejects_empty_keys(spark):
+    from otters_spark.sources.merge import change_feed, join_change_feed
+
+    r = spark.createDataFrame([(1, 10)], "ok long, ck long")
+    with pytest.raises(ValueError, match="non-empty"):
+        join_change_feed(
+            change_feed(r, r, ["ok"], ["ck"]),
+            change_feed(r, r, ["ok"], ["ck"]),
+            r_old=r,
+            s_new=r,
+            on=[],
+        )

@@ -647,3 +647,12 @@ def test_forecast_eval_degenerate_series(spark):
     assert gs["n_eval"] == 0 and gs["mae"] is None
     with pytest.raises(ValueError):
         forecast_eval(short, ["k"], "t", "y", season=0)
+
+
+def test_mann_whitney_missing_group_is_null_not_nan(spark):
+    from otters_spark.operators.stats import mann_whitney
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    got = mann_whitney(df, "g", "v", "a", "b").collect()[0]
+    assert got["n_b"] == 0
+    assert got["auc"] is None and got["z"] is None
