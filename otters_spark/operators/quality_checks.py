@@ -271,9 +271,11 @@ def profile_table(
     in one aggregate, which Spark plans as an Expand (k+1-fold row
     replication) feeding SortAggregates: measured 33 s vs 3 s at sf0.1
     x 11 columns for identical answers. Values ride the melt in an
-    exactness-preserving slot per type family (numerics as double,
-    decimals/strings/booleans as string, timestamps as epoch-micros
-    long), so the distinct sets are bijective with the typed ones;
+    exactness-preserving slot per type family (integrals as long —
+    doubles collide past 2^53 on 64-bit keys — floats/doubles as
+    double, decimals/strings/booleans as string, timestamps as
+    epoch-micros long), so the distinct sets are bijective with the
+    typed ones;
     equality semantics match Spark's own distinct (GROUP BY normalizes
     -0.0 and NaN the same way countDistinct does). At 100 TB flip
     ``exact_distinct=False`` for ``approx_count_distinct`` (HLL
@@ -307,7 +309,12 @@ def profile_table(
         num = F.lit(None).cast("double")
         st = F.lit(None).cast("string")
         ts = F.lit(None).cast("long")
-        if base in _NUMERIC_DTYPES:
+        if base in ("tinyint", "smallint", "int", "bigint"):
+            # integral types get their own EXACT long slot: distinct
+            # longs beyond 2^53 collide in double, undercounting
+            # n_distinct on 64-bit surrogate keys
+            ts = F.col(c).cast("long")
+        elif base in _NUMERIC_DTYPES:
             num = F.col(c).cast("double")
         elif base in ("timestamp", "timestamp_ntz"):
             # unix_micros rejects NTZ; the session is pinned UTC, so

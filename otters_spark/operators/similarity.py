@@ -1228,8 +1228,13 @@ def pca_fit(
     # snapped to the same integer units as the Gram pass
 
     mean = np.zeros(d, dtype=np.float64)
+    # fold EXACTLY the rows the Gram pass folded: gram_matrix drops
+    # NULL / ragged vectors (len != d), so the mean pass must apply the
+    # identical predicate or dirty data skews the covariance (and a
+    # vector longer than d would index past ``mean``)
     srows = (
-        df.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+        df.where(F.size(F.col(vec_col)) == F.lit(d))
+        .select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
         .groupBy("dim")
         .agg(
             F.sum(

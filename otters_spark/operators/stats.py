@@ -598,9 +598,9 @@ def pearson_matrix(
     each cell a different n — a footgun for downstream use).
 
     Inputs must already be integral (cents/micro discipline —
-    ``round(x*100).cast('long')`` upstream); per-row products must fit
-    a long (|x·y| < 2^63 — true for any cents-scale measures), while
-    the SUMS get decimal headroom. k columns → k(k+1)/2 moment
+    ``round(x*100).cast('long')`` upstream); each factor is cast to
+    decimal(38,0) BEFORE the product, so neither the per-row x·y nor
+    the sums can silently wrap a long in non-ANSI mode. k columns → k(k+1)/2 moment
     expressions in a single partial-aggregable projection; the shuffle
     is k^2 numbers per task, the cheapest possible shape at 100 TB.
 
@@ -621,21 +621,32 @@ def pearson_matrix(
         aggs.append(F.sum(F.col(a).cast(dec)).alias(f"s_{i}"))
         for j in range(i, len(cols)):
             b = cols[j]
+            # cast BEFORE multiplying (the acf discipline): a long*long
+            # product silently wraps past 2^63 in non-ANSI mode; the
+            # decimal product gets full headroom per row as well as in
+            # the sum
             aggs.append(
-                F.sum((F.col(a) * F.col(b)).cast(dec)).alias(f"p_{i}_{j}")
+                F.sum(F.col(a).cast(dec) * F.col(b).cast(dec)).alias(
+                    f"p_{i}_{j}"
+                )
             )
     row = df.filter(cond).agg(*aggs)
     pairs = []
     for i, a in enumerate(cols):
         for j in range(i, len(cols)):
             b = cols[j]
-            n = F.col("n").cast("double")
-            sx, sy = F.col(f"s_{i}").cast("double"), F.col(f"s_{j}").cast("double")
-            sxy = F.col(f"p_{i}_{j}").cast("double")
-            sxx = F.col(f"p_{i}_{i}").cast("double")
-            syy = F.col(f"p_{j}_{j}").cast("double")
-            num = n * sxy - sx * sy
-            den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            # num and the two variance terms are EXACT decimal
+            # arithmetic on the exact moments — the double closed form
+            # (n*sxy - sx*sy after casting to double) cancels
+            # catastrophically when variance/mean^2 < ~1e-15 (e.g.
+            # surrogate-key-magnitude measures); only the final
+            # sqrt/divide runs in double
+            n_d = F.col("n").cast(dec)
+            sx, sy = F.col(f"s_{i}"), F.col(f"s_{j}")
+            num = (n_d * F.col(f"p_{i}_{j}") - sx * sy).cast("double")
+            vx = (n_d * F.col(f"p_{i}_{i}") - sx * sx).cast("double")
+            vy = (n_d * F.col(f"p_{j}_{j}") - sy * sy).cast("double")
+            den = F.sqrt(vx) * F.sqrt(vy)
             corr = F.when(den > 0, F.round(num / den, round_to))
             pairs.append(
                 F.struct(
@@ -968,7 +979,12 @@ def mann_whitney(
     row = ranked.agg(
         F.sum("__na").alias("__n_a"),
         F.sum(F.col("__cnt") - F.col("__na")).alias("__n_b"),
-        F.sum(F.col("__na") * F.col("__rank2")).alias("__r2a"),
+        # R2_a is O(n_a * n): cast to decimal BEFORE multiplying so a
+        # pooled n around 2e9 can't silently wrap a long product in
+        # non-ANSI mode (same discipline as the ties sum below)
+        F.sum(
+            F.col("__na").cast(dec) * F.col("__rank2").cast(dec)
+        ).alias("__r2a"),
         F.sum(
             (
                 F.col("__cnt").cast(dec)
@@ -981,7 +997,9 @@ def mann_whitney(
     n_a = F.col("__n_a").cast("double")
     n_b = F.col("__n_b").cast("double")
     nn = n_a + n_b
-    u2 = F.col("__r2a") - F.col("__n_a") * (F.col("__n_a") + 1)
+    u2 = F.col("__r2a") - F.col("__n_a").cast(dec) * (
+        F.col("__n_a").cast(dec) + 1
+    )
     u = u2.cast("double") / 2.0
     mu = n_a * n_b / 2.0
     var = (

@@ -29,7 +29,6 @@ from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 from .errors import StoreBuildError
 from .expr import _schema_dtypes
@@ -48,15 +47,49 @@ _MANIFEST = "_otters_manifest.json"
 
 
 def with_row_index(df: DataFrame, name: str = "vec_id") -> DataFrame:
-    """Attach a 0-based dense row index.
+    """Attach a 0-based dense row index — WITHOUT a global sort.
 
     Parity helper for the reference's implicit positional row ids
-    (src/meta_compute.rs:184-187). The global window is fine at test
-    scale; at cluster scale prefer data that carries its own id column
-    (``id_col=...``) — a global row_number is a single-partition sort.
+    (src/meta_compute.rs:184-187). zipWithIndex-style partition-offset
+    assignment: the input is pinned with an eager ``localCheckpoint``
+    (so the counting job and the indexing job see the SAME partitions
+    in the same order), per-partition row counts are collected (one
+    tiny map-side-combined aggregate — #partitions rows), cumulative
+    offsets go back out as a broadcast-sized ``CASE`` map, and each
+    row's dense id is ``offset[pid] + seq`` where ``pid``/``seq`` are
+    the partition id and within-partition record number that
+    ``monotonically_increasing_id`` encodes in its upper-31/lower-33
+    bits. No shuffle of the data, no ``Window.orderBy`` over an
+    unpartitioned frame — every partition indexes itself in parallel.
+    Data that already carries a key should still prefer ``id_col=...``
+    (skips the checkpoint materialization entirely).
     """
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return df.withColumn(name, (F.row_number().over(w) - 1).cast("long"))
+    pinned = df.localCheckpoint(eager=True)
+    counts = (
+        pinned.select(F.spark_partition_id().alias("__pid"))
+        .groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    sizes = {r["__pid"]: r["__n"] for r in counts}
+    if not sizes:
+        return pinned.withColumn(name, F.lit(None).cast("long"))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(sizes):
+        offsets[p] = acc
+        acc += sizes[p]
+    mid = F.monotonically_increasing_id()
+    pid = F.shiftright(mid, 33)
+    seq = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    off = F.create_map(
+        *[
+            lit
+            for p in sorted(offsets)
+            for lit in (F.lit(p).cast("long"), F.lit(offsets[p]))
+        ]
+    )[pid]
+    return pinned.withColumn(name, (off + seq).cast("long"))
 
 
 @dataclass

@@ -8159,8 +8159,14 @@ def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = jaccard_pairs_exploded(docs, 0.8, block_cols=list(_BLOCKS)).select(
-        "id_a", "id_b"
+    # checkpoint the pair generation ONCE before splitting: each
+    # branch's first consumer checkpoints only its own edges, so
+    # without this the expensive token self-join lineage would run
+    # twice (once per branch)
+    pairs = (
+        jaccard_pairs_exploded(docs, 0.8, block_cols=list(_BLOCKS))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     old_pairs = pairs.filter(
         (F.col("id_a") % 7 != 3) & (F.col("id_b") % 7 != 3)
@@ -8522,17 +8528,19 @@ WITH m AS (
   WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
 s AS (
-  SELECT count(*)::DOUBLE AS n, count(*)::BIGINT AS nn,
-         sum(qty)::DOUBLE AS s0, sum(price_c)::DOUBLE AS s1,
-         sum(disc_p)::DOUBLE AS s2, sum(tax_p)::DOUBLE AS s3,
-         sum(qty * qty)::DOUBLE AS p00, sum(qty * price_c)::DOUBLE AS p01,
-         sum(qty * disc_p)::DOUBLE AS p02, sum(qty * tax_p)::DOUBLE AS p03,
-         sum(price_c * price_c)::DOUBLE AS p11,
-         sum(price_c * disc_p)::DOUBLE AS p12,
-         sum(price_c * tax_p)::DOUBLE AS p13,
-         sum(disc_p * disc_p)::DOUBLE AS p22,
-         sum(disc_p * tax_p)::DOUBLE AS p23,
-         sum(tax_p * tax_p)::DOUBLE AS p33
+  -- HUGEINT (int128) sums: exact, mirrors the Spark side's
+  -- decimal(38,0) moments bit-for-bit
+  SELECT count(*)::HUGEINT AS n, count(*)::BIGINT AS nn,
+         sum(qty)::HUGEINT AS s0, sum(price_c)::HUGEINT AS s1,
+         sum(disc_p)::HUGEINT AS s2, sum(tax_p)::HUGEINT AS s3,
+         sum(qty * qty)::HUGEINT AS p00, sum(qty * price_c)::HUGEINT AS p01,
+         sum(qty * disc_p)::HUGEINT AS p02, sum(qty * tax_p)::HUGEINT AS p03,
+         sum(price_c * price_c)::HUGEINT AS p11,
+         sum(price_c * disc_p)::HUGEINT AS p12,
+         sum(price_c * tax_p)::HUGEINT AS p13,
+         sum(disc_p * disc_p)::HUGEINT AS p22,
+         sum(disc_p * tax_p)::HUGEINT AS p23,
+         sum(tax_p * tax_p)::HUGEINT AS p33
   FROM m),
 names(i, name) AS (VALUES (0, 'qty'), (1, 'price_c'), (2, 'disc_p'),
                           (3, 'tax_p')),
@@ -8554,9 +8562,13 @@ cells AS (
          n AS nd
   FROM names a JOIN names b ON a.i <= b.i CROSS JOIN s)
 SELECT col_a, col_b, n,
-       CASE WHEN sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)) > 0
-            THEN round((nd * sxy - sx * sy)
-                       / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
+       -- num / variance terms subtracted EXACTLY in int128, doubles
+       -- only at the final sqrt/divide (matches the Spark side)
+       CASE WHEN sqrt((nd * sxx - sx * sx)::DOUBLE)
+                 * sqrt((nd * syy - sy * sy)::DOUBLE) > 0
+            THEN round((nd * sxy - sx * sy)::DOUBLE
+                       / (sqrt((nd * sxx - sx * sx)::DOUBLE)
+                          * sqrt((nd * syy - sy * sy)::DOUBLE)), 6)
             END AS corr
 FROM cells ORDER BY col_a, col_b
 """

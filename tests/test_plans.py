@@ -65,6 +65,22 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
     assert len(rows) == orders.count()
 
 
+def test_row_index_has_no_global_window(spark, sf_dir):
+    """with_row_index must assign its dense id via partition offsets
+    (zipWithIndex shape): no Window operator at all in the plan — a
+    ``Window.orderBy`` with no partition spec funnels the whole input
+    through ONE task at scale — and the ids must still be the exact
+    dense 0..n-1 sequence."""
+    from otters_spark.store import with_row_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("label")
+    df = with_row_index(emb, "rid")
+    plan = plan_of(df).lower()
+    assert "window" not in plan, plan[:2000]
+    ids = sorted(r["rid"] for r in df.select("rid").collect())
+    assert ids == list(range(emb.count()))
+
+
 def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path_factory):
     """A partitioned fact joined to a selectively-filtered dim must
     plan a DynamicPruningExpression on the fact scan: at 100 TB the

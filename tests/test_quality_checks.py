@@ -167,6 +167,21 @@ def test_profile_table_matches_hand_computed(spark):
     assert got["ts"]["dtype"] == "timestamp"
 
 
+def test_profile_table_distinct_exact_past_double_precision(spark):
+    """64-bit surrogate keys whose values collide when squeezed into a
+    double (adjacent longs past 2^53) must still count as DISTINCT:
+    integrals ride the melt in an exact long slot, not the double
+    slot."""
+    from otters_spark.operators.quality_checks import profile_table
+
+    base = 1 << 60
+    # base and base+1 are the same double; so are base+2/base+3
+    rows = [(base,), (base + 1,), (base + 2,), (base + 3,)]
+    df = spark.createDataFrame(rows, "k long")
+    got = profile_table(df).collect()[0]
+    assert got["n_distinct"] == 4
+
+
 def test_profile_table_approx_knob_and_errors(spark):
     from otters_spark.operators.quality_checks import profile_table
 

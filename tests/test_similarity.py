@@ -534,3 +534,32 @@ def test_pca_fit_empty_and_tiny_inputs_raise(spark):
     )
     with pytest.raises(ValueError, match="at least 2"):
         pca_fit(one, "embedding", dim=2)
+
+
+def test_pca_fit_dirty_rows_match_clean_subset(spark):
+    """NULL, ragged-short, and OVER-LENGTH vectors must be excluded
+    from BOTH passes (Gram and mean): pca_fit on the dirty frame must
+    be bit-identical to pca_fit on the clean subset — previously the
+    mean pass folded rows the Gram pass dropped, skewing the
+    covariance (and an over-length vector crashed the driver
+    assembly with an IndexError)."""
+    import numpy as np
+
+    from otters_spark.operators.similarity import pca_fit
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(200, 4))
+    clean_rows = [(i, [float(x) for x in X[i]]) for i in range(200)]
+    dirty_rows = clean_rows + [
+        (900, None),                       # NULL vector
+        (901, [1.0, 2.0]),                 # ragged: too short
+        (902, [9.0, 9.0, 9.0, 9.0, 9.0]),  # ragged: too LONG
+    ]
+    schema = "vec_id long, embedding array<float>"
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(dirty_rows, schema)
+    m_c, v_c, c_c = pca_fit(clean, "embedding", n_components=2, dim=4)
+    m_d, v_d, c_d = pca_fit(dirty, "embedding", n_components=2, dim=4)
+    assert np.array_equal(m_c, m_d)
+    assert np.array_equal(v_c, v_d)
+    assert np.array_equal(c_c, c_d)

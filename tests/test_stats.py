@@ -351,6 +351,24 @@ def test_pearson_matrix_matches_numpy(spark):
     assert got[("x", "x")][1] == 1.0
 
 
+def test_pearson_matrix_survives_long_product_overflow(spark):
+    """Per-row products past 2^63 (values ~4e9, products ~1.6e19) must
+    not silently wrap: factors are cast to decimal BEFORE the
+    multiply. Perfectly correlated columns at that magnitude must
+    read corr == 1.0."""
+    from otters_spark.operators.stats import pearson_matrix
+
+    big = 4_000_000_000  # big*big = 1.6e19 > 2^63-1 ≈ 9.22e18
+    rows = [(big + i, 2 * (big + i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in pearson_matrix(df, ["x", "y"]).collect()
+    }
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "x")] == 1.0 and got[("y", "y")] == 1.0
+
+
 def test_pearson_matrix_rejects_single_column(spark):
     from otters_spark.operators.stats import pearson_matrix
 
