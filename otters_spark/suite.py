@@ -9968,10 +9968,12 @@ ORDER BY bucket
 # Registry
 # =====================================================================
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- registration order is load-bearing: the driver's correctness
-    # harness records exactly the FIRST 50 entries each round, dropping
-    # the tail. Round-4 rotation (eighth overall): all 28 oracle-paired
+_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # ---- the literal order below is HISTORICAL (it was the driver
+    # order through round 4); the driver-facing order is now rebuilt
+    # from _DRIVER_WINDOW after this dict closes — see the QUERIES
+    # assignment below the registry. Round-4 rotation notes kept for
+    # the record. Round-4 rotation (eighth overall): all 28 oracle-paired
     # queries that had never received a driver verdict (every one green
     # in the builder's 1e-9 harness at sf0.001/0.01/0.1 —
     # scripts/check_oracle.py) are promoted at the head, followed by 22
@@ -10328,6 +10330,83 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_curriculum_buckets": pipeline_curriculum_buckets,
     "events_item_neighbors": events_item_neighbors,
     "text_heaps_curve": text_heaps_curve,
+}
+
+# ---- Driver-verdict rotation (round 5, ninth overall). The driver's
+# correctness harness records exactly the FIRST 50 entries of QUERIES
+# each round. 63 queries had no driver verdict after round 4 (the
+# suite outgrew the window); this window takes the 50 highest-value
+# ones: 47 oracle-paired never-verified queries plus the three whose
+# implementation changed THIS round and therefore need a fresh verdict
+# on the new code (rel_correlation_matrix — exact-decimal closed form;
+# events_mann_whitney — decimal rank sums; dedup_incremental_components
+# — checkpointed pair generation). Deferred to round 6 (each already
+# judge-verified green at sf0.01 in the round-4 VERDICT, so they are
+# the lowest-risk deferrals): graph_adamic_adar, text_zipf_slope,
+# multimodal_exact_dedup, sim_mmr_rerank, sim_gram_matrix,
+# dedup_prefix_filter_pairs — plus the 7 rows-only-by-design queries
+# (text_compression_ratio, text_bpe_train, pipeline_semdedup,
+# pipeline_quality_model, sim_ivf_topk, sim_pq_topk, sim_pca_variance).
+_DRIVER_WINDOW: list[str] = [
+    "events_cumulative_users",
+    "events_rolling_actives",
+    "rel_volume_shipping",
+    "rel_returned_customers",
+    "rel_disjunctive_filter",
+    "pipeline_domain_filter",
+    "events_covisitation",
+    "events_seasonal_anomaly",
+    "rel_order_count_distribution",
+    "rel_small_qty_revenue",
+    "rel_large_orders",
+    "rel_market_share",
+    "rel_top_supplier",
+    "rel_idle_customers",
+    "rel_sole_return_supplier",
+    "text_readability",
+    "events_rfm_segments",
+    "sim_knn_classify",
+    "eval_quant_recall_curve",
+    "dedup_incremental_components",
+    "events_overlap_join",
+    "events_cusum_shift",
+    "rel_correlation_matrix",
+    "pipeline_bootstrap_ci",
+    "rel_table_profile",
+    "link_golden_records",
+    "events_attribution_multitouch",
+    "rel_min_cost_supplier",
+    "rel_late_order_priority",
+    "rel_forecast_revenue",
+    "rel_product_type_profit",
+    "rel_important_parts",
+    "rel_late_line_priority",
+    "rel_promo_revenue",
+    "rel_supplier_part_counts",
+    "rel_promotable_suppliers",
+    "events_acf_daily",
+    "rel_revenue_trend",
+    "events_mann_whitney",
+    "rel_incremental_join",
+    "events_chi_square",
+    "rel_k_anonymity",
+    "rel_benford_audit",
+    "events_woe_hour",
+    "events_skew_report",
+    "events_cohort_ltv",
+    "events_forecast_eval",
+    "pipeline_curriculum_buckets",
+    "events_item_neighbors",
+    "text_heaps_curve",
+]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **{name: _REGISTRY[name] for name in _DRIVER_WINDOW},
+    **{
+        name: fn
+        for name, fn in _REGISTRY.items()
+        if name not in set(_DRIVER_WINDOW)
+    },
 }
 
 ORACLE_SQL: dict[str, str] = {
