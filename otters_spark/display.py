@@ -126,10 +126,17 @@ def format_build_stats(stats) -> str:
 
 
 def format_query_stats(stats) -> str:
-    """QueryStats → metric/value table (src/display.rs:222-249)."""
+    """QueryStats → metric/value table with the reference's four-phase
+    timing split (src/display.rs:222-249: prune_ms/score_ms/merge_ms/
+    total_ms). Phase rows are summed task milliseconds recovered from
+    the executed plan's SQLMetrics (see QueryStats); ``n/a`` when the
+    plan internals were unreachable."""
 
     def opt(v: Any) -> str:
         return "n/a" if v is None else str(v)
+
+    def ms(v: Any) -> str:
+        return "n/a" if v is None else f"{v * 1000.0:.3f}"
 
     total = (
         None
@@ -143,6 +150,9 @@ def format_query_stats(stats) -> str:
         ["vectors_compared", str(stats.vectors_compared)],
         ["rows_after_filters", str(stats.rows_after_filters)],
         ["result_rows", str(stats.result_rows)],
+        ["prune_ms", ms(stats.prune_sec)],
+        ["score_ms", ms(stats.score_sec)],
+        ["merge_ms", ms(stats.merge_sec)],
         ["total_ms", f"{stats.elapsed_sec * 1000.0:.3f}"],
     ]
     return AsciiTable(["metric", "value"], rows, title="Last Meta Query Stats").render()

@@ -75,6 +75,19 @@ class QueryStats:
     elapsed_sec: float
     evaluated_chunks: int | None = None
     pruned_chunks: int | None = None
+    # Reference phase split (prune/score/merge, src/meta.rs:838-841),
+    # recovered from the executed plan's per-operator SQLMetrics:
+    # prune = scan time + metadata/footer time, score = whole-stage
+    # codegen pipeline duration (the scoring expressions), merge =
+    # shuffle write + fetch wait + sort time (the top-k/exchange side).
+    # These are SUMMED TASK TIMES across parallel tasks — on local[32]
+    # a phase can legitimately exceed ``elapsed_sec`` wall clock — the
+    # honest analog of the reference's sequential per-phase stopwatch
+    # on a pipelined distributed executor. None when plan internals
+    # are unavailable.
+    prune_sec: float | None = None
+    score_sec: float | None = None
+    merge_sec: float | None = None
 
 _CMPS = {"lt", "lte", "gt", "gte", "eq"}
 
@@ -108,6 +121,57 @@ def _scan_files_read(df: DataFrame) -> int | None:
             plan = plan.executedPlan()
         walk(plan)
         return state["total"] if state["found"] else None
+    except Exception:
+        return None
+
+
+# (metric name -> (phase, unit)) over the executed plan's SQLMetrics.
+# Units follow Spark's SQLMetrics factories: createTimingMetric -> ms,
+# createNanoTimingMetric -> ns ("duration" on WholeStageCodegen,
+# "shuffle write time" on exchanges).
+_PHASE_METRICS = {
+    "scanTime": ("prune", 1e-3),       # "scan time"
+    "metadataTime": ("prune", 1e-3),   # "metadata time" (footers)
+    "pipelineTime": ("score", 1e-9),   # WholeStageCodegen "duration"
+    "aggTime": ("score", 1e-3),        # "time in aggregation build"
+    "shuffleWriteTime": ("merge", 1e-9),
+    "fetchWaitTime": ("merge", 1e-3),
+    "sortTime": ("merge", 1e-3),
+}
+
+
+def _phase_timings(df: DataFrame) -> dict[str, float] | None:
+    """Recover the reference's prune/score/merge phase split
+    (src/meta.rs:838-841) from the EXECUTED plan's per-operator
+    SQLMetrics (call after an action). No extra job, no listener:
+    the accumulators are already folded into the plan nodes. Values
+    are summed task seconds per phase; None if plan internals are
+    unreachable."""
+    acc = {"prune": 0.0, "score": 0.0, "merge": 0.0}
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        metrics = node.metrics()
+        it = metrics.iterator()
+        while it.hasNext():
+            kv = it.next()
+            phase_unit = _PHASE_METRICS.get(kv._1())
+            if phase_unit is not None:
+                phase, unit = phase_unit
+                acc[phase] += max(int(kv._2().value()), 0) * unit
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.executedPlan()
+        walk(plan)
+        return acc
     except Exception:
         return None
 
@@ -403,6 +467,7 @@ class VecQueryPlan:
                     pruned = max(total - evaluated, 0)
                 except Exception:
                     pruned = None
+        phases = _phase_timings(df) or {}
         stats = QueryStats(
             candidate_rows=candidates,
             vectors_compared=candidates * len(self._queries or []),
@@ -411,6 +476,9 @@ class VecQueryPlan:
             elapsed_sec=elapsed,
             evaluated_chunks=evaluated,
             pruned_chunks=pruned,
+            prune_sec=phases.get("prune"),
+            score_sec=phases.get("score"),
+            merge_sec=phases.get("merge"),
         )
         self._store.last_query_stats = stats  # src/meta.rs:710-721
         return rows, stats

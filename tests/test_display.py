@@ -60,10 +60,24 @@ def test_stats_tables(spark):
     assert b.startswith("MetaStore Build Stats")
     assert "| rows           | 10      |" in b
     q = format_query_stats(
-        QueryStats(5, 5, 3, 2, 0.1, evaluated_chunks=1, pruned_chunks=9)
+        QueryStats(
+            5, 5, 3, 2, 0.1,
+            evaluated_chunks=1, pruned_chunks=9,
+            prune_sec=0.001, score_sec=0.08, merge_sec=0.0105,
+        )
     )
     assert "| total_chunks       | 10" in q
     assert "| pruned_chunks      | 9" in q
+    # the reference's four phase rows, in its order and ms format
+    # (src/display.rs:222-249)
+    for want in (
+        "| prune_ms           | 1.000",
+        "| score_ms           | 80.000",
+        "| merge_ms           | 10.500",
+        "| total_ms           | 100.000",
+    ):
+        assert want in q, q
+    assert q.index("prune_ms") < q.index("score_ms") < q.index("merge_ms") < q.index("total_ms")
     # in-memory store: chunk rows render n/a
     q2 = format_query_stats(QueryStats(5, 5, 3, 2, 0.1))
     assert "n/a" in q2
@@ -86,6 +100,13 @@ def test_store_printers(spark, capsys):
     assert "No build stats available" in out
     assert "No query stats available" in out
 
-    _, _ = store.query([1.0, 0.0], "cosine").take(1).collect_with_stats()
+    _, stats = store.query([1.0, 0.0], "cosine").take(1).collect_with_stats()
     store.print_last_query_stats()
-    assert "Last Meta Query Stats" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "Last Meta Query Stats" in out
+    # live plans must actually yield the phase split (not n/a): the
+    # SQLMetrics walk found the scan / codegen / merge operators
+    assert stats.score_sec is not None and stats.score_sec >= 0
+    assert stats.prune_sec is not None and stats.merge_sec is not None
+    assert "| score_ms" in out and "| prune_ms" in out
+    assert "| prune_ms           | n/a" not in out

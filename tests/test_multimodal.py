@@ -37,10 +37,19 @@ def test_extract_features_deterministic(media):
 
 
 def test_decode_stubs_raise(media):
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
-    with pytest.raises(NotImplementedError):
-        decode_audio(media)
+    # codec-less environments must fail FAST with the documented
+    # production pointer; with pillow installed decode_image is live
+    # instead (tests/test_multimodal_codecs.py)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_image(media)
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_audio(media)
 
 
 def test_frame_sample_plan(spark):

@@ -1,0 +1,59 @@
+"""Real-codec lane for the multimodal operators — runs wherever
+pillow is installed, skips cleanly in codec-less environments (this
+container). The fake-extractor path stays oracle-checked regardless
+(tests/test_multimodal.py); these tests close the loop on the
+production decode/resize kernels themselves."""
+
+import pytest
+
+PIL = pytest.importorskip("PIL")
+
+from PIL import Image  # noqa: E402
+
+
+def _png_bytes(w: int, h: int, color) -> bytes:
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (w, h), color).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, _png_bytes(8, 6, (255, 0, 0))),
+        (2, _png_bytes(4, 4, (0, 255, 0))),
+        (3, None),                      # NULL payload
+        (4, b"not an image at all"),    # undecodable
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_decode_image_real_pil(media):
+    from otters_spark.operators.multimodal import decode_image
+
+    got = {r["media_id"]: r for r in decode_image(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (8, 6)
+    assert bytes(got[1]["rgb"])[:3] == b"\xff\x00\x00"
+    assert len(bytes(got[1]["rgb"])) == 8 * 6 * 3
+    assert (got[2]["width"], got[2]["height"]) == (4, 4)
+    # NULL and undecodable payloads are data, not errors
+    assert got[3]["width"] is None and got[3]["rgb"] is None
+    assert got[4]["width"] is None and got[4]["rgb"] is None
+
+
+def test_resize_images_with_pil_resizer(media):
+    from otters_spark.operators.multimodal import (
+        decode_image,
+        pil_resizer,
+        resize_images,
+    )
+
+    resized = resize_images(
+        media.filter("media_id <= 2"), 3, 2, resizer=pil_resizer
+    )
+    back = decode_image(resized)
+    for r in back.collect():
+        assert (r["width"], r["height"]) == (3, 2)
+        assert len(bytes(r["rgb"])) == 3 * 2 * 3
