@@ -35,6 +35,24 @@ def main() -> int:
         shuffle_partitions=int(cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # The per-query DataFrame-ref free below (gc.collect) unregisters
+    # each finished query's SQLMetric accumulators; AQE's broadcast /
+    # stage threads can deliver a LATE task-completion event for an
+    # already-finished job afterwards, and DAGScheduler then logs
+    # "attempted to access non-existent accumulator" at ERROR with a
+    # full stack trace into the bench tail (diagnosed round 5 — the
+    # BENCH_r04 tail artifact). The lost update is to a metric of a
+    # plan we already dropped, so it is result-neutral; real query
+    # failures surface as Python exceptions (caught + reported below),
+    # so the DAGScheduler logger can go to FATAL for the bench run.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        pass
 
     # warm the JVM/codegen paths once with the cheapest query
     try:

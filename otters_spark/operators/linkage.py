@@ -251,12 +251,22 @@ def golden_records(
             raise ValueError(f"rule column {c!r} not in records")
         if r in ("latest", "earliest") and ts_col is None:
             raise ValueError(f"rule {r!r} for {c!r} needs ts_col")
-    joined = records.join(
+    needed = [id_col, *rules]
+    if ts_col is not None and ts_col not in needed:
+        needed.append(ts_col)
+    joined = records.select(*needed).join(
         entities.select(
             F.col("id").alias(id_col), F.col(entity_col)
         ),
         id_col,
     )
+    freq_rules = [c for c, r in rules.items() if r == "most_frequent"]
+    if freq_rules:
+        # the join feeds the main aggregate PLUS one mode count per
+        # most_frequent column; checkpoint the (column-pruned) join
+        # once so the records→entities lineage doesn't re-run per
+        # consumer
+        joined = joined.localCheckpoint(eager=False)
     aggs = [F.count(F.lit(1)).alias("n_members")]
     freq_cols = []
     for c, r in rules.items():

@@ -993,16 +993,16 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 
 def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group, via the window-rank
-    formulation (one melted shuffle sort across all value columns, sum
-    the two interpolation neighbors) — identical numbers to
-    SQL-standard ``quantile_cont`` without the aggregator's per-group
-    multiset buffering. ``method='sort'`` is picked explicitly: at
-    bench scale its single window pass beats the multi-stage binned
-    formulation, while ``method='bin'`` (the library default) is the
-    at-scale exact path whose parallelism never collapses to one task
-    per group — see operators/stats.py and SCALE.md §Percentiles;
-    tests/test_stats.py asserts all methods produce identical numbers."""
+    """Exact interpolated percentiles per group — identical numbers to
+    SQL-standard ``quantile_cont``. ``method='bin'`` is the library
+    default and the AT-SCALE exact path (two-phase binned global rank:
+    parallelism never collapses to one task per group), run here so
+    the driver's correctness gate continuously exercises the plan a
+    100 TB deployment would use; ``method='sort'`` (single melted
+    window pass) is a shade faster at bench scale but funnels each
+    group through one task — see operators/stats.py and SCALE.md
+    §Percentiles; tests/test_stats.py asserts all methods produce
+    identical numbers."""
     from .operators.stats import group_percentiles
 
     li = load(spark, sf_dir, "lineitem")
@@ -1011,7 +1011,7 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         {"l_extendedprice": [0.5, 0.9], "l_quantity": [0.5]},
         exact=True,
-        method="sort",
+        method="bin",
     ).select("l_returnflag", "p50_l_extendedprice", "p90_l_extendedprice",
              "p50_l_quantity").toDF(
         "l_returnflag", "p50_price", "p90_price", "p50_qty"

@@ -48,6 +48,10 @@ QUERIES = [
     # round-4 second wave: entity clustering (documents), binary-quant
     # ANN (embeddings)
     "link_entity_clusters",
+    # round-5: survivorship on top of the resolved clusters — the
+    # trigram-blocked candidate join plus two entity-keyed aggregates
+    # must scale with cluster density, not corpus^2
+    "link_golden_records",
     "sim_binary_quant_topk",
     # fourth wave: corpus-stat scans (one-pass regex/count shapes),
     # byte-exact multimodal gate, quantized-tier recall curve
