@@ -129,6 +129,8 @@ def entity_clusters(
     method: str = "exact",
     n_hashes: int = 16,
     bands: int = 8,
+    block_cols: Sequence[str] = (),
+    est_margin: float | None = None,
 ) -> DataFrame:
     """End-to-end entity resolution: fuzzy self-candidates →
     transitive closure → entity table. Every record gets an
@@ -149,10 +151,19 @@ def entity_clusters(
       (dedup.minhash_lsh_candidates: shuffle on band buckets, pair
       count tracks bucket occupancy) followed by EXACT n-gram-Jaccard
       verification of the candidates, so false positives are
-      impossible; recall is the banding S-curve
-      (1-(1-j^r)^b) — choose bands/rows for the threshold (defaults
-      suit >= 0.7; entity resolution at lower thresholds belongs on
-      the exact path). This is the dup-dense / 100 TB path.
+      impossible; recall is the banding S-curve (1-(1-j^r)^b). This is
+      the dup-dense / 100 TB path — WITH ``block_cols``: the default
+      8x2 banding keeps recall high at >= 0.7 thresholds but its est
+      threshold is ~0.35, so on vocabulary-saturated corpora the
+      unblocked candidate set approaches all-pairs (measured: 11M
+      candidates from 5k sf0.1 docs, 110 s end-to-end; blocked on
+      (lang, source) like production dedup: 7 s). ``est_margin``
+      optionally pre-filters candidates by signature-estimated Jaccard
+      >= threshold - margin (a 16-long intersect instead of the full
+      shingle intersect per pair) — useful when collisions are mostly
+      far-below-threshold noise; useless when the corpus genuinely has
+      similarity mass within ~2 estimator sigmas (sqrt(j(1-j)/16)
+      ~= 0.1) of the threshold, which is why it defaults off.
 
     Both feed dedup.connected_components min-label propagation (one
     hash-join per round, rounds = cluster diameter)."""
@@ -166,11 +177,36 @@ def entity_clusters(
             F.col("left_id").alias("id_a"), F.col("right_id").alias("id_b")
         )
     elif method == "banded":
-        from .dedup import minhash_lsh_candidates
+        from ..functions.text import est_jaccard_from_sigs_expr
+        from .dedup import minhash_lsh_candidates, minhash_signatures
 
         cand = minhash_lsh_candidates(
-            records, text_col, id_col, n_hashes=n_hashes, bands=bands
+            records,
+            text_col,
+            id_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            block_cols=list(block_cols),
         )
+        if est_margin is not None:
+            # optional signature-estimate PRE-FILTER before the exact
+            # shingle verify (see docstring for when it pays)
+            sigs = minhash_signatures(records, text_col, id_col, n_hashes)
+            sa = sigs.select(
+                F.col(id_col).alias("id_a"), F.col("signature").alias("__sa")
+            )
+            sb = sigs.select(
+                F.col(id_col).alias("id_b"), F.col("signature").alias("__sb")
+            )
+            cand = (
+                cand.join(sa, "id_a")
+                .join(sb, "id_b")
+                .filter(
+                    est_jaccard_from_sigs_expr("__sa", "__sb")
+                    >= F.lit(max(threshold - est_margin, 0.0))
+                )
+                .select("id_a", "id_b")
+            )
         shing = records.select(
             F.col(id_col).alias("__id"),
             F.transform(

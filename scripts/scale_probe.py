@@ -227,6 +227,50 @@ def main() -> int:
             f"{q}: {t1:.2f}s ({r1} rows) -> {tn:.2f}s ({rn} rows) "
             f"= {tn / t1:.1f}x time for {replicas}x data"
         )
+
+    # The suite's link_entity_clusters / link_golden_records run the
+    # EXACT shingle-inverted-index candidate generator (oracle
+    # checkability) — quadratic in duplicate density, and this probe
+    # turns every doc into a replicas-sized near-dup clique, so those
+    # rows blow up BY DESIGN (SCALE.md §Linkage). The production
+    # dup-dense path is method='banded' (MinHash LSH candidates +
+    # exact verify); time the full banded resolution + survivorship
+    # here to pin that the shipping path scales.
+    def banded_golden(d: str) -> int:
+        from otters_spark.operators.linkage import (
+            entity_clusters,
+            golden_records,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        ent = entity_clusters(
+            docs,
+            threshold=0.8,
+            method="banded",
+            block_cols=("lang", "source"),
+        )
+        gold = golden_records(
+            docs,
+            ent,
+            {
+                "text": "longest",
+                "lang": "most_frequent",
+                "source": "most_frequent",
+                "n_chars": "max",
+            },
+        )
+        return gold.count()
+
+    t = time.time()
+    r1 = banded_golden(base_dir)
+    t1 = time.time() - t
+    t = time.time()
+    rn = banded_golden(tmp)
+    tn = time.time() - t
+    print(
+        f"banded_golden_records: {t1:.2f}s ({r1} rows) -> {tn:.2f}s "
+        f"({rn} rows) = {tn / t1:.1f}x time for {replicas}x data"
+    )
     return 0
 
 

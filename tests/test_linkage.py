@@ -184,6 +184,61 @@ def test_entity_clusters_banded_matches_exact_on_near_dups(spark, sf_dir):
     assert len(ex_clusters) > 0
 
 
+def test_entity_clusters_banded_blocked_and_margin(spark):
+    """Production knobs on the banded path, on data where blocks are
+    cluster-safe BY CONSTRUCTION (every planted near-dup group shares
+    one lang): (a) blocking must reproduce the exact unblocked
+    clusters; (b) the signature-estimate pre-filter at a generous
+    margin must not drop verified pairs. (On corpora whose true
+    clusters span block values, blocking SPLITS them — that tradeoff
+    is the operator's documented contract, not tested as equality.)"""
+    from otters_spark.operators.linkage import entity_clusters
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet cyan magenta",
+    ]
+    rows = []
+    i = 0
+    for g, text in enumerate(base):
+        lang = f"L{g}"
+        words = text.split()
+        for v in range(4):  # 4 near-dup variants per group
+            variant = " ".join(words + [f"tail{v}"])
+            rows.append((i, variant, lang))
+            i += 1
+    rows.append((i, "completely different singleton words here", "L0"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    exact = {
+        r["id"]: r["entity_id"]
+        for r in entity_clusters(docs, 0.6, method="exact", ngram=2).collect()
+        if r["id"] != r["entity_id"]
+    }
+    assert len(exact) == 9  # 3 groups x (4-1) merged members
+    blocked = {
+        r["id"]: r["entity_id"]
+        for r in entity_clusters(
+            docs, 0.6, method="banded", ngram=2, block_cols=("lang",)
+        ).collect()
+        if r["id"] != r["entity_id"]
+    }
+    assert blocked == exact
+    with_margin = {
+        r["id"]: r["entity_id"]
+        for r in entity_clusters(
+            docs,
+            0.6,
+            method="banded",
+            ngram=2,
+            block_cols=("lang",),
+            est_margin=0.3,
+        ).collect()
+        if r["id"] != r["entity_id"]
+    }
+    assert with_margin == exact
+
+
 def test_entity_clusters_rejects_unknown_method(spark):
     from otters_spark.operators.linkage import entity_clusters
 
