@@ -39,18 +39,29 @@ def main() -> int:
     # each finished query's SQLMetric accumulators; AQE's broadcast /
     # stage threads can deliver a LATE task-completion event for an
     # already-finished job afterwards, and DAGScheduler then logs
-    # "attempted to access non-existent accumulator" at ERROR with a
-    # full stack trace into the bench tail (diagnosed round 5 — the
-    # BENCH_r04 tail artifact). The lost update is to a metric of a
-    # plan we already dropped, so it is result-neutral; real query
-    # failures surface as Python exceptions (caught + reported below),
-    # so the DAGScheduler logger can go to FATAL for the bench run.
+    # "Failed to update accumulator ... attempted to access
+    # non-existent accumulator" at ERROR with a full stack trace into
+    # the bench tail (diagnosed round 5 — the BENCH_r04 tail
+    # artifact). The lost update is to a metric of a plan we already
+    # dropped, so it is result-neutral. Suppress EXACTLY that message
+    # with a log4j2 StringMatchFilter — every other DAGScheduler ERROR
+    # (fetch failures, stage resubmission, lost shuffle files) still
+    # prints, and real query failures surface as Python exceptions
+    # (caught + reported below) regardless.
     try:
         jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.scheduler.DAGScheduler",
-            jvm.org.apache.logging.log4j.Level.FATAL,
+        Result = jvm.org.apache.logging.log4j.core.Filter.Result
+        flt = (
+            jvm.org.apache.logging.log4j.core.filter.StringMatchFilter
+            .newBuilder()
+            .setMatchString("Failed to update accumulator")
+            .setOnMatch(Result.DENY)
+            .setOnMismatch(Result.NEUTRAL)
+            .build()
         )
+        ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+        ctx.getConfiguration().getLoggerConfig("").addFilter(flt)
+        ctx.updateLoggers()
     except Exception:
         pass
 

@@ -766,12 +766,20 @@ def _banded_signatures(
     n_hashes: int,
     bands: int,
     block_cols: Sequence[str],
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(id, blocks..., band_id, band_hash): each signature split into
     ``bands`` bands of ``n_hashes/bands`` rows, each band md5-hashed —
-    deterministic, so a DuckDB oracle rebuilds identical buckets."""
+    deterministic, so a DuckDB oracle rebuilds identical buckets.
+    ``signatures`` (as produced by :func:`minhash_signatures` with
+    ``keep_cols=block_cols``) skips recomputing the corpus-scan
+    signature aggregate when the caller already has it."""
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, keep_cols=block_cols)
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, n_hashes, keep_cols=block_cols)
+    )
     return sigs.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
@@ -809,14 +817,19 @@ def minhash_lsh_candidates(
     n_hashes: int = 16,
     bands: int = 4,
     block_cols: Sequence[str] = (),
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``n_hashes/bands`` rows, hash each band, and emit candidate pairs
     that share any band bucket. This is the at-scale candidate
     generator: shuffle is on (band_id, band_hash) buckets, candidate
     count tracks bucket occupancy rather than n². Follow with an exact
-    or signature-estimate re-score."""
-    banded = _banded_signatures(df, text_col, id_col, n_hashes, bands, block_cols)
+    or signature-estimate re-score. Pass precomputed ``signatures``
+    (minhash_signatures with ``keep_cols=block_cols``) to skip the
+    corpus signature scan when the caller reuses it elsewhere."""
+    banded = _banded_signatures(
+        df, text_col, id_col, n_hashes, bands, block_cols, signatures
+    )
     keys = ["band_id", "band_hash", *block_cols]
     # alias self-join: the banded-signature subtree is computed once
     a, b = banded.alias("a"), banded.alias("b")

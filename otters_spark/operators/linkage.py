@@ -23,6 +23,8 @@ corpus-wide.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -180,6 +182,14 @@ def entity_clusters(
         from ..functions.text import est_jaccard_from_sigs_expr
         from .dedup import minhash_lsh_candidates, minhash_signatures
 
+        sigs = None
+        if est_margin is not None:
+            # the pre-filter reuses these signatures; pin them once so
+            # the corpus signature scan doesn't run twice (banding +
+            # estimate join)
+            sigs = minhash_signatures(
+                records, text_col, id_col, n_hashes, keep_cols=list(block_cols)
+            ).localCheckpoint(eager=False)
         cand = minhash_lsh_candidates(
             records,
             text_col,
@@ -187,11 +197,11 @@ def entity_clusters(
             n_hashes=n_hashes,
             bands=bands,
             block_cols=list(block_cols),
+            signatures=sigs,
         )
         if est_margin is not None:
             # optional signature-estimate PRE-FILTER before the exact
             # shingle verify (see docstring for when it pays)
-            sigs = minhash_signatures(records, text_col, id_col, n_hashes)
             sa = sigs.select(
                 F.col(id_col).alias("id_a"), F.col("signature").alias("__sa")
             )

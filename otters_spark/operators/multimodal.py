@@ -232,18 +232,21 @@ def decode_image(
         for pdf in batches:
             ws, hs, modes, rgbs = [], [], [], []
             for p in pdf[payload_col]:
-                if p is None:
-                    ws.append(None); hs.append(None)
-                    modes.append(None); rgbs.append(None)
-                    continue
-                try:
-                    img = Image.open(io.BytesIO(bytes(p)))
-                    ws.append(img.width); hs.append(img.height)
-                    modes.append(img.mode)
-                    rgbs.append(img.convert("RGB").tobytes())
-                except Exception:
-                    ws.append(None); hs.append(None)
-                    modes.append(None); rgbs.append(None)
+                # compute the full record inside the try and append
+                # ONCE: a payload whose header parses but whose body is
+                # corrupt throws at convert()/tobytes(), and appending
+                # per-field before that point would leave the columns
+                # ragged and fail the whole batch
+                w = h = mode = rgb = None
+                if p is not None:
+                    try:
+                        img = Image.open(io.BytesIO(bytes(p)))
+                        w, h, mode = img.width, img.height, img.mode
+                        rgb = img.convert("RGB").tobytes()
+                    except Exception:
+                        w = h = mode = rgb = None
+                ws.append(w); hs.append(h)
+                modes.append(mode); rgbs.append(rgb)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

@@ -643,11 +643,30 @@ def pearson_matrix(
             # sqrt/divide runs in double
             n_d = F.col("n").cast(dec)
             sx, sy = F.col(f"s_{i}"), F.col(f"s_{j}")
-            num = (n_d * F.col(f"p_{i}_{j}") - sx * sy).cast("double")
-            vx = (n_d * F.col(f"p_{i}_{i}") - sx * sx).cast("double")
-            vy = (n_d * F.col(f"p_{j}_{j}") - sy * sy).cast("double")
-            den = F.sqrt(vx) * F.sqrt(vy)
-            corr = F.when(den > 0, F.round(num / den, round_to))
+            num_d = n_d * F.col(f"p_{i}_{j}") - sx * sy
+            vx_d = n_d * F.col(f"p_{i}_{i}") - sx * sx
+            vy_d = n_d * F.col(f"p_{j}_{j}") - sy * sy
+            # decimal(38,0) arithmetic past 38 digits yields NULL in
+            # non-ANSI mode — indistinguishable from the zero-variance
+            # NULL unless guarded. n*sxx crossing 1e38 needs ~1e10 rows
+            # of ~1e14 per-row products; fail LOUDLY there instead of
+            # reporting a silent NULL corr (ANSI mode throws on its
+            # own; this makes the legacy mode equally honest).
+            overflow = (F.col("n") > 0) & (
+                num_d.isNull() | vx_d.isNull() | vy_d.isNull()
+            )
+            num = num_d.cast("double")
+            den = F.sqrt(vx_d.cast("double")) * F.sqrt(vy_d.cast("double"))
+            corr = F.when(
+                overflow,
+                F.assert_true(
+                    F.lit(False),
+                    F.lit(
+                        f"pearson_matrix: decimal(38,0) overflow on "
+                        f"({a}, {b}) — rescale inputs"
+                    ),
+                ).cast("double"),
+            ).otherwise(F.when(den > 0, F.round(num / den, round_to)))
             pairs.append(
                 F.struct(
                     F.lit(a).alias("col_a"),

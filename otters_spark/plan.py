@@ -130,11 +130,15 @@ def _scan_files_read(df: DataFrame) -> int | None:
 # createNanoTimingMetric -> ns ("duration" on WholeStageCodegen,
 # "shuffle write time" on exchanges).
 _PHASE_METRICS = {
-    "scanTime": ("prune", 1e-3),       # "scan time"
-    "metadataTime": ("prune", 1e-3),   # "metadata time" (footers)
-    "pipelineTime": ("score", 1e-9),   # WholeStageCodegen "duration"
-    "aggTime": ("score", 1e-3),        # "time in aggregation build"
-    "shuffleWriteTime": ("merge", 1e-9),
+    "scanTime": ("prune", 1e-3),       # "scan time" (ms)
+    "metadataTime": ("prune", 1e-3),   # "metadata time" (footers, ms)
+    # WholeStageCodegen "duration" is a MILLISECOND timing metric
+    # (verified by live probe against Spark 4.1.2: pipelineTime=572
+    # for a 1.6s/4-thread pure-codegen job, alongside
+    # shuffleWriteTime=4.0e7 ns for the same job's 40ms write)
+    "pipelineTime": ("score", 1e-3),
+    "aggTime": ("score", 1e-3),        # "time in aggregation build" (ms)
+    "shuffleWriteTime": ("merge", 1e-9),  # ns
     "fetchWaitTime": ("merge", 1e-3),
     "sortTime": ("merge", 1e-3),
 }
@@ -148,12 +152,22 @@ def _phase_timings(df: DataFrame) -> dict[str, float] | None:
     are summed task seconds per phase; None if plan internals are
     unreachable."""
     acc = {"prune": 0.0, "score": 0.0, "merge": 0.0}
+    seen: set[int] = set()
 
     def walk(node) -> None:
         name = node.getClass().getSimpleName()
+        # Reused exchanges/subqueries delegate metrics() to an original
+        # that the walk reaches through its own subtree — counting the
+        # reuse node too would double the merge phase
+        if name.startswith("Reused"):
+            return
         if name.endswith("QueryStageExec"):
             walk(node.plan())
             return
+        nid = int(node.id())
+        if nid in seen:
+            return
+        seen.add(nid)
         metrics = node.metrics()
         it = metrics.iterator()
         while it.hasNext():

@@ -8528,19 +8528,23 @@ WITH m AS (
   WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
 s AS (
-  -- HUGEINT (int128) sums: exact, mirrors the Spark side's
-  -- decimal(38,0) moments bit-for-bit
+  -- exact int128 moments, with the PER-ROW products also in HUGEINT
+  -- so the oracle accepts the same input regime as the Spark side's
+  -- decimal(38,0)-before-multiply discipline (a BIGINT per-row
+  -- product would abort past 2^63 where Spark now has headroom)
   SELECT count(*)::HUGEINT AS n, count(*)::BIGINT AS nn,
-         sum(qty)::HUGEINT AS s0, sum(price_c)::HUGEINT AS s1,
-         sum(disc_p)::HUGEINT AS s2, sum(tax_p)::HUGEINT AS s3,
-         sum(qty * qty)::HUGEINT AS p00, sum(qty * price_c)::HUGEINT AS p01,
-         sum(qty * disc_p)::HUGEINT AS p02, sum(qty * tax_p)::HUGEINT AS p03,
-         sum(price_c * price_c)::HUGEINT AS p11,
-         sum(price_c * disc_p)::HUGEINT AS p12,
-         sum(price_c * tax_p)::HUGEINT AS p13,
-         sum(disc_p * disc_p)::HUGEINT AS p22,
-         sum(disc_p * tax_p)::HUGEINT AS p23,
-         sum(tax_p * tax_p)::HUGEINT AS p33
+         sum(qty::HUGEINT) AS s0, sum(price_c::HUGEINT) AS s1,
+         sum(disc_p::HUGEINT) AS s2, sum(tax_p::HUGEINT) AS s3,
+         sum(qty::HUGEINT * qty::HUGEINT) AS p00,
+         sum(qty::HUGEINT * price_c::HUGEINT) AS p01,
+         sum(qty::HUGEINT * disc_p::HUGEINT) AS p02,
+         sum(qty::HUGEINT * tax_p::HUGEINT) AS p03,
+         sum(price_c::HUGEINT * price_c::HUGEINT) AS p11,
+         sum(price_c::HUGEINT * disc_p::HUGEINT) AS p12,
+         sum(price_c::HUGEINT * tax_p::HUGEINT) AS p13,
+         sum(disc_p::HUGEINT * disc_p::HUGEINT) AS p22,
+         sum(disc_p::HUGEINT * tax_p::HUGEINT) AS p23,
+         sum(tax_p::HUGEINT * tax_p::HUGEINT) AS p33
   FROM m),
 names(i, name) AS (VALUES (0, 'qty'), (1, 'price_c'), (2, 'disc_p'),
                           (3, 'tax_p')),
@@ -10336,13 +10340,14 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # correctness harness records exactly the FIRST 50 entries of QUERIES
 # each round. 63 queries had no driver verdict after round 4 (the
 # suite outgrew the window); this window takes the 50 highest-value
-# ones: 47 oracle-paired never-verified queries plus the three whose
-# implementation changed THIS round and therefore need a fresh verdict
-# on the new code (rel_correlation_matrix — exact-decimal closed form;
+# ones: 46 oracle-paired never-verified queries plus the four whose
+# PLAN changed THIS round and therefore need a fresh verdict on the
+# new code (rel_correlation_matrix — exact-decimal closed form;
 # events_mann_whitney — decimal rank sums; dedup_incremental_components
-# — checkpointed pair generation). Deferred to round 6 (each already
-# judge-verified green at sf0.01 in the round-4 VERDICT, so they are
-# the lowest-risk deferrals): graph_adamic_adar, text_zipf_slope,
+# — checkpointed pair generation; rel_percentiles — binned at-scale
+# method). Deferred to round 6 (each already judge-verified green at
+# sf0.01 in the round-4 VERDICT, so they are the lowest-risk
+# deferrals): graph_adamic_adar, text_zipf_slope, text_heaps_curve,
 # multimodal_exact_dedup, sim_mmr_rerank, sim_gram_matrix,
 # dedup_prefix_filter_pairs — plus the 7 rows-only-by-design queries
 # (text_compression_ratio, text_bpe_train, pipeline_semdedup,
@@ -10397,7 +10402,7 @@ _DRIVER_WINDOW: list[str] = [
     "events_forecast_eval",
     "pipeline_curriculum_buckets",
     "events_item_neighbors",
-    "text_heaps_curve",
+    "rel_percentiles",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -110,3 +110,10 @@ def test_store_printers(spark, capsys):
     assert stats.prune_sec is not None and stats.merge_sec is not None
     assert "| score_ms" in out and "| prune_ms" in out
     assert "| prune_ms           | n/a" not in out
+    # unit guard: prune/score come from MILLISECOND SQLMetrics, so the
+    # values must be whole milliseconds — a nanosecond mis-scaling
+    # (the round-5 review catch) would make any nonzero value
+    # fractional at the 1e-6 ms scale
+    for v in (stats.prune_sec, stats.score_sec):
+        ms = v * 1000.0
+        assert abs(ms - round(ms)) < 1e-9, v

@@ -26,6 +26,9 @@ def media(spark):
         (2, _png_bytes(4, 4, (0, 255, 0))),
         (3, None),                      # NULL payload
         (4, b"not an image at all"),    # undecodable
+        # header parses but the body is truncated: Image.open()
+        # succeeds, the decode throws later at convert()/tobytes()
+        (5, _png_bytes(64, 64, (9, 9, 9))[:80]),
     ]
     return spark.createDataFrame(rows, "media_id long, payload binary")
 
@@ -38,9 +41,12 @@ def test_decode_image_real_pil(media):
     assert bytes(got[1]["rgb"])[:3] == b"\xff\x00\x00"
     assert len(bytes(got[1]["rgb"])) == 8 * 6 * 3
     assert (got[2]["width"], got[2]["height"]) == (4, 4)
-    # NULL and undecodable payloads are data, not errors
+    # NULL, undecodable, and decode-late-failure payloads are data,
+    # not errors — and must not desync the batch's columns
     assert got[3]["width"] is None and got[3]["rgb"] is None
     assert got[4]["width"] is None and got[4]["rgb"] is None
+    assert got[5]["rgb"] is None
+    assert len(got) == 5
 
 
 def test_resize_images_with_pil_resizer(media):
