@@ -98,15 +98,24 @@ def _scan_files_read(df: DataFrame) -> int | None:
     populated). Returns None when no file scan exists (in-memory
     relations) or plan internals are unavailable."""
     state = {"total": 0, "found": False}
+    seen: set[int] = set()
 
     def walk(node) -> None:
         name = node.getClass().getSimpleName()
+        # Reused exchanges/subqueries delegate to an original reached
+        # through its own subtree — counting them would double numFiles
+        if name.startswith("Reused"):
+            return
         # AQE materializes work in QueryStageExec wrappers whose inner
         # plan is reachable only via .plan(); collectLeaves() stops at
         # the stage boundary and would miss every scan
         if name.endswith("QueryStageExec"):
             walk(node.plan())
             return
+        nid = int(node.id())
+        if nid in seen:
+            return
+        seen.add(nid)
         metrics = node.metrics()
         if metrics.contains("numFiles"):
             state["total"] += int(metrics.apply("numFiles").value())

@@ -81,6 +81,28 @@ def test_row_index_has_no_global_window(spark, sf_dir):
     assert ids == list(range(emb.count()))
 
 
+def test_row_index_adversarial_partitioning(spark):
+    """Dense 0..n-1 ids must survive empty partitions (more partitions
+    than rows), a zero-row frame, and a post-shuffle frame."""
+    from otters_spark.store import with_row_index
+
+    tiny = spark.createDataFrame([(i,) for i in range(3)], "x long")
+    d = with_row_index(tiny.repartition(8), "rid")
+    assert sorted(r["rid"] for r in d.collect()) == [0, 1, 2]
+
+    empty = spark.createDataFrame([], "x long")
+    assert with_row_index(empty, "rid").count() == 0
+
+    shuffled = (
+        spark.range(0, 1000)
+        .withColumn("k", F.col("id") % 7)
+        .repartition(5, "k")
+    )
+    d2 = with_row_index(shuffled, "rid")
+    got = sorted(r["rid"] for r in d2.select("rid").collect())
+    assert got == list(range(1000))
+
+
 def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path_factory):
     """A partitioned fact joined to a selectively-filtered dim must
     plan a DynamicPruningExpression on the fact scan: at 100 TB the
