@@ -172,6 +172,20 @@ def entity_clusters(
     from ..functions.text import jaccard_expr, tokens_expr, word_ngrams_expr
     from .dedup import connected_components
 
+    if est_margin is not None and not (0.0 <= est_margin <= 1.0):
+        # a negative margin makes the estimate cutoff unsatisfiable
+        # (est is bounded by 1.0) — every record would silently come
+        # back a singleton entity
+        raise ValueError(f"est_margin must be in [0, 1], got {est_margin!r}")
+    if method == "exact" and (block_cols or est_margin is not None):
+        # these knobs only exist on the banded path; silently dropping
+        # them would run the unblocked quadratic shingle generator the
+        # caller was specifically steering away from
+        raise ValueError(
+            "block_cols/est_margin require method='banded' — the exact "
+            "shingle inverted-index path has no banding to block or "
+            "signatures to pre-filter"
+        )
     if method == "exact":
         pairs = fuzzy_join_candidates(
             records, records, threshold, text_col, id_col, ngram

@@ -92,44 +92,51 @@ class QueryStats:
 _CMPS = {"lt", "lte", "gt", "gte", "eq"}
 
 
-def _scan_files_read(df: DataFrame) -> int | None:
-    """Best-effort sum of the ``numFiles`` SQL metric over scan leaves
-    of the EXECUTED plan (call after an action so metrics are
-    populated). Returns None when no file scan exists (in-memory
-    relations) or plan internals are unavailable."""
-    state = {"total": 0, "found": False}
+def _executed_plan_nodes(df: DataFrame):
+    """Yield each DISTINCT operator of the EXECUTED physical plan
+    exactly once (call after an action so metrics are populated).
+    Shared traversal for every metric walker so the guards stay in one
+    place: AQE's final plan is unwrapped, QueryStageExec wrappers are
+    entered via ``.plan()``, ``Reused*`` nodes are skipped (their
+    metrics delegate to an original reached through its own subtree —
+    visiting both double-counts), and nodes are deduped by plan-node
+    id. Raises whatever py4j raises — callers decide the fallback."""
     seen: set[int] = set()
 
-    def walk(node) -> None:
+    def walk(node):
         name = node.getClass().getSimpleName()
-        # Reused exchanges/subqueries delegate to an original reached
-        # through its own subtree — counting them would double numFiles
         if name.startswith("Reused"):
             return
-        # AQE materializes work in QueryStageExec wrappers whose inner
-        # plan is reachable only via .plan(); collectLeaves() stops at
-        # the stage boundary and would miss every scan
         if name.endswith("QueryStageExec"):
-            walk(node.plan())
+            yield from walk(node.plan())
             return
         nid = int(node.id())
         if nid in seen:
             return
         seen.add(nid)
-        metrics = node.metrics()
-        if metrics.contains("numFiles"):
-            state["total"] += int(metrics.apply("numFiles").value())
-            state["found"] = True
+        yield node
         children = node.children()
         for i in range(children.size()):
-            walk(children.apply(i))
+            yield from walk(children.apply(i))
 
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    yield from walk(plan)
+
+
+def _scan_files_read(df: DataFrame) -> int | None:
+    """Best-effort sum of the ``numFiles`` SQL metric over scan leaves
+    of the EXECUTED plan. Returns None when no file scan exists
+    (in-memory relations) or plan internals are unavailable."""
+    total, found = 0, False
     try:
-        plan = df._jdf.queryExecution().executedPlan()
-        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-            plan = plan.executedPlan()
-        walk(plan)
-        return state["total"] if state["found"] else None
+        for node in _executed_plan_nodes(df):
+            metrics = node.metrics()
+            if metrics.contains("numFiles"):
+                total += int(metrics.apply("numFiles").value())
+                found = True
+        return total if found else None
     except Exception:
         return None
 
@@ -161,39 +168,15 @@ def _phase_timings(df: DataFrame) -> dict[str, float] | None:
     are summed task seconds per phase; None if plan internals are
     unreachable."""
     acc = {"prune": 0.0, "score": 0.0, "merge": 0.0}
-    seen: set[int] = set()
-
-    def walk(node) -> None:
-        name = node.getClass().getSimpleName()
-        # Reused exchanges/subqueries delegate metrics() to an original
-        # that the walk reaches through its own subtree — counting the
-        # reuse node too would double the merge phase
-        if name.startswith("Reused"):
-            return
-        if name.endswith("QueryStageExec"):
-            walk(node.plan())
-            return
-        nid = int(node.id())
-        if nid in seen:
-            return
-        seen.add(nid)
-        metrics = node.metrics()
-        it = metrics.iterator()
-        while it.hasNext():
-            kv = it.next()
-            phase_unit = _PHASE_METRICS.get(kv._1())
-            if phase_unit is not None:
-                phase, unit = phase_unit
-                acc[phase] += max(int(kv._2().value()), 0) * unit
-        children = node.children()
-        for i in range(children.size()):
-            walk(children.apply(i))
-
     try:
-        plan = df._jdf.queryExecution().executedPlan()
-        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-            plan = plan.executedPlan()
-        walk(plan)
+        for node in _executed_plan_nodes(df):
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                phase_unit = _PHASE_METRICS.get(kv._1())
+                if phase_unit is not None:
+                    phase, unit = phase_unit
+                    acc[phase] += max(int(kv._2().value()), 0) * unit
         return acc
     except Exception:
         return None

@@ -249,6 +249,27 @@ def test_entity_clusters_rejects_unknown_method(spark):
         entity_clusters(df, 0.5, method="fuzzy")
 
 
+def test_entity_clusters_rejects_misused_banded_knobs(spark):
+    """Banded-only knobs on the exact path must fail LOUDLY (silently
+    dropping block_cols would run the unblocked quadratic generator
+    the caller steered away from); out-of-range est_margin would
+    silently drop every candidate."""
+    from otters_spark.operators.linkage import entity_clusters
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "L")], "doc_id long, text string, lang string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="banded"):
+        entity_clusters(df, 0.5, method="exact", block_cols=("lang",))
+    with _pytest.raises(ValueError, match="banded"):
+        entity_clusters(df, 0.5, method="exact", est_margin=0.1)
+    for bad in (-0.2, 1.5):
+        with _pytest.raises(ValueError, match="est_margin"):
+            entity_clusters(df, 0.5, method="banded", est_margin=bad)
+
+
 def test_golden_records_rules_and_tiebreaks(spark):
     """Each survivorship rule against a hand-computed consolidation,
     including the deterministic tie-breaks (mode tie -> smallest
