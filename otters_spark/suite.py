@@ -3568,6 +3568,66 @@ FROM resolved WHERE rn = 1 GROUP BY root ORDER BY root
 """
 
 
+def graph_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree aggregation (operators/graph.py
+    subtree_rollup): the RECURSIVE-CTE rollup — every node's full
+    subtree (self + descendants) count and balance total — computed by
+    pointer-doubling ancestor closure in ceil(log2(depth)) self-joins
+    instead of one shuffle per level. Same synthetic customer forest
+    as graph_root_depth (parent = key div 10, keys under 10 are
+    roots); values are account-balance cents, so subtree sums are
+    exact longs. Reports the top of the hierarchy (keys < 1000)."""
+    from .operators.graph import subtree_rollup
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") < 10, F.col("c_custkey"))
+        .otherwise(F.expr("c_custkey div 10"))
+        .alias("parent"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    rolled = subtree_rollup(
+        cust.select("node", "parent"),
+        cust.select("node", "bal_c"),
+        value_col="bal_c",
+        max_depth=8,
+    )
+    return (
+        rolled.filter(F.col("node") < 1000)
+        .select(
+            F.col("node").alias("custkey"),
+            "subtree_n",
+            F.col("subtree_sum").alias("subtree_bal_c"),
+        )
+        .orderBy("custkey")
+    )
+
+
+GRAPH_SUBTREE_ROLLUP_SQL = """
+WITH RECURSIVE cust AS (
+  SELECT c_custkey AS node,
+         CASE WHEN c_custkey < 10 THEN c_custkey
+              ELSE c_custkey // 10 END AS parent,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer),
+edges AS (SELECT node, parent FROM cust WHERE parent <> node),
+closure(node, anc) AS (
+  SELECT node, parent FROM edges
+  UNION
+  SELECT c.node, e.parent FROM closure c JOIN edges e ON e.node = c.anc),
+d AS (
+  SELECT cl.anc, count(*) AS n_desc, sum(v.bal_c) AS s_desc
+  FROM closure cl JOIN cust v ON v.node = cl.node
+  GROUP BY cl.anc)
+SELECT c.node AS custkey,
+       (1 + coalesce(d.n_desc, 0))::BIGINT AS subtree_n,
+       (c.bal_c + coalesce(d.s_desc, 0))::BIGINT AS subtree_bal_c
+FROM cust c LEFT JOIN d ON d.anc = c.node
+WHERE c.node < 1000
+ORDER BY custkey
+"""
+
+
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup detection for media payloads
     (operators/multimodal.py): 32-bit aHash fingerprints (cells
@@ -10334,6 +10394,9 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_curriculum_buckets": pipeline_curriculum_buckets,
     "events_item_neighbors": events_item_neighbors,
     "text_heaps_curve": text_heaps_curve,
+    # Ninth wave (round 5; beyond this round's driver cap — rotate in
+    # round 6): hierarchical subtree rollup by pointer-doubling closure
+    "graph_subtree_rollup": graph_subtree_rollup,
 }
 
 # ---- Driver-verdict rotation (round 5, ninth overall). The driver's
@@ -10629,4 +10692,5 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_curriculum_buckets": PIPELINE_CURRICULUM_BUCKETS_SQL,
     "events_item_neighbors": EVENTS_ITEM_NEIGHBORS_SQL,
     "text_heaps_curve": TEXT_HEAPS_CURVE_SQL,
+    "graph_subtree_rollup": GRAPH_SUBTREE_ROLLUP_SQL,
 }

@@ -346,3 +346,95 @@ def test_adamic_adar_ignores_direction_and_duplicates(spark):
     ra = {(r["node_a"], r["node_b"]): r["aa_score"] for r in adamic_adar(a).collect()}
     rb = {(r["node_a"], r["node_b"]): r["aa_score"] for r in adamic_adar(b).collect()}
     assert ra == rb
+
+
+def test_subtree_rollup_hand_tree(spark):
+    """Bushy 2-level tree + a sentinel-rooted chain + an isolated node:
+    every subtree sum equals the hand-computed descendants+self total,
+    and sentinel ancestors (absent from values) are not reported."""
+    from otters_spark.operators.graph import subtree_rollup
+
+    #        1
+    #      /   \
+    #     2     3        (root 1 self-parented)
+    #    / \     \
+    #   4   5     6
+    # chain: 10 -> 11 -> 0 (0 is a sentinel: no value row, parent of 11)
+    # isolated: 77 (self-parented, no children)
+    parents = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 3),
+         (10, 11), (11, 0), (77, 77)],
+        "node long, parent long",
+    )
+    values = spark.createDataFrame(
+        [(1, 100), (2, 20), (3, 30), (4, 4), (5, 5), (6, 6),
+         (10, 1000), (11, 2000), (77, 7)],
+        "node long, value long",
+    )
+    got = {
+        r["node"]: (r["subtree_n"], r["subtree_sum"])
+        for r in subtree_rollup(parents, values, max_depth=8).collect()
+    }
+    assert got[1] == (6, 165)   # whole tree
+    assert got[2] == (3, 29)
+    assert got[3] == (2, 36)
+    assert got[4] == (1, 4) and got[5] == (1, 5) and got[6] == (1, 6)
+    assert got[11] == (2, 3000)  # 10 rolls into 11; sentinel 0 absent
+    assert got[10] == (1, 1000)
+    assert got[77] == (1, 7)
+    assert 0 not in got
+    assert len(got) == 9
+
+
+def test_subtree_rollup_matches_python_random_forest(spark):
+    """Random forests vs a brute-force Python rollup."""
+    import random
+
+    from otters_spark.operators.graph import subtree_rollup
+
+    rng = random.Random(17)
+    n = 300
+    parent = {0: 0}
+    for i in range(1, n):
+        parent[i] = rng.randrange(0, i)  # acyclic by construction
+    vals = {i: rng.randrange(-50, 500) for i in range(n)}
+    # brute force: every node contributes to all its ancestors
+    n_sub = {i: 1 for i in range(n)}
+    s_sub = {i: vals[i] for i in range(n)}
+    for i in range(1, n):
+        a = parent[i]
+        while True:
+            n_sub[a] += 1
+            s_sub[a] += vals[i]
+            if parent[a] == a:
+                break
+            a = parent[a]
+    parents = spark.createDataFrame(
+        [(i, parent[i]) for i in range(n)], "node long, parent long"
+    )
+    values = spark.createDataFrame(
+        [(i, vals[i]) for i in range(n)], "node long, value long"
+    )
+    got = {
+        r["node"]: (r["subtree_n"], r["subtree_sum"])
+        for r in subtree_rollup(parents, values, max_depth=64).collect()
+    }
+    assert got == {i: (n_sub[i], s_sub[i]) for i in range(n)}
+
+
+def test_subtree_rollup_depth_validation(spark):
+    from otters_spark.operators.graph import subtree_rollup
+
+    chain = spark.createDataFrame(
+        [(i, max(i - 1, 0)) for i in range(12)], "node long, parent long"
+    )
+    values = spark.createDataFrame(
+        [(i, 1) for i in range(12)], "node long, value long"
+    )
+    with pytest.raises(ValueError, match="deeper than max_depth"):
+        subtree_rollup(chain, values, max_depth=4)
+    ok = {
+        r["node"]: r["subtree_n"]
+        for r in subtree_rollup(chain, values, max_depth=16).collect()
+    }
+    assert ok[0] == 12 and ok[11] == 1
