@@ -39,7 +39,12 @@ from typing import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["merge_intervals", "interval_coverage", "overlap_join"]
+__all__ = [
+    "merge_intervals",
+    "interval_coverage",
+    "interval_gaps",
+    "overlap_join",
+]
 
 
 def merge_intervals(
@@ -99,6 +104,81 @@ def interval_coverage(
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("island_end") - F.col("island_start")).alias("covered"),
     )
+
+
+def interval_gaps(
+    df: DataFrame,
+    keys: Sequence[str],
+    start_col: str = "start",
+    end_col: str = "end",
+    bounds: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Uncovered ranges per key — the COMPLEMENT of the interval
+    union: the data-completeness / SLA-hole report ("which time ranges
+    had no coverage at all"). Returns the key columns plus
+    ``gap_start``, ``gap_end`` (integral, half-open, same units as the
+    inputs), one row per maximal uncovered range.
+
+    Without ``bounds`` only INTERIOR gaps are reported (between
+    consecutive islands). With ``bounds=(lo, hi)`` the report also
+    includes the head gap ``[lo, first_island_start)`` and tail gap
+    ``[last_island_end, hi)``, clipped to the bounds — the audit shape
+    ("the feed was contracted to cover [lo, hi); where did it not?").
+    Keys whose islands lie entirely outside the bounds still report
+    the whole ``[lo, hi)`` as uncovered only for key values PRESENT in
+    the input (an absent key has no row to hang a gap on — join the
+    expected-key dimension upstream if silence itself must alarm).
+
+    Scale shape: everything downstream of :func:`merge_intervals` runs
+    on the ISLAND table (per-key islands, not raw intervals) — one
+    keyed lag window + one filter; no self-join, no explosion."""
+    keys = list(keys)
+    islands = merge_intervals(df, keys, start_col, end_col)
+    if bounds is not None:
+        lo, hi = bounds
+        if hi <= lo:
+            raise ValueError(f"bounds must satisfy lo < hi, got {bounds!r}")
+        # clip islands to the audit window; islands fully outside drop
+        # (their coverage is irrelevant to [lo, hi))
+        islands = islands.select(
+            *keys,
+            F.greatest(F.col("island_start"), F.lit(lo)).alias("island_start"),
+            F.least(F.col("island_end"), F.lit(hi)).alias("island_end"),
+        ).filter(F.col("island_end") > F.col("island_start"))
+    w = Window.partitionBy(*keys).orderBy("island_start")
+    prev_end = F.lag("island_end").over(w)
+    head_floor = F.lit(bounds[0]) if bounds is not None else F.lit(None)
+    inner = (
+        islands.select(
+            *keys,
+            F.coalesce(prev_end, head_floor).alias("gap_start"),
+            F.col("island_start").alias("gap_end"),
+        )
+        .filter(
+            F.col("gap_start").isNotNull()
+            & (F.col("gap_end") > F.col("gap_start"))
+        )
+    )
+    if bounds is None:
+        return inner
+    lo, hi = bounds
+    tails = (
+        islands.groupBy(*keys)
+        .agg(F.max("island_end").alias("gap_start"))
+        .withColumn("gap_end", F.lit(hi))
+        .filter(F.col("gap_end") > F.col("gap_start"))
+    )
+    # a key clipped to zero islands inside the bounds: merge_intervals
+    # dropped it above, so recover full-window gaps from the RAW input
+    # keys (present in df, no coverage within [lo, hi))
+    covered_keys = islands.select(*keys).distinct()
+    all_keys = df.select(*keys).distinct()
+    empty = (
+        all_keys.join(covered_keys, keys, "left_anti")
+        .withColumn("gap_start", F.lit(lo))
+        .withColumn("gap_end", F.lit(hi))
+    )
+    return inner.unionByName(tails).unionByName(empty)
 
 
 def overlap_join(

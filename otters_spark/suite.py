@@ -6235,6 +6235,83 @@ FROM g GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_interval_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union COMPLEMENT (operators/intervals.py:
+    interval_gaps): per event type, the maximal time ranges inside a
+    one-week audit window [2024-01-01, 2024-01-08) where NO exposure
+    interval was active — the SLA-hole / data-completeness report.
+    Each event opens a [ts, ts + value minutes) exposure; islands come
+    from the same sweep-line union as events_interval_coverage, then
+    ONE keyed lag window over the island table (bounded: islands per
+    type, not raw events) emits interior gaps, with head/tail gaps
+    clipped to the audit bounds. Exact epoch-micros longs."""
+    from .operators.intervals import interval_gaps
+
+    lo = 1704067200000000  # 2024-01-01T00:00:00Z in epoch micros
+    hi = 1704672000000000  # 2024-01-08T00:00:00Z
+    ev = load_events(spark, sf_dir)
+    iv = ev.filter(
+        F.col("value").isNotNull()
+        & (F.col("value") > 0)
+        & F.col("ts").isNotNull()
+    ).select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.floor(F.col("value") * F.lit(60000000.0)).cast("long")
+        ).alias("e"),
+    )
+    return interval_gaps(
+        iv, ["event_type"], "s", "e", bounds=(lo, hi)
+    ).orderBy("event_type", "gap_start")
+
+
+EVENTS_INTERVAL_GAPS_SQL = """
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS e
+  FROM events WHERE value IS NOT NULL AND value > 0 AND ts IS NOT NULL),
+m AS (SELECT event_type, s, e,
+        max(e) OVER (PARTITION BY event_type ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM iv WHERE e > s),
+isl AS (SELECT event_type, s, e,
+        sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+          OVER (PARTITION BY event_type ORDER BY s, e
+                ROWS UNBOUNDED PRECEDING) AS island
+      FROM m),
+g AS (SELECT event_type, island, min(s) AS i0, max(e) AS i1
+      FROM isl GROUP BY 1, 2),
+clip AS (
+  SELECT event_type,
+         greatest(i0, 1704067200000000) AS i0,
+         least(i1, 1704672000000000) AS i1
+  FROM g
+  WHERE least(i1, 1704672000000000) > greatest(i0, 1704067200000000)),
+inner_g AS (
+  SELECT event_type,
+         coalesce(lag(i1) OVER (PARTITION BY event_type ORDER BY i0),
+                  1704067200000000) AS gap_start,
+         i0 AS gap_end
+  FROM clip),
+tails AS (
+  SELECT event_type, max(i1) AS gap_start,
+         1704672000000000 AS gap_end
+  FROM clip GROUP BY 1 HAVING max(i1) < 1704672000000000),
+empty AS (
+  SELECT DISTINCT event_type, 1704067200000000 AS gap_start,
+         1704672000000000 AS gap_end
+  FROM iv
+  WHERE event_type NOT IN (SELECT DISTINCT event_type FROM clip))
+SELECT event_type, gap_start::BIGINT AS gap_start, gap_end::BIGINT AS gap_end
+FROM (SELECT * FROM inner_g WHERE gap_end > gap_start
+      UNION ALL SELECT * FROM tails
+      UNION ALL SELECT * FROM empty)
+ORDER BY event_type, gap_start
+"""
+
+
 def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trend smoothing (operators/stats.py:ewma_smooth): per-type daily
     mean value, EWMA-smoothed with alpha=0.5 — the adjusted pandas
@@ -10397,6 +10474,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Ninth wave (round 5; beyond this round's driver cap — rotate in
     # round 6): hierarchical subtree rollup by pointer-doubling closure
     "graph_subtree_rollup": graph_subtree_rollup,
+    "events_interval_gaps": events_interval_gaps,
 }
 
 # ---- Driver-verdict rotation (round 5, ninth overall). The driver's
@@ -10693,4 +10771,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_item_neighbors": EVENTS_ITEM_NEIGHBORS_SQL,
     "text_heaps_curve": TEXT_HEAPS_CURVE_SQL,
     "graph_subtree_rollup": GRAPH_SUBTREE_ROLLUP_SQL,
+    "events_interval_gaps": EVENTS_INTERVAL_GAPS_SQL,
 }

@@ -168,3 +168,78 @@ def test_ewma_rejects_bad_alpha_and_long_series(spark):
     )
     with pytest.raises(Exception, match="overflows the rescaled weights"):
         ewma_smooth(long, ["k"], "t", "x", alpha=0.5).collect()
+
+
+def test_interval_gaps_hand_cases(iv, spark):
+    """Interior-only without bounds; head/interior/tail gaps, clipping,
+    and empty-key recovery with bounds."""
+    from otters_spark.operators.intervals import interval_gaps
+
+    # no bounds: only the interior gap of key a ([20, 30)); key b has
+    # one island -> no gaps
+    interior = {
+        (r["k"], r["gap_start"], r["gap_end"])
+        for r in interval_gaps(iv, ["k"], "s", "e").collect()
+    }
+    assert interior == {("a", 20, 30)}
+
+    # bounds [5, 60): a's islands clip to [5,20) and [30,40) ->
+    # interior [20,30) + tail [40,60); b clips to [5,60) -> no gaps;
+    # key c (all coverage outside bounds) -> full-window gap
+    with_c = iv.unionByName(
+        spark.createDataFrame([("c", 100, 200)], "k string, s long, e long")
+    )
+    got = {
+        (r["k"], r["gap_start"], r["gap_end"])
+        for r in interval_gaps(with_c, ["k"], "s", "e", bounds=(5, 60)).collect()
+    }
+    assert got == {("a", 20, 30), ("a", 40, 60), ("c", 5, 60)}
+
+    with pytest.raises(ValueError, match="lo < hi"):
+        interval_gaps(iv, ["k"], "s", "e", bounds=(10, 10))
+
+
+def test_interval_gaps_partition_the_window(spark, sf_dir):
+    """Gaps and clipped islands must exactly partition [lo, hi) per
+    key: disjoint, non-touching would be a merge bug, and lengths sum
+    to the window size minus covered."""
+    from otters_spark.operators.intervals import (
+        interval_coverage,
+        interval_gaps,
+        merge_intervals,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":  # nanos-as-long session
+        ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    else:  # timestamp or timestamp_ntz (session is UTC: pure cast)
+        ts = F.col("ts").cast("timestamp")
+    iv = ev.filter(F.col("value").isNotNull() & (F.col("value") > 0)).select(
+        "event_type",
+        F.unix_micros(ts).alias("s"),
+        (F.unix_micros(ts) + (F.col("value") * 60000000).cast("long")).alias("e"),
+    )
+    lo = 1704067200000000
+    hi = lo + 2 * 86400000000  # two days
+    gaps = interval_gaps(iv, ["event_type"], "s", "e", bounds=(lo, hi))
+    gap_total = {
+        r["event_type"]: r["g"]
+        for r in gaps.groupBy("event_type")
+        .agg(F.sum(F.col("gap_end") - F.col("gap_start")).alias("g"))
+        .collect()
+    }
+    # covered-within-bounds via clipped islands
+    isl = merge_intervals(iv, ["event_type"], "s", "e").select(
+        "event_type",
+        F.greatest("island_start", F.lit(lo)).alias("i0"),
+        F.least("island_end", F.lit(hi)).alias("i1"),
+    ).filter(F.col("i1") > F.col("i0"))
+    cov = {
+        r["event_type"]: r["c"]
+        for r in isl.groupBy("event_type")
+        .agg(F.sum(F.col("i1") - F.col("i0")).alias("c"))
+        .collect()
+    }
+    keys = {r["event_type"] for r in iv.select("event_type").distinct().collect()}
+    for k in keys:
+        assert gap_total.get(k, 0) + cov.get(k, 0) == hi - lo, k
