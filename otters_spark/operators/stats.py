@@ -34,6 +34,7 @@ __all__ = [
     "cusum_scan",
     "forecast_eval",
     "pearson_matrix",
+    "weighted_percentiles",
 ]
 
 
@@ -224,6 +225,85 @@ def _binned_percentiles(
             *[F.col(f"__g.{c}").alias(c) for c in out_g], *names
         )
     return res
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    ps: Sequence[float],
+    out_prefix: str = "wp",
+) -> DataFrame:
+    """Exact WEIGHTED lower-quantiles per group: for each p, the
+    smallest value whose cumulative weight reaches ``p * W`` (type-1 /
+    lower quantile — no interpolation, so the result is always an
+    observed value and the whole computation stays in exact integer /
+    decimal arithmetic). The mixture-weighting primitive: "the
+    token-weighted median document length", "the byte-weighted p90
+    shard size" — questions where every ROW should count by its mass,
+    not once.
+
+    Weights must be non-negative integers (token counts, bytes, row
+    multiplicities); rows with NULL value/weight or weight <= 0 are
+    dropped. Each requested p becomes one output column
+    ``{prefix}{round(p*100)}``.
+
+    Scale shape: the corpus-sized work is ONE partial-aggregable
+    groupBy (group, value) -> sum(weight); the cumulative window then
+    runs over DISTINCT values per group (bounded by value cardinality,
+    typically orders of magnitude below row count — the same
+    distinct-value compaction mann_whitney rides). The p*W targets are
+    computed in decimal (p as an exact decimal literal), so a
+    quadrillion-token corpus cannot ulp-flip a threshold the way a
+    double multiply could. Pathological per-group value cardinality
+    belongs on the binned device (global_row_number) — same ladder as
+    group_percentiles, documented not silently swapped.
+
+    Extension surface (the reference has no aggregation,
+    /root/reference/src/meta.rs); oracle-checkable as a windowed
+    cumulative sum in ANSI SQL."""
+    from decimal import Decimal
+
+    from pyspark.sql.window import Window
+
+    gcols = list(group_cols)
+    if not ps:
+        raise ValueError("weighted_percentiles: ps must be non-empty")
+    for p in ps:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"p must be in (0, 1], got {p!r}")
+    pv = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
+        .groupBy(*gcols, F.col(value_col).alias("__v"))
+        .agg(F.sum(weight_col).alias("__w"))
+    )
+    wcum = (
+        Window.partitionBy(*gcols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*gcols)
+    dec = "decimal(38,0)"
+    ranked = pv.select(
+        *gcols,
+        "__v",
+        F.sum("__w").over(wcum).cast(dec).alias("__c"),
+        F.sum("__w").over(wall).cast(dec).alias("__W"),
+    )
+    aggs = []
+    for p in ps:
+        target = F.col("__W") * F.lit(Decimal(str(p)))
+        aggs.append(
+            F.min(F.when(F.col("__c") >= target, F.col("__v"))).alias(
+                f"{out_prefix}{round(p * 100)}"
+            )
+        )
+    return ranked.groupBy(*gcols).agg(*aggs)
 
 
 def group_percentiles(

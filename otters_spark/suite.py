@@ -6312,6 +6312,52 @@ ORDER BY event_type, gap_start
 """
 
 
+def text_weighted_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-WEIGHTED document-length quantiles per language
+    (operators/stats.py:weighted_percentiles): the median and p90 of
+    n_chars where every document counts by its token mass, not once —
+    the number that actually sets chunking budgets (half the TOKENS
+    live in docs of length <= wp50, not half the documents). Exact
+    type-1 weighted quantiles: one (lang, n_chars) weight aggregate,
+    a cumulative window over distinct lengths, decimal p*W targets —
+    every output value is an observed length, hash-exact."""
+    from .operators.stats import weighted_percentiles
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        weighted_percentiles(
+            d, ["lang"], "n_chars", "n_tokens", [0.5, 0.9]
+        )
+        .select("lang", F.col("wp50").alias("wlen_p50"), F.col("wp90").alias("wlen_p90"))
+        .orderBy("lang")
+    )
+
+
+TEXT_WEIGHTED_LENGTH_SQL = """
+WITH d AS (
+  SELECT lang, n_chars::BIGINT AS v,
+         len(string_split(text, ' '))::BIGINT AS w
+  FROM documents
+  WHERE n_chars IS NOT NULL),
+pv AS (SELECT lang, v, sum(w) AS w FROM d WHERE w > 0 GROUP BY 1, 2),
+r AS (
+  SELECT lang, v,
+         sum(w) OVER (PARTITION BY lang ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::HUGEINT AS c,
+         sum(w) OVER (PARTITION BY lang)::HUGEINT AS tw
+  FROM pv)
+SELECT lang,
+       min(CASE WHEN c >= tw * 0.5 THEN v END)::BIGINT AS wlen_p50,
+       min(CASE WHEN c >= tw * 0.9 THEN v END)::BIGINT AS wlen_p90
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
 def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trend smoothing (operators/stats.py:ewma_smooth): per-type daily
     mean value, EWMA-smoothed with alpha=0.5 — the adjusted pandas
@@ -10475,6 +10521,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6): hierarchical subtree rollup by pointer-doubling closure
     "graph_subtree_rollup": graph_subtree_rollup,
     "events_interval_gaps": events_interval_gaps,
+    "text_weighted_length": text_weighted_length,
 }
 
 # ---- Driver-verdict rotation (round 5, ninth overall). The driver's
@@ -10772,4 +10819,5 @@ ORACLE_SQL: dict[str, str] = {
     "text_heaps_curve": TEXT_HEAPS_CURVE_SQL,
     "graph_subtree_rollup": GRAPH_SUBTREE_ROLLUP_SQL,
     "events_interval_gaps": EVENTS_INTERVAL_GAPS_SQL,
+    "text_weighted_length": TEXT_WEIGHTED_LENGTH_SQL,
 }

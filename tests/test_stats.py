@@ -674,3 +674,51 @@ def test_mann_whitney_missing_group_is_null_not_nan(spark):
     got = mann_whitney(df, "g", "v", "a", "b").collect()[0]
     assert got["n_b"] == 0
     assert got["auc"] is None and got["z"] is None
+
+
+def test_weighted_percentiles_hand_and_brute(spark):
+    """Type-1 weighted quantiles: smallest value whose cumulative
+    weight reaches p*W — hand case plus a randomized brute-force
+    check (expand each row weight-fold, take the lower quantile of
+    the expanded multiset)."""
+    import random
+
+    from otters_spark.operators.stats import weighted_percentiles
+
+    rows = [
+        ("a", 10, 1), ("a", 20, 8), ("a", 30, 1),   # W=10: p50 -> 20 (cum 9 >= 5), p90 -> 20 (9 >= 9)
+        ("b", 5, 3), ("b", 7, 1),                     # W=4: p50 -> 5 (3 >= 2), p90 -> 7 (4 >= 3.6)
+        ("c", 1, 0), ("c", 2, 5), ("c", None, 9), ("c", 3, None),  # drops
+    ]
+    df = spark.createDataFrame(rows, "k string, v long, w long")
+    got = {
+        r["k"]: (r["wp50"], r["wp90"])
+        for r in weighted_percentiles(df, ["k"], "v", "w", [0.5, 0.9]).collect()
+    }
+    assert got["a"] == (20, 20)
+    assert got["b"] == (5, 7)
+    assert got["c"] == (2, 2)  # only the (2, 5) row survives
+
+    rng = random.Random(23)
+    data = [("g", rng.randrange(0, 40), rng.randrange(1, 6)) for _ in range(200)]
+    df2 = spark.createDataFrame(data, "k string, v long, w long")
+    expanded = sorted(v for _, v, w in data for _ in range(w))
+    W = len(expanded)
+    for p, col in ((0.5, "wp50"), (0.9, "wp90")):
+        # smallest value with cum >= p*W == element at ceil(p*W)-1
+        import math as _m
+
+        want = expanded[_m.ceil(p * W) - 1]
+        got2 = weighted_percentiles(df2, ["k"], "v", "w", [0.5, 0.9]).collect()[0]
+        assert got2[col] == want, (p, got2[col], want)
+
+
+def test_weighted_percentiles_validation(spark):
+    from otters_spark.operators.stats import weighted_percentiles
+
+    df = spark.createDataFrame([("a", 1, 1)], "k string, v long, w long")
+    with pytest.raises(ValueError, match="non-empty"):
+        weighted_percentiles(df, ["k"], "v", "w", [])
+    for bad in (0.0, 1.5, -0.1):
+        with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+            weighted_percentiles(df, ["k"], "v", "w", [bad])
