@@ -98,6 +98,30 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     ).agg(F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("y"))
     print("-- season=7 naive forecast scorecard (beat this or go home) --")
     forecast_eval(daily, ["event_type"], "t", "y", season=7).show()
+
+    # 6. SLA-hole report: per event type, the time ranges inside the
+    # first audit day with NO active exposure interval at all —
+    # the interval-union complement (round 5)
+    from otters_spark.operators.intervals import interval_gaps
+
+    iv = ev.filter(F.col("value").isNotNull() & (F.col("value") > 0)).select(
+        "event_type",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 60_000_000.0).cast("long")
+        ).alias("e"),
+    )
+    day0 = 1704067200000000  # 2024-01-01T00:00:00Z
+    print("-- coverage holes on day 1 (gap seconds per event type) --")
+    interval_gaps(
+        iv, ["event_type"], "s", "e", bounds=(day0, day0 + 86_400_000_000)
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.sum(F.col("gap_end") - F.col("gap_start")) / 1e6).alias(
+            "gap_seconds"
+        ),
+    ).orderBy("event_type").show()
     spark.stop()
 
 

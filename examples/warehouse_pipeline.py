@@ -169,6 +169,26 @@ def main() -> int:
         ),
         "cents",
     ).show()
+
+    # hierarchy rollup (round 5): subtree account-balance totals over
+    # the synthetic customer forest (parent = key div 10) — the
+    # RECURSIVE-CTE aggregation, done in log(depth) doubling joins
+    from otters_spark.operators.graph import subtree_rollup
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") < 10, F.col("c_custkey"))
+        .otherwise(F.expr("c_custkey div 10"))
+        .alias("parent"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    print("top-of-hierarchy subtree balance totals (keys < 10):")
+    subtree_rollup(
+        cust.select("node", "parent"),
+        cust.select("node", "bal_c"),
+        value_col="bal_c",
+        max_depth=8,
+    ).filter(F.col("node") < 10).orderBy("node").show()
     return 0
 
 
