@@ -226,3 +226,39 @@ def test_skew_report_random_vs_python(spark, seed):
         assert got["norm_entropy"] == pytest.approx(
             round(ent / math.log(len(c)), 6), abs=2e-6
         )
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_weighted_percentiles_expansion_equivalence(spark, seed):
+    """Definitional invariant: weighted_percentiles on (value, weight)
+    rows must equal the same operator run on the weight-EXPANDED
+    multiset with all weights 1 — for random groups, duplicate values
+    across rows (weights must merge), and boundary ps."""
+    from otters_spark.operators.stats import weighted_percentiles
+
+    rng = random.Random(seed)
+    rows, expanded = [], []
+    for g in ("a", "b", "c"):
+        for _ in range(rng.randint(3, 25)):
+            v = rng.randint(-20, 30)  # small range -> duplicate values
+            w = rng.randint(1, 7)
+            rows.append((g, v, w))
+            expanded.extend((g, v, 1) for _ in range(w))
+    ps = [0.25, 0.5, 0.9, 1.0]
+    schema = "g string, v long, w long"
+    got_w = {
+        r["g"]: tuple(r)[1:]
+        for r in weighted_percentiles(
+            spark.createDataFrame(rows, schema), ["g"], "v", "w", ps
+        ).collect()
+    }
+    got_e = {
+        r["g"]: tuple(r)[1:]
+        for r in weighted_percentiles(
+            spark.createDataFrame(expanded, schema), ["g"], "v", "w", ps
+        ).collect()
+    }
+    assert got_w == got_e
+    # and p=1.0 is the max observed value per group
+    for g in ("a", "b", "c"):
+        assert got_w[g][-1] == max(v for gg, v, _ in rows if gg == g)
