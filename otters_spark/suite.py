@@ -2272,6 +2272,73 @@ GROUP BY source ORDER BY source
 """
 
 
+def rel_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized group statistics: per return flag, the mean/min/max
+    of price CENTS after clipping to the exact [p05, p95] interpolated
+    quantiles — the robust-location preprocessing that keeps fat tails
+    from dragging a mean (quality-score aggregation, price
+    normalization). Plan shape: the binned exact-percentile pass
+    (operators/stats.py:group_percentiles, the at-scale method)
+    produces one threshold row per group, broadcast back onto the
+    fact scan; the clip is a codegen least/greatest; ONE aggregate
+    finishes. Integers in (cents), thresholds land on exact .0/.5
+    interpolation midpoints, so cross-engine comparisons can't
+    ulp-flip."""
+    from .operators.stats import group_percentiles
+
+    li = load(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    cuts = group_percentiles(
+        cents, ["l_returnflag"], {"price_c": [0.05, 0.95]},
+        exact=True, method="bin", round_to=None,
+    ).select(
+        "l_returnflag",
+        F.col("p5_price_c").alias("__lo"),
+        F.col("p95_price_c").alias("__hi"),
+    )
+    clipped = cents.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_returnflag",
+        F.greatest(
+            F.col("__lo"), F.least(F.col("__hi"), F.col("price_c").cast("double"))
+        ).alias("__w"),
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__w"), 4).alias("wins_mean_c"),
+            F.round(F.min("__w"), 1).alias("wins_min_c"),
+            F.round(F.max("__w"), 1).alias("wins_max_c"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+REL_WINSORIZED_STATS_SQL = """
+WITH cents AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem),
+cuts AS (
+  SELECT l_returnflag,
+         quantile_cont(price_c, 0.05) AS lo,
+         quantile_cont(price_c, 0.95) AS hi
+  FROM cents GROUP BY 1),
+clipped AS (
+  SELECT c.l_returnflag,
+         greatest(k.lo, least(k.hi, c.price_c::DOUBLE)) AS w
+  FROM cents c JOIN cuts k USING (l_returnflag))
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(avg(w), 4) AS wins_mean_c,
+       round(min(w), 1) AS wins_min_c,
+       round(max(w), 1) AS wins_max_c
+FROM clipped GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def rel_statistical_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment aggregates per return flag: sample stddev,
     Pearson correlation and sample covariance of (quantity, extended
@@ -10522,6 +10589,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_subtree_rollup": graph_subtree_rollup,
     "events_interval_gaps": events_interval_gaps,
     "text_weighted_length": text_weighted_length,
+    "rel_winsorized_stats": rel_winsorized_stats,
 }
 
 # ---- Driver-verdict rotation (round 5, ninth overall). The driver's
@@ -10820,4 +10888,5 @@ ORACLE_SQL: dict[str, str] = {
     "graph_subtree_rollup": GRAPH_SUBTREE_ROLLUP_SQL,
     "events_interval_gaps": EVENTS_INTERVAL_GAPS_SQL,
     "text_weighted_length": TEXT_WEIGHTED_LENGTH_SQL,
+    "rel_winsorized_stats": REL_WINSORIZED_STATS_SQL,
 }
