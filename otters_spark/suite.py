@@ -10592,73 +10592,78 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_winsorized_stats": rel_winsorized_stats,
 }
 
-# ---- Driver-verdict rotation (round 5, ninth overall). The driver's
-# correctness harness records exactly the FIRST 50 entries of QUERIES
-# each round. 63 queries had no driver verdict after round 4 (the
-# suite outgrew the window); this window takes the 50 highest-value
-# ones: 46 oracle-paired never-verified queries plus the four whose
-# PLAN changed THIS round and therefore need a fresh verdict on the
-# new code (rel_correlation_matrix — exact-decimal closed form;
-# events_mann_whitney — decimal rank sums; dedup_incremental_components
-# — checkpointed pair generation; rel_percentiles — binned at-scale
-# method). Deferred to round 6 (each already judge-verified green at
-# sf0.01 in the round-4 VERDICT, so they are the lowest-risk
-# deferrals): graph_adamic_adar, text_zipf_slope, text_heaps_curve,
-# multimodal_exact_dedup, sim_mmr_rerank, sim_gram_matrix,
-# dedup_prefix_filter_pairs — plus the 7 rows-only-by-design queries
-# (text_compression_ratio, text_bpe_train, pipeline_semdedup,
-# pipeline_quality_model, sim_ivf_topk, sim_pq_topk, sim_pca_variance).
+# ---- Driver-verdict rotation (round 6, tenth overall — FINAL
+# rotation). The driver's correctness harness records exactly the
+# FIRST 50 entries of QUERIES each round. After round 5, 18 queries
+# had never received a driver verdict (11 oracle-paired, all 11
+# judge-verified green against DuckDB at sf0.01 in the round-5
+# VERDICT, plus the 7 rows-only-by-design queries). This window
+# closes the backlog: those 18 first, then the 32 STALEST re-greens —
+# all 14 rows whose most recent driver verdict is round 1
+# (rel_brand_revenue .. dedup_simhash_pairs) and 18 round-2-stale rows
+# chosen because the modules behind them changed since round 2
+# (plan.py → the five vs_* rows + rel_predicate_pushdown; dedup.py →
+# five dedup rows; similarity.py → two sim rows; multimodal.py /
+# text_analysis.py → one each) plus the flagship rel_pricing_summary,
+# events_asof_attribution, and the join-surface rel_semi_anti_join. With this window every one of the 220
+# registered queries has at least one driver verdict (220/220
+# lifetime). NEXT ROUND: drop _DRIVER_WINDOW entirely and let QUERIES
+# use stable registry order, so future 50-row windows re-sample the
+# whole suite instead of a hand-picked head (round-5 verdict item 2).
 _DRIVER_WINDOW: list[str] = [
-    "events_cumulative_users",
-    "events_rolling_actives",
-    "rel_volume_shipping",
-    "rel_returned_customers",
-    "rel_disjunctive_filter",
-    "pipeline_domain_filter",
-    "events_covisitation",
-    "events_seasonal_anomaly",
-    "rel_order_count_distribution",
-    "rel_small_qty_revenue",
-    "rel_large_orders",
-    "rel_market_share",
-    "rel_top_supplier",
-    "rel_idle_customers",
-    "rel_sole_return_supplier",
-    "text_readability",
-    "events_rfm_segments",
-    "sim_knn_classify",
-    "eval_quant_recall_curve",
-    "dedup_incremental_components",
-    "events_overlap_join",
-    "events_cusum_shift",
-    "rel_correlation_matrix",
-    "pipeline_bootstrap_ci",
-    "rel_table_profile",
-    "link_golden_records",
-    "events_attribution_multitouch",
-    "rel_min_cost_supplier",
-    "rel_late_order_priority",
-    "rel_forecast_revenue",
-    "rel_product_type_profit",
-    "rel_important_parts",
-    "rel_late_line_priority",
-    "rel_promo_revenue",
-    "rel_supplier_part_counts",
-    "rel_promotable_suppliers",
-    "events_acf_daily",
-    "rel_revenue_trend",
-    "events_mann_whitney",
-    "rel_incremental_join",
-    "events_chi_square",
-    "rel_k_anonymity",
-    "rel_benford_audit",
-    "events_woe_hour",
-    "events_skew_report",
-    "events_cohort_ltv",
-    "events_forecast_eval",
-    "pipeline_curriculum_buckets",
-    "events_item_neighbors",
-    "rel_percentiles",
+    # 18 never-driver-verified (11 oracle-paired + 7 rows-only)
+    "dedup_prefix_filter_pairs",
+    "graph_adamic_adar",
+    "graph_subtree_rollup",
+    "events_interval_gaps",
+    "multimodal_exact_dedup",
+    "sim_gram_matrix",
+    "sim_mmr_rerank",
+    "text_heaps_curve",
+    "text_weighted_length",
+    "text_zipf_slope",
+    "rel_winsorized_stats",
+    "text_compression_ratio",
+    "text_bpe_train",
+    "pipeline_semdedup",
+    "pipeline_quality_model",
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "sim_pca_variance",
+    # 14 round-1-stale re-greens (last driver verdict: round 1)
+    "rel_brand_revenue",
+    "rel_intersect_customers",
+    "rel_date_functions",
+    "rel_distinct_aggregates",
+    "rel_cube_priority_status",
+    "rel_grouping_sets",
+    "rel_conditional_functions",
+    "text_bpe_tokens",
+    "text_rolling_hash",
+    "pipeline_clean_corpus",
+    "dedup_fingerprint_groups",
+    "dedup_containment_pairs",
+    "text_vocabulary_topk",
+    "dedup_simhash_pairs",
+    # 18 round-2-stale re-greens over since-changed modules
+    "vs_cosine_topk",
+    "vs_dot_topk",
+    "vs_euclidean_topk",
+    "vs_score_filter_all",
+    "vs_per_query_topk",
+    "rel_predicate_pushdown",
+    "rel_pricing_summary",
+    "events_asof_attribution",
+    "dedup_minhash_banded_verified",
+    "dedup_char_shingle_pairs",
+    "dedup_tfidf_cosine_pairs",
+    "neardup_embedding_pairs",
+    "dedup_simhash_banded",
+    "sim_lsh_topk",
+    "sim_pandas_matmul_topk",
+    "multimodal_features",
+    "text_bm25_topk",
+    "rel_semi_anti_join",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
