@@ -311,7 +311,10 @@ def golden_records(
             raise ValueError(f"rule column {c!r} not in records")
         if r in ("latest", "earliest") and ts_col is None:
             raise ValueError(f"rule {r!r} for {c!r} needs ts_col")
-    needed = [id_col, *rules]
+    # dedupe: if the id column itself carries a survivorship rule, a
+    # duplicate entry here would make the select() emit the column
+    # twice and the downstream join/agg fail with ambiguous-reference
+    needed = list(dict.fromkeys([id_col, *rules]))
     if ts_col is not None and ts_col not in needed:
         needed.append(ts_col)
     joined = records.select(*needed).join(

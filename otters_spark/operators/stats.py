@@ -273,6 +273,13 @@ def weighted_percentiles(
     for p in ps:
         if not (0.0 < p <= 1.0):
             raise ValueError(f"p must be in (0, 1], got {p!r}")
+    # cast-before-accumulate discipline (same as mann_whitney/pearson):
+    # __w is decimal(38,0) BEFORE any sum, so neither the per-value
+    # groupBy sum nor the window cumulative/total sums ever pass
+    # through a long that could silently wrap past 2^63 in non-ANSI
+    # mode — the docstring's exact-decimal headroom claim holds for
+    # the whole accumulation chain, not just the final cast.
+    dec = "decimal(38,0)"
     pv = (
         df.filter(
             F.col(value_col).isNotNull()
@@ -280,7 +287,7 @@ def weighted_percentiles(
             & (F.col(weight_col) > 0)
         )
         .groupBy(*gcols, F.col(value_col).alias("__v"))
-        .agg(F.sum(weight_col).alias("__w"))
+        .agg(F.sum(F.col(weight_col).cast(dec)).alias("__w"))
     )
     wcum = (
         Window.partitionBy(*gcols)
@@ -288,7 +295,6 @@ def weighted_percentiles(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wall = Window.partitionBy(*gcols)
-    dec = "decimal(38,0)"
     ranked = pv.select(
         *gcols,
         "__v",

@@ -61,6 +61,10 @@ QUERIES = [
     "pipeline_curriculum_buckets",
     "multimodal_exact_dedup",
     "eval_quant_recall_curve",
+    # round-6: weighted_percentiles now accumulates in decimal(38,0)
+    # end-to-end (cast-before-accumulate) — re-probe the suite query
+    # riding that plan
+    "text_weighted_length",
 ]
 
 # events-lane probe: the third table family. Replication shifts each
