@@ -404,6 +404,8 @@ class MetaStore(VecStore):
         Returns :class:`BuildStats` (reference ``MetaBuildStats``,
         src/meta.rs:844-852).
         """
+        from pyspark.sql import Observation
+
         t0 = time.perf_counter()
         df = self.df
         if sort_cols:
@@ -412,6 +414,12 @@ class MetaStore(VecStore):
             df = df.sortWithinPartitions(*sort_cols)
         elif partitions:
             df = df.repartition(partitions)
+        # row count rides the WRITE job itself as an observed metric —
+        # save() runs exactly one Spark job; the old implementation
+        # re-read the written table and paid a count() scan plus an
+        # .rdd deserialization pass just for BuildStats
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         if bloom_cols is None:
             bloom_cols = [
                 f.name
@@ -442,10 +450,16 @@ class MetaStore(VecStore):
         if "://" not in path:
             with open(os.path.join(path, _MANIFEST), "w") as f:
                 json.dump(manifest, f)
-        written = self.df.sparkSession.read.parquet(path)
+        # chunks = written data-file count: a pure driver-side listing
+        # (inputFiles reads footers/metadata only, never row data), the
+        # honest analog of the reference's chunk count for the layout
+        # that readers will actually scan
+        n_files = len(
+            self.df.sparkSession.read.parquet(path).inputFiles()
+        )
         self.last_build_stats = BuildStats(
-            rows=written.count(),
-            chunks=written.rdd.getNumPartitions(),
+            rows=int(obs.get["rows"]),
+            chunks=n_files,
             elapsed_sec=time.perf_counter() - t0,
         )
         return self.last_build_stats

@@ -132,3 +132,52 @@ def test_row_group_pruning_within_one_file(spark, sf_dir, tmp_path):
     assert stats.pruned_chunks > 0
     assert stats.evaluated_chunks + stats.pruned_chunks == len(zm)
     assert stats.evaluated_chunks < len(zm)
+
+
+def test_save_single_action_build_stats(spark, tmp_path):
+    """save() must not pay an extra scan for BuildStats: rows come from
+    an observed metric riding the write job itself, chunks from the
+    written file listing — driver-side metadata only (round-5 verdict
+    item 4). Under AQE the one write ACTION may surface as several
+    jobs (shuffle-stage materialization + the final parquet job), so
+    the assertion is shape-based: the parquet write is the LAST job in
+    the group — nothing (no count, no collect, no rdd scan) runs after
+    it — and every stage belongs to the write plan."""
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(cast(id as float), 1.0f)").alias("embedding"),
+        (F.col("id") % 3).cast("string").alias("label"),
+    )
+    store = MetaStore.from_df(
+        df, vec_col="embedding", id_col="vec_id", dim=2, validate=False
+    )
+    sc = spark.sparkContext
+    group = "save-single-action"
+    sc.setJobGroup(group, "store.save build-stats job count")
+    try:
+        stats = store.save(str(tmp_path / "s"), partitions=4)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    tracker = sc.statusTracker()
+    job_stages = {}
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        names = []
+        for sid in info.stageIds:
+            si = tracker.getStageInfo(sid)
+            if si is not None:
+                names.append(si.name)
+        job_stages[jid] = names
+    assert job_stages, "no jobs recorded for the save group"
+    flat = " | ".join(n for ns in job_stages.values() for n in ns)
+    assert "count at" not in flat and "collect at" not in flat, flat
+    last = job_stages[max(job_stages)]
+    assert any("parquet at" in n for n in last), (
+        f"last job is not the parquet write: {job_stages}"
+    )
+    assert stats.rows == 100
+    import glob
+
+    parts = glob.glob(str(tmp_path / "s" / "part-*"))
+    assert stats.chunks == len(parts) > 0
+    assert stats.elapsed_sec > 0
