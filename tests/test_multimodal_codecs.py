@@ -63,3 +63,46 @@ def test_resize_images_with_pil_resizer(media):
     for r in back.collect():
         assert (r["width"], r["height"]) == (3, 2)
         assert len(bytes(r["rgb"])) == 3 * 2 * 3
+
+
+# ---- audio lane (soundfile-gated, mirror of the PIL lane) ----------
+
+
+def test_decode_audio_real_soundfile(spark):
+    sf = pytest.importorskip("soundfile")
+    import io
+    import wave
+
+    import numpy as np
+
+    def _wav_bytes(rate: int, frames: int, channels: int = 1) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            t = np.arange(frames * channels, dtype=np.int16)
+            w.writeframes((t % 1000).astype("<i2").tobytes())
+        return buf.getvalue()
+
+    rows = [
+        (1, _wav_bytes(16000, 160)),
+        (2, _wav_bytes(8000, 80, channels=2)),
+        (3, None),                       # NULL payload
+        (4, b"not audio at all"),        # undecodable
+        # header parses, body truncated: read throws mid-stream
+        (5, _wav_bytes(16000, 4096)[:100]),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    from otters_spark.operators.multimodal import decode_audio
+
+    got = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert got[1]["sample_rate"] == 16000 and got[1]["n_frames"] == 160
+    assert got[1]["n_channels"] == 1
+    assert len(bytes(got[1]["pcm"])) == 160 * 1 * 4  # float32 plane
+    assert got[2]["sample_rate"] == 8000 and got[2]["n_channels"] == 2
+    assert len(bytes(got[2]["pcm"])) == 80 * 2 * 4
+    # bad media is data, not an engine error, and must not desync
+    for bad in (3, 4):
+        assert got[bad]["sample_rate"] is None and got[bad]["pcm"] is None
+    assert len(got) == 5
