@@ -37,6 +37,7 @@ __all__ = [
     "table_file_stats",
     "compact_table",
     "read_evolved_parquet",
+    "read_binary_files",
     "TABLES",
 ]
 
@@ -212,4 +213,58 @@ def read_evolved_parquet(
 
     return df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in expected.fields]
+    )
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+    id_from: str = "hash",
+) -> DataFrame:
+    """Ingest a directory of raw media files (images, audio, any
+    opaque blobs) as the engine's multimodal payload shape:
+    ``(media_id long, uri string, mtime timestamp, n_bytes long,
+    payload binary)`` — the input contract of ``decode_image`` /
+    ``decode_audio`` / ``extract_features`` / ``phash_neardup``
+    (operators/multimodal.py). Built on Spark's native ``binaryFile``
+    source, so listing/partitioning/pushdown are the JVM reader's:
+    a filter on ``n_bytes`` (the source's ``length`` column) prunes
+    files BEFORE their content is read, and ``glob`` prunes at
+    listing time.
+
+    ``id_from='hash'`` (default) derives a stable 63-bit media_id
+    from xxhash64 of the file path — reproducible across runs and
+    clusters, safe to join against derived feature tables.
+    ``id_from='row'`` uses monotonically_increasing_id (cheaper, NOT
+    stable across re-lists; only for one-shot pipelines).
+
+    100 TB notes: one row per FILE — the source materializes a whole
+    file per row, so this is for payload-per-row media (photos, clips,
+    documents), not for splitting huge archives (unpack tars upstream
+    or carry offsets). ``spark.sql.files.maxPartitionBytes`` packs
+    many small files per task; millions-of-files listings want a
+    catalog/manifest instead of directory walks (same caveat as
+    read_evolved_parquet)."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    raw = reader.load(path)
+    if id_from == "hash":
+        media_id = F.abs(F.xxhash64(F.col("path")))
+    elif id_from == "row":
+        media_id = F.monotonically_increasing_id()
+    else:
+        raise ValueError(f"id_from must be 'hash' or 'row', got {id_from!r}")
+    return raw.select(
+        media_id.alias("media_id"),
+        F.col("path").alias("uri"),
+        F.col("modificationTime").alias("mtime"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"),
     )

@@ -157,3 +157,44 @@ def test_read_evolved_parquet_merges_and_pins_contract(spark, tmp_path):
     bad = T.StructType([T.StructField("nope", T.LongType())])
     with _pytest.raises(ValueError, match="schema drift"):
         read_evolved_parquet(spark, base, bad)
+
+
+def test_read_binary_files(spark, tmp_path):
+    """binaryFile-source ingest: one row per media file, engine payload
+    shape, stable hash ids, glob + size pushdown-friendly columns."""
+    from otters_spark.sources import read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG-fake-a")
+    (d / "b.png").write_bytes(b"\x89PNG-fake-bb")
+    (d / "skip.txt").write_bytes(b"not media")
+    sub = d / "nested"
+    sub.mkdir()
+    (sub / "c.png").write_bytes(b"\x89PNG-fake-ccc")
+
+    flat = read_binary_files(spark, str(d), glob="*.png")
+    rows = {r["uri"].rsplit("/", 1)[-1]: r for r in flat.collect()}
+    assert set(rows) == {"a.png", "b.png"}
+    assert rows["a.png"]["n_bytes"] == 11
+    assert bytes(rows["a.png"]["payload"]).startswith(b"\x89PNG")
+    assert rows["a.png"]["media_id"] >= 0
+
+    rec = read_binary_files(spark, str(d), glob="*.png", recursive=True)
+    assert rec.count() == 3
+    # hash ids are stable across re-lists (derived from the path)
+    again = {
+        r["uri"]: r["media_id"]
+        for r in read_binary_files(spark, str(d), glob="*.png").collect()
+    }
+    for r in flat.collect():
+        assert again[r["uri"]] == r["media_id"]
+    # the payload shape feeds the multimodal operators directly
+    from otters_spark.operators.multimodal import extract_features
+
+    feats = extract_features(
+        rec.select("media_id", "payload"), n_features=2
+    )
+    assert feats.count() == 3
+    with pytest.raises(ValueError):
+        read_binary_files(spark, str(d), id_from="nope")
