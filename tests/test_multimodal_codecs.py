@@ -1,18 +1,18 @@
-"""Real-codec lane for the multimodal operators — runs wherever
-pillow is installed, skips cleanly in codec-less environments (this
-container). The fake-extractor path stays oracle-checked regardless
-(tests/test_multimodal.py); these tests close the loop on the
-production decode/resize kernels themselves."""
+"""Real-codec lane for the multimodal operators — each lane runs
+wherever ITS codec is installed (pillow for images, soundfile for
+audio) and skips cleanly in codec-less environments (this container).
+The gates are per-lane, not module-level, so an environment with only
+one codec still exercises that lane. The fake-extractor path stays
+oracle-checked regardless (tests/test_multimodal.py); these tests
+close the loop on the production decode/resize kernels themselves."""
 
 import pytest
-
-PIL = pytest.importorskip("PIL")
-
-from PIL import Image  # noqa: E402
 
 
 def _png_bytes(w: int, h: int, color) -> bytes:
     import io
+
+    from PIL import Image
 
     buf = io.BytesIO()
     Image.new("RGB", (w, h), color).save(buf, format="PNG")
@@ -21,6 +21,7 @@ def _png_bytes(w: int, h: int, color) -> bytes:
 
 @pytest.fixture()
 def media(spark):
+    pytest.importorskip("PIL")
     rows = [
         (1, _png_bytes(8, 6, (255, 0, 0))),
         (2, _png_bytes(4, 4, (0, 255, 0))),
