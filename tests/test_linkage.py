@@ -335,3 +335,24 @@ def test_golden_records_first_non_null_and_errors(spark):
         golden_records(records, entities, {"v": "latest"})
     with pytest.raises(ValueError, match="not in records"):
         golden_records(records, entities, {"zz": "max"})
+
+
+def test_golden_records_id_col_with_rule(spark):
+    """The id column may itself carry a survivorship rule (e.g. 'keep
+    the max doc_id as the golden id') — the pruned projection must not
+    emit the column twice (ambiguous-reference regression, round-6
+    advisor item)."""
+    from otters_spark.operators.linkage import golden_records
+
+    records = spark.createDataFrame(
+        [(1, "x"), (7, "y"), (3, "y")], "doc_id long, v string"
+    )
+    entities = spark.createDataFrame(
+        [(1, 1), (7, 1), (3, 1)], "id long, entity_id long"
+    )
+    got = golden_records(
+        records, entities, {"doc_id": "max", "v": "most_frequent"}
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["doc_id"] == 7 and got[0]["v"] == "y"
+    assert got[0]["n_members"] == 3

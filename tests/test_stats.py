@@ -722,3 +722,22 @@ def test_weighted_percentiles_validation(spark):
     for bad in (0.0, 1.5, -0.1):
         with pytest.raises(ValueError, match="in \\(0, 1\\]"):
             weighted_percentiles(df, ["k"], "v", "w", [bad])
+
+
+def test_weighted_percentiles_no_long_wrap(spark):
+    """Weights whose total passes 2^63 must accumulate exactly
+    (decimal cast BEFORE every sum, round-6 advisor item): with three
+    values each weighted 2^62, the long sum of all three wraps
+    negative in non-ANSI mode and the thresholds would collapse to
+    the first value; the decimal path keeps W = 3*2^62 and p=0.5
+    lands on the middle value, p=0.9 on the last."""
+    from otters_spark.operators.stats import weighted_percentiles
+
+    w = 1 << 62
+    df = spark.createDataFrame(
+        [("g", 10, w), ("g", 20, w), ("g", 30, w)],
+        "k string, v long, w long",
+    )
+    got = weighted_percentiles(df, ["k"], "v", "w", [0.5, 0.9]).collect()[0]
+    assert got["wp50"] == 20
+    assert got["wp90"] == 30
