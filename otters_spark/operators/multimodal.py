@@ -478,7 +478,13 @@ def perceptual_hash_table(
     chars = F.regexp_extract_all(hexs, F.lit("(?s)."), 0)
     cells = F.transform(chars, lambda c: F.conv(c, 16, 10).cast("long"))
     base = df.filter(F.col(payload_col).isNotNull()).select(
-        F.col(id_col), cells.alias("__cells")
+        # the mean threshold must run over exactly the n cells that
+        # get hashed: for payloads longer than n/2 bytes, summing ALL
+        # nibbles inflates the threshold and collapses every
+        # fingerprint toward 0 (round-6 fix; byte-identical for the
+        # 16-byte md5 payloads the suite oracle-checks, since there
+        # slice == whole)
+        F.col(id_col), F.slice(cells, 1, n).alias("__cells")
     )
     summed = base.select(
         id_col,

@@ -290,3 +290,28 @@ def test_perceptual_banded_equals_allpairs(spark, sf_dir):
     )
     assert banded.exceptAll(allpairs).count() == 0
     assert allpairs.exceptAll(banded).count() == 0
+
+
+def test_perceptual_hash_long_payloads_discriminate(spark):
+    """Payloads longer than 16 bytes must still produce discriminating
+    fingerprints: the mean threshold runs over exactly the 32 hashed
+    cells, not every nibble of the payload (round-6 fix — the old
+    whole-payload sum inflated the threshold ~len/16-fold and
+    collapsed all long-payload fingerprints toward 0). A 64-byte
+    high/low pattern, its 1-byte perturbation, and its inverse must
+    come out close / far respectively; and for 16-byte payloads the
+    fix is a no-op (slice == whole)."""
+    from otters_spark.operators.multimodal import perceptual_hash_table
+
+    pat_a = b"\xff\x00" * 32
+    rows = [
+        (1, pat_a),
+        (2, pat_a[:10] + b"\x0f" + pat_a[11:]),  # 1-byte perturbation
+        (3, b"\x00\xff" * 32),                    # inverse pattern
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    t = {r["doc_id"]: r["phash"] for r in perceptual_hash_table(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert t[1] != 0, "long payload must not collapse to the zero hash"
+    assert ham(t[1], t[2]) <= 2
+    assert ham(t[1], t[3]) >= 16
