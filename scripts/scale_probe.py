@@ -63,8 +63,10 @@ QUERIES = [
     "eval_quant_recall_curve",
     # round-6: weighted_percentiles now accumulates in decimal(38,0)
     # end-to-end (cast-before-accumulate) — re-probe the suite query
-    # riding that plan
+    # riding that plan; phash threshold now runs over the sliced
+    # 32-cell window
     "text_weighted_length",
+    "multimodal_phash_neardup",
 ]
 
 # events-lane probe: the third table family. Replication shifts each
