@@ -38,6 +38,7 @@ __all__ = [
     "compact_table",
     "read_evolved_parquet",
     "read_binary_files",
+    "read_binary_files_stream",
     "TABLES",
 ]
 
@@ -263,6 +264,50 @@ def read_binary_files(
         raise ValueError(f"id_from must be 'hash' or 'row', got {id_from!r}")
     return raw.select(
         media_id.alias("media_id"),
+        F.col("path").alias("uri"),
+        F.col("modificationTime").alias("mtime"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )
+
+
+def read_binary_files_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_binary_files`: watch a drop
+    directory for raw media files and emit each new file as one row in
+    the same payload contract ``(media_id, uri, mtime, n_bytes,
+    payload)``. This is the ingestion front of a streaming media
+    pipeline — the output feeds ``streaming.ingest.streaming_ingest_gate``
+    (dedup vs a prepared corpus per micro-batch) or a ``foreachBatch``
+    running the multimodal decode/feature kernels.
+
+    ids are always the stable path hash (the batch reader's
+    ``id_from='row'`` is NOT offered here: monotonically_increasing_id
+    is not stable across micro-batch replays, so a recovery would
+    re-key rows). ``max_files_per_trigger`` bounds micro-batch size —
+    at scale, pair it with a small trigger interval so one giant
+    backlog drop cannot produce an unbounded batch."""
+    from pyspark.sql import functions as F
+
+    schema = (
+        "path string, modificationTime timestamp, "
+        "length long, content binary"
+    )
+    reader = spark.readStream.format("binaryFile").schema(schema)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(path)
+    return raw.select(
+        F.abs(F.xxhash64(F.col("path"))).alias("media_id"),
         F.col("path").alias("uri"),
         F.col("modificationTime").alias("mtime"),
         F.col("length").alias("n_bytes"),

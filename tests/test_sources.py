@@ -198,3 +198,43 @@ def test_read_binary_files(spark, tmp_path):
     assert feats.count() == 3
     with pytest.raises(ValueError):
         read_binary_files(spark, str(d), id_from="nope")
+
+
+def test_read_binary_files_stream(spark, tmp_path):
+    """Streaming media ingest: files land in a drop directory, each
+    arrives as one payload-contract row; ids match the batch reader's
+    (stable path hashes), so stream-built feature tables join against
+    batch-built ones."""
+    from otters_spark.sources import read_binary_files, read_binary_files_stream
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "m1.bin").write_bytes(b"\x01" * 8)
+    (d / "m2.bin").write_bytes(b"\x02" * 16)
+
+    stream = read_binary_files_stream(
+        spark, str(d), glob="*.bin", max_files_per_trigger=1
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("media_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["uri"].rsplit("/", 1)[-1]: r
+        for r in spark.sql("select * from media_stream_test").collect()
+    }
+    assert set(got) == {"m1.bin", "m2.bin"}
+    assert got["m2.bin"]["n_bytes"] == 16
+    assert bytes(got["m1.bin"]["payload"]) == b"\x01" * 8
+    # stream ids == batch ids (both hash the path)
+    batch_ids = {
+        r["uri"]: r["media_id"]
+        for r in read_binary_files(spark, str(d), glob="*.bin").collect()
+    }
+    for r in got.values():
+        assert batch_ids[r["uri"]] == r["media_id"]
