@@ -36,7 +36,10 @@ def merge_upsert(
     """Last-writer-wins merge: rows of ``updates`` replace same-key
     rows of ``current``; unmatched current rows survive. Columns must
     match. The anti-join and the union both hash on the key — one
-    exchange each side, no windows, no driver state."""
+    exchange each side, no windows, no driver state. Key equality is
+    NULL-SAFE (the :func:`snapshot_diff` discipline: a NULL key is a
+    key, not an unknown) — a plain ``==`` anti-join would keep the
+    old NULL-key row AND append the update, duplicating the key."""
     keys = list(key_cols)
     if not keys:
         raise ValueError("key_cols must be non-empty")
@@ -44,7 +47,11 @@ def merge_upsert(
         raise ValueError(
             f"schemas differ: {sorted(current.columns)} vs {sorted(updates.columns)}"
         )
-    survivors = current.join(updates.select(*keys), keys, "left_anti")
+    survivors = current.alias("c").join(
+        updates.select(*keys).alias("u"),
+        _key_cond(keys, "c", "u"),
+        "left_anti",
+    )
     return survivors.unionByName(updates)
 
 
@@ -86,7 +93,15 @@ def scd2_merge(
     Scale shape: history splits off with a scan-fused filter; the
     current slice full-outer-joins the batch on the key (ONE
     shuffle); each joined row emits its 1-2 output rows through a
-    single generator, so nothing is recomputed per outcome branch."""
+    single generator, so nothing is recomputed per outcome branch.
+
+    Key equality is NULL-SAFE and row presence rides constant markers
+    per side, NOT key nullness — the :func:`snapshot_diff` discipline.
+    The earlier ``==`` join + ``key IS NOT NULL`` presence test made a
+    NULL-key current row look absent on BOTH sides of its own join
+    row, so the generator emitted nothing and the row silently
+    vanished from the dimension (and a NULL-key update was never
+    inserted)."""
     keys = list(key_cols)
     attrs = list(compare_cols)
     if not keys or not attrs:
@@ -96,17 +111,22 @@ def scd2_merge(
         raise ValueError(f"key and compare columns overlap: {sorted(overlap)}")
     bd = F.lit(batch_date).cast("date")
 
-    cur = dim.filter(F.col(valid_to).isNull()).alias("c")
+    cur = (
+        dim.filter(F.col(valid_to).isNull())
+        .withColumn("__pc", F.lit(1))
+        .alias("c")
+    )
     hist = dim.filter(F.col(valid_to).isNotNull())
-    upd = updates.select(*keys, *attrs).alias("u")
+    upd = (
+        updates.select(*keys, *attrs)
+        .withColumn("__pu", F.lit(1))
+        .alias("u")
+    )
 
-    cond = F.lit(True)
-    for k in keys:
-        cond = cond & (F.col(f"c.{k}") == F.col(f"u.{k}"))
-    j = cur.join(upd, cond, "full_outer")
+    j = cur.join(upd, _key_cond(keys, "c", "u"), "full_outer")
 
-    cur_exists = F.col(f"c.{keys[0]}").isNotNull()
-    upd_exists = F.col(f"u.{keys[0]}").isNotNull()
+    cur_exists = F.col("c.__pc").isNotNull()
+    upd_exists = F.col("u.__pu").isNotNull()
     changed = upd_exists & cur_exists & ~_all_equal(attrs, "c", "u")
 
     def _row(src: str, vfrom: Column, vto: Column) -> Column:

@@ -344,3 +344,45 @@ def test_join_change_feed_rejects_empty_keys(spark):
             s_new=r,
             on=[],
         )
+
+
+def test_merge_upsert_null_key_is_a_key(spark):
+    """A NULL key is a key (the snapshot_diff discipline): the update
+    REPLACES the current NULL-key row instead of duplicating it."""
+    cur = spark.createDataFrame([(None, "a"), (1, "b")], "k long, v string")
+    upd = spark.createDataFrame([(None, "A")], "k long, v string")
+    out = {r["k"]: r["v"] for r in merge_upsert(cur, upd, ["k"]).collect()}
+    assert out == {None: "A", 1: "b"}
+
+
+def test_scd2_merge_null_key_rows_survive(spark):
+    """Regression: the ==-join + key-nullness presence test made a
+    NULL-key current row invisible to its own join row — the generator
+    emitted nothing and the row silently vanished; a NULL-key update
+    was never inserted. Null-safe keys + presence markers fix both."""
+    d = spark.createDataFrame(
+        [(None, "gold", date(2024, 1, 1), None),
+         (1, "silver", date(2024, 1, 1), None)],
+        "k long, seg string, valid_from date, valid_to date",
+    )
+    # 1) no update touching the NULL key: the row must pass through
+    upd = spark.createDataFrame([(1, "silver")], "k long, seg string")
+    out = scd2_merge(d, upd, ["k"], ["seg"], date(2024, 6, 1))
+    rows = {(r["k"], r["seg"], r["valid_to"]) for r in out.collect()}
+    assert (None, "gold", None) in rows
+    assert (1, "silver", None) in rows
+    # 2) an update ON the NULL key: close + open like any other key
+    upd2 = spark.createDataFrame([(None, "plat")], "k long, seg string")
+    out2 = scd2_merge(d, upd2, ["k"], ["seg"], date(2024, 6, 1))
+    rows2 = {(r["k"], r["seg"], r["valid_to"]) for r in out2.collect()}
+    assert (None, "gold", date(2024, 6, 1)) in rows2   # closed
+    assert (None, "plat", None) in rows2               # opened
+    assert (1, "silver", None) in rows2                # untouched
+    # 3) a brand-new NULL key inserts a first version
+    d2 = spark.createDataFrame(
+        [(1, "silver", date(2024, 1, 1), None)],
+        "k long, seg string, valid_from date, valid_to date",
+    )
+    out3 = scd2_merge(d2, upd2, ["k"], ["seg"], date(2024, 6, 1))
+    rows3 = {(r["k"], r["seg"], r["valid_to"]) for r in out3.collect()}
+    assert (None, "plat", None) in rows3
