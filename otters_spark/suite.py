@@ -2055,7 +2055,7 @@ def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.col("doc_id").cast("decimal(38,0)")).cast("long").alias("id_sum"),
         )
         .orderBy("source")
     )
@@ -2171,7 +2171,7 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.sum("n_tokens").alias("tok_kept"),
-            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.col("doc_id").cast("decimal(38,0)")).cast("long").alias("id_sum"),
         )
         .orderBy("lang")
     )
@@ -2252,7 +2252,7 @@ def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         mixed.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum"))
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum(F.col("doc_id").cast("decimal(38,0)")).cast("long").alias("id_sum"))
         .orderBy("source")
     )
 
@@ -2463,7 +2463,7 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = temperature_mix(load(spark, sf_dir, "documents"), "lang", 0.5)
     return (
         kept.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum"))
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum(F.col("doc_id").cast("decimal(38,0)")).cast("long").alias("id_sum"))
         .orderBy("lang")
     )
 
@@ -2510,7 +2510,7 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.sum("n_tokens").alias("tok_kept"),
-            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.col("doc_id").cast("decimal(38,0)")).cast("long").alias("id_sum"),
         )
         .orderBy("lang")
     )
@@ -2764,7 +2764,7 @@ def pipeline_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = keep_representatives(docs, pairs)
     return (
         kept.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum"))
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum(F.col("doc_id").cast("decimal(38,0)")).cast("long").alias("id_sum"))
         .orderBy("lang")
     )
 
@@ -2811,7 +2811,7 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         split.groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(F.col("doc_id").cast("decimal(38,0)")).cast("long").alias("id_sum"))
         .orderBy("split")
     )
 
@@ -2870,7 +2870,7 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_admitted"),
-            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.col("doc_id").cast("decimal(38,0)")).cast("long").alias("id_sum"),
         )
         .orderBy("lang")
     )
@@ -3719,8 +3719,8 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("hamming")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.sum("id_a").alias("ida_sum"),
-            F.sum("id_b").alias("idb_sum"),
+            F.sum(F.col("id_a").cast("decimal(38,0)")).cast("long").alias("ida_sum"),
+            F.sum(F.col("id_b").cast("decimal(38,0)")).cast("long").alias("idb_sum"),
         )
         .orderBy("hamming")
     )
@@ -4065,7 +4065,7 @@ def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = semdedup(emb, threshold=0.99, n_cells=16)
     return (
         kept.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("vec_id").alias("id_sum"))
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum(F.col("vec_id").cast("decimal(38,0)")).cast("long").alias("id_sum"))
         .orderBy("label")
     )
 
@@ -4220,7 +4220,14 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
-            F.sum(F.col("shard_pos") * F.col("doc_id")).alias("pos_id_sum"),
+            # cast-before-accumulate (the weighted_percentiles /
+            # mann_whitney discipline): pos×id products reach ~n²/8 —
+            # past 2^63 around 2e9 docs the long partial sums would
+            # wrap silently; decimal(38,0) keeps the accumulation
+            # exact and the final cast is in-range at any tested SF
+            F.sum(
+                F.col("shard_pos").cast("decimal(38,0)") * F.col("doc_id")
+            ).cast("long").alias("pos_id_sum"),
         )
         .orderBy("shard_id")
     )
@@ -4242,7 +4249,11 @@ def pipeline_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("doc_id").alias("n_docs"),
-            F.sum(F.col("doc_id") * F.col("copy_id")).alias("checksum"),
+            # decimal accumulation: id×copy products wrap long partial
+            # sums near ~2e9 docs (cast-before-accumulate discipline)
+            F.sum(
+                F.col("doc_id").cast("decimal(38,0)") * F.col("copy_id")
+            ).cast("long").alias("checksum"),
         )
         .orderBy("source")
     )
@@ -4260,7 +4271,7 @@ WITH r AS (
   FROM documents)
 SELECT source, count(*)::BIGINT AS n_rows,
        count(DISTINCT doc_id)::BIGINT AS n_docs,
-       sum(doc_id * c)::BIGINT AS checksum
+       sum(doc_id::HUGEINT * c)::BIGINT AS checksum
 FROM r, LATERAL unnest(generate_series(1, n)) AS t(c)
 WHERE n >= 1
 GROUP BY source ORDER BY source
@@ -4396,7 +4407,7 @@ def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         diff.groupBy("change_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("o_orderkey").alias("key_sum"),
+            F.sum(F.col("o_orderkey").cast("decimal(38,0)")).cast("long").alias("key_sum"),
         )
         .orderBy("change_type")
     )
@@ -4786,7 +4797,7 @@ r AS (
 SELECT (idx % 8)::BIGINT AS shard_id,
        count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS sum_chars,
-       sum((idx // 8) * doc_id)::BIGINT AS pos_id_sum
+       sum((idx // 8)::HUGEINT * doc_id)::BIGINT AS pos_id_sum
 FROM r GROUP BY 1 ORDER BY shard_id
 """
 
@@ -5285,7 +5296,7 @@ def rel_scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_mktsegment")
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum("c_custkey").alias("key_sum"),
+                F.sum(F.col("c_custkey").cast("decimal(38,0)")).cast("long").alias("key_sum"),
             )
             .withColumn("snap", F.lit(tag))
         )
@@ -5316,7 +5327,7 @@ def rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("c_custkey").alias("key_sum"),
+            F.sum(F.col("c_custkey").cast("decimal(38,0)")).cast("long").alias("key_sum"),
         )
         .orderBy("c_mktsegment", "is_current")
     )
@@ -6549,10 +6560,13 @@ def sketch_ams_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("side") == "hi", 1).otherwise(0)).alias("nhi"),
     )
     ex = cnt.agg(
-        F.sum((F.col("nlo") + F.col("nhi")) * (F.col("nlo") + F.col("nhi"))).alias(
-            "exact_self"
-        ),
-        F.sum(F.col("nlo") * F.col("nhi")).alias("exact_cross"),
+        F.sum(
+            (F.col("nlo") + F.col("nhi")).cast("decimal(38,0)")
+            * (F.col("nlo") + F.col("nhi"))
+        ).cast("long").alias("exact_self"),
+        F.sum(
+            F.col("nlo").cast("decimal(38,0)") * F.col("nhi")
+        ).cast("long").alias("exact_cross"),
     )
     return ex.crossJoin(F.broadcast(est)).select(
         "exact_self",
@@ -6821,7 +6835,7 @@ def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.groupBy("entity_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.sum("id").alias("id_sum"),
+            F.sum(F.col("id").cast("decimal(38,0)")).cast("long").alias("id_sum"),
         )
         .filter(F.col("n_members") >= 2)
         .orderBy("entity_id")
@@ -8433,7 +8447,7 @@ def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         sizes.groupBy("n_members")
         .agg(
             F.count(F.lit(1)).alias("n_components"),
-            F.sum("component").alias("label_sum"),
+            F.sum(F.col("component").cast("decimal(38,0)")).cast("long").alias("label_sum"),
         )
         .orderBy("n_members")
     )
@@ -9296,9 +9310,11 @@ def rel_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = j.agg(
         F.sum(
-            F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
-        ).alias("promo_micros"),
-        F.sum(rev).alias("total_micros"),
+            F.when(F.col("p_type") == "PROMO", rev)
+            .otherwise(F.lit(0))
+            .cast("decimal(38,0)")
+        ).cast("long").alias("promo_micros"),
+        F.sum(rev.cast("decimal(38,0)")).cast("long").alias("total_micros"),
     )
     return agg.select(
         "promo_micros",
