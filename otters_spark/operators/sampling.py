@@ -710,7 +710,13 @@ def poisson_bootstrap_ci(
         .withColumn("__k", F.size(F.filter(cdf, lambda c: u > c)))
         .groupBy(*groups, "__b")
         .agg(
-            F.sum(F.col("__k") * F.col(value_col)).alias("__num"),
+            # cast-before-accumulate: k×value products are per-doc
+            # bounded but the per-(group, replicate) sum is
+            # corpus-scale — long partials wrap past 2^63 while the
+            # oracle's hugeint sums stay exact
+            F.sum(
+                F.col("__k").cast("decimal(38,0)") * F.col(value_col)
+            ).alias("__num"),
             F.sum("__k").alias("__den"),
         )
         .withColumn(
@@ -734,7 +740,9 @@ def poisson_bootstrap_ci(
     point = base.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.sum(value_col).cast("double") / F.count(F.lit(1)), round_to
+            F.sum(F.col(value_col).cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)),
+            round_to,
         ).alias("mean"),
     )
     joined = point.join(ci, groups) if groups else point.crossJoin(ci)

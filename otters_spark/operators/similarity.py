@@ -1237,16 +1237,18 @@ def pca_fit(
         .select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
         .groupBy("dim")
         .agg(
+            # decimal accumulation like the Gram cells themselves:
+            # per-dim snapped-unit sums are corpus-scale, and long
+            # partials wrap past 2^63 (≈1e12 rows of 1e7-unit values)
             F.sum(
-                F.floor(F.col("v").cast("double") * scale + F.lit(0.5)).cast(
-                    "long"
-                )
+                F.floor(F.col("v").cast("double") * scale + F.lit(0.5))
+                .cast("decimal(38,0)")
             ).alias("s")
         )
         .collect()
     )
     for r in srows:
-        mean[r["dim"]] = r["s"] / float(scale) / n
+        mean[r["dim"]] = float(r["s"]) / float(scale) / n
     cov = (G - n * np.outer(mean, mean)) / (n - 1)
     eigvals, eigvecs = np.linalg.eigh(cov)
     order = np.argsort(eigvals)[::-1][:n_components]
