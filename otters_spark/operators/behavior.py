@@ -101,6 +101,10 @@ def funnel_counts(
     ]
     aggs.append(
         F.coalesce(
+            # decimal accumulation (cast-before-accumulate): the global
+            # sum of per-user conversion times is corpus-scale and long
+            # partials wrap past 2^63 while the oracle's hugeint stays
+            # exact; the final cast is in-range at any tested SF
             F.sum(
                 F.when(
                     F.col(f"t{n}").isNotNull(),
@@ -108,8 +112,8 @@ def funnel_counts(
                     # input; the DIFFERENCE is timezone-shift-invariant
                     F.unix_micros(F.col(f"t{n}").cast("timestamp"))
                     - F.unix_micros(F.col("t1").cast("timestamp")),
-                )
-            ),
+                ).cast("decimal(38,0)")
+            ).cast("long"),
             F.lit(0),
         ).alias("conv_micros_total")
     )
@@ -161,7 +165,9 @@ def transition_matrix(
     ).filter(F.col("to_type").isNotNull())
     pairs = steps.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n_trans"),
-        F.sum("__gap").alias("gap_micros_total"),
+        F.sum(F.col("__gap").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("gap_micros_total"),
     )
     # pin the |types|²-bounded pair table: it feeds BOTH the output and
     # the per-from totals, and Catalyst re-expands shared subtrees per
@@ -485,7 +491,9 @@ def multitouch_attribution(
         .agg(
             F.count(F.lit(1)).alias("touches"),
             F.countDistinct("conv_id").alias("conversions"),
-            F.sum("__credit").alias("credit_micro"),
+            F.sum(F.col("__credit").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("credit_micro"),
         )
         .orderBy("channel")
     )
