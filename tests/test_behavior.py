@@ -374,3 +374,45 @@ def test_item_neighbors_cosine_and_rank(spark):
     assert not any(i == 4 for i, _ in got)
     with pytest.raises(ValueError):
         item_neighbors(df, "basket", "item", k=0)
+
+
+def test_transition_matrix_gap_sum_wrap_is_loud_not_silent(spark):
+    """Per-pair gap sums accumulate in decimal (round-6 hardening).
+    Gaps are non-negative, so a long sum only wraps when the TRUE
+    total passes 2^63 — and before the fix that produced a silently
+    NEGATIVE gap_micros_total. With decimal accumulation the exact
+    total survives aggregation and the final long cast fails LOUDLY
+    when the value genuinely doesn't fit an int64 output. In-range
+    totals stay exact."""
+    from datetime import datetime
+
+    from otters_spark.operators.behavior import transition_matrix
+
+    t0 = datetime(2000, 1, 1)
+    t1 = datetime(2260, 1, 1)
+    gap = int((t1 - t0).total_seconds() * 1_000_000)
+
+    def mk(n_users):
+        rows = []
+        for u in range(n_users):
+            rows.append((u, t0, "a", 2 * u))
+            rows.append((u, t1, "b", 2 * u + 1))
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string, event_id long"
+        )
+
+    # in-range: exact integer total
+    n_ok = 1100
+    assert n_ok * gap < 2**63
+    got = {
+        (r["from_type"], r["to_type"]): r["gap_micros_total"]
+        for r in transition_matrix(mk(n_ok)).collect()
+    }
+    assert got[("a", "b")] == n_ok * gap
+
+    # out-of-range: loud overflow, never a silent negative
+    n_bad = 1200
+    assert n_bad * gap > 2**63
+    with pytest.raises(Exception) as ei:
+        transition_matrix(mk(n_bad)).collect()
+    assert "overflow" in str(ei.value).lower() or "cast" in str(ei.value).lower()

@@ -639,3 +639,26 @@ def test_poisson_bootstrap_rejects_fractional_and_bad_params(spark):
         poisson_bootstrap_ci(good, "x", "doc_id", alpha=1.0)
     with pytest.raises(ValueError, match="n_boot"):
         poisson_bootstrap_ci(good, "x", "doc_id", n_boot=2)
+
+
+def test_poisson_bootstrap_no_long_wrap(spark):
+    """Values whose weighted sums pass 2^63 must accumulate exactly
+    (decimal cast BEFORE the replicate and point sums, round-6
+    hardening): with three docs of n_chars = 2^62 the long sum wraps
+    negative in non-ANSI mode, collapsing the mean and the CI bounds;
+    the decimal path keeps the point mean at exactly 2^62."""
+    from otters_spark.operators.sampling import poisson_bootstrap_ci
+
+    v = 1 << 62
+    df = spark.createDataFrame(
+        [(1, v, "en"), (2, v, "en"), (3, v, "en")],
+        "doc_id long, n_chars long, lang string",
+    )
+    got = poisson_bootstrap_ci(
+        df, "n_chars", "doc_id", ["lang"], n_boot=8, round_to=2
+    ).collect()[0]
+    assert got["n"] == 3
+    assert got["mean"] == float(v)
+    # every replicate resamples the same constant, so the CI is tight
+    # around it — and neither bound can be the wrapped negative value
+    assert got["lo"] == float(v) and got["hi"] == float(v)
