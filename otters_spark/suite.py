@@ -10608,88 +10608,14 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_winsorized_stats": rel_winsorized_stats,
 }
 
-# ---- Driver-verdict rotation (round 6, tenth overall — FINAL
-# rotation). The driver's correctness harness records exactly the
-# FIRST 50 entries of QUERIES each round. After round 5, 18 queries
-# had never received a driver verdict (11 oracle-paired, all 11
-# judge-verified green against DuckDB at sf0.01 in the round-5
-# VERDICT, plus the 7 rows-only-by-design queries). This window
-# closes the backlog: those 18 first, then the 32 STALEST re-greens —
-# all 14 rows whose most recent driver verdict is round 1
-# (rel_brand_revenue .. dedup_simhash_pairs) and 18 round-2-stale rows
-# chosen because the modules behind them changed since round 2
-# (plan.py → the five vs_* rows + rel_predicate_pushdown; dedup.py →
-# five dedup rows; similarity.py → two sim rows; multimodal.py /
-# text_analysis.py → one each) plus the flagship rel_pricing_summary,
-# events_asof_attribution, and the join-surface rel_semi_anti_join. With this window every one of the 220
-# registered queries has at least one driver verdict (220/220
-# lifetime). NEXT ROUND: drop _DRIVER_WINDOW entirely and let QUERIES
-# use stable registry order, so future 50-row windows re-sample the
-# whole suite instead of a hand-picked head (round-5 verdict item 2).
-_DRIVER_WINDOW: list[str] = [
-    # 18 never-driver-verified (11 oracle-paired + 7 rows-only)
-    "dedup_prefix_filter_pairs",
-    "graph_adamic_adar",
-    "graph_subtree_rollup",
-    "events_interval_gaps",
-    "multimodal_exact_dedup",
-    "sim_gram_matrix",
-    "sim_mmr_rerank",
-    "text_heaps_curve",
-    "text_weighted_length",
-    "text_zipf_slope",
-    "rel_winsorized_stats",
-    "text_compression_ratio",
-    "text_bpe_train",
-    "pipeline_semdedup",
-    "pipeline_quality_model",
-    "sim_ivf_topk",
-    "sim_pq_topk",
-    "sim_pca_variance",
-    # 14 round-1-stale re-greens (last driver verdict: round 1)
-    "rel_brand_revenue",
-    "rel_intersect_customers",
-    "rel_date_functions",
-    "rel_distinct_aggregates",
-    "rel_cube_priority_status",
-    "rel_grouping_sets",
-    "rel_conditional_functions",
-    "text_bpe_tokens",
-    "text_rolling_hash",
-    "pipeline_clean_corpus",
-    "dedup_fingerprint_groups",
-    "dedup_containment_pairs",
-    "text_vocabulary_topk",
-    "dedup_simhash_pairs",
-    # 18 round-2-stale re-greens over since-changed modules
-    "vs_cosine_topk",
-    "vs_dot_topk",
-    "vs_euclidean_topk",
-    "vs_score_filter_all",
-    "vs_per_query_topk",
-    "rel_predicate_pushdown",
-    "rel_pricing_summary",
-    "events_asof_attribution",
-    "dedup_minhash_banded_verified",
-    "dedup_char_shingle_pairs",
-    "dedup_tfidf_cosine_pairs",
-    "neardup_embedding_pairs",
-    "dedup_simhash_banded",
-    "sim_lsh_topk",
-    "sim_pandas_matmul_topk",
-    "multimodal_features",
-    "text_bm25_topk",
-    "rel_semi_anti_join",
-]
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    **{name: _REGISTRY[name] for name in _DRIVER_WINDOW},
-    **{
-        name: fn
-        for name, fn in _REGISTRY.items()
-        if name not in set(_DRIVER_WINDOW)
-    },
-}
+# ---- Driver-facing query order: STABLE registry order (round 7).
+# The rotation windows of rounds 4–6 (_DRIVER_WINDOW) existed only to
+# close the driver-verdict backlog — after round 6 all 220 registered
+# queries have at least one lifetime verdict (220/220), so the
+# scaffolding is gone and QUERIES is simply the registry in its
+# definition order. Future driver windows sample from this stable
+# order; any query-level change lands wherever its definition sits.
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(_REGISTRY)
 
 ORACLE_SQL: dict[str, str] = {
     "events_transition_matrix": EVENTS_TRANSITION_MATRIX_SQL,
