@@ -100,11 +100,15 @@ def funnel_counts(
         F.count(F.col(f"t{i}")).alias(f"n_stage_{i}") for i in range(1, n + 1)
     ]
     aggs.append(
+        # decimal accumulation (cast-before-accumulate): the global
+        # sum of per-user conversion times is corpus-scale and long
+        # partials wrap past 2^63 while the oracle's hugeint stays
+        # exact; the final cast is in-range at any tested SF.
+        # coalesce wraps the SUM (the no-converters case), not the
+        # cast: an out-of-range decimal->long cast must stay loud —
+        # error under ANSI (the engine default, session.py), NULL
+        # under a caller-supplied non-ANSI session — never a silent 0.
         F.coalesce(
-            # decimal accumulation (cast-before-accumulate): the global
-            # sum of per-user conversion times is corpus-scale and long
-            # partials wrap past 2^63 while the oracle's hugeint stays
-            # exact; the final cast is in-range at any tested SF
             F.sum(
                 F.when(
                     F.col(f"t{n}").isNotNull(),
@@ -113,9 +117,11 @@ def funnel_counts(
                     F.unix_micros(F.col(f"t{n}").cast("timestamp"))
                     - F.unix_micros(F.col("t1").cast("timestamp")),
                 ).cast("decimal(38,0)")
-            ).cast("long"),
-            F.lit(0),
-        ).alias("conv_micros_total")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("conv_micros_total")
     )
     return stages.agg(*aggs)
 

@@ -717,6 +717,10 @@ def poisson_bootstrap_ci(
             F.sum(
                 F.col("__k").cast("decimal(38,0)") * F.col(value_col)
             ).alias("__num"),
+            # __den stays a plain long sum on purpose: __k is a
+            # Poisson(1) draw (max(k) is tiny), so the per-(group,
+            # replicate) count sum is bounded by ~n*max(k) << 2^63 —
+            # unlike __num, whose k*value products are corpus-scale.
             F.sum("__k").alias("__den"),
         )
         .withColumn(
