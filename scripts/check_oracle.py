@@ -56,7 +56,16 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from otters_spark.session import get_spark
-    from otters_spark.suite import ORACLE_SQL, QUERIES
+    from otters_spark.suite import DYNAMIC_ORACLES, ORACLE_SQL, QUERIES
+
+    ORACLE_SQL = dict(ORACLE_SQL)
+    # data-derived oracles are bound to sf0.01 at import; regenerate
+    # for whatever sf_dir this check runs at
+    for dname, gen in DYNAMIC_ORACLES.items():
+        try:
+            ORACLE_SQL[dname] = gen(sf_dir)
+        except Exception as e:
+            print(f"WARN could not regenerate dynamic oracle {dname}: {e}")
 
     only = set(sys.argv[2:])
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=16)
