@@ -1309,6 +1309,42 @@ def semdedup(
     )
 
 
+def semdedup_srp(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup with a DETERMINISTIC cell assignment: sign-random-
+    projection cells using axis-aligned hyperplanes (the sign bits of
+    the first ``n_bits`` dimensions) in place of KMeans clusters.
+    Same paper trick as :func:`semdedup` — pair work confined to
+    cells, Σ_cell |cell|² instead of n² — but the cell function is a
+    pure scan-speed expression: no iterative fit, no seed, no
+    broadcast of centroids, and (the round-7 point) SQL-expressible,
+    so the suite query built on it is oracle-paired end-to-end.
+    Recall caveat is the same class as KMeans cells: a near-dup pair
+    is only found if it shares a cell; positive scaling (and any
+    perturbation that flips no leading sign) preserves the cell by
+    construction. Keep policy is min-id per connected component, as
+    in :func:`semdedup`."""
+    cell = None
+    for i in range(n_bits):
+        bit = F.when(
+            F.element_at(F.col(vec_col), i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        cell = bit if cell is None else cell + bit
+    assigned = df.withColumn("__srp_cell", cell)
+    pairs = embedding_neardup_pairs(
+        assigned, threshold, vec_col=vec_col, id_col=id_col,
+        block_cols=("__srp_cell",),
+    )
+    return keep_representatives(
+        df, pairs.select("id_a", "id_b"), id_col=id_col
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
