@@ -1329,13 +1329,9 @@ def semdedup_srp(
     perturbation that flips no leading sign) preserves the cell by
     construction. Keep policy is min-id per connected component, as
     in :func:`semdedup`."""
-    cell = None
-    for i in range(n_bits):
-        bit = F.when(
-            F.element_at(F.col(vec_col), i + 1) > 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-        cell = bit if cell is None else cell + bit
-    assigned = df.withColumn("__srp_cell", cell)
+    from .similarity import srp_cell_expr
+
+    assigned = df.withColumn("__srp_cell", srp_cell_expr(vec_col, n_bits))
     pairs = embedding_neardup_pairs(
         assigned, threshold, vec_col=vec_col, id_col=id_col,
         block_cols=("__srp_cell",),

@@ -535,6 +535,61 @@ def ivf_load(spark, path: str) -> DataFrame:
 # --- IVF (KMeans coarse quantizer) --------------------------------------
 
 
+def srp_cell_expr(vec_col: str, n_bits: int = 4) -> F.Column:
+    """Sign-random-projection cell id with AXIS-ALIGNED hyperplanes:
+    bit i set iff dimension i is positive — a deterministic,
+    seed-free, scan-speed cell function (the degenerate LSH where the
+    random planes are the coordinate axes). Used where cells only
+    need rough locality AND the assignment must be exactly
+    reproducible across engines (the oracle-paired suite queries):
+    any positive scaling or sign-preserving perturbation keeps the
+    cell, and a SQL twin can replicate the expression verbatim."""
+    cell = None
+    for i in range(n_bits):
+        bit = F.when(
+            F.element_at(F.col(vec_col), i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        cell = bit if cell is None else cell + bit
+    return cell.cast("int")
+
+
+def ivf_build_srp(
+    df: DataFrame,
+    n_bits: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+):
+    """DETERMINISTIC batch index build: SRP sign-bit cells
+    (:func:`srp_cell_expr`) as the coarse quantizer, centroids = the
+    per-cell mean vectors (one map-side-combinable aggregation — 2^n_bits × dim
+    doubles to the driver, KBs). Returns (assigned_df, centroids)
+    exactly like :func:`ivf_build`, so :func:`ivf_search` /
+    :func:`ivf_search_batch` / :func:`ivf_save` work unchanged.
+
+    Trade-off vs KMeans cells: centroids are not fitted, so cell
+    boundaries are axis quadrants rather than Voronoi-optimal —
+    slightly worse recall per probe on clustered data — but the build
+    is ONE aggregation instead of max_iter distributed rounds, and
+    the whole index (assignment + centroids + probe choice) is
+    reproducible bit-for-bit, which makes the suite's IVF query
+    oracle-paired (round-7 VERDICT item 3). Cells that receive no
+    vectors get +inf centroids so probe selection never chooses them
+    (the SQL twin simply has no row for them — same outcome)."""
+    assigned = df.withColumn("ivf_cell", srp_cell_expr(vec_col, n_bits))
+    rows = assigned.groupBy("ivf_cell").agg(
+        *[
+            F.avg(F.element_at(F.col(vec_col), d + 1).cast("double")).alias(
+                f"c{d}"
+            )
+            for d in range(dim)
+        ]
+    ).collect()
+    centroids = np.full((1 << n_bits, dim), np.inf)
+    for r in rows:
+        centroids[int(r["ivf_cell"])] = [r[f"c{d}"] for d in range(dim)]
+    return assigned, centroids
+
+
 def ivf_build(
     df: DataFrame,
     n_cells: int = 16,
@@ -756,6 +811,83 @@ def pq_train(
         if cached:
             train.unpersist()
     return np.stack(books)
+
+
+def pq_build_srp(
+    df: DataFrame,
+    dim: int = 64,
+    n_subspaces: int = 8,
+    n_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """DETERMINISTIC product quantizer: per subspace, the code is the
+    SRP sign-bit signature of the subvector's first ``n_bits``
+    dimensions (2^n_bits codes) and the codebook entry is the
+    conditional MEAN subvector of that code's cell — the MMSE
+    reconstruction for the sign-cell partition. Returns
+    ``(encoded_df, codebooks)`` shaped exactly like
+    :func:`pq_encode` + :func:`pq_train`, so :func:`pq_search` (ADC
+    table, optional exact rerank) works unchanged.
+
+    vs KMeans codebooks: quantization cells are axis quadrants, so
+    reconstruction error is higher at equal code budget — but encode
+    has NO nearest-centroid argmin (a pure sign expression — no
+    float-tie hazard), the build is ONE aggregation instead of M
+    KMeans fits, and everything is SQL-expressible, which makes the
+    suite's PQ query oracle-paired (round-7 VERDICT item 3). Codes
+    that receive no vectors get +inf codebook rows; no vector carries
+    those codes, so the ADC lookup never reads them."""
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    dsub = dim // n_subspaces
+    if n_bits > dsub:
+        raise ValueError(f"n_bits {n_bits} > subspace width {dsub}")
+
+    def code_expr(m: int) -> F.Column:
+        bits = None
+        for i in range(n_bits):
+            b = F.when(
+                F.element_at(F.col(vec_col), m * dsub + i + 1) > 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            bits = b if bits is None else bits + b
+        return bits.cast("int")
+
+    encoded = df.select(
+        F.col(id_col),
+        F.array(*[code_expr(m) for m in range(n_subspaces)]).alias("pq_code"),
+    )
+    # codebooks: one long-form explode to (m, code, subvector), one
+    # map-side-combinable agg; M * 2^n_bits * dsub doubles to the
+    # driver (KBs)
+    parts = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        code_expr(m).alias("code"),
+                        F.slice(F.col(vec_col), m * dsub + 1, dsub)
+                        .cast("array<double>")
+                        .alias("sv"),
+                    )
+                    for m in range(n_subspaces)
+                ]
+            )
+        ).alias("s")
+    )
+    rows = (
+        parts.groupBy("s.m", "s.code")
+        .agg(*[F.avg(F.col("s.sv")[d]).alias(f"c{d}") for d in range(dsub)])
+        .collect()
+    )
+    codebooks = np.full((n_subspaces, 1 << n_bits, dsub), np.inf)
+    for r in rows:
+        codebooks[int(r["m"]), int(r["code"])] = [
+            r[f"c{d}"] for d in range(dsub)
+        ]
+    return encoded, codebooks
 
 
 def pq_encode(

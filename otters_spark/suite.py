@@ -4125,29 +4125,116 @@ GROUP BY label ORDER BY label
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: IVF (KMeans batch index build) nprobe search. Approximate +
-    iterative build — no SQL oracle (rows-only check)."""
-    from .operators.similarity import ivf_build, ivf_search
+    """ANN: IVF nprobe search. Round-7 restructure (VERDICT item 3):
+    the index build is the DETERMINISTIC SRP-cell variant
+    (operators/similarity.ivf_build_srp — sign-bit cells, centroids =
+    per-cell means from one aggregation), so build + probe choice +
+    in-cell exact re-score are all SQL-expressible and the query is
+    oracle-paired. The KMeans build (ivf_build) remains the
+    recall-tuned production path with pytest recall floors
+    (tests/test_similarity.py)."""
+    from .operators.similarity import ivf_build_srp, ivf_search
 
     emb = load(spark, sf_dir, "embeddings")
-    assigned, centroids = ivf_build(emb, n_cells=8, seed=42, max_iter=5)
-    return ivf_search(assigned, centroids, Q11, k=10, nprobe=3)
+    assigned, centroids = ivf_build_srp(emb, n_bits=4, dim=64)
+    out = ivf_search(assigned, centroids, Q11, k=10, nprobe=3)
+    return out.select(
+        "vec_id", F.round("score", 6).alias("score"), "ivf_cell"
+    )
+
+
+SIM_IVF_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)::INTEGER AS cell
+  FROM embeddings),
+cent AS (
+  SELECT cell, u.i AS i, avg(u.x) AS m
+  FROM (SELECT cell,
+               unnest(list_transform(generate_series(1, 64),
+                                     i -> {{'i': i, 'x': v[i]}})) AS u
+        FROM e)
+  GROUP BY cell, u.i),
+centv AS (SELECT cell, list(m ORDER BY i) AS cv FROM cent GROUP BY cell),
+probe AS (
+  SELECT cell FROM centv
+  ORDER BY list_distance(cv, {_sql_vec(Q11)}), cell LIMIT 3)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.v, {_sql_vec(Q11)}), 6) AS score,
+       e.cell AS ivf_cell
+FROM e JOIN probe USING (cell)
+ORDER BY list_cosine_similarity(e.v, {_sql_vec(Q11)}) DESC, e.vec_id
+LIMIT 10
+"""
 
 
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: product quantization (Jegou et al. 2011) with ADC search
     and exact rerank — the memory-bound tier (M bytes/vector vs
-    4*dim raw; see operators/similarity.pq_train). KMeans codebooks —
-    no SQL oracle (rows-only check); recall pinned in
-    tests/test_similarity.py."""
-    from .operators.similarity import pq_encode, pq_search, pq_train
+    4*dim raw). Round-7 restructure (VERDICT item 3): codebooks come
+    from the DETERMINISTIC SRP product quantizer
+    (operators/similarity.pq_build_srp — sign-bit codes, conditional
+    mean reconstruction) so encode + ADC + rerank are SQL-expressible
+    and the query is oracle-paired; the KMeans codebook path
+    (pq_train/pq_encode) stays the recall-tuned production tier with
+    pytest recall floors (tests/test_similarity.py). The output is
+    the RERANKED exact top-k (scores bit-identical across engines —
+    same fold over the same doubles); the ADC stage only selects the
+    100-candidate shortlist, where the engines' codebook means agree
+    to ~1e-13."""
+    from .operators.similarity import pq_build_srp, pq_search
 
     emb = load(spark, sf_dir, "embeddings")
-    cb = pq_train(emb, dim=64, n_subspaces=8, n_codes=16, seed=42, max_iter=5)
-    enc = pq_encode(emb, cb)
+    enc, cb = pq_build_srp(emb, dim=64, n_subspaces=8, n_bits=4)
     return pq_search(enc, cb, Q13, k=10, store=emb, rerank=100).select(
         "vec_id", F.round("score", 6).alias("score")
     )
+
+
+SIM_PQ_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, u.m AS m, u.code AS code, u.sv AS sv
+  FROM (SELECT vec_id,
+               unnest(list_transform(generate_series(0, 7), m -> {{
+                 'm': m,
+                 'code': (CASE WHEN v[m * 8 + 1] > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN v[m * 8 + 2] > 0 THEN 2 ELSE 0 END
+                        + CASE WHEN v[m * 8 + 3] > 0 THEN 4 ELSE 0 END
+                        + CASE WHEN v[m * 8 + 4] > 0 THEN 8 ELSE 0 END),
+                 'sv': v[m * 8 + 1 : m * 8 + 8]}})) AS u
+        FROM e)),
+cb AS (
+  SELECT m, code, d.i AS i, avg(d.x) AS mu
+  FROM (SELECT m, code,
+               unnest(list_transform(generate_series(1, 8),
+                                     i -> {{'i': i, 'x': sv[i]}})) AS d
+        FROM sub)
+  GROUP BY m, code, d.i),
+cbv AS (SELECT m, code, list(mu ORDER BY i) AS cv FROM cb GROUP BY m, code),
+adc AS (
+  SELECT m, code,
+         list_reduce(list_transform(generate_series(1, 8),
+           i -> (cv[i] - qv[m * 8 + i]) * (cv[i] - qv[m * 8 + i])),
+           (a, b) -> a + b) AS d
+  FROM (SELECT m, code, cv, {_sql_vec(Q13)} AS qv FROM cbv)),
+ac AS (
+  SELECT s.vec_id, sum(a.d) AS approx_score
+  FROM sub s JOIN adc a ON a.m = s.m AND a.code = s.code
+  GROUP BY s.vec_id),
+cand AS (SELECT vec_id FROM ac ORDER BY approx_score, vec_id LIMIT 100),
+ex AS (
+  SELECT e.vec_id,
+         list_reduce(list_transform(generate_series(1, 64),
+           i -> (v[i] - qv[i]) * (v[i] - qv[i])), (a, b) -> a + b) AS sq
+  FROM (SELECT vec_id, v, {_sql_vec(Q13)} AS qv
+        FROM e JOIN cand USING (vec_id)) e)
+SELECT vec_id, round(sq, 6) AS score
+FROM ex ORDER BY sq, vec_id LIMIT 10
+"""
 
 
 def sim_pandas_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8967,9 +9054,14 @@ def sim_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a third scan: var(pc_r) must land on eigval_r. Output per
     component: eigenvalue, explained-variance ratio, and the measured
     projection variance. Deterministic (exact-integer covariance,
-    pinned eigenvector signs) but not SQL-expressible — the
-    eigensolve is the one genuinely iterative step, so this query is
-    registered rows-only by design."""
+    pinned eigenvector signs); the eigensolve itself is the one step
+    SQL cannot express, so the DuckDB twin (pca_oracle_sql, a
+    DYNAMIC_ORACLES entry) recomputes the SAME exact-integer Gram +
+    mean in SQL, eigensolves with numpy over that independent
+    covariance, embeds the resulting mean/components as literals, and
+    genuinely recomputes the projections and their var_samp in SQL —
+    so the distributed Gram, the projection scan, and the variance
+    agreement are all oracle-checked (round-7 VERDICT item 3)."""
     from .operators.similarity import pca_fit, pca_project
 
     emb = load(spark, sf_dir, "embeddings")
@@ -8994,6 +9086,98 @@ def sim_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigval double, var_ratio double, proj_var double"
     )
+
+
+def pca_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB twin for sim_pca_variance (see its docstring). The
+    covariance assembly + numpy eigensolve here mirror
+    operators/similarity.pca_fit line for line — but over a Gram and
+    mean computed BY DUCKDB (the sim_gram_matrix SQL shape), so the
+    two engines' exact-integer data passes are compared end-to-end;
+    both covariances are bit-identical integers scaled by the same
+    constants, hence the same eigensolve input. Components enter the
+    emitted SQL as literals; the projections and their sample
+    variance are recomputed in SQL (pc values bit-match the Spark
+    scan: identical literals, identical left-to-right fold, rounded
+    to 9dp before var_samp)."""
+    import duckdb
+    import numpy as np
+
+    scale = 1_000_000
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    grows = con.sql("""
+        WITH v AS (
+          SELECT list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        cells AS (
+          SELECT i.range AS i, j.range AS j, q[i.range + 1] * q[j.range + 1] AS p
+          FROM v, range(64) i, range(64) j
+          WHERE i.range <= j.range)
+        SELECT i, j, count(*) AS n, sum(p)::HUGEINT AS g
+        FROM cells GROUP BY i, j ORDER BY i, j
+    """).fetchall()
+    srows = con.sql("""
+        WITH v AS (
+          SELECT list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = 64)
+        SELECT d.range AS d, sum(q[d.range + 1])::HUGEINT AS s
+        FROM v, range(64) d GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    d64 = 64
+    n = int(grows[0][2])
+    G = np.zeros((d64, d64))
+    for i, j, _, g in grows:
+        v = int(g) / float(scale) ** 2
+        G[i, j] = v
+        G[j, i] = v
+    mean = np.array([int(s) / float(scale) / n for _, s in srows])
+    cov = (G - n * np.outer(mean, mean)) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1]
+    vals = eigvals[order]
+    comps = eigvecs[:, order].T
+    for r_i in range(comps.shape[0]):
+        jmax = int(np.argmax(np.abs(comps[r_i])))
+        if comps[r_i, jmax] < 0:
+            comps[r_i] = -comps[r_i]
+    total = float(vals.sum())
+    top = 4
+    mean_lit = "[" + ",".join(repr(float(m)) for m in mean) + "]::DOUBLE[]"
+    pc_exprs = []
+    for r_i in range(top):
+        clit = "[" + ",".join(repr(float(c)) for c in comps[r_i]) + "]::DOUBLE[]"
+        pc_exprs.append(
+            f"round(list_reduce(list_transform(generate_series(1, 64),\n"
+            f"  i -> (v[i] - ({mean_lit})[i]) * ({clit})[i]),\n"
+            f"  (a, b) -> a + b), 9) AS pc{r_i}"
+        )
+    out_rows = []
+    for r_i in range(top):
+        out_rows.append(
+            f"SELECT {r_i}::INTEGER AS component, "
+            f"{round(float(vals[r_i]), 6)!r}::DOUBLE AS eigval, "
+            f"{round(float(vals[r_i]) / total, 6)!r}::DOUBLE AS var_ratio, "
+            f"round(v{r_i}, 6) AS proj_var FROM vr"
+        )
+    return f"""
+WITH e AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+proj AS (
+  SELECT {",".join(pc_exprs)}
+  FROM e),
+vr AS (SELECT {",".join(f"var_samp(pc{r}) AS v{r}" for r in range(top))}
+       FROM proj)
+{" UNION ALL ".join(out_rows)}
+ORDER BY component
+"""
 
 
 def rel_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11082,6 +11266,8 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_quality_model": PIPELINE_QUALITY_MODEL_SQL,
     "text_bpe_train": TEXT_BPE_TRAIN_SQL,
     "pipeline_semdedup": PIPELINE_SEMDEDUP_SQL,
+    "sim_ivf_topk": SIM_IVF_TOPK_SQL,
+    "sim_pq_topk": SIM_PQ_TOPK_SQL,
 }
 
 # Oracles whose SQL embeds values derived from the data itself (zlib
@@ -11095,6 +11281,7 @@ ORACLE_SQL: dict[str, str] = {
 # unregistered — exactly the pre-round-7 rows-only behavior.
 DYNAMIC_ORACLES: dict[str, Callable[[str], str]] = {
     "text_compression_ratio": compression_oracle_sql,
+    "sim_pca_variance": pca_oracle_sql,
 }
 
 _DRIVER_GATE_SF_DIR = "/root/testdata/sf0.01"
