@@ -797,3 +797,47 @@ def test_prefix_filter_rejects_bad_threshold(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="threshold"):
         prefix_filter_pairs(df, 0.0)
+
+
+def test_semdedup_srp_planted_duplicates(spark):
+    """The deterministic SRP-cell SemDeDup (the oracle-paired suite
+    path) drops planted near-identicals and keeps the min-id
+    representative. Perturbation avoids the first n_bits dims so the
+    clone's cell collision is structural, mirroring the suite query's
+    scaled-clone planting."""
+    import numpy as np
+
+    from otters_spark.operators.dedup import semdedup_srp
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 8)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for j, src in zip((100, 101, 102, 103), (0, 0, 0, 7)):
+        noisy = base[src].copy()
+        noisy[4:] = noisy[4:] + rng.standard_normal(4).astype("float32") * 1e-4
+        rows.append((j, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    kept = {r["vec_id"] for r in semdedup_srp(df, threshold=0.999, n_bits=4).collect()}
+    assert {100, 101, 102, 103}.isdisjoint(kept)
+    assert {0, 7} <= kept
+    assert len(kept) == 30
+
+
+def test_semdedup_srp_scaling_preserves_cells(spark):
+    """Positive scaling never flips a sign bit, so a scaled clone is
+    always compared against its source (the property the suite's
+    planted-clone oracle relies on)."""
+    import numpy as np
+
+    from otters_spark.operators.dedup import semdedup_srp
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 8))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [
+        (1000 + i, [float(x * 1.001) for x in v]) for i, v in enumerate(base)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = {r["vec_id"] for r in semdedup_srp(df, threshold=0.99, n_bits=4).collect()}
+    assert kept == set(range(20))

@@ -70,3 +70,38 @@ def test_holdout_accuracy(trained):
         ).alias("acc")
     ).collect()[0]["acc"]
     assert acc > 0.95  # spam mutations are trivially separable
+
+
+def test_nb_planted_spam_scores_lower(trained):
+    """The closed-form Gaussian NB trainer (the oracle-paired suite
+    path) separates the same planted signal the LR trainer does."""
+    from pyspark.sql import functions as F
+
+    from otters_spark.operators.quality_model import score_nb, train_nb_quality
+
+    feats, _ = trained
+    stats = train_nb_quality(feats)
+    scored = score_nb(feats, stats)
+    rows = scored.groupBy("label").agg(F.avg("quality_prob").alias("p")).collect()
+    by_label = {r["label"]: r["p"] for r in rows}
+    assert by_label[1.0] > 0.8
+    assert by_label[0.0] < 0.2
+
+
+def test_nb_scoring_is_native(trained):
+    from otters_spark.operators.quality_model import score_nb, train_nb_quality
+
+    feats, _ = trained
+    stats = train_nb_quality(feats)
+    plan = score_nb(feats, stats)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_nb_requires_both_classes(trained, spark):
+    from pyspark.sql import functions as F
+
+    from otters_spark.operators.quality_model import train_nb_quality
+
+    feats, _ = trained
+    with pytest.raises(ValueError, match="both classes"):
+        train_nb_quality(feats.filter(F.col("label") == 1.0))

@@ -563,3 +563,70 @@ def test_pca_fit_dirty_rows_match_clean_subset(spark):
     assert np.array_equal(m_c, m_d)
     assert np.array_equal(v_c, v_d)
     assert np.array_equal(c_c, c_d)
+
+
+def test_ivf_build_srp_deterministic(emb):
+    import numpy as np
+
+    from otters_spark.operators.similarity import ivf_build_srp
+
+    _, c1 = ivf_build_srp(emb, n_bits=4, dim=64)
+    _, c2 = ivf_build_srp(emb, n_bits=4, dim=64)
+    f1, f2 = np.isfinite(c1), np.isfinite(c2)
+    # bit-identical across runs: exact same cells, exact same means
+    assert (f1 == f2).all() and np.array_equal(c1[f1], c2[f2])
+    assert c1.shape == (16, 64)
+
+
+def test_ivf_build_srp_cell_is_sign_signature(emb):
+    from otters_spark.operators.similarity import ivf_build_srp
+
+    assigned, _ = ivf_build_srp(emb, n_bits=4, dim=64)
+    for r in assigned.select("embedding", "ivf_cell").take(20):
+        v = r["embedding"]
+        expect = sum((1 << i) for i in range(4) if v[i] > 0)
+        assert r["ivf_cell"] == expect
+
+
+def test_ivf_srp_recall_against_brute_force(emb, brute_top10):
+    from otters_spark.operators.similarity import ivf_build_srp
+
+    assigned, centroids = ivf_build_srp(emb, n_bits=4, dim=64)
+    got = [
+        r["vec_id"]
+        for r in ivf_search(assigned, centroids, Q7, k=10, nprobe=6).collect()
+    ]
+    recall = len(set(got) & set(brute_top10)) / 10
+    # quadrant cells are not Voronoi-fitted; 6/16 probes still must
+    # recover a usable fraction on gaussian data
+    assert recall >= 0.3, f"SRP-IVF recall@10 too low: {recall}"
+
+
+def test_pq_build_srp_shapes_and_rerank_exactness(emb, spark):
+    import numpy as np
+
+    from otters_spark.operators.similarity import pq_build_srp, pq_search
+    from otters_spark.suite import Q13
+
+    enc, cb = pq_build_srp(emb, dim=64, n_subspaces=8, n_bits=4)
+    assert cb.shape == (8, 16, 8)
+    codes = enc.select("pq_code").take(20)
+    assert all(0 <= c < 16 for r in codes for c in r["pq_code"])
+
+    # reranked scores are exact squared euclidean: verify against
+    # numpy on the returned ids
+    out = pq_search(enc, cb, Q13, k=10, store=emb, rerank=100).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    q = np.asarray(Q13)
+    for r in out:
+        exact = float(((vecs[r["vec_id"]] - q) ** 2).sum())
+        assert abs(r["score"] - exact) < 1e-6
+
+    # shortlist quality: the reranked top-10 must recover most of the
+    # true euclidean top-10
+    true10 = sorted(vecs, key=lambda i: ((vecs[i] - q) ** 2).sum())[:10]
+    recall = len({r["vec_id"] for r in out} & set(true10)) / 10
+    assert recall >= 0.6, f"SRP-PQ recall@10 too low: {recall}"
