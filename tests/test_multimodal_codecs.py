@@ -107,3 +107,41 @@ def test_decode_audio_real_soundfile(spark):
     for bad in (3, 4):
         assert got[bad]["sample_rate"] is None and got[bad]["pcm"] is None
     assert len(got) == 5
+
+
+def test_perceptual_hash_images_real_pil(spark):
+    """The decode → 8×8 luma → aHash composition: resolution-invariant
+    for the same layout, discriminative for the inverted layout, and
+    silent (no row) for NULL/undecodable payloads."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from otters_spark.operators.multimodal import perceptual_hash_images
+
+    def two_tone(w: int, h: int, flip: bool) -> bytes:
+        # left half dark, right half bright (or flipped): survives any
+        # downsample kernel, so the 8x8 luma threshold pattern is stable
+        img = Image.new("L", (w, h))
+        for x in range(w):
+            for y in range(h):
+                bright = x >= w // 2
+                img.putpixel((x, y), 230 if bright != flip else 20)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, two_tone(64, 64, False)),
+        (2, two_tone(48, 32, False)),   # same layout, other resolution
+        (3, two_tone(64, 64, True)),    # inverted layout
+        (4, None),
+        (5, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["phash"] for r in perceptual_hash_images(df).collect()}
+    assert set(got) == {1, 2, 3}        # NULL/undecodable yield no row
+    assert got[1] == got[2]             # perceptual: resolution-invariant
+    # inverted layout flips every decided bit: hamming = 64
+    assert bin((got[1] ^ got[3]) & ((1 << 64) - 1)).count("1") == 64
