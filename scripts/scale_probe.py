@@ -67,6 +67,13 @@ QUERIES = [
     # 32-cell window
     "text_weighted_length",
     "multimodal_phash_neardup",
+    # round-7: the formerly-rows-only queries now ride deterministic
+    # plans (NB closed-form fit; SRP cells for semdedup/IVF/PQ) —
+    # probe the changed Spark plans at 10x
+    "pipeline_quality_model",
+    "pipeline_semdedup",
+    "sim_ivf_topk",
+    "sim_pq_topk",
 ]
 
 # events-lane probe: the third table family. Replication shifts each
@@ -125,6 +132,8 @@ REL_QUERIES = [
 
 def main() -> int:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # optional: probe only the named queries (args after replicas)
+    only = set(sys.argv[2:])
     from otters_spark.session import get_spark
     from otters_spark import suite
 
@@ -223,6 +232,8 @@ def main() -> int:
         )
 
     for q in QUERIES + EVENTS_QUERIES + REL_QUERIES:
+        if only and q not in only:
+            continue
         t = time.time()
         r1 = suite.QUERIES[q](spark, base_dir).count()
         t1 = time.time() - t
@@ -267,16 +278,17 @@ def main() -> int:
         )
         return gold.count()
 
-    t = time.time()
-    r1 = banded_golden(base_dir)
-    t1 = time.time() - t
-    t = time.time()
-    rn = banded_golden(tmp)
-    tn = time.time() - t
-    print(
-        f"banded_golden_records: {t1:.2f}s ({r1} rows) -> {tn:.2f}s "
-        f"({rn} rows) = {tn / t1:.1f}x time for {replicas}x data"
-    )
+    if not only or "banded_golden_records" in only:
+        t = time.time()
+        r1 = banded_golden(base_dir)
+        t1 = time.time() - t
+        t = time.time()
+        rn = banded_golden(tmp)
+        tn = time.time() - t
+        print(
+            f"banded_golden_records: {t1:.2f}s ({r1} rows) -> {tn:.2f}s "
+            f"({rn} rows) = {tn / t1:.1f}x time for {replicas}x data"
+        )
     return 0
 
 
