@@ -841,3 +841,60 @@ def test_semdedup_srp_scaling_preserves_cells(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     kept = {r["vec_id"] for r in semdedup_srp(df, threshold=0.99, n_bits=4).collect()}
     assert kept == set(range(20))
+
+
+def test_semdedup_srp_differential_fuzz(spark):
+    """Differential: semdedup_srp against an O(n^2) python reference
+    (same sign-bit cells, same cosine threshold, same
+    min-id-per-component keep via union-find) over random corpora
+    with planted scaled-clone cliques — the round-7 fuzz for the new
+    oracle-paired plan. Clones are scale-only (no perturbation) so no
+    pair ever sits near the threshold boundary."""
+    import itertools
+
+    import numpy as np
+
+    from otters_spark.operators.dedup import semdedup_srp
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        n = 40
+        base = rng.standard_normal((n, 8))
+        rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+        for j in range(6):
+            src = int(rng.integers(0, n))
+            v = base[src] * float(1.0 + rng.uniform(0.0005, 0.002))
+            rows.append((100 + j, [float(x) for x in v]))
+
+        ids = [r[0] for r in rows]
+        vecs = {r[0]: np.asarray(r[1]) for r in rows}
+
+        def cell(v):
+            return sum((1 << i) for i in range(4) if v[i] > 0)
+
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in itertools.combinations(sorted(ids), 2):
+            va, vb = vecs[a], vecs[b]
+            if cell(va) != cell(vb):
+                continue
+            na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+            cos = float(va @ vb / (na * nb)) if na > 0 and nb > 0 else 0.0
+            if cos >= 0.999:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        keep_ref = {i for i in ids if find(i) == i}
+
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        kept = {
+            r["vec_id"]
+            for r in semdedup_srp(df, threshold=0.999, n_bits=4).collect()
+        }
+        assert kept == keep_ref, f"seed {seed}: {kept ^ keep_ref}"
