@@ -10662,11 +10662,11 @@ ORDER BY bucket
 # =====================================================================
 
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- the literal order below is HISTORICAL (it was the driver
-    # order through round 4); the driver-facing order is now rebuilt
-    # from _DRIVER_WINDOW after this dict closes — see the QUERIES
-    # assignment below the registry. Round-4 rotation notes kept for
-    # the record. Round-4 rotation (eighth overall): all 28 oracle-paired
+    # ---- the literal order below IS the driver-facing order since
+    # round 7 (QUERIES = dict(_REGISTRY); the round 4-6 rotation
+    # windows are gone). The ordering itself is historical — it
+    # accreted by wave as queries landed. Round-4 rotation notes kept
+    # for the record. Round-4 rotation (eighth overall): all 28 oracle-paired
     # queries that had never received a driver verdict (every one green
     # in the builder's 1e-9 harness at sf0.001/0.01/0.1 —
     # scripts/check_oracle.py) are promoted at the head, followed by 22
