@@ -630,3 +630,89 @@ def test_pq_build_srp_shapes_and_rerank_exactness(emb, spark):
     true10 = sorted(vecs, key=lambda i: ((vecs[i] - q) ** 2).sum())[:10]
     recall = len({r["vec_id"] for r in out} & set(true10)) / 10
     assert recall >= 0.6, f"SRP-PQ recall@10 too low: {recall}"
+
+
+def test_ivf_srp_differential_fuzz(spark):
+    """Differential: ivf_build_srp + ivf_search against a numpy
+    reference of the SAME algorithm (sign cells, mean centroids,
+    nprobe nearest cells, exact cosine top-k) — exact id-sequence
+    match expected, not just recall (round-7 fuzz for the
+    oracle-paired plan)."""
+    import numpy as np
+
+    from otters_spark.operators.similarity import ivf_build_srp
+
+    for seed in range(3):
+        rng = np.random.default_rng(100 + seed)
+        n, d, bits, k, nprobe = 120, 16, 3, 8, 3
+        X = rng.standard_normal((n, d))
+        q = rng.standard_normal(d)
+        rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+        assigned, centroids = ivf_build_srp(df, n_bits=bits, dim=d)
+        got = [
+            (r["vec_id"], r["score"])
+            for r in ivf_search(
+                assigned, centroids, [float(x) for x in q], k=k, nprobe=nprobe
+            ).collect()
+        ]
+
+        cells = ((X[:, :bits] > 0) * (1 << np.arange(bits))).sum(1)
+        cents = np.full((1 << bits, d), np.inf)
+        for c in np.unique(cells):
+            cents[c] = X[cells == c].mean(0)
+        probe = np.argsort(((cents - q) ** 2).sum(1), kind="stable")[:nprobe]
+        cand = np.flatnonzero(np.isin(cells, probe))
+        cos = (X[cand] @ q) / (
+            np.linalg.norm(X[cand], axis=1) * np.linalg.norm(q)
+        )
+        order = sorted(zip(-cos, cand))[:k]
+        ref = [int(i) for _, i in order]
+        assert [i for i, _ in got] == ref, f"seed {seed}"
+        for (i, s), (negc, _) in zip(got, order):
+            assert abs(s - (-negc)) < 1e-9
+
+
+def test_pq_srp_differential_fuzz(spark):
+    """Differential: pq_build_srp + pq_search (ADC + exact rerank)
+    against a numpy reference of the same quantizer — sign-bit codes,
+    conditional-mean codebooks, ADC shortlist, exact squared-euclidean
+    rerank. Exact id-sequence match expected."""
+    import numpy as np
+
+    from otters_spark.operators.similarity import pq_build_srp, pq_search
+
+    for seed in range(3):
+        rng = np.random.default_rng(200 + seed)
+        n, d, M, bits, k, shortlist = 120, 16, 4, 2, 8, 40
+        dsub = d // M
+        X = rng.standard_normal((n, d))
+        q = rng.standard_normal(d)
+        rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+        enc, cb = pq_build_srp(df, dim=d, n_subspaces=M, n_bits=bits)
+        got = [
+            r["vec_id"]
+            for r in pq_search(
+                enc, cb, [float(x) for x in q], k=k, store=df,
+                rerank=shortlist,
+            ).collect()
+        ]
+
+        Xs = X.reshape(n, M, dsub)
+        codes = ((Xs[:, :, :bits] > 0) * (1 << np.arange(bits))).sum(2)
+        books = np.full((M, 1 << bits, dsub), np.inf)
+        for m in range(M):
+            for c in np.unique(codes[:, m]):
+                books[m, c] = Xs[codes[:, m] == c, m].mean(0)
+        qs = q.reshape(M, dsub)
+        table = ((books - qs[:, None, :]) ** 2).sum(2)
+        adc = np.array(
+            [sum(table[m, codes[i, m]] for m in range(M)) for i in range(n)]
+        )
+        cand = sorted(range(n), key=lambda i: (adc[i], i))[:shortlist]
+        exact = {i: float(((X[i] - q) ** 2).sum()) for i in cand}
+        ref = sorted(cand, key=lambda i: (exact[i], i))[:k]
+        assert got == ref, f"seed {seed}"
