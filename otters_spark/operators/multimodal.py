@@ -499,6 +499,10 @@ def _ahash_pack(base: DataFrame, id_col: str, n: int) -> DataFrame:
     arithmetic-overflow semantics, so n=64 (bit 63 lands in the sign
     bit — a bit pattern, not a number, same stance as
     functions/text.md5_long64_expr) works under ANSI mode."""
+    if n > 64:
+        # shiftleft wraps its shift count mod 64 — a 65th cell would
+        # silently alias bit 0 and corrupt every fingerprint
+        raise ValueError(f"aHash packs into one 64-bit long; got {n} cells")
     summed = base.select(
         id_col,
         "__cells",

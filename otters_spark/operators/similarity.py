@@ -683,7 +683,10 @@ def ivf_search(
 
     q = np.asarray(list(map(float, query)), dtype=np.float64)
     d2 = ((centroids - q[None, :]) ** 2).sum(1)
-    cells = [int(c) for c in np.argsort(d2)[:nprobe]]
+    # stable: equidistant cells resolve to the lowest cell id, the
+    # same tie-break the SQL twin's ORDER BY (distance, cell) applies
+    # (numpy's default introsort is NOT stable)
+    cells = [int(c) for c in np.argsort(d2, kind="stable")[:nprobe]]
     qlit = F.array(*[F.lit(float(x)) for x in q])
     cand = assigned.filter(F.col("ivf_cell").isin(cells))
     scored = cand.withColumn(
@@ -716,7 +719,7 @@ def ivf_search_batch(
     probe = []
     for qid, q in enumerate(qlist):
         d2 = ((centroids - np.asarray(q)[None, :]) ** 2).sum(1)
-        probe += [(qid, int(c)) for c in np.argsort(d2)[:nprobe]]
+        probe += [(qid, int(c)) for c in np.argsort(d2, kind="stable")[:nprobe]]
     return _search_batch(
         assigned, probe, "ivf_cell", "int", qlist, k, metric, vec_col, id_col
     )

@@ -315,3 +315,24 @@ def test_perceptual_hash_long_payloads_discriminate(spark):
     assert t[1] != 0, "long payload must not collapse to the zero hash"
     assert ham(t[1], t[2]) <= 2
     assert ham(t[1], t[3]) >= 16
+
+
+def test_perceptual_hash_images_rejects_oversized_grid(spark):
+    """shiftleft wraps its shift count mod 64, so >64 cells must be a
+    loud error, never silent bit aliasing."""
+    import pytest as _pytest
+
+    pil = True
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        pil = False
+    from otters_spark.operators.multimodal import perceptual_hash_images
+
+    df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    if pil:
+        with _pytest.raises(ValueError, match="64-bit"):
+            perceptual_hash_images(df, grid=9).collect()
+    else:
+        with _pytest.raises(NotImplementedError):
+            perceptual_hash_images(df, grid=9)
