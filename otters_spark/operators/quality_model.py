@@ -151,9 +151,12 @@ def train_nb_quality(
             aggs.append(F.var_samp(v).alias(f"{feat}__var{cls}"))
     row = labeled.agg(*aggs).collect()[0]
     n0, n1 = int(row["__n0"]), int(row["__n1"])
-    if n0 == 0 or n1 == 0:
+    if n0 < 2 or n1 < 2:
+        # n >= 2 per class: var_samp of a single row is NULL, and a
+        # clear error beats the TypeError a NULL variance would raise
         raise ValueError(
-            f"train_nb_quality needs both classes; got n0={n0} n1={n1}"
+            "train_nb_quality needs both classes with >= 2 rows each "
+            f"(sample variance); got n0={n0} n1={n1}"
         )
     stats: dict = {"__n0": n0, "__n1": n1}
     for feat in QUALITY_FEATURES:
