@@ -10662,81 +10662,58 @@ ORDER BY bucket
 # =====================================================================
 
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- the literal order below IS the driver-facing order since
-    # round 7 (QUERIES = dict(_REGISTRY); the round 4-6 rotation
-    # windows are gone). The ordering itself is historical — it
-    # accreted by wave as queries landed. Round-4 rotation notes kept
-    # for the record. Round-4 rotation (eighth overall): all 28 oracle-paired
-    # queries that had never received a driver verdict (every one green
-    # in the builder's 1e-9 harness at sf0.001/0.01/0.1 —
-    # scripts/check_oracle.py) are promoted at the head, followed by 22
-    # retained round-3-green rows that keep the hardest kernels and the
-    # production pipelines under continuous driver regression. After
-    # this round every oracle-paired query in the suite will have at
-    # least one driver verdict.
-    #
-    # Round-4-new families, registered straight into the verdict
-    # window (the driver has never seen them): Markov transition
-    # matrix (behavior lane), Gumbel weighted sampling (curation
-    # lane), n-gram novelty scoring (text lane), embedding dim-stats
-    # (ANN diagnostics), plus common-paths (journey n-grams) and
-    # label centroids (class prototypes). Six keeps moved below the
-    # boundary to make room:
-    # pipeline_pack_sequences (two-phase binned cumsum machinery via
-    # the retained pipeline_token_budget),
-    # dedup_frequent_segments (recurring-segment family via the
-    # promoted dedup_span_removal, the exact-substring superset),
-    # sketch_kmv_distinct + sketch_hll_distinct (mergeable-
-    # sketch trio keeps sketch_cms_heavy_hitters in the window plus
-    # the promoted sketch_hist_quantiles), pipeline_bloom_decontam
-    # (decontamination family via the retained
-    # pipeline_semantic_decontam), vs_batch_global_topk (batch-merge
-    # semantics also inside eval_ann_recall's 3-query batch and the
-    # retained flagship vs_meta_vec_filter_topk).
+    # ---- FROZEN verification-priority order (round 8). The literal
+    # order below IS the driver-facing order (QUERIES = dict(_REGISTRY))
+    # and the driver samples the FIRST 50 every round. Round-8 reorder
+    # (the ONE reorder the round-7 verdict prescribed, then frozen):
+    #   1-7   the seven queries oracle-paired in round 7 (judge-verified
+    #         7/7 at sf0.01 that session but never driver-recorded —
+    #         their only driver rows still read r6 "no_oracle"),
+    #   8-17  the ten stalest greens (last driver-checked round 2),
+    #   18-50 thirty-three retained round-7-green rows, relative order
+    #         preserved (continuity keeps: flagship, production dedup
+    #         path, eval lane, plus the hardest kernels).
+    # 17 round-7-green rows were demoted to make room — every one holds
+    # a fresh r7 verdict and has family cover in the window (see the
+    # demotion comment below the boundary). Earlier rotation rationale
+    # (rounds 4-7) lives in git history of this comment block.
+    # The seven (driver-record gap closes this round):
+    "text_compression_ratio": text_compression_ratio,
+    "text_bpe_train": text_bpe_train,
+    "pipeline_semdedup": pipeline_semdedup,
+    "pipeline_quality_model": pipeline_quality_model,
+    "sim_ivf_topk": sim_ivf_topk,
+    "sim_pq_topk": sim_pq_topk,
+    "sim_pca_variance": sim_pca_variance,
+    # The ten stalest round-2 greens:
+    "dedup_exact_groups": dedup_exact_groups,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "events_hypertable_rollup": events_hypertable_rollup,
+    "events_json_extract": events_json_extract,
+    "events_range_join_counts": events_range_join_counts,
+    "events_sessionization": events_sessionization,
+    "events_tumbling_window": events_tumbling_window,
+    "pipeline_decontaminate": pipeline_decontaminate,
+    "rel_exists_subquery": rel_exists_subquery,
+    # The 33 retained round-7-green rows:
     "events_transition_matrix": events_transition_matrix,
-    "events_common_paths": events_common_paths,
     "pipeline_weighted_sample": pipeline_weighted_sample,
     "text_ngram_novelty": text_ngram_novelty,
     "sim_dim_stats": sim_dim_stats,
-    "sim_label_centroids": sim_label_centroids,
-    # The 28 promotions (never driver-checked before this round):
-    "pipeline_split_reservoir": pipeline_split_reservoir,
     "events_asof_forward": events_asof_forward,
     "rel_rolling_average": rel_rolling_average,
     "text_chunk_passages": text_chunk_passages,
-    "text_bigram_logprob": text_bigram_logprob,
-    "pipeline_temperature_mix": pipeline_temperature_mix,
     "rel_statistical_aggregates": rel_statistical_aggregates,
-    "rel_range_frame": rel_range_frame,
-    "rel_unpivot_measures": rel_unpivot_measures,
-    "events_asof_nearest": events_asof_nearest,
     "dedup_span_removal": dedup_span_removal,
-    "rel_scalar_subquery": rel_scalar_subquery,
     "rel_skew_salted_join": rel_skew_salted_join,
-    "events_cohort_retention": events_cohort_retention,
-    "rel_array_functions": rel_array_functions,
-    "sketch_hist_quantiles": sketch_hist_quantiles,
     "rel_scd2_time_travel": rel_scd2_time_travel,
     "multimodal_phash_neardup": multimodal_phash_neardup,
-    "sim_hard_negatives": sim_hard_negatives,
     "rel_lateral_posexplode": rel_lateral_posexplode,
-    "events_sliding_window": events_sliding_window,
     "rel_snapshot_diff": rel_snapshot_diff,
     "events_windowed_quantiles": events_windowed_quantiles,
-    "rel_setop_bag": rel_setop_bag,
     "pipeline_epoch_mix": pipeline_epoch_mix,
     "rel_map_functions": rel_map_functions,
-    "events_windowed_topn": events_windowed_topn,
-    "graph_root_depth": graph_root_depth,
-    # The 13 queries added AFTER the round-4 rotation, none of which
-    # has ever had a driver verdict — promoted into the window by
-    # demoting 13 of the 16 round-3-green continuity keeps (each of
-    # those already holds a verdict; family cover noted below). The
-    # session-11 additions (prototype outliers, quantile normalize,
-    # URL dedup, KMV set-ops, triangles) plus the session-12 wave
-    # (interval sweep-line, EWMA, binary-quant ANN, AMS join-size,
-    # k-core, market basket, incremental maintenance, entity
-    # clusters):
     "sim_prototype_outliers": sim_prototype_outliers,
     "pipeline_quantile_normalize": pipeline_quantile_normalize,
     "pipeline_url_dedup": pipeline_url_dedup,
@@ -10750,13 +10727,48 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_market_basket": rel_market_basket,
     "rel_incremental_agg": rel_incremental_agg,
     "link_entity_clusters": link_entity_clusters,
-    # The 3 retained continuity rows (driver-green every round they
-    # ran): the entry flagship, the production dedup path, the eval
-    # lane.
     "vs_meta_vec_filter_topk": vs_meta_vec_filter_topk,
     "pipeline_dedup_end_to_end": pipeline_dedup_end_to_end,
     "eval_ann_recall": eval_ann_recall,
     # ---- end of the driver's 50-entry window ----
+    # 17 round-7-green rows demoted by the round-8 reorder (family
+    # cover in parentheses): events_common_paths (journey n-grams via
+    # events_transition_matrix), sim_label_centroids + sim_hard_negatives
+    # (centroid/prototype lane via sim_prototype_outliers + sim_dim_stats),
+    # pipeline_split_reservoir (stratified sampling via
+    # pipeline_weighted_sample), text_bigram_logprob (count-table LM via
+    # text_ngram_novelty), pipeline_temperature_mix (integer micro-unit
+    # mixing via pipeline_epoch_mix), rel_range_frame + rel_unpivot_measures
+    # (window frames / reshape via rel_rolling_average +
+    # rel_statistical_aggregates), events_asof_nearest (as-of via
+    # events_asof_forward), rel_scalar_subquery (subquery lane via the
+    # promoted rel_exists_subquery), events_cohort_retention (cohort lane
+    # via events_interval_coverage + rel_incremental_agg),
+    # rel_array_functions (collection functions via rel_map_functions +
+    # rel_lateral_posexplode), sketch_hist_quantiles (sketch lane via
+    # sketch_ams_joinsize + sketch_kmv_setops), events_sliding_window
+    # (windowing via the promoted events_tumbling_window +
+    # events_windowed_quantiles), rel_setop_bag (set ops via the r6-green
+    # rel_intersect_customers), events_windowed_topn (per-window ranking
+    # via events_windowed_quantiles), graph_root_depth (graph lane via
+    # graph_triangles_trade + graph_kcore_members).
+    "events_common_paths": events_common_paths,
+    "sim_label_centroids": sim_label_centroids,
+    "pipeline_split_reservoir": pipeline_split_reservoir,
+    "text_bigram_logprob": text_bigram_logprob,
+    "pipeline_temperature_mix": pipeline_temperature_mix,
+    "rel_range_frame": rel_range_frame,
+    "rel_unpivot_measures": rel_unpivot_measures,
+    "events_asof_nearest": events_asof_nearest,
+    "rel_scalar_subquery": rel_scalar_subquery,
+    "events_cohort_retention": events_cohort_retention,
+    "rel_array_functions": rel_array_functions,
+    "sketch_hist_quantiles": sketch_hist_quantiles,
+    "sim_hard_negatives": sim_hard_negatives,
+    "events_sliding_window": events_sliding_window,
+    "rel_setop_bag": rel_setop_bag,
+    "events_windowed_topn": events_windowed_topn,
+    "graph_root_depth": graph_root_depth,
     # 13 round-3-green keeps demoted to make room (family cover):
     # vs_mutation_topk (mutability via flagship store machinery +
     #   tests/test_vec_store.py), graph_pagerank_trade (iterative
@@ -10886,19 +10898,12 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_local_supplier_volume": rel_local_supplier_volume,
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
-    "pipeline_decontaminate": pipeline_decontaminate,
-    "dedup_exact_groups": dedup_exact_groups,
     "neardup_embedding_pairs": neardup_embedding_pairs,
     "rel_pivot_priority": rel_pivot_priority,
-    "rel_exists_subquery": rel_exists_subquery,
-    "events_tumbling_window": events_tumbling_window,
     "dedup_simhash_banded": dedup_simhash_banded,
     "dedup_minhash_banded_verified": dedup_minhash_banded_verified,
     "rel_setop_customers": rel_setop_customers,
     "rel_left_join_order_counts": rel_left_join_order_counts,
-    "events_range_join_counts": events_range_join_counts,
-    "dedup_jaccard_pairs": dedup_jaccard_pairs,
-    "dedup_minhash_pairs": dedup_minhash_pairs,
     "text_vocabulary_topk": text_vocabulary_topk,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "rel_cube_priority_status": rel_cube_priority_status,
@@ -10917,7 +10922,6 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_lsh_topk": sim_lsh_topk,
     "rel_percentiles": rel_percentiles,
     "events_asof_attribution": events_asof_attribution,
-    "events_json_extract": events_json_extract,
     "text_pii_redaction": text_pii_redaction,
     "text_bm25_topk": text_bm25_topk,
     "dedup_char_shingle_pairs": dedup_char_shingle_pairs,
@@ -10929,8 +10933,6 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_semi_anti_join": rel_semi_anti_join,
     "rel_predicate_pushdown": rel_predicate_pushdown,
     "vs_score_filter_all": vs_score_filter_all,
-    "events_sessionization": events_sessionization,
-    "events_hypertable_rollup": events_hypertable_rollup,
     "text_quality": text_quality,
     "multimodal_features": multimodal_features,
     "rel_pricing_summary": rel_pricing_summary,
@@ -10939,12 +10941,6 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_scalar_functions": rel_scalar_functions,
     "text_repetition_filters": text_repetition_filters,
     "dedup_tfidf_cosine_pairs": dedup_tfidf_cosine_pairs,
-    "text_compression_ratio": text_compression_ratio,
-    "text_bpe_train": text_bpe_train,
-    "pipeline_semdedup": pipeline_semdedup,
-    "pipeline_quality_model": pipeline_quality_model,
-    "sim_ivf_topk": sim_ivf_topk,
-    "sim_pq_topk": sim_pq_topk,
     # ---- driver-cap boundary: entries below sit beyond the 50-row
     # window this round. Round-5 rotation queue (the oracle-paired
     # queries that will still lack a driver verdict after round 4):
@@ -10991,7 +10987,6 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cusum_shift": events_cusum_shift,
     "rel_correlation_matrix": rel_correlation_matrix,
     "sim_gram_matrix": sim_gram_matrix,
-    "sim_pca_variance": sim_pca_variance,  # rows-only: driver eigensolve
     "dedup_prefix_filter_pairs": dedup_prefix_filter_pairs,
     "pipeline_bootstrap_ci": pipeline_bootstrap_ci,
     "rel_table_profile": rel_table_profile,
