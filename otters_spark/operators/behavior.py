@@ -93,7 +93,13 @@ def funnel_counts(
     conversion time of full completers in MICROseconds — exact int64
     (second-granularity truncation would diverge between engines on
     sub-second timestamps), so the row is bit-reproducible
-    cross-engine."""
+    cross-engine.
+
+    The loud-overflow contract on ``conv_micros_total`` requires an
+    ANSI session (``spark.sql.ansi.enabled=true``, the engine default
+    set in ``session.py``): under ANSI an out-of-range
+    decimal->long cast errors, while a caller-supplied non-ANSI
+    session degrades it to NULL — never a silent 0 either way."""
     stages = funnel_stages(df, steps, user_col, ts_col, type_col)
     n = len(steps)
     aggs = [
