@@ -11026,11 +11026,12 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_winsorized_stats": rel_winsorized_stats,
 }
 
-# ---- Driver-facing query order: STABLE registry order (round 7).
-# The rotation windows of rounds 4–6 (_DRIVER_WINDOW) existed only to
-# close the driver-verdict backlog — after round 6 all 220 registered
-# queries have at least one lifetime verdict (220/220), so the
-# scaffolding is gone and QUERIES is simply the registry in its
+# ---- Driver-facing query order: STABLE registry order (stable since
+# round 7; reordered ONCE in round 8 per the round-7 verdict, then
+# frozen). The rotation windows of rounds 4–6 (_DRIVER_WINDOW) existed
+# only to close the driver-verdict backlog — after round 6 all 220
+# registered queries have at least one lifetime verdict (220/220), so
+# the scaffolding is gone and QUERIES is simply the registry in its
 # definition order. Future driver windows sample from this stable
 # order; any query-level change lands wherever its definition sits.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(_REGISTRY)
