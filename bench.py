@@ -75,6 +75,14 @@ def main() -> int:
             prev_profile = {
                 k: v for k, v in (_prev.get("queries") or {}).items() if v
             }
+            # the prior run's solo re-times are better measurements of
+            # the same quantity than its raw in-suite values (which may
+            # be single-rep/cold past the wall budget) — prefer them so
+            # the >1.5x guard stays sensitive for tail queries
+            for k, rec in (_prev.get("retimed") or {}).items():
+                solo = rec.get("solo_min2") if isinstance(rec, dict) else None
+                if solo:
+                    prev_profile[k] = min(prev_profile.get(k, solo), solo)
             prev_profile_load = (_prev.get("load_avg") or {}).get("start")
     except Exception:
         pass
