@@ -209,10 +209,30 @@ def main() -> int:
     # the end of the suite, and the artifact records both numbers so a
     # grader can separate drift from regression without a diagnosis
     # pass.
+    # Bounded: on a badly drifting box dozens of queries can flag (60
+    # in one observed run) and an unbounded pass could push the whole
+    # bench past a recorder timeout. Worst offenders first (largest
+    # suite/prev ratio), stop at the wall budget, and record how many
+    # were left un-retimed — a truncated pass must be visible, not
+    # silent.
+    retime_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_RETIME_BUDGET", "120")
+    )
+    retime_t0 = time.perf_counter()
+    retime_skipped = 0
     retimed: dict[str, dict] = {}
-    for name, suite_t in times.items():
-        prev_t = prev_profile.get(name)
-        if suite_t is None or prev_t is None or suite_t <= 1.5 * prev_t:
+    flagged = [
+        (name, suite_t)
+        for name, suite_t in times.items()
+        if suite_t is not None
+        and prev_profile.get(name) is not None
+        and suite_t > 1.5 * prev_profile[name]
+    ]
+    flagged.sort(key=lambda kv: -(kv[1] / prev_profile[kv[0]]))
+    for name, suite_t in flagged:
+        prev_t = prev_profile[name]
+        if time.perf_counter() - retime_t0 > retime_budget:
+            retime_skipped += 1
             continue
         solo = None
         for _ in range(2):
@@ -237,7 +257,9 @@ def main() -> int:
     if retimed:
         print(
             f"bench: re-timed {len(retimed)} queries whose in-suite value "
-            f"exceeded 1.5x the previous idle profile",
+            f"exceeded 1.5x the previous idle profile"
+            + (f" ({retime_skipped} flagged but past the retime budget)"
+               if retime_skipped else ""),
             file=sys.stderr,
         )
 
@@ -438,6 +460,9 @@ def main() -> int:
         # solo min-of-2 adjudication of every >1.5x in-suite delta vs
         # the previous idle profile (empty map = no deltas to re-time)
         "retimed": retimed,
+        # flagged (>1.5x) but not re-timed because the retime wall
+        # budget ran out — 0 means the adjudication is complete
+        "retime_skipped": retime_skipped,
         "retime_reference_load": prev_profile_load,
         "single_rep": single_rep,
         "queries": times,
