@@ -1,9 +1,11 @@
 """SparkSession factory with engine defaults.
 
-Tuned for correctness parity (UTC session timezone; Spark 4's default
-ANSI mode stays ON — reference behaviors that differ, like the silent
-NaN score drop, are implemented as explicit plan steps, see
-plan.py:_build) and for scale (AQE on with skew handling, parquet
+Tuned for correctness parity (UTC session timezone; ANSI mode pinned
+ON explicitly — Spark 4 defaults to it, but operators like
+behavior.py:funnel_counts contract on loud overflow casts, so the
+engine does not rely on the runtime's default; reference behaviors
+that differ, like the silent NaN score drop, are implemented as
+explicit plan steps, see plan.py:_build) and for scale (AQE on with skew handling, parquet
 pushdown + bloom filters, Arrow for the few pandas-UDF paths). On a
 real cluster the same configs apply; the master URL is the only
 local[...] artifact.
@@ -33,6 +35,11 @@ def get_spark(
         .master(master)
         # deterministic timestamp semantics vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
+        # loud-overflow contract (behavior.py:funnel_counts and every
+        # decimal->long final cast): pinned rather than inherited so a
+        # Spark 3.x runtime (default false) can't silently degrade
+        # overflow errors to NULLs
+        .config("spark.sql.ansi.enabled", "true")
         # runtime re-planning: coalesce small shuffle partitions, split
         # skewed ones — the 100TB-scale safety net for joins/aggs
         .config("spark.sql.adaptive.enabled", "true")

@@ -2574,6 +2574,10 @@ GROUP BY e.vec_id ORDER BY train_id
 
 
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash duplicate groups (operators/dedup.py:duplicate_groups):
+    md5 of lowercase/trimmed text as the content key, per-group doc count
+    and the deterministic keep-id (min doc_id) — the first, cheapest pass
+    of every dedup pipeline; one (key,id) shuffle, safe at any scale."""
     from .operators.dedup import duplicate_groups
 
     return duplicate_groups(load(spark, sf_dir, "documents")).orderBy("content_key")
@@ -10941,31 +10945,11 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_scalar_functions": rel_scalar_functions,
     "text_repetition_filters": text_repetition_filters,
     "dedup_tfidf_cosine_pairs": dedup_tfidf_cosine_pairs,
-    # ---- driver-cap boundary: entries below sit beyond the 50-row
-    # window this round. Round-5 rotation queue (the oracle-paired
-    # queries that will still lack a driver verdict after round 4):
-    # events_cumulative_users, events_rolling_actives,
-    # rel_volume_shipping, rel_returned_customers,
-    # rel_disjunctive_filter, pipeline_domain_filter,
-    # events_covisitation, sim_mmr_rerank, events_seasonal_anomaly,
-    # plus the 13 fourth-wave queries below, the 9 oracle-paired
-    # fifth-wave queries (events_overlap_join, events_cusum_shift,
-    # rel_correlation_matrix, sim_gram_matrix,
-    # dedup_prefix_filter_pairs, pipeline_bootstrap_ci,
-    # rel_table_profile, link_golden_records,
-    # events_attribution_multitouch) and the 16 sixth-to-eighth-wave
-    # queries at the registry tail (the nine TPC-H completions,
-    # events_acf_daily, rel_revenue_trend, events_mann_whitney,
-    # rel_incremental_join, events_chi_square, rel_k_anonymity,
-    # rel_benford_audit, events_woe_hour, events_skew_report,
-    # events_cohort_ltv, events_forecast_eval,
-    # pipeline_curriculum_buckets, events_item_neighbors,
-    # text_heaps_curve) — 54 total: a full
-    # window plus one; round 5
-    # should run them as the window with only the flagship +
-    # production-dedup + eval continuity keeps retained.
-    # Third wave (round 4; beyond this round's driver cap — rotate in
-    # round 5):
+    # (Historical rotation-queue comment removed round 9: it described
+    # the rounds-4/5 rotation era and contradicted the real window-end
+    # marker after entry 50 above. The ONLY driver-cap boundary is that
+    # marker; everything from here down is covered by the per-round
+    # full `scripts/check_oracle.py` sweep, never by driver rows.)
     "rel_order_count_distribution": rel_order_count_distribution,
     "rel_small_qty_revenue": rel_small_qty_revenue,
     "rel_large_orders": rel_large_orders,

@@ -17,6 +17,17 @@ Every driver-contract query (`__spark_entry__.queries()`), its check
 type, and what it demonstrates. Generated from suite docstrings
 (`python scripts/gen_query_index.py`).
 
+**Frozen-registry contract (round 8):** rows 1-50 are the driver's
+correctness window — the per-round recorder samples exactly the FIRST
+50 registry entries, and the registry order in `otters_spark/suite.py`
+was frozen in round 8 (verification-priority order, marker comments at
+the `_REGISTRY` block). Do NOT reorder it: a reorder silently swaps
+which queries get driver-recorded rows and breaks cross-round
+comparability of `CORRECTNESS_r*.json`. Rows 51+ never get driver rows
+again; their current-code correctness statement is the mandatory
+per-round full sweep (`python scripts/check_oracle.py` at sf0.001 /
+0.01 / 0.1, summarized in each `ROUND*_NOTES.md`).
+
 | # | query | check | demonstrates |
 |---|---|---|---|
 """
