@@ -1,0 +1,171 @@
+"""Unit tests for bench.py's pure honesty machinery (round 9).
+
+Two code paths landed in round 9 that a healthy box never exercises in
+a real bench run — the ``value_steady`` substitution fallback (only
+fires when ``retime_skipped`` > 0) and the retimed-map byte budget on
+the one-line JSON (only matters when dozens of queries flag, the
+advisor's 60-entry drifting-box scenario). Both are pure functions so
+they are pinned here with synthetic inputs; no SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import budget_line, steady_substitutions  # noqa: E402
+
+
+# ---------------------------------------------------------------- steady
+
+
+def test_substitution_applied_and_audited():
+    skipped = [("q_a", 4.0), ("q_b", 1.2)]
+    prev = {"q_a": 1.5, "q_b": 0.5}
+    subs = steady_substitutions(skipped, prev)
+    assert set(subs) == {"q_a", "q_b"}
+    assert subs["q_a"] == {
+        "suite": 4.0,
+        "substituted": 1.5,
+        "source": "prev_idle_profile",
+    }
+    # the steady correction main() derives from the audit map
+    correction = sum(r["suite"] - r["substituted"] for r in subs.values())
+    assert abs(correction - (2.5 + 0.7)) < 1e-9
+
+
+def test_substitution_never_inflates_speed():
+    # a prior value >= the suite value must NOT be substituted: steady
+    # may only remove drift, never add a speedup the box didn't show
+    subs = steady_substitutions([("q_a", 1.0)], {"q_a": 1.0})
+    assert subs == {}
+    subs = steady_substitutions([("q_a", 1.0)], {"q_a": 3.0})
+    assert subs == {}
+
+
+def test_no_skips_no_substitutions():
+    assert steady_substitutions([], {"q_a": 1.0}) == {}
+
+
+# ------------------------------------------------------------ line budget
+
+
+def _full(times, retimed, subs):
+    # a realistic headline dict (field set mirrors main()'s `full`)
+    return {
+        "metric": "suite_total_wall_seconds",
+        "value": round(sum(times.values()), 3),
+        "value_steady": round(sum(times.values()) * 0.9, 3),
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": len(times),
+        "single_rep_count": 0,
+        "vector_query_qps": 1.88,
+        "vector_batch_qps": 26.73,
+        "vector_serving_qps": 2.32,
+        "vector_serving_batched_qps": 16.77,
+        "vector_serving_breakdown": {
+            "score_sec_per_query": 0.188,
+            "trigger_overhead_sec_per_query": 0.304,
+        },
+        "load_guard": {
+            "threshold": 0.5, "waited_sec": 0.0, "proceeded_loaded": False,
+        },
+        "load_avg": {"start": [0.0, 0.9, 2.1], "end": [1.2, 1.7, 2.0]},
+        "log_suppression": "org.apache.spark.scheduler.DAGScheduler: x",
+        "box_canary_sec": 0.492,
+        "box_canary_query": "vs_dot_topk",
+        "retimed": retimed,
+        "retime_skipped": 0,
+        "steady_substituted": subs,
+        "retime_reference_load": 0.0,
+        "single_rep": [],
+        "queries": times,
+    }
+
+
+def _drifting_box(n_queries=220, n_retimed=66):
+    # the advisor scenario: 66 flagged entries (~35 bytes each on the
+    # line) on a 220-query suite
+    times = {f"query_name_{i:03d}": round(0.3 + i * 0.01, 3)
+             for i in range(n_queries)}
+    retimed = {
+        f"query_name_{i:03d}": {
+            "suite": round(2.0 + i * 0.01, 3),
+            "solo_min2": round(0.4 + i * 0.005, 3),
+            "prev_idle": round(0.35 + i * 0.004, 3),
+        }
+        for i in range(n_retimed)
+    }
+    flagged_order = sorted(
+        retimed, key=lambda k: -(retimed[k]["suite"] / retimed[k]["prev_idle"])
+    )
+    return times, retimed, flagged_order
+
+
+def test_line_fits_budget_with_drifting_box():
+    times, retimed, order = _drifting_box()
+    subs = {"query_name_000": {"suite": 2.0, "substituted": 0.35,
+                               "source": "prev_idle_profile"}}
+    full = _full(times, retimed, subs)
+    budget = 1800
+    head = budget_line(full, times, order, retimed, subs, budget)
+    line = json.dumps(head, separators=(",", ":"))
+    assert len(line) <= budget
+    # never a partial dict that reads as complete: counters reconcile
+    assert head["retimed_omitted"] == len(retimed) - len(head["retimed"])
+    assert head["queries_omitted"] == len(times) - len(head["queries"])
+    assert head["retimed_omitted"] > 0  # 66 entries cannot all fit
+    assert head["queries_omitted"] > 0
+    # the retimed map alone never starves the queries map (the advisor
+    # failure mode: zero queries on the line)
+    assert len(head["queries"]) > 0
+    # compact forms: retimed values are scalars, substitution is a count
+    assert all(not isinstance(v, dict) for v in head["retimed"].values())
+    assert head["steady_substituted"] == 1
+    # headline fields always survive
+    for k in ("value", "value_steady", "box_canary_sec", "retime_skipped"):
+        assert k in head
+    # full per-query detail is pointed at, not inlined
+    assert head["queries_full"] == "BENCH_FULL.json"
+    assert "single_rep" not in head
+
+
+def test_retimed_fill_order_is_largest_ratio_first():
+    times, retimed, order = _drifting_box(n_retimed=66)
+    head = budget_line(_full(times, retimed, {}), times, order, retimed,
+                       {}, 1800)
+    included = list(head["retimed"])
+    # the entries on the line must be a prefix of the flagged (ratio-
+    # sorted) order — the ones a grader reads first
+    assert included == order[: len(included)]
+
+
+def test_queries_fill_is_slowest_first():
+    times, retimed, order = _drifting_box(n_retimed=0)
+    head = budget_line(_full(times, {}, {}), times, [], {}, {}, 1800)
+    included = list(head["queries"])
+    by_cost = sorted(times, key=lambda k: (-times[k], k))
+    assert included == by_cost[: len(included)]
+
+
+def test_everything_fits_when_small():
+    times = {"q_a": 1.0, "q_b": 2.0}
+    retimed = {"q_a": {"suite": 3.0, "solo_min2": 1.0, "prev_idle": 0.9}}
+    head = budget_line(_full(times, retimed, {}), times, ["q_a"], retimed,
+                       {}, 1800)
+    assert head["queries_omitted"] == 0
+    assert head["retimed_omitted"] == 0
+    assert head["queries"] == times
+    assert head["retimed"] == {"q_a": 1.0}
+
+
+def test_none_times_sort_safely():
+    # a failed query records None; the cost sort must not raise
+    times = {"q_a": None, "q_b": 2.0}
+    head = budget_line(_full({"q_b": 2.0}, {}, {}) | {"queries": times},
+                       times, [], {}, {}, 1800)
+    assert head["queries"] == {"q_b": 2.0, "q_a": None}
