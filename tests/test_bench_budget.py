@@ -77,7 +77,10 @@ def _full(times, retimed, subs):
         "load_avg": {"start": [0.0, 0.9, 2.1], "end": [1.2, 1.7, 2.0]},
         "log_suppression": "org.apache.spark.scheduler.DAGScheduler: x",
         "box_canary_sec": 0.492,
+        "box_canary_pre": 1.025,
+        "box_canary_post": 0.492,
         "box_canary_query": "vs_dot_topk",
+        "cpu_steal_delta_sec": 523.9,
         "retimed": retimed,
         "retime_skipped": 0,
         "steady_substituted": subs,
@@ -121,8 +124,14 @@ def test_line_fits_budget_with_drifting_box():
     assert head["retimed_omitted"] > 0  # 66 entries cannot all fit
     assert head["queries_omitted"] > 0
     # the retimed map alone never starves the queries map (the advisor
-    # failure mode: zero queries on the line)
-    assert len(head["queries"]) > 0
+    # failure mode: zero queries on the line) — the fixed reserve
+    # guarantees room for at least ~20 query entries
+    assert len(head["queries"]) >= 15
+    # and the fixed headline fields never starve the retimed map (the
+    # round-9 regression: a relative budget//2 cap fell below the base
+    # head size once the canary/steal fields landed, putting ZERO
+    # retimed entries on the line of the exact runs that need them)
+    assert len(head["retimed"]) >= 3
     # compact forms: retimed values are scalars, substitution is a count
     assert all(not isinstance(v, dict) for v in head["retimed"].values())
     assert head["steady_substituted"] == 1
