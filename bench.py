@@ -41,6 +41,28 @@ def read_cpu_steal_sec() -> float | None:
         return None
 
 
+def parse_prev_profile(prev: dict, sf: float | None) -> tuple[dict, object]:
+    """Extract the per-query reference map from a committed
+    BENCH_FULL.json dict (round-8 machinery, extracted pure round 9 —
+    tests/test_bench_budget.py). Only trusted at the same SF (a
+    cross-SF reference would flag every query or none). Null times
+    (failed queries) are dropped. The prior run's solo re-times are
+    better measurements of the same quantity than its raw in-suite
+    values (which may be single-rep/cold past the wall budget, or
+    inflated by the position noise the re-time existed to adjudicate)
+    — prefer the min so the >1.5x guard stays sensitive for tail
+    queries. Returns (profile, prior run's start load) — ({}, None)
+    when the SF doesn't match."""
+    if prev.get("sf") != sf:
+        return {}, None
+    profile = {k: v for k, v in (prev.get("queries") or {}).items() if v}
+    for k, rec in (prev.get("retimed") or {}).items():
+        solo = rec.get("solo_min2") if isinstance(rec, dict) else None
+        if solo:
+            profile[k] = min(profile.get(k, solo), solo)
+    return profile, (prev.get("load_avg") or {}).get("start")
+
+
 def steady_substitutions(
     skipped_flagged: list[tuple[str, float]],
     prev_profile: dict[str, float],
@@ -227,19 +249,7 @@ def main() -> int:
     try:
         with open(os.path.join(here, "BENCH_FULL.json")) as f:
             _prev = json.load(f)
-        if _prev.get("sf") == sf:
-            prev_profile = {
-                k: v for k, v in (_prev.get("queries") or {}).items() if v
-            }
-            # the prior run's solo re-times are better measurements of
-            # the same quantity than its raw in-suite values (which may
-            # be single-rep/cold past the wall budget) — prefer them so
-            # the >1.5x guard stays sensitive for tail queries
-            for k, rec in (_prev.get("retimed") or {}).items():
-                solo = rec.get("solo_min2") if isinstance(rec, dict) else None
-                if solo:
-                    prev_profile[k] = min(prev_profile.get(k, solo), solo)
-            prev_profile_load = (_prev.get("load_avg") or {}).get("start")
+        prev_profile, prev_profile_load = parse_prev_profile(_prev, sf)
     except Exception:
         pass
 

@@ -18,9 +18,53 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import (  # noqa: E402
     budget_line,
+    parse_prev_profile,
     steady_substitutions,
     wait_for_quiet_box,
 )
+
+
+# ----------------------------------------------------------- prev profile
+
+
+def test_prev_profile_requires_same_sf():
+    prev = {"sf": 0.01, "queries": {"q_a": 1.0}}
+    assert parse_prev_profile(prev, 0.1) == ({}, None)
+    assert parse_prev_profile(prev, None) == ({}, None)
+
+
+def test_prev_profile_prefers_solo_retimes_and_drops_nulls():
+    prev = {
+        "sf": 0.1,
+        "queries": {"q_a": 3.0, "q_b": 1.0, "q_failed": None},
+        "retimed": {
+            "q_a": {"suite": 3.0, "solo_min2": 0.5, "prev_idle": 0.4},
+            # a failed solo re-time must not shadow the in-suite value
+            "q_b": {"suite": 1.0, "solo_min2": None, "prev_idle": 0.9},
+            # a retimed-only query (suite value was null) still lands
+            "q_failed": {"suite": 9.0, "solo_min2": 2.0, "prev_idle": 1.5},
+        },
+        "load_avg": {"start": [0.1, 0.2, 0.3]},
+    }
+    profile, load = parse_prev_profile(prev, 0.1)
+    assert profile == {"q_a": 0.5, "q_b": 1.0, "q_failed": 2.0}
+    assert load == [0.1, 0.2, 0.3]
+
+
+def test_prev_profile_solo_never_raises_reference():
+    # a solo re-time WORSE than the in-suite value (contended retime
+    # pass, round-9 run 5) must not loosen the >1.5x flag threshold
+    prev = {
+        "sf": 0.1,
+        "queries": {"q_a": 0.5},
+        "retimed": {"q_a": {"suite": 0.5, "solo_min2": 1.2, "prev_idle": 0.4}},
+    }
+    profile, _ = parse_prev_profile(prev, 0.1)
+    assert profile == {"q_a": 0.5}
+
+
+def test_prev_profile_tolerates_missing_sections():
+    assert parse_prev_profile({"sf": 0.1}, 0.1) == ({}, None)
 
 
 class FakeBox:
