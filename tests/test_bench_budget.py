@@ -112,7 +112,8 @@ def test_guard_passes_quiet_box_immediately():
     box = FakeBox(load_at=lambda t: 0.1, steal_rate_at=lambda t: 0.05)
     g = box.run()
     assert g["proceeded_loaded"] is False
-    assert g["steal_rate_start"] == 0.05
+    assert g["steal_rate_first"] == 0.05
+    assert g["steal_rate_last"] == 0.05
     assert g["waited_sec"] == 5.0  # exactly one steal sample window
 
 
@@ -125,7 +126,10 @@ def test_guard_waits_out_steal_burst_at_low_load():
     )
     g = box.run()
     assert g["proceeded_loaded"] is False
-    assert g["steal_rate_start"] == 0.11  # the sample that cleared it
+    # round-10 advisor fix: both ends of the wait are recorded — the
+    # burst the guard walked into AND the quiet sample that cleared it
+    assert g["steal_rate_first"] == 0.55
+    assert g["steal_rate_last"] == 0.11
     assert g["waited_sec"] >= 60.0  # did not start inside the burst
 
 
@@ -140,7 +144,27 @@ def test_guard_skips_steal_signal_off_linux():
     box = FakeBox(load_at=lambda t: 0.1, steal_rate_at=lambda t: 9.9)
     g = box.run(steal_fn=lambda: None)  # /proc/stat unreadable
     assert g["proceeded_loaded"] is False
-    assert g["steal_rate_start"] is None
+    assert g["steal_rate_first"] is None
+    assert g["steal_rate_last"] is None
+
+
+def test_guard_zero_wait_budget_still_samples_steal():
+    # round-10 advisor fix: SPARK_GRAFT_BENCH_LOAD_WAIT=0 opts out of
+    # WAITING, not of measuring — a hot host must still be detected
+    # (previously the poll loop never ran, steal stayed None, and
+    # proceeded_loaded considered only load average)
+    box = FakeBox(load_at=lambda t: 0.1, steal_rate_at=lambda t: 0.55)
+    g = box.run(wait_budget=0.0)
+    assert g["steal_rate_first"] == 0.55
+    assert g["steal_rate_last"] == 0.55
+    assert g["proceeded_loaded"] is True
+
+
+def test_guard_zero_wait_budget_quiet_box_proceeds_clean():
+    box = FakeBox(load_at=lambda t: 0.1, steal_rate_at=lambda t: 0.05)
+    g = box.run(wait_budget=0.0)
+    assert g["steal_rate_last"] == 0.05
+    assert g["proceeded_loaded"] is False
 
 
 # ---------------------------------------------------------------- steady
@@ -183,6 +207,7 @@ def _full(times, retimed, subs):
         "metric": "suite_total_wall_seconds",
         "value": round(sum(times.values()), 3),
         "value_steady": round(sum(times.values()) * 0.9, 3),
+        "value_steady_nosub": round(sum(times.values()) * 0.92, 3),
         "unit": "sec",
         "sf": 0.1,
         "n_queries": len(times),
@@ -204,6 +229,10 @@ def _full(times, retimed, subs):
         "box_canary_pre": 1.025,
         "box_canary_post": 0.492,
         "box_canary_query": "vs_dot_topk",
+        "duckdb_anchor": {"sec": 151.204, "n_queries": 228, "failed": 0},
+        "duckdb_anchor_sec": 151.204,
+        "duckdb_anchor_failed": 0,
+        "anchor_ratio_steady": 1.671,
         "cpu_steal_delta_sec": 523.9,
         "retimed": retimed,
         "retime_skipped": 0,
@@ -260,11 +289,15 @@ def test_line_fits_budget_with_drifting_box():
     assert all(not isinstance(v, dict) for v in head["retimed"].values())
     assert head["steady_substituted"] == 1
     # headline fields always survive
-    for k in ("value", "value_steady", "box_canary_sec", "retime_skipped"):
+    for k in ("value", "value_steady", "value_steady_nosub",
+              "box_canary_sec", "retime_skipped", "duckdb_anchor_sec",
+              "anchor_ratio_steady", "duckdb_anchor_failed"):
         assert k in head
     # full per-query detail is pointed at, not inlined
     assert head["queries_full"] == "BENCH_FULL.json"
     assert "single_rep" not in head
+    # anchor scalars on the line, the {sec,n,failed} dict only in FULL
+    assert "duckdb_anchor" not in head
 
 
 def test_retimed_fill_order_is_largest_ratio_first():
