@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import (  # noqa: E402
     budget_line,
     parse_prev_profile,
+    run_duckdb_anchor,
     steady_substitutions,
     wait_for_quiet_box,
 )
@@ -196,6 +197,56 @@ def test_substitution_never_inflates_speed():
 
 def test_no_skips_no_substitutions():
     assert steady_substitutions([], {"q_a": 1.0}) == {}
+
+
+# ---------------------------------------------------------- duckdb anchor
+
+
+def test_duckdb_anchor_counts_failures_and_survives_bad_generators(
+    monkeypatch,
+):
+    """The anchor must never be fatal: per-oracle failures are counted
+    (a short denominator can only overstate the gate ratio, never hide
+    a regression) and a DYNAMIC_ORACLES generator that raises leaves
+    the stale SQL to fail — and be counted — below. Oracles are
+    monkeypatched so this runs in milliseconds; the real 220-oracle
+    path is exercised by every bench run (BENCH_FULL.json's
+    duckdb_anchor record)."""
+    import otters_spark.suite as suite
+
+    monkeypatch.setattr(
+        suite,
+        "ORACLE_SQL",
+        {
+            "ok_const": "SELECT 1 AS x",
+            "ok_scan": "SELECT count(*) AS n FROM region",
+            "bad_sql": "SELECT * FROM no_such_table",
+            "dyn_q": "SELECT broken syntax !!",  # stale; generator raises
+        },
+    )
+    monkeypatch.setattr(
+        suite,
+        "DYNAMIC_ORACLES",
+        {"dyn_q": lambda sf_dir: (_ for _ in ()).throw(RuntimeError("boom"))},
+    )
+    rec = run_duckdb_anchor("/root/testdata/sf0.001")
+    assert rec["n_queries"] == 4
+    assert rec["failed"] == 2  # bad_sql + the stale dyn_q SQL
+    assert rec["sec"] > 0.0
+
+
+def test_duckdb_anchor_regenerates_dynamic_oracles(monkeypatch):
+    # a working generator's SQL replaces the committed (sf-bound) one
+    import otters_spark.suite as suite
+
+    monkeypatch.setattr(
+        suite, "ORACLE_SQL", {"dyn_q": "SELECT * FROM no_such_table"}
+    )
+    monkeypatch.setattr(
+        suite, "DYNAMIC_ORACLES", {"dyn_q": lambda sf_dir: "SELECT 2 AS x"}
+    )
+    rec = run_duckdb_anchor("/root/testdata/sf0.001")
+    assert rec == {"sec": rec["sec"], "n_queries": 1, "failed": 0}
 
 
 # ------------------------------------------------------------ line budget
