@@ -8,6 +8,15 @@
 # UI-dir conflicts) and a round-robin slice of tests/test_*.py sorted
 # by name (deterministic membership: shard i takes files i, i+N, ...).
 #
+# Shard membership: greedy longest-processing-time assignment from the
+# measured per-file cost table scripts/test_costs.tsv (files the table
+# doesn't know get the median cost; regenerate the table per its header
+# comment when it drifts). Round-robin by sorted name left shard walls
+# at 442/311/173/191 s on a quiet box — three files carry ~120 s each —
+# while LPT balances them near the ~295 s ideal. Falls back to
+# round-robin if the table is missing. Assignment is deterministic
+# either way.
+#
 # Usage:   scripts/run_tests.sh [N_SHARDS]          # default 4
 # Env:     SPARK_GRAFT_TEST_CPUS per-process Spark threads (default 4)
 # Exit:    0 iff every shard exits 0; per-shard tails and a combined
@@ -20,14 +29,42 @@ N="${1:-4}"
 outdir="${TMPDIR:-/tmp}/otters_test_shards.$$"
 mkdir -p "$outdir"
 
-mapfile -t files < <(ls tests/test_*.py | sort)
+N="$N" python - "$outdir" <<'PYEOF'
+import glob, os, statistics, sys
+
+outdir = sys.argv[1]
+n = int(os.environ["N"])
+files = sorted(glob.glob("tests/test_*.py"))
+costs = {}
+try:
+    for line in open("scripts/test_costs.tsv"):
+        if line.startswith("#") or not line.strip():
+            continue
+        f, c = line.rsplit("\t", 1)
+        costs[f] = float(c)
+except OSError:
+    pass
+shards = [[] for _ in range(n)]
+if costs:
+    default = statistics.median(costs.values())
+    load = [0.0] * n
+    # longest first, to the least-loaded shard; ties by name for determinism
+    for f in sorted(files, key=lambda f: (-costs.get(f, default), f)):
+        i = min(range(n), key=lambda i: load[i])
+        shards[i].append(f)
+        load[i] += costs.get(f, default)
+else:
+    for j, f in enumerate(files):
+        shards[j % n].append(f)
+for i, shard in enumerate(shards):
+    with open(os.path.join(outdir, f"shard{i}.lst"), "w") as out:
+        out.write("\n".join(shard))
+PYEOF
+
 pids=()
 for ((i = 0; i < N; i++)); do
-  shard=()
-  for ((j = i; j < ${#files[@]}; j += N)); do
-    shard+=("${files[j]}")
-  done
-  [ "${#shard[@]}" -eq 0 ]  && continue
+  mapfile -t shard < "$outdir/shard$i.lst"
+  [ "${#shard[@]}" -eq 0 ] && continue
   python -m pytest "${shard[@]}" -q >"$outdir/shard$i.log" 2>&1 &
   pids+=($!)
 done
