@@ -569,11 +569,30 @@ def main() -> int:
     # immediately after the suite+retime window so both sides of the
     # 2x gate ratio see the same box state. Opt out with
     # SPARK_GRAFT_BENCH_DUCKDB_ANCHOR=0 (e.g. quick local iteration).
+    # Deadline-guarded: the anchor adds ~150 s quiet / ~250 s contended,
+    # and on a badly drifting box the suite+retime window alone can run
+    # ~20 minutes — skipping past the deadline keeps the whole bench
+    # inside the recorder's window, and the skip is recorded (never
+    # silent): duckdb_anchor_skipped says why the ratio is null.
     duckdb_anchor = None
-    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_ANCHOR", "1") != "0":
+    duckdb_anchor_skipped = None
+    anchor_deadline = float(
+        os.environ.get("SPARK_GRAFT_BENCH_ANCHOR_DEADLINE", "1500")
+    )
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_ANCHOR", "1") == "0":
+        duckdb_anchor_skipped = "disabled"
+    elif time.perf_counter() - bench_start > anchor_deadline:
+        duckdb_anchor_skipped = (
+            f"past {anchor_deadline:.0f}s deadline "
+            f"(suite+retime took {time.perf_counter() - bench_start:.0f}s)"
+        )
+        print(f"bench: duckdb anchor skipped: {duckdb_anchor_skipped}",
+              file=sys.stderr)
+    else:
         try:
             duckdb_anchor = run_duckdb_anchor(sf_dir)
         except Exception as e:
+            duckdb_anchor_skipped = f"failed: {e}"
             print(f"bench: duckdb anchor failed: {e}", file=sys.stderr)
 
     # Steady-state headline (round-8): past the wall budget queries run
@@ -806,6 +825,10 @@ def main() -> int:
         # ratio should be computed against THIS, not a different
         # session's anchor.
         "duckdb_anchor": duckdb_anchor,
+        # non-null iff the anchor did not run: "disabled" (env opt-out),
+        # "past ...s deadline" (suite+retime already too long for the
+        # recorder window), or "failed: ..."
+        "duckdb_anchor_skipped": duckdb_anchor_skipped,
         "duckdb_anchor_sec": duckdb_anchor["sec"] if duckdb_anchor else None,
         # nonzero = the anchor is missing work; read the ratio with
         # suspicion (denominator too small makes Spark look worse, so

@@ -281,6 +281,7 @@ def _full(times, retimed, subs):
         "box_canary_post": 0.492,
         "box_canary_query": "vs_dot_topk",
         "duckdb_anchor": {"sec": 151.204, "n_queries": 228, "failed": 0},
+        "duckdb_anchor_skipped": None,
         "duckdb_anchor_sec": 151.204,
         "duckdb_anchor_failed": 0,
         "anchor_ratio_steady": 1.671,
