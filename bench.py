@@ -241,6 +241,36 @@ def wait_for_quiet_box(
     return guard
 
 
+# The parquet tables every oracle view set is built from — single
+# source of truth for bench's anchor AND scripts/check_oracle.py
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def regenerate_oracles(sf_dir: str) -> dict[str, str]:
+    """The suite's oracle SQL with every data-derived entry
+    (DYNAMIC_ORACLES) regenerated for this sf_dir — the committed
+    strings are bound to sf0.01 at import. A generator that raises is
+    tolerated: the stale SQL stays in the map and fails (and is
+    counted) where it runs. Shared by run_duckdb_anchor and
+    scripts/check_oracle.py so the regeneration discipline can't
+    drift between the gate and the anchor."""
+    from otters_spark.suite import DYNAMIC_ORACLES, ORACLE_SQL
+
+    oracles = dict(ORACLE_SQL)
+    for dname, gen in DYNAMIC_ORACLES.items():
+        try:
+            oracles[dname] = gen(sf_dir)
+        except Exception as e:
+            print(
+                f"bench: could not regenerate dynamic oracle {dname}: {e}",
+                file=sys.stderr,
+            )
+    return oracles
+
+
 def run_duckdb_anchor(sf_dir: str) -> dict:
     """Same-session DuckDB anchor (round-10, VERDICT item 2): run the
     suite's own oracle SQL — the exact statements the driver's
@@ -255,47 +285,58 @@ def run_duckdb_anchor(sf_dir: str) -> dict:
     computed within one box-state — both numerator and denominator
     breathe with the same hypervisor.
 
-    Mirrors scripts/check_oracle.py's setup: one in-memory connection,
-    a view per parquet table, data-derived oracles regenerated for
-    this sf_dir. Results are materialized with fetchall() so each
-    query's full pipeline runs. Per-query failures are counted, never
-    fatal — an anchor with failures > 0 should be read with suspicion
-    (the ratio's denominator is missing work) and says so in-artifact."""
+    Same setup as scripts/check_oracle.py (which imports TABLES and
+    regenerate_oracles from here so the two can't drift): one
+    in-memory connection, a view per parquet table, data-derived
+    oracles regenerated for this sf_dir. Results are materialized with
+    fetchall() so each query's full pipeline runs. Per-query failures
+    are counted, never fatal — an anchor with failures > 0 should be
+    read with suspicion (the ratio's denominator is missing work) and
+    says so in-artifact."""
     import duckdb
 
-    from otters_spark.suite import DYNAMIC_ORACLES, ORACLE_SQL
-
-    tables = (
-        "region nation customer supplier part orders lineitem "
-        "events documents embeddings"
-    ).split()
-    oracles = dict(ORACLE_SQL)
-    for dname, gen in DYNAMIC_ORACLES.items():
-        try:
-            oracles[dname] = gen(sf_dir)
-        except Exception:
-            pass  # counted as a failure when the stale SQL errors below
+    oracles = regenerate_oracles(sf_dir)
+    tables = TABLES
     con = duckdb.connect()
-    try:  # keep the bench tail clean for the driver's stdout window
-        con.execute("SET enable_progress_bar = false")
-    except Exception:
-        pass
-    failed = 0
-    t0 = time.perf_counter()
-    for t in tables:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    for name, sql in oracles.items():
-        try:
-            con.sql(sql).fetchall()
-        except Exception as e:
-            failed += 1
-            print(f"bench: duckdb anchor {name} failed: {e}", file=sys.stderr)
-    wall = time.perf_counter() - t0
-    con.close()
-    return {"sec": round(wall, 3), "n_queries": len(oracles), "failed": failed}
+    try:
+        try:  # keep the bench tail clean for the driver's stdout window
+            con.execute("SET enable_progress_bar = false")
+        except Exception:
+            pass
+        failed = 0
+        t0 = time.perf_counter()
+        for t in tables:
+            # per-table, not one block: a single missing/unreadable
+            # parquet must cost only the queries that touch it (counted
+            # below), never null out the whole anchor
+            try:
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                )
+            except Exception as e:
+                print(f"bench: duckdb anchor view {t} failed: {e}",
+                      file=sys.stderr)
+        for name, sql in oracles.items():
+            try:
+                con.sql(sql).fetchall()
+            except Exception as e:
+                failed += 1
+                print(f"bench: duckdb anchor {name} failed: {e}",
+                      file=sys.stderr)
+        wall = time.perf_counter() - t0
+        return {
+            "sec": round(wall, 3), "n_queries": len(oracles), "failed": failed,
+        }
+    finally:
+        con.close()
 
 
 def main() -> int:
+    # wall reference for the anchor deadline below: from PROCESS start,
+    # so the guard wait, Spark startup, warmup and pre-canary all count
+    # against it — a contended box that burned its budget on the prelude
+    # must not then add a ~250 s anchor on top
+    process_start = time.perf_counter()
     # Quiet-box guard (round-7, VERDICT item 2; tightened round 8;
     # steal signal added round 9): BENCH_r06 was contaminated by a
     # non-idle box (text_ngram_novelty 23.0 s vs 3.8 s re-measured on
@@ -581,10 +622,10 @@ def main() -> int:
     )
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_ANCHOR", "1") == "0":
         duckdb_anchor_skipped = "disabled"
-    elif time.perf_counter() - bench_start > anchor_deadline:
+    elif time.perf_counter() - process_start > anchor_deadline:
         duckdb_anchor_skipped = (
-            f"past {anchor_deadline:.0f}s deadline "
-            f"(suite+retime took {time.perf_counter() - bench_start:.0f}s)"
+            f"past {anchor_deadline:.0f}s deadline (guard+suite+retime "
+            f"took {time.perf_counter() - process_start:.0f}s)"
         )
         print(f"bench: duckdb anchor skipped: {duckdb_anchor_skipped}",
               file=sys.stderr)
@@ -592,7 +633,9 @@ def main() -> int:
         try:
             duckdb_anchor = run_duckdb_anchor(sf_dir)
         except Exception as e:
-            duckdb_anchor_skipped = f"failed: {e}"
+            # bounded: this string lands on the byte-budgeted one-liner,
+            # and DuckDB exception texts can carry candidate lists/paths
+            duckdb_anchor_skipped = f"failed: {e}"[:120]
             print(f"bench: duckdb anchor failed: {e}", file=sys.stderr)
 
     # Steady-state headline (round-8): past the wall budget queries run

@@ -18,7 +18,9 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+# shared with bench.py's same-session anchor so the view set and the
+# dynamic-oracle regeneration discipline can't drift between the two
+from bench import TABLES, regenerate_oracles  # noqa: E402
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -56,16 +58,11 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from otters_spark.session import get_spark
-    from otters_spark.suite import DYNAMIC_ORACLES, ORACLE_SQL, QUERIES
+    from otters_spark.suite import QUERIES
 
-    ORACLE_SQL = dict(ORACLE_SQL)
     # data-derived oracles are bound to sf0.01 at import; regenerate
-    # for whatever sf_dir this check runs at
-    for dname, gen in DYNAMIC_ORACLES.items():
-        try:
-            ORACLE_SQL[dname] = gen(sf_dir)
-        except Exception as e:
-            print(f"WARN could not regenerate dynamic oracle {dname}: {e}")
+    # for whatever sf_dir this check runs at (shared helper with bench)
+    ORACLE_SQL = regenerate_oracles(sf_dir)
 
     only = set(sys.argv[2:])
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=16)

@@ -23,13 +23,13 @@
 #          pass/fail tally are printed either way. Full logs land in
 #          $TMPDIR/otters_test_shards.<pid>/shard<i>.log.
 set -u
-cd "$(dirname "$0")/.."
+cd "$(dirname "$0")/.." || exit 1
 
 N="${1:-4}"
 outdir="${TMPDIR:-/tmp}/otters_test_shards.$$"
 mkdir -p "$outdir"
 
-N="$N" python - "$outdir" <<'PYEOF'
+N="$N" python - "$outdir" <<'PYEOF' || { echo "ERROR: shard assignment failed"; exit 1; }
 import glob, os, statistics, sys
 
 outdir = sys.argv[1]
@@ -40,8 +40,11 @@ try:
     for line in open("scripts/test_costs.tsv"):
         if line.startswith("#") or not line.strip():
             continue
-        f, c = line.rsplit("\t", 1)
-        costs[f] = float(c)
+        try:
+            f, c = line.rsplit("\t", 1)
+            costs[f] = float(c)
+        except ValueError:
+            pass  # malformed row: that file just gets the median cost
 except OSError:
     pass
 shards = [[] for _ in range(n)]
@@ -69,6 +72,13 @@ for ((i = 0; i < N; i++)); do
   pids+=($!)
 done
 
+# a runner that launched nothing must never read as green (empty test
+# glob, or every shard list empty) — zero tests executed is a failure
+if [ "${#pids[@]}" -eq 0 ]; then
+  echo "ERROR: no test shards launched (no tests/test_*.py matched?)"
+  exit 1
+fi
+
 rc=0
 for ((i = 0; i < ${#pids[@]}; i++)); do
   if ! wait "${pids[i]}"; then
@@ -77,9 +87,12 @@ for ((i = 0; i < ${#pids[@]}; i++)); do
   echo "--- shard $i: $(tail -n 1 "$outdir/shard$i.log")"
 done
 
-# combined tally across shard summary lines ("N passed", "M failed", ...)
+# combined tally over ONLY the pytest -q summary lines ("126 passed,
+# 2 skipped in 221.81s") — anchored to digit-start + trailing "in Ns"
+# so captured test output that merely CONTAINS "N passed" (a test that
+# shells out to another pytest, say) can't inflate the counts
 awk '
-  /[0-9]+ (passed|failed|error|skipped)/ {
+  /^[0-9]+ (passed|failed|error|skipped)/ && / in [0-9.]+s/ {
     for (k = 1; k <= NF; k++) {
       if ($(k+1) ~ /^passed/)  p += $k
       if ($(k+1) ~ /^failed/)  f += $k
