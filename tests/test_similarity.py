@@ -716,3 +716,64 @@ def test_pq_srp_differential_fuzz(spark):
         exact = {i: float(((X[i] - q) ** 2).sum()) for i in cand}
         ref = sorted(cand, key=lambda i: (exact[i], i))[:k]
         assert got == ref, f"seed {seed}"
+
+
+def test_per_query_topk_matches_naive_window(emb, spark):
+    """per_query_topk (partial top-k then bounded window) must return
+    EXACTLY the rows the naive Window.partitionBy(query_id) returns,
+    for both orderings — it is the scale-safe replacement for that
+    window (round-11 weak-plan fix), not an approximation."""
+    from pyspark.sql.window import Window
+
+    from otters_spark.functions.vector import queries_df, score_expr
+    from otters_spark.operators.similarity import per_query_topk
+    from otters_spark.store import INV_NORM_COL, VecStore
+
+    store = VecStore.from_df(emb, vec_col="embedding", dim=64, validate=False)
+    qdf = queries_df(spark, [Q7, Q11])
+    for metric, ascending in (("cosine", False), ("euclidean", True)):
+        scored = store.df.crossJoin(F.broadcast(qdf)).withColumn(
+            "score",
+            score_expr(
+                "embedding", "qvec", metric, INV_NORM_COL, F.col("q_inv_norm")
+            ),
+        ).select("query_id", "vec_id", "score", "label")
+        direction = (
+            F.col("score").asc() if ascending else F.col("score").desc()
+        )
+        w = Window.partitionBy("query_id").orderBy(direction, F.col("vec_id"))
+        naive = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 7)
+            .drop("rn")
+        )
+        got = per_query_topk(scored, 7, ascending=ascending)
+        key = lambda r: (r["query_id"], r["vec_id"])
+        assert sorted(got.collect(), key=key) == sorted(
+            naive.collect(), key=key
+        ), metric
+
+
+def test_per_query_topk_bounded_state_across_batches(spark):
+    """The partial pass must keep a running top-k ACROSS Arrow batches
+    (not just within one): force multiple tiny batches through one
+    partition and check exactness."""
+    from otters_spark.operators.similarity import per_query_topk
+
+    rows = [(qid, i, float((i * 37 + qid * 11) % 101))
+            for qid in (0, 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "query_id int, vec_id long, score double")
+    df = df.coalesce(1)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        got = sorted(
+            (r["query_id"], r["vec_id"]) for r in per_query_topk(df, 3).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    expect = []
+    for qid in (0, 1):
+        vals = [(qid, i, float((i * 37 + qid * 11) % 101)) for i in range(500)]
+        vals.sort(key=lambda t: (-t[2], t[1]))
+        expect += [(qid, i) for _, i, _ in vals[:3]]
+    assert got == sorted(expect)
