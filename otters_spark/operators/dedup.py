@@ -29,6 +29,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.scan import spread_small_scan
 from ..functions.text import (
     distinct_tokens_expr,
     est_jaccard_from_sigs_expr,
@@ -498,7 +499,9 @@ def jaccard_pairs_blocked_matmul(
     # Catalyst has no CSE across the filter/project boundary (measured
     # +1.7 s at sf0.1, a full extra tokenize pass). NULL token sets are
     # dropped inside the kernel instead, where it costs nothing.
-    base = df.select(
+    # round 11: widen a narrow scan before the (expensive) tokenize —
+    # the counts branch below stays on the raw df (it only counts rows)
+    base = spread_small_scan(df).select(
         F.col(id_col).alias("__id"), toks.alias("__w"), *[F.col(c) for c in block_cols]
     )
     # per-block doc counts are tiny (one row per distinct block key) —

@@ -28,6 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.scan import spread_small_scan
 from ..functions.text import tokens_expr, word_ngrams_expr
 
 __all__ = ["fuzzy_join_candidates", "fuzzy_best_match",
@@ -53,7 +54,9 @@ def _shingle_side(
     re-evaluates per EXPLODED row (measured 6x on this query). The
     gram crosses the shuffle as one xxhash64 long instead of the gram
     bytes (the keyed convention of ``dedup.jaccard_pairs_exploded``)."""
-    base = df.select(F.col(id_col).alias(out_id), tokens_expr(text_col).alias("__w"))
+    base = spread_small_scan(df).select(
+        F.col(id_col).alias(out_id), tokens_expr(text_col).alias("__w")
+    )  # round 11: widen before tokenize (guide §2.5)
     grams = F.array_distinct(word_ngrams_expr(F.col("__w"), ngram))
     sized = base.select(
         out_id, F.size(grams).alias(f"__n_{out_id}"), F.col("__w")
@@ -231,7 +234,7 @@ def entity_clusters(
                 )
                 .select("id_a", "id_b")
             )
-        shing = records.select(
+        shing = spread_small_scan(records).select(
             F.col(id_col).alias("__id"),
             F.transform(
                 F.array_distinct(

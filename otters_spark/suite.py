@@ -42,6 +42,10 @@ def _sql_vec(q: list[float]) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Scans stay as-read here: the single-row-group test parquet IS
+    # narrow, but widening every consumer taxes the cheap-codegen ones
+    # (measured round 11). The per-row-heavy operators widen their own
+    # input via functions.scan.spread_small_scan instead.
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
