@@ -41,6 +41,7 @@ from dataclasses import dataclass
 from functools import reduce
 from typing import Sequence
 
+from ..functions.scan import spread_small_scan
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
@@ -363,6 +364,12 @@ def profile_table(
             aggs.append(
                 F.max(F.col(c)).cast("string").alias(f"__his_{i}")
             )
+    # round 11: widening the scan here was measured 3.0 -> 2.4 s at
+    # sf0.1 but REVERTED — the 6-dp rounded mean sits on an
+    # accumulation-order knife edge (l_discount at sf0.01 flips
+    # 0.049918/0.049919 when the double sum's partition order changes),
+    # and result identity outranks the win. The narrow-scan cost is
+    # bench-scale only; at 100 TB the scan arrives already split.
     row = df.agg(*aggs)
     if exact_distinct:
         melted = df.select(

