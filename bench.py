@@ -673,6 +673,8 @@ def main() -> int:
     batch_qps = None
     serving_qps = None
     serving_batched_qps = None
+    serving_steady_qps = None
+    serving_batched_steady_qps = None
     serving_breakdown = None
     try:
         import numpy as np
@@ -802,6 +804,67 @@ def main() -> int:
             }
             _serving_pass("batch_warm", None)
             serving_batched_qps = round(_serving_pass("batch_run", None), 2)
+
+            # Steady-state serving tiers (round-11, VERDICT item 3):
+            # the tiers above re-create the stream per pass, so their
+            # wall includes stream START-UP (fresh checkpoint dir,
+            # first file-source listing, codegen) — round 10 measured
+            # the batched tier anywhere between 8.05 and 20.3 QPS on
+            # identical code because that setup cost rode the clock.
+            # Here ONE long-lived stream is warmed on an initial batch
+            # of query files, then NEW files are dropped into the same
+            # source dir and only processAllAvailable() on the warm
+            # stream is timed — the state a deployed server actually
+            # serves in. Setup (the tiers above) and steady state
+            # (these) are now separate artifact fields.
+            def _steady_pass(
+                tag: str, files_per_trigger: int | None, n_rounds: int = 2
+            ) -> float:
+                qdir = tempfile.mkdtemp(prefix=f"bench_serve_q_{tag}_")
+                ckpt = tempfile.mkdtemp(prefix=f"bench_serve_ck_{tag}_")
+                try:
+                    def drop_files(salt: int) -> None:
+                        for i, q in enumerate(qs):
+                            spark.createDataFrame(
+                                [(salt * len(qs) + i, q)],
+                                "query_id int, qvec array<float>",
+                            ).coalesce(1).write.mode("append").parquet(qdir)
+
+                    drop_files(0)
+                    reader = spark.readStream.schema(
+                        "query_id int, qvec array<float>"
+                    )
+                    if files_per_trigger is not None:
+                        reader = reader.option(
+                            "maxFilesPerTrigger", str(files_per_trigger)
+                        )
+                    stream = reader.parquet(qdir)
+                    sq = serve_query_stream(
+                        stream, store, lambda df, _bid: df.count(),
+                        ckpt, metric="cosine", k=10,
+                    )
+                    sq.processAllAvailable()  # warm: initial files
+                    best = 0.0
+                    for r in range(1, n_rounds + 1):
+                        drop_files(r)
+                        t0 = time.perf_counter()
+                        sq.processAllAvailable()
+                        best = max(
+                            best, len(qs) / (time.perf_counter() - t0)
+                        )
+                    sq.stop()
+                    return best
+                finally:
+                    shutil.rmtree(qdir, ignore_errors=True)
+                    shutil.rmtree(ckpt, ignore_errors=True)
+
+            try:
+                serving_steady_qps = round(_steady_pass("point_steady", 1), 2)
+                serving_batched_steady_qps = round(
+                    _steady_pass("batch_steady", None), 2
+                )
+            except Exception as e:
+                print(f"bench: steady serving qps failed: {e}", file=sys.stderr)
         except Exception as e:
             print(f"bench: serving qps failed: {e}", file=sys.stderr)
 
@@ -841,6 +904,13 @@ def main() -> int:
         "vector_batch_qps": batch_qps,
         "vector_serving_qps": serving_qps,
         "vector_serving_batched_qps": serving_batched_qps,
+        # warm-stream steady-state tiers (round-11): same 20 queries
+        # through ONE long-lived stream — stream start-up excluded,
+        # measured as new files landing on an already-running source.
+        # Read the per-pass tiers above as setup-inclusive, these as
+        # the deployed steady state.
+        "vector_serving_steady_qps": serving_steady_qps,
+        "vector_serving_batched_steady_qps": serving_batched_steady_qps,
         "vector_serving_breakdown": serving_breakdown,
         "load_guard": load_guard,
         # box-load audit (round-5 verdict item 7): the 182.9–253.7 s

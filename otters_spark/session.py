@@ -52,6 +52,15 @@ def get_spark(
         # (rel_percentiles +75% — BENCH A/B, round 4). On a cluster
         # deployment set it false via extra_conf.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # round 11 (guide §3.1/§9): let the planner pick shuffled-hash
+        # over sort-merge when its size conditions hold — skips the
+        # per-partition sorts on mid-size equi-joins (A/B over the 15
+        # SMJ-heaviest suite queries: 54.8 -> 49.4 s; largest single
+        # win dedup_tfidf_cosine_pairs 4.8 -> 2.5 s). The planner
+        # still falls back to sort-merge when a build side could not
+        # hash locally, and AQE can re-plan at runtime; results are
+        # join-strategy-invariant (re-swept vs the oracle at all SFs).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # scan-side pruning (the reference's zonemap/bloom subsystem,
         # SURVEY.md §1.4): row-group stats + bloom + dictionary filters
