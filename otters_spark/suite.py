@@ -6872,10 +6872,11 @@ def sketch_ams_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoids."""
     from .operators.sketches import ams_sketch
 
-    # round 11: md5 sign-draws per row over a one-row-group scan —
-    # widen (guide §2.5; 1.3 -> 1.1 s). Sign-sum counters are exact
-    # integers, so partitioning cannot change them.
-    li = spread_small_scan(load(spark, sf_dir, "lineitem"))
+    # round 11: widening this scan A/B'd as a win mid-round but lost on
+    # the final quiet-box re-check (2.51 vs 1.92 s min-of-3 interleaved)
+    # — the exchange feeding the pinned sketch costs more than the
+    # parallelism returns here. Left narrow.
+    li = load(spark, sf_dir, "lineitem")
     sided = li.select(
         F.col("l_partkey").alias("k"),
         F.when(F.col("l_quantity") < 25, F.lit("lo"))
