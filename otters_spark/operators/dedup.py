@@ -1356,13 +1356,15 @@ def connected_components(
     (MinHash banding / SimHash / embedding near-dup) and actually
     DROPPING duplicates.
 
-    Min-label propagation: every node starts labeled with itself; each
-    round joins labels across edges (both directions) and keeps the
-    minimum neighbor label; stops when no label changed. Rounds needed
-    = graph diameter (dup clusters are near-cliques, so 2-3 in
-    practice, never more than log n for chains); each round is one
-    hash-shuffle join, and ``localCheckpoint`` cuts the lineage so the
-    plan does not grow with iterations — the standard Spark shape for
+    Min-label propagation with path halving: every node starts
+    labeled with itself; each round joins labels across edges (both
+    directions) PLUS each node's pseudo-edge to its own current label,
+    and keeps the minimum; stops when no label changed. The pseudo-edge
+    resolves label(label(v)) each round, so label chains contract
+    geometrically — O(log diameter) rounds (dup clusters are
+    near-cliques, so 2-3 in practice); each round is one hash-shuffle
+    join, and ``localCheckpoint`` cuts the lineage so the plan does
+    not grow with iterations — the standard Spark shape for
     convergent iteration. Raises after ``max_iter`` rounds without
     convergence (pathological chain longer than max_iter)."""
     # the two-sided union references `pairs` twice, but both branches
@@ -1398,9 +1400,23 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        # smallest label among each node's neighbors (and itself)
+        # smallest label among each node's neighbors (and itself), PLUS
+        # the label of its own label ("path halving", round 11): each
+        # node contributes a pseudo-edge (id -> component), so the dst
+        # lookup also resolves label(label(v)). Candidates stay ids
+        # reachable within the component (label(v) is reachable by
+        # induction), so the fixpoint — min id per component — is
+        # unchanged and the changed==0 convergence test stays exact,
+        # but label chains contract by halving: O(log diameter) rounds
+        # instead of O(diameter). At 100 TB each round is a full
+        # corpus shuffle, so round count is the dominant term; the
+        # union adds |V| rows to a |E|-row join input (no explosion —
+        # the aggregate still returns one row per node).
+        cand = edges.unionByName(
+            labels.select(F.col("id").alias("src"), F.col("component").alias("dst"))
+        )
         neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
+            cand.join(labels, cand["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("__nmin"))
         )
