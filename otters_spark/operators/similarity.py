@@ -1240,34 +1240,43 @@ def mmr_rerank(
         F.col(vec_col).alias("__v"),
         F.round(F.col(rel_col), round_to).alias("__rel"),
     ).localCheckpoint(eager=False)
-    # Round 11: the pairwise shortlist sim MATRIX is computed ONCE and
-    # pinned (shortlist² rows — tiny by the operator's contract),
-    # instead of re-deriving cosines of every (remaining, picked) pair
-    # per step: the old per-step chain recomputed each already-picked
-    # pair's cosine k times and stacked 2 joins + an aggregate + a
-    # lineage-cut checkpoint per pick (measured 2.1 s at sf0.1; this
-    # shape: 1.55 s, byte-identical picks). Same cosine expression, so
-    # every value — and every 6-dp argmax boundary — is unchanged.
-    a = pool.select(F.col(id_col).alias("__ia"), F.col("__v").alias("__va"))
+    # Round 11: the pairwise shortlist sim MATRIX is computed ONCE
+    # (shortlist² rows — tiny by the operator's contract) and, in the
+    # SAME job, so is every pair's would-be mmr score
+    # round(lam*rel_a - (1-lam)*sim, round_to). The greedy selection
+    # then runs driver-side over the collected matrix — the
+    # structurally-tiny-frame collect precedent (PQ codebooks, Gram
+    # cells): k sequential picks no longer cost k scheduled jobs, and
+    # because every candidate's step score at max-sim ms equals the
+    # precomputed score of the pair ACHIEVING that max, the driver does
+    # pure selection (comparisons + lookups) with zero Python float
+    # arithmetic — every emitted value is still JVM-computed, so all
+    # round_to-dp argmax boundaries are byte-identical to the former
+    # per-step distributed loop (unit-pinned against it).
+    a = pool.select(
+        F.col(id_col).alias("__ia"),
+        F.col("__v").alias("__va"),
+        F.col("__rel").alias("__rela"),
+    )
     b = pool.select(F.col(id_col).alias("__ib"), F.col("__v").alias("__vb"))
-    sims = a.join(F.broadcast(b), F.col("__ia") != F.col("__ib")).select(
-        "__ia",
-        "__ib",
-        F.round(
-            cosine_expr("__va", "__vb", inv_norm_expr("__va"), inv_norm_expr("__vb")),
-            round_to,
-        ).alias("__sim"),
-    ).localCheckpoint(eager=False)
-    # greedy selection is inherently sequential in k (docstring); each
-    # pick is ONE bounded job over the pinned shortlist frames, and the
-    # picked ids are tracked driver-side (the structurally-tiny-scalar
-    # collect precedent of graph.pagerank / CC's convergence count)
-    first = (
-        pool.orderBy(F.col("__rel").desc(), F.col(id_col).asc())
-        .limit(1)
-        .select(id_col, "__rel")
+    sim = F.round(
+        cosine_expr("__va", "__vb", inv_norm_expr("__va"), inv_norm_expr("__vb")),
+        round_to,
+    )
+    sim_rows = (
+        a.join(F.broadcast(b), F.col("__ia") != F.col("__ib"))
+        .select(
+            "__ia",
+            "__ib",
+            sim.alias("__sim"),
+            F.round(
+                F.lit(lam) * F.col("__rela") - F.lit(1.0 - lam) * sim,
+                round_to,
+            ).alias("__score"),
+        )
         .collect()
     )
+    pool_rows = pool.select(id_col, "__rel").collect()
     id_field = next(f for f in pool.schema.fields if f.name == id_col)
     out_schema = T.StructType(
         [
@@ -1277,31 +1286,80 @@ def mmr_rerank(
             T.StructField("mmr_score", T.DoubleType()),
         ]
     )
-    if not first:
+    if not pool_rows:
         return spark.createDataFrame([], out_schema)
-    picked = [first[0][id_col]]
-    rows = [(1, first[0][id_col], first[0]["__rel"], first[0]["__rel"])]
+
+    def _isnan(x) -> bool:
+        return isinstance(x, float) and x != x
+
+    def _ranks_before(sa, ia, sb, ib) -> bool:
+        # mirror Spark's ORDER BY score DESC, id ASC on doubles:
+        # DESC → NaN first (NaN is greatest), NULL last; id ASC → NULL
+        # first. Used only to SELECT rows; never computes new values.
+        if (sa is None) != (sb is None):
+            return sb is None
+        if sa is not None:
+            na, nb = _isnan(sa), _isnan(sb)
+            if na != nb:
+                return na
+            if not na and sa != sb:
+                return sa > sb
+        if (ia is None) != (ib is None):
+            return ia is None
+        if ia is None:
+            return False
+        return ia < ib
+
+    rel_of = {r[id_col]: r["__rel"] for r in pool_rows}
+    # sims/scores keyed (ia -> ib -> value); pairs with either id NULL
+    # can never match an isin() filter in the former loop, so skip them
+    sims: dict = {}
+    scores: dict = {}
+    for r in sim_rows:
+        ia, ib = r["__ia"], r["__ib"]
+        if ia is None or ib is None:
+            continue
+        sims.setdefault(ia, {})[ib] = r["__sim"]
+        scores.setdefault(ia, {})[ib] = r["__score"]
+
+    best_id, best_rel = None, None
+    started = False
+    for r in pool_rows:
+        if not started or _ranks_before(r["__rel"], r[id_col], best_rel, best_id):
+            best_id, best_rel, started = r[id_col], r["__rel"], True
+    picked = [best_id]
+    rows = [(1, best_id, best_rel, best_rel)]
     for step in range(2, k + 1):
-        nxt = (
-            sims.filter(F.col("__ib").isin(picked) & ~F.col("__ia").isin(picked))
-            .groupBy("__ia")
-            .agg(F.max("__sim").alias("__ms"))
-            .join(pool.select(F.col(id_col).alias("__ia"), "__rel"), "__ia")
-            .withColumn(
-                "__mmr",
-                F.round(
-                    F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * F.col("__ms"),
-                    round_to,
-                ),
-            )
-            .orderBy(F.col("__mmr").desc(), F.col("__ia").asc())
-            .limit(1)
-            .collect()
-        )
-        if not nxt:
+        cand_ids = [
+            i for i in sims if i is not None and i not in picked
+        ]
+        nxt_id, nxt_score = None, None
+        chosen = False
+        for i in cand_ids:
+            # max_sim over picked, Spark max semantics: NULLs ignored,
+            # NaN greatest; the step's mmr score is the precomputed
+            # score of the pair achieving that max (same sim value →
+            # same JVM-rounded score)
+            ms_ib = None
+            for p in picked:
+                if p is None or p not in sims[i]:
+                    continue
+                s = sims[i][p]
+                if s is None:
+                    continue
+                if ms_ib is None:
+                    ms_ib = p
+                else:
+                    cur = sims[i][ms_ib]
+                    if _isnan(s) or (not _isnan(cur) and s > cur):
+                        ms_ib = p
+            score = scores[i][ms_ib] if ms_ib is not None else None
+            if not chosen or _ranks_before(score, i, nxt_score, nxt_id):
+                nxt_id, nxt_score, chosen = i, score, True
+        if not chosen:
             break
-        picked.append(nxt[0]["__ia"])
-        rows.append((step, nxt[0]["__ia"], nxt[0]["__rel"], nxt[0]["__mmr"]))
+        picked.append(nxt_id)
+        rows.append((step, nxt_id, rel_of.get(nxt_id), nxt_score))
     return spark.createDataFrame(rows, out_schema).orderBy("mmr_rank")
 
 

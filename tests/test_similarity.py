@@ -425,6 +425,81 @@ def test_binary_search_rejects_dim_mismatch(emb):
         binary_search(idx, [1.0, 2.0], k=5, dim=64)
 
 
+def test_mmr_rerank_matches_distributed_reference(spark):
+    """The round-11 driver-side greedy must reproduce the former
+    per-step distributed loop EXACTLY — picks, order, and every
+    JVM-rounded mmr_score — including on pools with engineered rel
+    ties and near-duplicate clusters."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from otters_spark.functions.vector import cosine_expr, inv_norm_expr
+    from otters_spark.operators.similarity import mmr_rerank
+
+    def reference(cand, k, lam, round_to=6):
+        # the pre-round-11 shape: one scheduled job per pick
+        pool = cand.select(
+            F.col("vec_id"),
+            F.col("embedding").alias("__v"),
+            F.round(F.col("score"), round_to).alias("__rel"),
+        ).localCheckpoint(eager=False)
+        a = pool.select(F.col("vec_id").alias("__ia"), F.col("__v").alias("__va"))
+        b = pool.select(F.col("vec_id").alias("__ib"), F.col("__v").alias("__vb"))
+        sims = a.join(F.broadcast(b), F.col("__ia") != F.col("__ib")).select(
+            "__ia", "__ib",
+            F.round(
+                cosine_expr("__va", "__vb", inv_norm_expr("__va"), inv_norm_expr("__vb")),
+                round_to,
+            ).alias("__sim"),
+        ).localCheckpoint(eager=False)
+        first = (
+            pool.orderBy(F.col("__rel").desc(), F.col("vec_id").asc())
+            .limit(1).select("vec_id", "__rel").collect()
+        )
+        picked = [first[0]["vec_id"]]
+        rows = [(1, first[0]["vec_id"], first[0]["__rel"], first[0]["__rel"])]
+        for step in range(2, k + 1):
+            nxt = (
+                sims.filter(F.col("__ib").isin(picked) & ~F.col("__ia").isin(picked))
+                .groupBy("__ia").agg(F.max("__sim").alias("__ms"))
+                .join(pool.select(F.col("vec_id").alias("__ia"), "__rel"), "__ia")
+                .withColumn(
+                    "__mmr",
+                    F.round(
+                        F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * F.col("__ms"),
+                        round_to,
+                    ),
+                )
+                .orderBy(F.col("__mmr").desc(), F.col("__ia").asc())
+                .limit(1).collect()
+            )
+            if not nxt:
+                break
+            picked.append(nxt[0]["__ia"])
+            rows.append((step, nxt[0]["__ia"], nxt[0]["__rel"], nxt[0]["__mmr"]))
+        return rows
+
+    rng = np.random.default_rng(17)
+    # 3 clusters of near-dups + uniform noise; duplicated vectors make
+    # exact rel/sim TIES so the id tie-break is genuinely exercised
+    centers = rng.normal(size=(3, 8))
+    vecs = [c + rng.normal(scale=0.01, size=8) for c in centers for _ in range(6)]
+    vecs += [rng.normal(size=8) for _ in range(8)]
+    vecs += [vecs[0], vecs[7]]  # exact duplicates -> tied everywhere
+    q = rng.normal(size=8)
+    rows = []
+    for i, v in enumerate(vecs):
+        rel = float(np.round(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)), 6))
+        rows.append((i, [float(x) for x in v], rel))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, score double")
+    for k, lam in [(5, 0.7), (10, 0.5), (30, 0.3)]:
+        got = [
+            (r["mmr_rank"], r["vec_id"], r["relevance"], r["mmr_score"])
+            for r in mmr_rerank(df, k=k, lam=lam).collect()
+        ]
+        assert got == reference(df, k, lam), (k, lam)
+
+
 def test_mmr_rerank_diversifies(spark):
     import numpy as np
 
