@@ -1372,20 +1372,18 @@ def connected_components(
     # second from the first's shuffle files (an explode-both-
     # orientations single-scan variant measured the same at sf0.1 and
     # reads worse)
+    # lazy pin: the eager labels checkpoint below materializes the
+    # edge partitions in the SAME job (round 11 — one scheduled job
+    # replaces the former edges-job + labels-job pair); every later
+    # round reads the persisted edges, never the upstream pair-gen
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    # a clean corpus is the common case: no pairs → no components, and
-    # the propagation machinery (fused-round checkpoint + per-round
-    # convergence job) would still cost ~2 s of empty-job scheduling.
-    # The check reads the just-checkpointed partitions — no new shuffle.
-    if edges.isEmpty():
-        return edges.select(F.col("src").alias("id"), F.col("src").alias("component"))
     # fused first round: labels₁(v) = min(v, min neighbor) directly from
     # the edge list — one shuffle agg replaces the identity-label init
     # plus the first join round (dup clusters are near-cliques, so this
@@ -1399,7 +1397,13 @@ def connected_components(
         )
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    # a clean corpus is the common case: no pairs → no components, and
+    # the propagation machinery (per-round convergence job) would still
+    # cost ~2 s of empty-job scheduling. Checking the just-materialized
+    # labels (empty iff edges is empty) costs one first-partition read.
+    if labels.isEmpty():
+        return labels
+    def _propagate(lbl: DataFrame) -> DataFrame:
         # smallest label among each node's neighbors (and itself), PLUS
         # the label of its own label ("path halving", round 11): each
         # node contributes a pseudo-edge (id -> component), so the dst
@@ -1413,17 +1417,15 @@ def connected_components(
         # union adds |V| rows to a |E|-row join input (no explosion —
         # the aggregate still returns one row per node).
         cand = edges.unionByName(
-            labels.select(F.col("id").alias("src"), F.col("component").alias("dst"))
+            lbl.select(F.col("id").alias("src"), F.col("component").alias("dst"))
         )
         neighbor_min = (
-            cand.join(labels, cand["dst"] == labels["id"])
+            cand.join(lbl, cand["dst"] == lbl["id"])
             .groupBy("src")
             .agg(F.min("component").alias("__nmin"))
         )
-        # lazy checkpoint: the convergence count below is the action
-        # that materializes it, so each round runs ONE job, not two
-        updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+        return (
+            lbl.join(neighbor_min, lbl["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
                 F.least(
@@ -1432,7 +1434,15 @@ def connected_components(
                 (F.coalesce(F.col("__nmin"), F.col("component")) < F.col("component"))
                 .alias("__changed"),
             )
-        ).localCheckpoint(eager=False)
+        )
+
+    for _ in range(max_iter):
+        # one propagation round per scheduled job; the lazy checkpoint
+        # makes the convergence count the materializing action, so each
+        # round runs ONE job. (Fusing TWO rounds per job was measured
+        # and rejected in round 11: the deeper unmaterialized lineage
+        # cost more than the saved driver sync on 4 of 5 CC queries.)
+        updated = _propagate(labels).localCheckpoint(eager=False)
         changed = updated.filter(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")
         if changed == 0:

@@ -364,15 +364,19 @@ def profile_table(
             aggs.append(
                 F.max(F.col(c)).cast("string").alias(f"__his_{i}")
             )
-    # round 11: widening the scan here was measured 3.0 -> 2.4 s at
-    # sf0.1 but REVERTED — the 6-dp rounded mean sits on an
+    # round 11: widening the WHOLE scan was measured 3.0 -> 2.4 s at
+    # sf0.1 but reverted — the 6-dp rounded mean sits on an
     # accumulation-order knife edge (l_discount at sf0.01 flips
     # 0.049918/0.049919 when the double sum's partition order changes),
-    # and result identity outranks the win. The narrow-scan cost is
-    # bench-scale only; at 100 TB the scan arrives already split.
+    # and result identity outranks the win. So the wide aggregate keeps
+    # the input's own partitioning (identical accumulation order), and
+    # only the melt-distinct branch below is widened: distinct is exact
+    # SET semantics — partitioning-invariant by construction — and the
+    # k-way explode + hash-distinct is the per-row-heavy part that
+    # serializes on a one-row-group scan (guide §2.5).
     row = df.agg(*aggs)
     if exact_distinct:
-        melted = df.select(
+        melted = spread_small_scan(df).select(
             F.explode(F.array(*[_slot(c) for c in cols])).alias("m")
         ).select("m.*")
         dcounts = (
