@@ -930,8 +930,13 @@ def simhash_pairs(
     thumb: band when bits/(d+1) >= 8 (d <= 3 at 32 bits; loose
     thresholds want 64-bit fingerprints), go all-pairs within small
     blocks otherwise."""
-    t = simhash_table(df, text_col, id_col, bits, keep_cols=block_cols)
-    # alias self-join: one canonical fingerprint subtree, computed once
+    # pin: the alias self-join consumes the fingerprint subtree twice,
+    # and a broadcast side would recompute the whole SWAR aggregate
+    # (see fingerprint_banded_pairs); fingerprints are the compressed
+    # per-doc representation, so the pin is 8 bytes + id per doc
+    t = simhash_table(df, text_col, id_col, bits, keep_cols=block_cols).localCheckpoint(
+        eager=False
+    )
     a, b = t.alias("a"), t.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
@@ -1004,6 +1009,16 @@ def fingerprint_banded_pairs(
     t = t.filter(F.col(fp_col).isNotNull())
     if fp_col != "simhash":
         t = t.withColumnRenamed(fp_col, "simhash")
+    # pin the fingerprint table: the banded self-join below references
+    # it twice, and when the planner broadcasts one side the broadcast
+    # subtree shares nothing with the probe side — the whole upstream
+    # fingerprint computation (the SWAR simhash aggregate / the pHash
+    # decode kernel) runs TWICE (round-11 plan audit; 2.9 -> 2.4 s on
+    # dedup_simhash64_banded). Unlike raw text/token tables, the
+    # fingerprint table is the COMPRESSED representation — 8 bytes + id
+    # per doc — so materializing it is exactly what Manku et al.'s
+    # fingerprint store does at scale, not storage pressure.
+    t = t.localCheckpoint(eager=False)
 
     def _mask(width: int):
         # a full-width chunk (max_hamming=0, bits=64) needs all-ones,
