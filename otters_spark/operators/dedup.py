@@ -717,10 +717,19 @@ def minhash_pairs(
     shares >= 1 slot, so recall is exact (this is LSH banding with
     1-row bands plus an exact match count). threshold <= 0 must emit
     zero-match pairs too and falls back to the dense blocked compare."""
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, keep_cols=block_cols)
+    # pin the signature table (id + n_hashes ints per doc — the
+    # compressed representation): both the dense and the sparse path
+    # self-join it, and a broadcast side would recompute the whole
+    # corpus-scan signature aggregate (round-11 finding)
+    # pin the signature table (id + n_hashes ints per doc — the
+    # compressed representation): both the dense and the sparse path
+    # self-join it, and a broadcast side would recompute the whole
+    # corpus-scan signature aggregate (round-11 finding)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes, keep_cols=block_cols
+    ).localCheckpoint(eager=False)
     if threshold <= 0:
-        # dense all-pairs compare (alias self-join: the shuffle on the
-        # block keys is one exchange, reused for both sides)
+        # dense all-pairs compare
         a, b = sigs.alias("a"), sigs.alias("b")
         cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
         for c in block_cols:
@@ -783,7 +792,7 @@ def _banded_signatures(
         if signatures is not None
         else minhash_signatures(df, text_col, id_col, n_hashes, keep_cols=block_cols)
     )
-    return sigs.select(
+    out = sigs.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.posexplode(
@@ -795,6 +804,7 @@ def _banded_signatures(
             )
         ).alias("band_id", "band_hash"),
     )
+    return out
 
 
 def banding_threshold(bands: int, rows_per_band: int) -> float:
@@ -830,11 +840,16 @@ def minhash_lsh_candidates(
     or signature-estimate re-score. Pass precomputed ``signatures``
     (minhash_signatures with ``keep_cols=block_cols``) to skip the
     corpus signature scan when the caller reuses it elsewhere."""
+    # pin: the candidate self-join references the banded-signature
+    # subtree twice, and a broadcast side would recompute the whole
+    # corpus-scan signature aggregate (round-11 finding). Banded
+    # signatures are the compressed representation — bands rows of
+    # (id, 32-char hash) per doc. Single-reference consumers
+    # (incremental_dedup_matches' batch side) deliberately do NOT pin.
     banded = _banded_signatures(
         df, text_col, id_col, n_hashes, bands, block_cols, signatures
-    )
+    ).localCheckpoint(eager=False)
     keys = ["band_id", "band_hash", *block_cols]
-    # alias self-join: the banded-signature subtree is computed once
     a, b = banded.alias("a"), banded.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in keys:
