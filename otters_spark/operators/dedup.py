@@ -387,6 +387,13 @@ def tfidf_cosine_pairs(
         .groupBy("__id", "__t", *block_cols)
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    # pin (round 11): tf feeds BOTH the idf aggregate and the postings
+    # join — Catalyst re-expands the explode+agg subtree per consumer,
+    # and the plan audit showed the document scan 6x. The per-(doc,
+    # term-hash) tf table is the classic inverted-index artifact —
+    # id + long + count per posting — materialized by every sparse
+    # similarity-join implementation at scale.
+    tf = tf.localCheckpoint(eager=False)
     n_docs = df.agg(F.count(F.lit(1)).alias("__N"))
     idf = (
         tf.groupBy("__t")
@@ -407,6 +414,11 @@ def tfidf_cosine_pairs(
                 *block_cols)
         .withColumn("__norm", F.sqrt(F.sum(F.col("__w") * F.col("__w")).over(win)))
     )
+    # pin the weighted postings too: the self-join references post
+    # twice, and the idf broadcast side otherwise recomputes the window
+    # pass per side (interleaved A/B: none 2.99 / tf 2.69 / post 2.45 /
+    # both 2.09 s at sf0.1)
+    post = post.localCheckpoint(eager=False)
     a, b = post.alias("a"), post.alias("b")
     cond = (F.col("a.__t") == F.col("b.__t")) & (F.col("a.__id") < F.col("b.__id"))
     for c in block_cols:
