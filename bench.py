@@ -955,6 +955,15 @@ def main() -> int:
             round(steady_total / duckdb_anchor["sec"], 3)
             if duckdb_anchor and duckdb_anchor["sec"] else None
         ),
+        # same ratio WITHOUT prior-profile substitutions (round-10,
+        # advisor): a regression absorbed by a substitution softens
+        # anchor_ratio_steady; this form carries the stale-code caveat
+        # of value_steady_nosub into the gate ratio so the gate can be
+        # read unsubstituted whenever the engine diff is non-empty
+        "anchor_ratio_steady_nosub": (
+            round(steady_nosub_total / duckdb_anchor["sec"], 3)
+            if duckdb_anchor and duckdb_anchor["sec"] else None
+        ),
         # hypervisor steal-time delta across the run (/proc/stat): the
         # mechanism behind Spark-asymmetric box drift — a host
         # contention burst starves a 32-thread JVM superlinearly while

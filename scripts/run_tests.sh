@@ -65,11 +65,13 @@ for i, shard in enumerate(shards):
 PYEOF
 
 pids=()
+idxs=()
 for ((i = 0; i < N; i++)); do
   mapfile -t shard < "$outdir/shard$i.lst"
   [ "${#shard[@]}" -eq 0 ] && continue
   python -m pytest "${shard[@]}" -q >"$outdir/shard$i.log" 2>&1 &
   pids+=($!)
+  idxs+=("$i")
 done
 
 # a runner that launched nothing must never read as green (empty test
@@ -80,11 +82,14 @@ if [ "${#pids[@]}" -eq 0 ]; then
 fi
 
 rc=0
+# index logs by the LAUNCHED shard number (idxs), not the pid position:
+# when a shard list is empty (N > number of test files) pids compacts
+# and positional indexing would tail the wrong (or a missing) log
 for ((i = 0; i < ${#pids[@]}; i++)); do
   if ! wait "${pids[i]}"; then
     rc=1
   fi
-  echo "--- shard $i: $(tail -n 1 "$outdir/shard$i.log")"
+  echo "--- shard ${idxs[i]}: $(tail -n 1 "$outdir/shard${idxs[i]}.log")"
 done
 
 # combined tally over ONLY the pytest -q summary lines ("126 passed,

@@ -285,6 +285,7 @@ def _full(times, retimed, subs):
         "duckdb_anchor_sec": 151.204,
         "duckdb_anchor_failed": 0,
         "anchor_ratio_steady": 1.671,
+        "anchor_ratio_steady_nosub": 1.708,
         "cpu_steal_delta_sec": 523.9,
         "retimed": retimed,
         "retime_skipped": 0,
@@ -343,7 +344,8 @@ def test_line_fits_budget_with_drifting_box():
     # headline fields always survive
     for k in ("value", "value_steady", "value_steady_nosub",
               "box_canary_sec", "retime_skipped", "duckdb_anchor_sec",
-              "anchor_ratio_steady", "duckdb_anchor_failed"):
+              "anchor_ratio_steady", "anchor_ratio_steady_nosub",
+              "duckdb_anchor_failed"):
         assert k in head
     # full per-query detail is pointed at, not inlined
     assert head["queries_full"] == "BENCH_FULL.json"
