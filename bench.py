@@ -101,6 +101,43 @@ def steady_substitutions(
     return out
 
 
+# Deterministic per-query window for the one-line JSON (round-12,
+# VERDICT item 2): the former slowest-20-of-THIS-run selection rotated
+# run to run — a query optimized out of the top 20 "disappeared" and a
+# cheaper one rotated in, so PERF_r11 reported 8 false
+# "dropped_from_bench" rows for queries that never left the suite.
+# The line now always carries THIS fixed set (the round-11 line's 20
+# keys, ordered by the committed-profile cost), with each run's
+# CURRENT measured value — so consecutive runs emit the same key set
+# and round-over-round PERF compares the same queries. Additions-only
+# vs the round-11 artifact: no key the driver has seen is ever
+# renamed or removed. Full per-query detail for all 220 queries stays
+# in BENCH_FULL.json (queries_full); drift on non-pinned queries still
+# surfaces through the retimed map, which is unchanged.
+PINNED_LINE_QUERIES = (
+    "pipeline_dedup_end_to_end",
+    "dedup_incremental_components",
+    "pipeline_leakage_safe_split",
+    "rel_table_profile",
+    "dedup_span_removal",
+    "eval_banding_recall",
+    "pipeline_semdedup",
+    "rel_winsorized_stats",
+    "events_anomaly_mad",
+    "dedup_prefix_filter_pairs",
+    "text_bpe_train",
+    "sketch_ams_joinsize",
+    "link_golden_records",
+    "link_entity_clusters",
+    "dedup_tfidf_cosine_pairs",
+    "dedup_simhash64_banded",
+    "graph_kcore_members",
+    "eval_ann_recall",
+    "rel_market_basket",
+    "multimodal_phash_neardup",
+)
+
+
 def budget_line(
     full: dict,
     times: dict[str, float],
@@ -122,9 +159,23 @@ def budget_line(
     for the queries map — on a drifting box 60+ entries would alone
     blow the line; a relative cap like budget/2 breaks as soon as the
     fixed headline fields grow past it, observed when the canary/steal
-    fields landed) and ``queries`` (slowest first, to the full budget).
-    Pure function: unit-tested in tests/test_bench_budget.py."""
-    queries_reserve = 600  # bytes kept free for the slowest-query map
+    fields landed) and ``queries`` (the PINNED_LINE_QUERIES set in its
+    fixed order — round-12 stabilization; slowest-first only as the
+    fallback when none of the pinned names exist in ``times``, e.g.
+    synthetic test suites). Pure function: unit-tested in
+    tests/test_bench_budget.py."""
+    # bytes kept free for the per-query map: at least the EXACT size of
+    # the full pinned window (so the retimed fill can never push a
+    # pinned query off the line — a partial window would reintroduce
+    # the run-to-run set rotation this window exists to stop)
+    pinned = [n for n in PINNED_LINE_QUERIES if n in times]
+    queries_reserve = 600
+    if pinned:
+        queries_reserve = max(
+            queries_reserve,
+            len(json.dumps({n: times[n] for n in pinned},
+                           separators=(",", ":"))) + 16,
+        )
     head = dict(full)
     head["queries_full"] = "BENCH_FULL.json"
     head.pop("single_rep", None)
@@ -145,10 +196,15 @@ def budget_line(
             del head["retimed"][name]
             head["retimed_omitted"] = len(retimed) - len(head["retimed"])
             break
-    by_cost = sorted(
-        times.items(), key=lambda kv: (-(kv[1] or 0.0), kv[0])
-    )
-    for name, t in by_cost:
+    if pinned:
+        # deterministic window: same key set every run (failed pinned
+        # queries still emit, as null — a failure must stay visible)
+        fill = [(n, times[n]) for n in pinned]
+    else:
+        fill = sorted(
+            times.items(), key=lambda kv: (-(kv[1] or 0.0), kv[0])
+        )
+    for name, t in fill:
         head["queries"][name] = t
         head["queries_omitted"] = len(times) - len(head["queries"])
         if len(json.dumps(head, separators=(",", ":"))) > budget:

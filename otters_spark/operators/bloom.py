@@ -96,50 +96,82 @@ def bloom_probe(
 ) -> DataFrame:
     """Append ``out_col``: true iff ALL k bits for the value are set
     (possible member — FPR per the m/n/k trade), false otherwise
-    (definitely absent). The word table broadcasts; the probe is a
-    map-side join, corpus-linear. Input rows pass through unchanged
-    (NULL values probe to false)."""
+    (definitely absent). Input rows pass through unchanged (NULL
+    values probe to false).
+
+    Plan shape (round 12, guide §2.4): k chained BROADCAST LEFT JOINS
+    of the word table — one per bit position — fused into ONE
+    whole-stage-codegen map pass; the verdict is the conjunction of
+    the k (word & mask) == mask tests. Zero shuffle of the probed
+    corpus. The former shape exploded k (word, mask) rows per value
+    and re-assembled verdicts with a groupBy over a synthetic row id —
+    a full shuffle of k × |corpus| rows (plus the
+    monotonically_increasing_id placement trap) that existed only to
+    AND k booleans the joins can AND in place. k is small by
+    construction (4), so k broadcast hash lookups per row beat one
+    k-fold explode + shuffle at every scale; the word table broadcast
+    is unchanged."""
+    if k > len(MINHASH_PERM_CONSTANTS):
+        raise ValueError(f"k <= {len(MINHASH_PERM_CONSTANTS)} supported")
+    if m_bits < WORD_BITS:
+        raise ValueError("m_bits must be at least one word (63)")
+    # pin the word table at its k-consumer site (the round-11 finding:
+    # Catalyst re-expands a shared subtree per consumer — unpinned,
+    # each of the k broadcast builds re-ran the caller's ENTIRE filter
+    # build, observed as 4 extra corpus scans in pipeline_bloom_decontam).
+    # The table is ≤ ceil(m_bits/63) rows by construction — bounded.
+    bloom = bloom.localCheckpoint(eager=False)
     h = F.col(value_col) if hashed else md5_long_expr(F.col(value_col))
-    # single lineage: the payload rides the explode->join->groupBy so
-    # no row-id self-join is needed (monotonically_increasing_id in
-    # two join branches can recompute differently — a known trap).
-    # The row id MUST be materialized in its own select BELOW the
-    # explode-select: beside the explode it lands in the post-Generate
-    # projection and every exploded bit gets a fresh id (verdict
-    # degrades to any-bit-hit). Nondeterministic expressions are
-    # pinned, so the optimizer cannot hoist it back across the
-    # Generate (the projection-placement trap of linkage._shingle_side).
-    rowed = df.select(
-        F.struct(*df.columns).alias("__payload"),
-        h.alias("__hv"),
-        F.monotonically_increasing_id().alias("__row"),
+    # Materialize the HASH once behind a Generate barrier (a 1-element
+    # explode — the md5-fanout trap guard, see tests/test_suite_plans.py):
+    # in a plain projection CollapseProject merges the key/mask
+    # projections into the join operators and every join KEY and mask
+    # re-inlines the full md5 chain — observed 17 md5 evaluations per
+    # row vs 2 (2.4x slower), because expressions inside separate join
+    # operators get no codegen subexpression elimination (a
+    # monotonically_increasing_id pin does NOT stop this: the collapse
+    # rule only protects the nondeterministic output itself, and it is
+    # referenced once). Projections cannot merge through a Generate,
+    # so md5 runs exactly once per row; the k cheap integer bit-mix
+    # exprs may inline into the joins freely. explode(array(h))
+    # preserves NULL hashes as one NULL row.
+    hashed_df = df.select(
+        *df.columns,
+        F.explode(F.array(h)).alias("__bp_h"),
     )
-    pairs = rowed.select(
-        "__payload",
-        "__row",
-        F.explode(_bit_positions(F.col("__hv"), m_bits, k)).alias("__b"),
-    )
-    word_idx, mask = _word_mask(F.col("__b"))
-    pairs = pairs.select(
-        "__payload", "__row", word_idx.alias("word_idx"), mask.alias("__mask")
-    )
-    verdicts = (
-        pairs.join(F.broadcast(bloom), "word_idx", "left")
-        .select(
-            "__payload",
-            "__row",
-            (
-                F.col("word").isNotNull()
-                & (F.col("word").bitwiseAND(F.col("__mask")) == F.col("__mask"))
-            ).alias("__hit"),
+    out = hashed_df
+    for i in range(k):
+        bit = F.pmod(
+            _perm_mix(F.col("__bp_h"), MINHASH_PERM_CONSTANTS[i]),
+            F.lit(m_bits),
         )
-        .groupBy("__row")
-        .agg(
-            F.first("__payload").alias("__payload"),
-            F.coalesce(F.bool_and("__hit"), F.lit(False)).alias(out_col),
+        out = out.withColumn(f"__bp_b{i}", bit)
+        out = out.withColumn(
+            f"__bp_k{i}", (F.col(f"__bp_b{i}") / WORD_BITS).cast("long")
         )
-    )
-    return verdicts.select("__payload.*", out_col)
+        out = out.withColumn(
+            f"__bp_m{i}",
+            F.expr(f"shiftleft(1L, cast(pmod(__bp_b{i}, {WORD_BITS}) as int))"),
+        )
+    verdict = F.lit(True)
+    for i in range(k):
+        side = bloom.select(
+            F.col("word_idx").alias(f"__bp_wi{i}"),
+            F.col("word").alias(f"__bp_w{i}"),
+        )
+        out = out.join(
+            F.broadcast(side),
+            out[f"__bp_k{i}"] == side[f"__bp_wi{i}"],
+            "left",
+        )
+        w = F.col(f"__bp_w{i}")
+        m = F.col(f"__bp_m{i}")
+        # NULL word (bit's word absent, or NULL value → NULL key → no
+        # match) makes isNotNull() false, and FALSE AND x = FALSE, so
+        # the conjunction stays non-null false — the old
+        # coalesce(bool_and, false) contract
+        verdict = verdict & w.isNotNull() & (w.bitwiseAND(m) == m)
+    return out.withColumn(out_col, verdict).select(*df.columns, out_col)
 
 
 def bloom_contamination_report(

@@ -733,10 +733,6 @@ def minhash_pairs(
     # compressed representation): both the dense and the sparse path
     # self-join it, and a broadcast side would recompute the whole
     # corpus-scan signature aggregate (round-11 finding)
-    # pin the signature table (id + n_hashes ints per doc — the
-    # compressed representation): both the dense and the sparse path
-    # self-join it, and a broadcast side would recompute the whole
-    # corpus-scan signature aggregate (round-11 finding)
     sigs = minhash_signatures(
         df, text_col, id_col, n_hashes, keep_cols=block_cols
     ).localCheckpoint(eager=False)

@@ -112,7 +112,9 @@ def _binned_percentiles(
     value_cols: dict[str, Sequence[float]],
     round_to: int | None,
     n_bins: int = 4096,
-) -> DataFrame:
+    stats_df: DataFrame | None = None,
+    return_stats: bool = False,
+):
     """Exact interpolated quantiles via two-phase binning — the
     distributed-systems formulation of exact quantiles: histogram the
     values into ``n_bins`` per (group, column), locate which bin holds
@@ -129,7 +131,18 @@ def _binned_percentiles(
     column: Spark struct equality compares fields null-safely, so
     groups with NULL keys survive the equi-joins (plain multi-column
     join keys would silently drop them — groupBy keeps NULL groups, but
-    ``a.k = b.k`` never matches them)."""
+    ``a.k = b.k`` never matches them).
+
+    Round-12 fusion hooks (``robust_outliers``): ``return_stats=True``
+    additionally returns the pinned per-(group, column) stats table
+    (``__g?, __c, __mn, __mx, __n``), and ``stats_df`` SUPPLIES that
+    table instead of computing it — skipping the stats corpus pass
+    entirely when the caller can derive valid stats algebraically. Any
+    supplied (mn, mx) need only BOUND the true range (mn <= min(v),
+    mx >= max(v), with n exact): binning is a monotone partition of the
+    value order, so rank location and the interpolated neighbors — and
+    therefore the RESULT — are bit-identical under looser bounds; only
+    bin balance degrades (the documented fat-bin fallback)."""
     from pyspark.sql.window import Window
 
     out_g = list(group_cols)
@@ -147,11 +160,14 @@ def _binned_percentiles(
     # rel_percentiles carried 8 parquet scans). Pinning the tiny
     # aggregate collapses that to the 3 passes the algorithm needs
     # (stats, histogram, bin-select).
-    stats = m.groupBy(*g, "__c").agg(
-        F.min("__v").alias("__mn"),
-        F.max("__v").alias("__mx"),
-        F.count(F.lit(1)).alias("__n"),
-    ).localCheckpoint(eager=False)
+    if stats_df is not None:
+        stats = stats_df
+    else:
+        stats = m.groupBy(*g, "__c").agg(
+            F.min("__v").alias("__mn"),
+            F.max("__v").alias("__mx"),
+            F.count(F.lit(1)).alias("__n"),
+        ).localCheckpoint(eager=False)
     width = F.col("__mx") - F.col("__mn")
     bucket = F.when(width <= 0, F.lit(0)).otherwise(
         F.least(
@@ -243,7 +259,7 @@ def _binned_percentiles(
         res = res.select(
             *[F.col(f"__g.{c}").alias(c) for c in out_g], *names
         )
-    return res
+    return (res, stats) if return_stats else res
 
 
 def weighted_percentiles(
@@ -510,19 +526,68 @@ def robust_outliers(
     # references the median-joined corpus several times internally.
     # Pinning the tiny tables with lazy localCheckpoints collapses the
     # re-execution to scan+broadcast-join per reference.
-    med = (
-        group_percentiles(df, gp, {value_col: [0.5]}, round_to=None, method=method)
-        .withColumnRenamed(f"p50_{value_col}", "group_median")
-        .localCheckpoint(eager=False)
-    )
-    j = _nsjoin(df, med).withColumn(
-        "abs_resid", F.abs(F.col(value_col) - F.col("group_median"))
-    )
-    mad = (
-        group_percentiles(j, gp, {"abs_resid": [0.5]}, round_to=None, method=method)
-        .withColumnRenamed("p50_abs_resid", "group_mad")
-        .localCheckpoint(eager=False)
-    )
+    if method == "bin":
+        # Round-12 fusion (r11 VERDICT item 4): the MAD pass's own
+        # stats scan is a FULL corpus pass whose outputs are derivable
+        # algebraically from the median pass's stats — for every group,
+        # 0 <= |v - med| <= max(mx - med, med - mn) and the non-null
+        # count is unchanged (abs_resid is null/NaN exactly where v
+        # is). Loose-but-valid bounds leave the binned result
+        # bit-identical (see _binned_percentiles: binning is a monotone
+        # partition of the value order; only bin balance changes), so
+        # deriving the MAD stats removes one corpus pass and one
+        # broadcast-build barrier from every call.
+        med_raw, vstats = _binned_percentiles(
+            df, gp, {value_col: [0.5]}, round_to=None, return_stats=True
+        )
+        med = med_raw.withColumnRenamed(
+            f"p50_{value_col}", "group_median"
+        ).localCheckpoint(eager=False)
+        j = _nsjoin(df, med).withColumn(
+            "abs_resid", F.abs(F.col(value_col) - F.col("group_median"))
+        )
+        g = ["__g"] if gp else []
+        med_keyed = med.select(
+            *([F.struct(*gp).alias("__g")] if gp else []), "group_median"
+        )
+        rstats = (
+            (vstats.join(med_keyed, g) if g else vstats.crossJoin(med_keyed))
+            .select(
+                *g,
+                F.lit("abs_resid").alias("__c"),
+                F.lit(0.0).alias("__mn"),
+                F.greatest(
+                    F.col("__mx") - F.col("group_median"),
+                    F.col("group_median") - F.col("__mn"),
+                ).alias("__mx"),
+                "__n",
+            )
+            # group-sized; pinned so its two consumers inside the MAD
+            # binned pass (bucket-join build + targets) don't re-run
+            # the tiny join (and its broadcast stage) twice
+            .localCheckpoint(eager=False)
+        )
+        mad = (
+            _binned_percentiles(
+                j, gp, {"abs_resid": [0.5]}, round_to=None, stats_df=rstats
+            )
+            .withColumnRenamed("p50_abs_resid", "group_mad")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        med = (
+            group_percentiles(df, gp, {value_col: [0.5]}, round_to=None, method=method)
+            .withColumnRenamed(f"p50_{value_col}", "group_median")
+            .localCheckpoint(eager=False)
+        )
+        j = _nsjoin(df, med).withColumn(
+            "abs_resid", F.abs(F.col(value_col) - F.col("group_median"))
+        )
+        mad = (
+            group_percentiles(j, gp, {"abs_resid": [0.5]}, round_to=None, method=method)
+            .withColumnRenamed("p50_abs_resid", "group_mad")
+            .localCheckpoint(eager=False)
+        )
     out = _nsjoin(j, mad)
     return out.withColumn(
         "is_outlier",

@@ -60,6 +60,13 @@ def get_spark(
         # still falls back to sort-merge when a build side could not
         # hash locally, and AQE can re-plan at runtime; results are
         # join-strategy-invariant (re-swept vs the oracle at all SFs).
+        # Cluster caveat (round-11 ADVICE): SHJ selection rides on
+        # planner SIZE ESTIMATES, and a misestimated build side OOMs
+        # where SMJ would have spilled — on a real deployment with
+        # poor stats, restore the default via
+        # extra_conf={"spark.sql.join.preferSortMergeJoin": "true"}
+        # (this builder's escape hatch) and force SHJ per-join with
+        # the SHUFFLE_HASH hint where measured.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # scan-side pruning (the reference's zonemap/bloom subsystem,

@@ -105,12 +105,13 @@ def serve_query_stream(
                 inv_norm_col=INV_NORM_COL, q_inv_norm=F.col("__qin"),
             ),
         ).filter(~F.isnan(F.col("score")))
-        # round-11: per-partition partial top-k first, then a window
-        # over the bounded survivors (operators.similarity.per_query_topk)
-        # — a Window.partitionBy(query_id) over the FULL scored store
-        # funnels each query's whole corpus through one task at scale
-        # (the round-10 verdict's weak plan). Project to the three
-        # result columns before the Python boundary.
+        # per-query top-k via operators.similarity.per_query_topk:
+        # Spark 3.5+/4.x plans the rank window as WindowGroupLimit
+        # Partial/Final, so each map task pre-limits to k rows per
+        # query BEFORE the exchange — the shuffle never carries the
+        # full scored store, and (round 12) no Python boundary sits in
+        # the serving hot path. Project to the three result columns
+        # first so the scan stays pruned.
         from ..operators.similarity import per_query_topk
 
         topk = per_query_topk(

@@ -123,20 +123,32 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path_factory):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
 
 
-def test_per_query_topk_window_never_sees_raw_store(spark, sf_dir):
-    """Round-11 weak-plan fix (round-10 verdict item 1): the exact
-    per-query top-k paths must not run a WindowExec over the raw
-    scored store — the window may only consume the bounded
-    per-partition partial top-k (MapInPandas) output."""
+def test_per_query_topk_shuffle_input_is_bounded(spark, sf_dir):
+    """Round-12 form of the round-10/11 weak-plan lock: the exact
+    per-query top-k path must BOUND the window's shuffle input — no
+    plan may ship each query's entire scored corpus to one task. On
+    Spark 3.5+/4.x the bound is WindowGroupLimit Partial (a per-map
+    k-per-query pre-limit BELOW the exchange) feeding WindowGroupLimit
+    Final; the property asserted is the bounded-input one, not any
+    particular partial implementation (the round-11 MapInPandas
+    partial satisfied it too, at the cost of an Arrow crossing on the
+    full scored store — replaced in round 12, VERDICT item 3)."""
     from otters_spark.suite import vs_per_query_topk
 
     plan = plan_of(vs_per_query_topk(spark, sf_dir))
-    assert "MapInPandas" in plan
-    win = plan.find("Window")
-    mip = plan.find("MapInPandas")
-    assert win != -1 and mip != -1
-    # executedPlan prints root-first: the Window must sit ABOVE the
-    # MapInPandas partial (i.e. consume it), and no second Window may
-    # appear below the partial where the raw scored store flows
-    assert win < mip
-    assert "Window" not in plan[mip:]
+    win = plan.find("Window ")
+    assert win != -1
+    below = plan[win:]
+    exch = below.find("Exchange")
+    assert exch != -1
+    # a partial truncation stage must sit BELOW the exchange, where the
+    # raw scored store flows: WindowGroupLimit Partial (JVM) or a
+    # MapInPandas partial both qualify
+    partial_wgl = below.find("WindowGroupLimit", exch)
+    partial_mip = below.find("MapInPandas", exch)
+    assert partial_wgl != -1 or partial_mip != -1, plan[:3000]
+    if partial_wgl != -1:
+        # Partial below the exchange, Final above it
+        assert "Partial" in below[partial_wgl:partial_wgl + 200]
+        final_wgl = below.find("WindowGroupLimit")
+        assert final_wgl < exch and "Final" in below[final_wgl:final_wgl + 200]

@@ -794,10 +794,11 @@ def test_pq_srp_differential_fuzz(spark):
 
 
 def test_per_query_topk_matches_naive_window(emb, spark):
-    """per_query_topk (partial top-k then bounded window) must return
-    EXACTLY the rows the naive Window.partitionBy(query_id) returns,
-    for both orderings — it is the scale-safe replacement for that
-    window (round-11 weak-plan fix), not an approximation."""
+    """per_query_topk (rank window planned as WindowGroupLimit
+    Partial/Final — bounded shuffle input) must return EXACTLY the rows
+    the naive Window.partitionBy(query_id) returns, for both orderings
+    — it is the scale-safe form of that window, not an
+    approximation."""
     from pyspark.sql.window import Window
 
     from otters_spark.functions.vector import queries_df, score_expr
@@ -830,9 +831,11 @@ def test_per_query_topk_matches_naive_window(emb, spark):
 
 
 def test_per_query_topk_bounded_state_across_batches(spark):
-    """The partial pass must keep a running top-k ACROSS Arrow batches
-    (not just within one): force multiple tiny batches through one
-    partition and check exactness."""
+    """Exactness pin over a single-partition multi-batch input: the
+    round-11 pandas partial needed a running top-k ACROSS Arrow batches
+    and this test caught carry bugs; kept after the round-12 JVM
+    WindowGroupLimit rewrite as a pure exactness regression (the tiny
+    Arrow batch size is now irrelevant but harmless)."""
     from otters_spark.operators.similarity import per_query_topk
 
     rows = [(qid, i, float((i * 37 + qid * 11) % 101))
@@ -852,3 +855,43 @@ def test_per_query_topk_bounded_state_across_batches(spark):
         vals.sort(key=lambda t: (-t[2], t[1]))
         expect += [(qid, i) for _, i, _ in vals[:3]]
     assert got == sorted(expect)
+
+
+def test_per_query_topk_null_keys_and_scores_match_naive(spark):
+    """Round-11 ADVICE hazards, locked after the round-12 JVM rewrite:
+    a NULL query key must form its OWN top-k group (the pandas partial
+    silently dropped it — groupby dropna), and NULL scores must follow
+    Spark's window NULL ordering exactly (DESC = NULLs last, ASC =
+    NULLs first; the pandas partial conflated NULL with NaN). Both are
+    asserted by equality against the naive window, per ordering."""
+    from pyspark.sql.window import Window
+
+    from otters_spark.operators.similarity import per_query_topk
+
+    rows = []
+    for qid in (None, 0, 1):
+        for i in range(40):
+            score = None if i % 7 == 0 else float((i * 13 + (qid or 2) * 5) % 23)
+            rows.append((qid, i, score))
+    df = spark.createDataFrame(
+        rows, "query_id int, vec_id long, score double"
+    ).repartition(4)
+    for ascending in (False, True):
+        direction = (
+            F.col("score").asc() if ascending else F.col("score").desc()
+        )
+        w = Window.partitionBy("query_id").orderBy(direction, F.col("vec_id"))
+        naive = (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .drop("rn")
+        )
+        got = per_query_topk(df, 5, ascending=ascending)
+        key = lambda r: (
+            r["query_id"] if r["query_id"] is not None else -1,
+            r["vec_id"],
+        )
+        got_rows = sorted(got.collect(), key=key)
+        assert got_rows == sorted(naive.collect(), key=key), ascending
+        # the NULL query key group is present with its own top-5
+        assert sum(1 for r in got_rows if r["query_id"] is None) == 5

@@ -164,6 +164,35 @@ def test_robust_outliers_basic(spark):
     assert row["group_median"] == med and row["group_mad"] == mad
 
 
+def test_robust_outliers_fused_mad_stats_are_exact(spark):
+    """Round-12 fusion: the MAD pass derives its binning stats
+    algebraically (0 <= |v-med| <= max(mx-med, med-mn), n unchanged)
+    instead of a second corpus stats pass. Loose bounds must not move
+    a bit: engineer groups where the derived upper bound is strictly
+    looser than the true max residual (two-sided extremes), plus the
+    degenerate all-equal group (zero-width residual range) and an
+    even-count group (interpolated MAD), and pin against direct
+    computation."""
+    import statistics
+
+    from otters_spark.operators.stats import robust_outliers
+
+    groups = {
+        # derived bound = max(1000-2, 2-(-1000)) = 1002 > true max 998
+        "two_sided": [-1000.0, 1.0, 2.0, 3.0, 1000.0],
+        "all_equal": [7.0, 7.0, 7.0],
+        "even_interp": [1.0, 2.0, 4.0, 8.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(3)
+    got = {r["g"]: r for r in robust_outliers(df, "v", ["g"]).collect()}
+    for g, vs in groups.items():
+        med = statistics.median(vs)
+        mad = statistics.median([abs(x - med) for x in vs])
+        assert got[g]["group_median"] == med, g
+        assert got[g]["group_mad"] == mad, g
+
+
 def test_robust_outliers_null_values_and_validation(spark):
     import pytest as _pytest
 

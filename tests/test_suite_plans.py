@@ -32,7 +32,6 @@ ARROW_OK = {
     "text_compression_ratio",  # zlib kernel (no SQL DEFLATE)
     "sim_gram_matrix",  # Arrow-batched integer partial-matmul kernel
     "sim_pca_variance",  # gram kernel + literal-codegen projection
-    "vs_per_query_topk",  # Arrow-batched per-partition partial top-k (r11)
 }
 
 # queries allowed an UNPARTITIONED window: only the two-phase binned
